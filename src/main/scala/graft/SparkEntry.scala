@@ -16,13 +16,13 @@ object SparkEntry {
     Relational.q01Pricing(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_pricing" -> (Relational.q01Pricing _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.registry ++ Windows.registry ++ Scalars.registry ++
+      EtlQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg_pricing" -> Relational.q01Oracle
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
+      EtlQueries.oracles
 }

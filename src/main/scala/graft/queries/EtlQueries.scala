@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.model.{ColumnMapping, TargetSchema}
+import graft.store.Upsert
+import graft.transform.Transforms
+
+/** Tier-A ETL operators surfaced as verifiable queries (SURVEY.md §2.A
+  * A10–A15, A19): exact/keyed dedup, schema mapping, staged upsert, AES
+  * roundtrip. Each routes through the actual library functions in
+  * `graft.transform` / `graft.store` so the correctness gate exercises the
+  * production code paths, not query-local copies.
+  */
+object EtlQueries {
+  import Exact._
+
+  /** A10 exact all-column dedup (dropDuplicates ⇒ hash aggregate). The
+    * projection has genuine duplicates (low-cardinality columns), so the
+    * dedup does real work.
+    */
+  def q27DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Transforms.dedupExact(
+      Tables.lineitem(spark, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        date_trunc("month", col("l_shipdate")).as("ship_month")))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+
+  val q27Oracle: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus,
+      |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, ship_month""".stripMargin
+
+  /** B14 keyed dedup with deterministic survivor (first lineitem per order
+    * by linenumber) — the reproducible generalization of
+    * `dropDuplicates(keys)`.
+    */
+  def q28DedupKeyed(spark: SparkSession, dir: String): DataFrame =
+    Transforms.dedupKeyed(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          dec2(col("l_extendedprice")).as("price")),
+      keys = Seq("l_orderkey"),
+      tieBreak = Seq(col("l_linenumber"), col("l_partkey"), col("price")))
+      .orderBy(col("l_orderkey"))
+
+  val q28Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, price FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, CAST(l_extendedprice AS DECIMAL(12,2))) AS rn
+      |  FROM lineitem)
+      |WHERE rn = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** A11–A13 schema mapping: rename + cast per target-schema config, as one
+    * projection (reference `map_columns_to_target`,
+    * `services/transformer.py:25-48`).
+    */
+  def q29SchemaMap(spark: SparkSession, dir: String): DataFrame =
+    Transforms.mapColumnsToTarget(
+      Tables.orders(spark, dir),
+      TargetSchema(Seq(
+        ColumnMapping("order_id", "o_orderkey", "string"),
+        ColumnMapping("status", "o_orderstatus", "string"),
+        ColumnMapping("total", "o_totalprice", "float"),
+        ColumnMapping("placed_on", "o_orderdate", "date"),
+        ColumnMapping("priority_code", "o_orderpriority", "string"))))
+      .orderBy(col("order_id"))
+
+  val q29Oracle: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+      |  o_orderstatus AS status,
+      |  CAST(o_totalprice AS FLOAT) AS total,
+      |  CAST(o_orderdate AS DATE) AS placed_on,
+      |  o_orderpriority AS priority_code
+      |FROM orders
+      |ORDER BY order_id""".stripMargin
+
+  /** A15 upsert semantics (delete-matched + insert-staging) as left-anti
+    * join + unionByName — the reference's printed-but-never-executed SQL
+    * (`services/data_store.py:29-41`) made real and verifiable.
+    */
+  def q30Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"),
+        col("o_orderstatus").as("status"))
+    val staging = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) + lit(10)).cast(D2).as("total"),
+        lit("U").as("status"))
+    Upsert(target, staging, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+  }
+
+  val q30Oracle: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |stg AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS total,
+      |    'U' AS status
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT t.* FROM tgt t WHERE NOT EXISTS
+      |    (SELECT 1 FROM stg s WHERE s.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT * FROM stg)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A19 AES-GCM encrypt/decrypt as distributed expressions. Ciphertext is
+    * IV-randomized, so the verifiable output is the roundtrip (decrypt ∘
+    * encrypt = identity); the oracle is the identity projection.
+    */
+  def q31AesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val key = lit("0123456789abcdef0123456789abcdef") // 32-byte AES-256 key
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        Transforms.aesDecryptCol(
+          Transforms.aesEncryptCol(col("c_name"), key), key).as("name_roundtrip"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q31Oracle: String =
+    """SELECT c_custkey, c_name AS name_roundtrip
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_dedup_exact"   -> (q27DedupExact _),
+    "q28_dedup_keyed"   -> (q28DedupKeyed _),
+    "q29_schema_map"    -> (q29SchemaMap _),
+    "q30_upsert"        -> (q30Upsert _),
+    "q31_aes_roundtrip" -> (q31AesRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_dedup_exact"   -> q27Oracle,
+    "q28_dedup_keyed"   -> q28Oracle,
+    "q29_schema_map"    -> q29Oracle,
+    "q30_upsert"        -> q30Oracle,
+    "q31_aes_roundtrip" -> q31Oracle)
+}

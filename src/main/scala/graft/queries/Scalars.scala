@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Tier-B set operations and the scalar function library
+  * (SURVEY.md §2.B B12–B13).
+  *
+  * Set ops are expressed with the native operators (union/intersect/except →
+  * Catalyst rewrites to hash-aggregate / semi / anti joins). Scalar functions
+  * use `org.apache.spark.sql.functions._` exclusively — every expression here
+  * is whole-stage-codegen'd; no UDF appears on a hot path.
+  */
+object Scalars {
+  import Exact._
+
+  /** B12 union (distinct): high-value order customers ∪ BUILDING-segment
+    * customers.
+    */
+  def q19Union(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("ck"))
+    val b = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("ck"))
+    a.unionByName(b).distinct().orderBy(col("ck"))
+  }
+
+  val q19Oracle: String =
+    """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000
+      |UNION
+      |SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY ck""".stripMargin
+
+  /** B12 intersect. */
+  def q20Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("ck"))
+    val b = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("ck"))
+    a.intersect(b).orderBy(col("ck"))
+  }
+
+  val q20Oracle: String =
+    """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+      |INTERSECT
+      |SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY ck""".stripMargin
+
+  /** B12 except: customers minus those with any large order. */
+  def q21Except(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("ck"))
+    all.except(big).orderBy(col("ck"))
+  }
+
+  val q21Oracle: String =
+    """SELECT c_custkey AS ck FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+      |ORDER BY ck""".stripMargin
+
+  /** B13 string functions: upper, substring, regexp_extract, split +
+    * element_at, length.
+    */
+  def q22StringFn(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 4).as("type_prefix"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  val q22Oracle: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  SUBSTRING(p_type, 1, 4) AS type_prefix,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  CAST(LENGTH(p_name) AS INTEGER) AS name_len
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B13 math + date functions: round/abs on decimal (exact), year/month,
+    * date_trunc, datediff.
+    */
+  def q23MathDateFn(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        round(dec2(col("o_totalprice")), 0).cast(DecimalType(38, 0)).as("total_rounded"),
+        abs(dec2(col("o_totalprice")) - lit(100000)).cast(DecimalType(38, 2)).as("dist_from_100k"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        date_trunc("month", col("o_orderdate")).as("o_month_start"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate")).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  val q23Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 0) AS DECIMAL(38,0)) AS total_rounded,
+      |  CAST(ABS(CAST(o_totalprice AS DECIMAL(12,2)) - 100000) AS DECIMAL(38,2)) AS dist_from_100k,
+      |  CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** B13 array functions: split, size, array_distinct, array_contains over
+    * document token arrays.
+    */
+  def q24ArrayFn(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"),
+        element_at(split(col("text"), " "), 1).as("first_token"))
+      .orderBy(col("doc_id"))
+
+  val q24Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  string_split(text, ' ')[1] AS first_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** B13 JSON functions on events.props: path extraction + schema-projected
+    * from_json.
+    */
+  def q25JsonFn(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_value"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+
+  val q25Oracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** B13 conditionals: CASE WHEN, nullif, coalesce. */
+  def q26Conditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "S")
+          .when(col("o_totalprice") < 200000, "M")
+          .otherwise("L").as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_display"))
+      .orderBy(col("o_orderkey"))
+
+  val q26Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 50000 THEN 'S'
+      |       WHEN o_totalprice < 200000 THEN 'M'
+      |       ELSE 'L' END AS size_class,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_display
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_union"        -> (q19Union _),
+    "q20_intersect"    -> (q20Intersect _),
+    "q21_except"       -> (q21Except _),
+    "q22_string_fn"    -> (q22StringFn _),
+    "q23_math_date_fn" -> (q23MathDateFn _),
+    "q24_array_fn"     -> (q24ArrayFn _),
+    "q25_json_fn"      -> (q25JsonFn _),
+    "q26_conditional"  -> (q26Conditional _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_union"        -> q19Oracle,
+    "q20_intersect"    -> q20Oracle,
+    "q21_except"       -> q21Oracle,
+    "q22_string_fn"    -> q22Oracle,
+    "q23_math_date_fn" -> q23Oracle,
+    "q24_array_fn"     -> q24Oracle,
+    "q25_json_fn"      -> q25Oracle,
+    "q26_conditional"  -> q26Oracle)
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Tier-B window functions and top-k (SURVEY.md §2.B B10–B11).
+  *
+  * Window specs partition on a key, so the only shuffle is one hash
+  * repartition per distinct (partitionBy, orderBy) pair — Spark reuses the
+  * exchange across multiple window functions over the same spec. Rankings
+  * over a non-unique sort key always carry a unique tie-break column so
+  * results are deterministic and oracle-comparable.
+  */
+object Windows {
+  import Exact._
+
+  /** B10 ranking trio. row_number gets a unique tie-break (custkey); rank /
+    * dense_rank run on the raw sort key so ties are visible.
+    */
+  def q14WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val byBalTies = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        dec2(col("c_acctbal")).as("balance"),
+        row_number().over(byBal).as("rn"),
+        rank().over(byBalTies).as("rnk"),
+        dense_rank().over(byBalTies).as("drnk"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val q14Oracle: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+      |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+      |FROM customer
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** B10 lag/lead over a per-customer order timeline. */
+  def q15WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("total", dec2(col("o_totalprice")))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("total"),
+        lag(col("total"), 1).over(w).as("prev_total"),
+        lead(col("total"), 1).over(w).as("next_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q15Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |  LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_total,
+      |  LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** B10 running aggregate with an explicit ROWS frame. */
+  def q16WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("total", dec2(col("o_totalprice")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        out2(sum(col("total")).over(w)).as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_total,
+      |  COUNT(*) OVER w AS running_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** B11 global top-k. Spark plans this as TakeOrderedAndProject: each
+    * partition keeps its local top-10, only k rows per partition reach the
+    * driver-side merge — no full sort at any scale.
+    */
+  def q17TopKGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("total"))
+
+  val q17Oracle: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** B11 top-k per group via row_number — one shuffle on the group key, the
+    * rank filter drops rows before any further stage.
+    */
+  def q18TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        dec2(col("c_acctbal")).as("balance"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val q18Oracle: String =
+    """SELECT c_mktsegment, c_custkey, balance, rn FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_window_rank"    -> (q14WindowRank _),
+    "q15_window_lag"     -> (q15WindowLag _),
+    "q16_window_running" -> (q16WindowRunning _),
+    "q17_topk_global"    -> (q17TopKGlobal _),
+    "q18_topk_pergroup"  -> (q18TopKPerGroup _))
+
+  val oracles: Map[String, String] = Map(
+    "q14_window_rank"    -> q14Oracle,
+    "q15_window_lag"     -> q15Oracle,
+    "q16_window_running" -> q16Oracle,
+    "q17_topk_global"    -> q17Oracle,
+    "q18_topk_pergroup"  -> q18Oracle)
+}

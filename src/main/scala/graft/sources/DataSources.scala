@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{ConnectorConfig, JdbcConfig, SourceType}
+
+/** Source connectors (SURVEY.md §2.A A1–A7, §2.C).
+  *
+  * Each source is a pure `SparkSession => DataFrame` — reads stay lazy, so
+  * Catalyst predicate pushdown / column pruning apply to whatever query is
+  * composed on top. Nothing here materializes rows on the driver except
+  * [[LocalRowsSource]], which exists only for parity with the reference's
+  * ODBC path (`services/data_source.py:136-183`) — that path is explicitly
+  * anti-scale (full driver materialization) and is documented as such.
+  */
+trait DataSource {
+  def fetch(spark: SparkSession): DataFrame
+}
+
+/** Multiline permissive JSON ≙ reference `services/data_source.py:27-39`. */
+final case class JsonSource(path: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+}
+
+/** Header + inferSchema CSV ≙ reference `services/data_source.py:41-52`. */
+final case class CsvSource(path: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+}
+
+/** rowTag XML ≙ reference `services/data_source.py:54-68`. Spark 4 ships a
+  * native XML source, so the `com.databricks:spark-xml` package pin
+  * (reference `lambda_function.py:120`) is unnecessary.
+  */
+final case class XmlSource(path: String, rowTag: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read.option("rowTag", rowTag).xml(path)
+}
+
+/** Parquet source — the testdata-native scan path (TESTDATA.md). */
+final case class ParquetSource(path: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** JDBC table/query source ≙ reference `services/data_source.py:78-111`.
+  *
+  * Scale note: the reference reads whole tables on a single partition
+  * (no `partitionColumn` — SURVEY.md §4). Here a partitioned read is the
+  * default posture: pass `partitioning` to split the scan across executors.
+  */
+final case class JdbcPartitioning(column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+final case class JdbcTableSource(
+    cfg: JdbcConfig,
+    table: String,
+    partitioning: Option[JdbcPartitioning] = None) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+    partitioning.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound)
+        .option("upperBound", p.upperBound)
+        .option("numPartitions", p.numPartitions)
+    }.load()
+  }
+}
+
+/** Whole-query pushdown to the RDBMS ≙ reference `query` option usage
+  * (`services/data_source.py:93-111`).
+  */
+final case class JdbcQuerySource(cfg: JdbcConfig, query: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("query", query)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+      .load()
+}
+
+/** Driver-side rows → DataFrame, parity with the reference ODBC path
+  * (`services/data_source.py:170-180`). Anti-scale by design; kept because
+  * the reference surface includes it.
+  */
+final case class LocalRowsSource(rows: Seq[Row], schema: StructType) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}
+
+object DataSources {
+  /** Connection liveness probe ≙ `check_connection`'s `SELECT 1 AS
+    * test_column` pushdown (`services/data_source.py:93-111`).
+    */
+  def checkConnection(spark: SparkSession, cfg: JdbcConfig): Boolean =
+    try {
+      JdbcQuerySource(cfg, "SELECT 1 AS test_column").fetch(spark).count() == 1L
+    } catch { case _: Exception => false }
+
+  /** Dialect-specific catalog listing ≙ `show_tables`
+    * (`services/data_source.py:113-134`): per-dialect information-schema
+    * subquery pushed down via `dbtable`.
+    */
+  def showTablesQuery(tpe: SourceType): String = tpe match {
+    case SourceType.MySql =>
+      "(SELECT table_name FROM information_schema.tables WHERE table_schema = DATABASE()) AS tables"
+    case SourceType.Postgres =>
+      "(SELECT table_name FROM information_schema.tables WHERE table_schema = 'public') AS tables"
+    case SourceType.Oracle =>
+      "(SELECT table_name FROM user_tables)"
+    case SourceType.MsSql =>
+      "(SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE') AS tables"
+    case other => throw new IllegalArgumentException(s"Not a JDBC source: $other")
+  }
+
+  def showTables(spark: SparkSession, cfg: JdbcConfig, tpe: SourceType): DataFrame =
+    JdbcTableSource(cfg, showTablesQuery(tpe)).fetch(spark)
+
+  /** Table-name list to the driver ≙ `lambda_function.py:162`'s
+    * `select("table_name").rdd.flatMap(...).collect()` — done Dataset-native
+    * (no RDD drop-down, SURVEY A8/A9).
+    */
+  def tableNames(tables: DataFrame): Seq[String] = {
+    import tables.sparkSession.implicits._
+    tables.select("table_name").as[String].collect().toSeq
+  }
+
+  /** Connector-config dispatch ≙ `lambda_function.py:99-154`. */
+  def fromConnector(cfg: ConnectorConfig, table: Option[String] = None): DataSource =
+    cfg.source match {
+      case SourceType.Json => JsonSource(cfg.filePath.getOrElse(missing(cfg, "filePath")))
+      case SourceType.Csv  => CsvSource(cfg.filePath.getOrElse(missing(cfg, "filePath")))
+      case SourceType.Xml  => XmlSource(
+        cfg.filePath.getOrElse(missing(cfg, "filePath")),
+        cfg.rowTag.getOrElse(missing(cfg, "rowTag")))
+      case SourceType.Parquet => ParquetSource(cfg.filePath.getOrElse(missing(cfg, "filePath")))
+      case _ => JdbcTableSource(
+        cfg.jdbc.getOrElse(missing(cfg, "jdbc")),
+        table.getOrElse(missing(cfg, "table")))
+    }
+
+  private def missing(cfg: ConnectorConfig, field: String): Nothing =
+    throw new IllegalArgumentException(s"Connector ${cfg.id}: missing $field")
+}

@@ -1,0 +1,82 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.model.JdbcConfig
+
+/** Sink layer (SURVEY.md §2.A A14–A16; §7 module 4).
+  *
+  * The reference's upsert assembled `DELETE FROM tgt USING staging WHERE
+  * tgt.id = staging.id; INSERT INTO tgt SELECT * FROM staging` but only ever
+  * printed it (`services/data_store.py:29-41`). Those semantics — staging
+  * rows replace target rows with matching keys, all other target rows
+  * survive — are made real here as a left-anti join + unionByName, which
+  * Catalyst executes as one shuffled (or broadcast, when staging is small)
+  * join with no driver round-trip. At 100 TB this is the MERGE pattern:
+  * anti-join co-partitions on the key, so only the staging keys shuffle.
+  */
+object Upsert {
+  def apply(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(staging, keys, "left_anti").unionByName(staging)
+}
+
+trait DataStore {
+  /** ≙ abstract `DataStore.upsert_data` (`services/data_store.py:3-9`). */
+  def upsert(staging: DataFrame): Unit
+}
+
+/** Parquet-target upsert store — the testdata-native sink. Writes the merged
+  * result to a fresh directory then swaps, because overwriting an input path
+  * in-place would race the lazy scan of the same path.
+  */
+final class ParquetStore(targetPath: String, keys: Seq[String]) extends DataStore {
+  def upsert(staging: DataFrame): Unit = {
+    val spark = staging.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val merged =
+      if (fs.exists(target)) Upsert(spark.read.parquet(targetPath), staging, keys)
+      else staging
+    val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+}
+
+/** JDBC staged upsert ≙ `PostgresDataStore.upsert_data`
+  * (`services/data_store.py:14-41`): executors write the staging table in
+  * parallel, then ONE driver-side transaction promotes it — delete matched,
+  * insert all, drop staging — which the reference printed but never ran.
+  */
+final class JdbcStore(cfg: JdbcConfig, table: String, key: String) extends DataStore {
+  def upsert(staging: DataFrame): Unit = {
+    val stagingTable = s"${table}_staging"
+    staging.write.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", stagingTable)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+      .mode(SaveMode.Overwrite)
+      .save()
+    val sql =
+      s"""BEGIN;
+         |DELETE FROM $table USING $stagingTable
+         |  WHERE $table.$key = $stagingTable.$key;
+         |INSERT INTO $table SELECT * FROM $stagingTable;
+         |DROP TABLE $stagingTable;
+         |COMMIT;""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+}
+
+/** Debug/display sink ≙ `df.show()` (`lambda_function.py:192`). */
+final class ShowStore extends DataStore {
+  def upsert(staging: DataFrame): Unit = staging.show()
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.EtlPipeline
+import graft.sources.ParquetSource
+import graft.store.{ParquetStore, Upsert}
+import graft.transform.Transforms
+
+class StoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("Upsert replaces matched keys and keeps the rest (A15)") {
+    val target = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("id", "v")
+    val staging = Seq((2, "new2"), (4, "new4")).toDF("id", "v")
+    val out = Upsert(target, staging, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(out === Seq((1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")))
+  }
+
+  test("ParquetStore upserts into an existing target path") {
+    val dir = Files.createTempDirectory("graft-store").resolve("tgt").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(dir)
+    new ParquetStore(dir, Seq("id")).upsert(Seq((2, "B"), (3, "C")).toDF("id", "v"))
+    val out = spark.read.parquet(dir).orderBy("id").as[(Int, String)].collect().toSeq
+    assert(out === Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("ParquetStore creates the target when absent") {
+    val dir = Files.createTempDirectory("graft-store").resolve("fresh").toString
+    new ParquetStore(dir, Seq("id")).upsert(Seq((1, "a")).toDF("id", "v"))
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+
+  test("EtlPipeline composes fetch -> transform -> store -> post (A21)") {
+    val outDir = Files.createTempDirectory("graft-pipe").resolve("out").toString
+    val pipeline = new EtlPipeline(
+      source = ParquetSource(s"$sfDir/region.parquet"),
+      transform = df => Transforms.dedupExact(df),
+      store = new ParquetStore(outDir, Seq("r_regionkey")))
+    val result = pipeline.run(spark)
+    assert(result.count() === 5)
+    assert(spark.read.parquet(outDir).count() === 5)
+    // run again: upsert of identical keys keeps cardinality stable
+    pipeline.run(spark)
+    assert(spark.read.parquet(outDir).count() === 5)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{ColumnMapping, TargetSchema}
+import graft.transform.Transforms
+
+class TransformsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dedupExact removes full-row duplicates (A10)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "v")
+    assert(Transforms.dedupExact(df).count() === 2)
+  }
+
+  test("dedupKeyed keeps exactly one deterministic survivor per key (B14)") {
+    val df = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z"))
+      .toDF("k", "ord", "v")
+    val out = Transforms.dedupKeyed(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(2))).toSeq === Seq((1, "a"), (2, "z")))
+  }
+
+  test("dedupKeyed is deterministic across repeated runs") {
+    val df = Tables.lineitem(spark, sfDir)
+    def run() = Transforms.dedupKeyed(df, Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_partkey")))
+      .orderBy("l_orderkey").collect().toSeq
+    assert(run() === run())
+  }
+
+  test("mapColumnsToTarget renames and casts in one projection (A11)") {
+    val df = Seq(("7", "2024-01-02", "3.5", "true")).toDF("a", "b", "c", "d")
+    val out = Transforms.mapColumnsToTarget(df, TargetSchema(Seq(
+      ColumnMapping("n", "a", "integer"),
+      ColumnMapping("day", "b", "date", Some("yyyy-MM-dd")),
+      ColumnMapping("x", "c", "float"),
+      ColumnMapping("flag", "d", "boolean"))))
+    assert(out.schema.map(f => (f.name, f.dataType)) === Seq(
+      ("n", IntegerType), ("day", DateType), ("x", FloatType), ("flag", BooleanType)))
+    val r = out.head()
+    assert(r.getInt(0) === 7)
+    assert(r.getDate(1).toString === "2024-01-02")
+    assert(r.getFloat(2) === 3.5f)
+    assert(r.getBoolean(3))
+  }
+
+  test("mapColumnsToTarget parses timestamps with custom format (A13)") {
+    val df = Seq(("02/01/2024 13:45:00")).toDF("t")
+    val out = Transforms.mapColumnsToTarget(df, TargetSchema(Seq(
+      ColumnMapping("ts", "t", "timestamp", Some("dd/MM/yyyy HH:mm:ss")))))
+    assert(out.head().getTimestamp(0).toString === "2024-01-02 13:45:00.0")
+  }
+
+  test("mapColumnsToTarget rejects unsupported types like the reference") {
+    val df = Seq((1)).toDF("a")
+    val e = intercept[IllegalArgumentException] {
+      Transforms.mapColumnsToTarget(df, TargetSchema(Seq(
+        ColumnMapping("a", "a", "uuid"))))
+    }
+    assert(e.getMessage.contains("Unsupported data type"))
+  }
+
+  test("aes encrypt/decrypt roundtrip is identity (A19)") {
+    val key = lit("0123456789abcdef0123456789abcdef")
+    val df = Seq(("secret-1"), ("secret-2")).toDF("v")
+    val out = df.select(
+      Transforms.aesDecryptCol(Transforms.aesEncryptCol(col("v"), key), key).as("rt"))
+    assert(out.as[String].collect().toSeq === Seq("secret-1", "secret-2"))
+  }
+}
