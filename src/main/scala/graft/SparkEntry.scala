@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
-      EtlQueries.registry
+      EtlQueries.registry ++ TextQueries.registry ++ SimilarityQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
-      EtlQueries.oracles
+      EtlQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

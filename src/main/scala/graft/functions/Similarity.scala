@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity / dedup primitives: shingling, MinHash, banded LSH, SimHash,
+  * vector math, random-hyperplane LSH (north-star tier B15/B16).
+  *
+  * Everything is expressed through codegen'd higher-order array functions —
+  * the signatures/buckets are ordinary columns, so the candidate-pair joins
+  * are plain equi-joins that shuffle only (band, key) pairs. That is the
+  * scale story: no O(n²) stage anywhere; all-pairs work happens only within
+  * an LSH bucket.
+  *
+  * Determinism: every hash is xxhash64 (fixed seed 42 inside Spark) or a
+  * fixed odd-multiplier remix of it; the hyperplane projections come from a
+  * fixed-seed RNG materialized as literals. Repeated runs — and runs on
+  * different partitionings — produce identical results (SURVEY.md §7 "LSH
+  * determinism").
+  */
+object Similarity {
+
+  /** k-word shingles of a token array; a document shorter than k tokens
+    * contributes its whole text as one shingle.
+    */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Distinct k-shingle set of a text column. */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(wordShingles(TextFunctions.tokens(text), k))
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** Base hashes of the shingle set, reduced into [0, 2^31-1) so the
+    * universal-hash remixes below stay overflow-free under ANSI mode
+    * (a·h < 2^62 for a, h < 2^31).
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh => pmod(xxhash64(sh), lit(2147483647L)))
+
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  /** MinHash signature of length `numHashes` via Carter-Wegman remixes
+    * h_s(x) = (a_s·h(x) + b_s) mod (2^31-1), with a_s, b_s derived from the
+    * slot index. One xxhash64 per shingle, then cheap bounded multiply-adds
+    * per slot: O(|shingles|·numHashes) integer ops, no string re-hashing,
+    * no overflow.
+    */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), s => {
+      val a = pmod(s.cast(LongType) * 2654435761L + 1L, lit(MersenneP))
+      val b = pmod(s.cast(LongType) * 40503L + 7L, lit(MersenneP))
+      array_min(transform(baseHashes, h => pmod(a * h + b, lit(MersenneP))))
+    })
+
+  /** Banded LSH keys: one (band, hash-of-rows) struct per band (band count
+    * is a plan-time constant, so the bands unroll into a literal array).
+    * Two docs collide on a band iff their signature rows in that band are
+    * identical.
+    */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bkey"))
+    }: _*)
+
+  /** 64-bit SimHash over (multiset) token hashes: bit i of the fingerprint
+    * is the majority vote of bit i across token hashes. Bits 62..0 pack
+    * MSB-first as acc*2+bit (max 2^63-1, no overflow); the sign bit is
+    * folded in as +Long.MinValue, which is exact for acc ≥ 0 — keeps the
+    * whole fold ANSI-safe.
+    */
+  def simhash(tokenHashes: Column): Column = {
+    def bit(i: Column): Column = when(
+      size(filter(tokenHashes, h => getbit(h, i) === 1)) * 2 > size(tokenHashes),
+      lit(1L)).otherwise(lit(0L))
+    val low63 = aggregate(sequence(lit(62), lit(0), lit(-1)), lit(0L),
+      (acc, i) => acc * 2L + bit(i))
+    low63 + when(bit(lit(63)) === 1L, lit(Long.MinValue)).otherwise(lit(0L))
+  }
+
+  /** SimHash band keys: `bands` spans of `bitsPerBand` bits each. */
+  def simhashBandKeys(sh: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftrightunsigned(sh, b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))
+    }: _*)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- vector math (Array[Float] embeddings) ----
+
+  /** Cast a float vector to double for drift-free arithmetic. */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product — same order as DuckDB's
+    * list_cosine_similarity internals, verified bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity = dot/(√na·√nb) — the exact operation order DuckDB
+    * uses (900/900 bit-equal on testdata pairs).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic Gaussian hyperplanes for sign-LSH. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH signature: bit b = [v · r_b > 0], packed into an int. Two
+    * vectors with small angle share most bits (SRP-LSH).
+    */
+  def lshSignature(vec: Column, proj: Array[Array[Double]]): Column =
+    proj.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Band keys over an LSH signature (bands × bitsPerBand = total bits). */
+  def lshBandKeys(sig: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftrightunsigned(sig.cast(LongType), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))
+    }: _*)
+
+  /** Squared L2 distance (for IVF centroid assignment). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+}

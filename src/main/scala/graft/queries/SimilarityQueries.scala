@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Similarity._
+
+/** Near-duplicate detection and similarity search (north-star tier
+  * B15/B16): MinHash+LSH, SimHash, exact n-gram Jaccard, embedding
+  * near-dup, brute-force cosine top-k, sign-LSH ANN, IVF ANN.
+  *
+  * The synthetic corpus has no natural near-duplicates, so the dedup
+  * queries PLANT them: each doc/vector gets a perturbed twin at
+  * `id + PlantOffset` (one appended token / one nudged component). The
+  * operators must rediscover exactly those pairs — a self-checking setup
+  * that also gives the scalatest invariants a ground truth.
+  *
+  * Scale: every candidate-generation step is an equi-join on (band, key)
+  * buckets — the only all-pairs comparisons happen inside a bucket. This is
+  * the standard web-scale dedup/ANN shape; nothing is O(n²) in the corpus.
+  */
+object SimilarityQueries {
+
+  val PlantOffset = 10000000L
+
+  private def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // every 5th doc gets a near-dup twin: same text plus one appended token
+    val plants = base.filter(col("doc_id") % 5 === 0)
+      .select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zz9end")).as("text"))
+    base.unionByName(plants)
+  }
+
+  /** B15 MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+    * 32 hashes in 8 bands × 4 rows (catches J ≳ 0.85 with high
+    * probability); candidates from band-bucket equi-joins only; final
+    * output is the exact-Jaccard-confirmed pair list.
+    */
+  def q36DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+      .withColumn("sh", shingleSet(col("text"), 3))
+    val sigs = docs
+      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), 32))
+    val bandedA = sigs.select(col("doc_id"), explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
+    val bandedB = bandedA.select(col("doc_id").as("doc_id_b"), col("bk").as("bk_b"))
+    val cand = bandedA.join(bandedB,
+        col("bk") === col("bk_b") && col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** B15 SimHash near-dup: 64-bit majority fingerprint, 4 bands × 16 bits
+    * candidate buckets, Hamming ≤ 6 confirmation.
+    */
+  def q37DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlants(spark, dir)
+      .withColumn("th", transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("sh64", simhash(col("th")))
+    val fps = docs.select(col("doc_id"), col("sh64"))
+    val banded = docs.select(col("doc_id"), col("sh64"), explode(simhashBandKeys(col("sh64"), 4, 16)).as("bk"))
+    val bandedB = banded.select(col("doc_id").as("doc_id_b"), col("sh64").as("sh64_b"), col("bk").as("bk_b"))
+    banded.join(bandedB,
+        col("bk") === col("bk_b") && col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"),
+        hamming(col("sh64"), col("sh64_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** B15 exact n-gram Jaccard with a DuckDB oracle: trigram-set similarity
+    * for near-id pairs within a language (bounded candidate set via the
+    * lang equi-key + id-range condition — a sort-merge join, not a cross
+    * product).
+    */
+  def q38NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b,
+        col("lang") === col("lang_b") &&
+        col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
+      .select(col("id_a"), col("id_b"), col("lang"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q38Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tri =
+      s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+         |     ELSE list_transform(range(1, len($toks) - 1),
+         |            i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END""".stripMargin
+    s"""WITH d AS (SELECT lang, doc_id, list_distinct($tri) AS sh FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def vecsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // every 7th vector gets a twin with one component nudged: cosine ≈ 1
+    val plants = base.filter(col("vec_id") % 7 === 0)
+      .select(
+        (col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.001).otherwise(x)).as("v"))
+    base.unionByName(plants)
+  }
+
+  /** B15/B16 embedding near-dup via sign-LSH buckets + exact cosine ≥ 0.99.
+    * Planted twins have nearly-identical sign signatures, so they collide
+    * in ≥1 of the 4 bands; random pairs that collide are rejected by the
+    * cosine confirmation.
+    */
+  def q39EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val vecs = vecsWithPlants(spark, dir)
+      .withColumn("sig", lshSignature(col("v"), proj))
+    val banded = vecs.select(col("vec_id"), col("v"), explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val bandedB = banded.select(col("vec_id").as("vec_id_b"), col("v").as("v_b"), col("bk").as("bk_b"))
+    banded.join(bandedB,
+        col("bk") === col("bk_b") && col("vec_id") < col("vec_id_b"))
+      .select(col("vec_id").as("id_a"), col("vec_id_b").as("id_b"), col("v"), col("v_b"))
+      .distinct()
+      .withColumn("cos", cosine(col("v"), col("v_b")))
+      .filter(col("cos") >= 0.99)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** B16 brute-force cosine top-k (the exactness baseline): 8 query vectors
+    * broadcast against all candidates, top-5 each. Oracle-checked against
+    * DuckDB's list_cosine_similarity (bit-identical formula).
+    */
+  def q40CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("vid"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val q40Oracle: String =
+    """SELECT qid, vid, ROUND(sim, 6) AS sim, rn FROM (
+      |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rn
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      |WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** B16 ANN via sign-LSH: candidates = vectors sharing ≥1 of 4 bands with
+    * the query, exact cosine only on candidates, top-5. The scale path —
+    * candidate set is a small fraction of the corpus; recall vs q40 is
+    * asserted in scalatest.
+    */
+  def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), proj))
+    val banded = emb.select(col("vec_id"), col("v"), explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val qBanded = banded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bk").as("bk_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    banded.join(qBanded, col("bk") === col("bk_q") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("vid"), col("v"))
+      .distinct()
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** B16 IVF ANN: inverted-file index with deterministic "trained"
+    * centroids (the first 16 vectors), nprobe=4. Assignment and probing are
+    * broadcast joins + argmin windows — a real IVF partitioning shape (at
+    * production scale the centroids come from k-means; the index/probe
+    * machinery is identical).
+    */
+  def q42AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    // inverted lists: each vector assigned to its nearest centroid
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val assigned = emb.join(broadcast(centroids), lit(true))
+      .withColumn("d2", distSq(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // queries probe their 4 nearest centroids
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qd2"), col("cid"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("qd2", distSq(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select(col("qid"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("vid"), col("v"))
+      .distinct()
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_dedup_minhash"  -> (q36DedupMinhash _),
+    "q37_dedup_simhash"  -> (q37DedupSimhash _),
+    "q38_ngram_jaccard"  -> (q38NgramJaccard _),
+    "q39_embed_neardup"  -> (q39EmbedNearDup _),
+    "q40_cosine_topk"    -> (q40CosineTopK _),
+    "q41_ann_lsh"        -> (q41AnnLsh _),
+    "q42_ann_ivf"        -> (q42AnnIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "q38_ngram_jaccard"  -> q38Oracle,
+    "q40_cosine_topk"    -> q40Oracle)
+}
