@@ -18,11 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
-      EtlQueries.registry ++ TextQueries.registry ++ SimilarityQueries.registry
+      EtlQueries.registry ++ TextQueries.registry ++
+      SimilarityQueries.registry ++ StreamingQueries.registry ++
+      ExtensionQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
-      EtlQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+      EtlQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles ++ StreamingQueries.oracles ++
+      ExtensionQueries.oracles
 }

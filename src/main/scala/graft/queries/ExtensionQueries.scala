@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Aggregators
+import graft.functions.Similarity.toDouble
+import graft.multimodal.Multimodal
+
+/** UDF/UDAF surface (B19) and multimodal plumbing queries. */
+object ExtensionQueries {
+
+  /** B19 registered Scala UDF: parse the numeric id out of a source tag
+    * ("src17" → 17). Registered through `spark.udf.register` — the
+    * reference-surface UDF registration path — then invoked with call_udf.
+    * (A UDF is the RIGHT tool only for logic the expression library can't
+    * say; this one exists to verify the registration surface and is
+    * deliberately trivial.)
+    */
+  def q47UdfSourceId(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_source_id", (s: String) => {
+      val digits = s.filter(_.isDigit)
+      if (digits.isEmpty) -1 else digits.toInt
+    })
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        call_udf("graft_source_id", col("source")).as("source_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Oracle: String =
+    """SELECT doc_id, source,
+      |  CAST(COALESCE(NULLIF(regexp_replace(source, '[^0-9]', '', 'g'), ''), '-1') AS INTEGER) AS source_id
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** B19 typed Aggregator: per-label embedding centroid via the public
+    * Aggregator API (partial/merge/final — scales like a built-in agg).
+    */
+  def q48UdafVecAvg(spark: SparkSession, dir: String): DataFrame = {
+    val vecAvg = udaf(Aggregators.VecAvg)
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(vecAvg(toDouble(col("embedding"))).as("raw"))
+      .select(
+        col("label"),
+        transform(col("raw"), x => round(x, 4)).as("centroid"))
+      .orderBy(col("label"))
+  }
+
+  val q48Oracle: String =
+    """SELECT label, list(r ORDER BY pos) AS centroid FROM (
+      |  SELECT label, pos, ROUND(AVG(x), 4) AS r FROM (
+      |    SELECT label,
+      |      unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |      unnest(range(1, len(embedding) + 1)) AS pos
+      |    FROM embeddings)
+      |  GROUP BY label, pos)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** Multimodal metadata catalog: binary payload + length + sha256. */
+  def q49MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMeta(Multimodal.mediaTable(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  val q49Oracle: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  sha256(text) AS sha
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Multimodal batch feature extraction through typed mapPartitions (the
+    * stubbed decode; see graft.multimodal.Multimodal). The oracle replays
+    * the stub's arithmetic, verifying the Encoder/mapPartitions plumbing
+    * end-to-end. Brightness = mean of the first 256 payload bytes — ASCII
+    * text payloads make that SQL-expressible via the char codes.
+    */
+  def q50MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"), round(col("brightness"), 6).as("brightness"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q50Oracle: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |  CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+      |  ROUND(CAST(list_sum(list_transform(string_split(substring(text, 1, 256), ''), c -> ascii(c))) AS DOUBLE)
+      |        / least(octet_length(encode(text)), 256), 6) AS brightness
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: per-frame byte offsets via explode over a generated
+    * index range.
+    */
+  def q51FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRow]
+    val features = Multimodal.extractFeatures(media).toDF()
+    val meta = Multimodal.withMeta(Multimodal.mediaTable(Tables.documents(spark, dir)))
+    Multimodal.sampleFrames(features, meta)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q51Oracle: String =
+    """SELECT doc_id, frame_idx,
+      |  frame_idx * (n_bytes // n_frames) AS byte_off
+      |FROM (
+      |  SELECT doc_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    1 + octet_length(encode(text)) % 16 AS n_frames,
+      |    unnest(range(0, 1 + octet_length(encode(text)) % 16)) AS frame_idx
+      |  FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_udf_source_id"      -> (q47UdfSourceId _),
+    "q48_udaf_vecavg"        -> (q48UdafVecAvg _),
+    "q49_multimodal_meta"    -> (q49MultimodalMeta _),
+    "q50_multimodal_features" -> (q50MultimodalFeatures _),
+    "q51_frame_sample"       -> (q51FrameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q47_udf_source_id"      -> q47Oracle,
+    "q48_udaf_vecavg"        -> q48Oracle,
+    "q49_multimodal_meta"    -> q49Oracle,
+    "q50_multimodal_features" -> q50Oracle,
+    "q51_frame_sample"       -> q51Oracle)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.StreamingOps
+
+/** Windowed event aggregations, batch + streaming execution (B18). The
+  * batch forms carry exact DuckDB oracles; q46 executes the SAME tumbling
+  * aggregation through Structured Streaming (file-per-microbatch, complete
+  * mode, memory sink) and is checked against the SAME oracle — proving
+  * batch/stream semantic equivalence inside the correctness gate.
+  */
+object StreamingQueries {
+
+  def q43Tumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.tumblingAgg(Tables.events(spark, dir))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q43Oracle: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  def q44Sliding(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.slidingAgg(Tables.events(spark, dir))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q44Oracle: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events, UNNEST([0, 1]) AS t(k)
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  def q45Session(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.sessionAgg(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val q45Oracle: String =
+    """WITH brk AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk)
+      |SELECT user_id, MIN(ts) AS s_start,
+      |  MAX(ts) + INTERVAL '30 minutes' AS s_end,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
+  /** The tumbling aggregation executed through Structured Streaming. */
+  def q46StreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.runStreamSync(spark, dir, StreamingOps.tumblingAgg, "graft_stream_tumbling")
+      .orderBy(col("w_start"), col("event_type"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_window_tumbling" -> (q43Tumbling _),
+    "q44_window_sliding"  -> (q44Sliding _),
+    "q45_session_window"  -> (q45Session _),
+    "q46_stream_tumbling" -> (q46StreamTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "q43_window_tumbling" -> q43Oracle,
+    "q44_window_sliding"  -> q44Oracle,
+    "q45_session_window"  -> q45Oracle,
+    "q46_stream_tumbling" -> q43Oracle)
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-streaming operators over the `events` table (north-star tier
+  * B18): tumbling/sliding/session windows, batch-equivalent forms, and a
+  * synchronous streaming executor for verification.
+  *
+  * Design: every windowed aggregation exists in a BATCH form (verifiable
+  * against the DuckDB oracle) and the STREAMING form is the same expression
+  * applied to a readStream — Spark guarantees the same semantics, and the
+  * sync runner proves it by materializing the stream into a memory sink and
+  * returning the identical result. At production scale the streaming form
+  * runs with `withWatermark` + append mode; here complete mode keeps the
+  * final microbatch equal to the batch answer on a bounded input.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregate (batch form). 6-hour windows are
+    * epoch-aligned in both Spark and DuckDB's time_bucket.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate: 1-hour windows every 30 minutes — each event
+    * lands in exactly two windows.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with a 30-minute gap: a new session starts
+    * when an event arrives ≥ gap after the previous one; session end =
+    * last event + gap (Spark's session_window semantics, mirrored in the
+    * oracle's lag/cumsum rewrite).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n"), col("sum_value"))
+
+  /** Run a streaming aggregation over the events parquet synchronously:
+    * readStream (one file per microbatch) → agg → complete-mode memory
+    * sink → final table. Returns the materialized result; semantics match
+    * the batch form on bounded input.
+    */
+  def runStreamSync(
+      spark: SparkSession,
+      dir: String,
+      agg: DataFrame => DataFrame,
+      queryName: String): DataFrame = {
+    // streaming source needs an explicit schema; ts arrives as INT64 nanos
+    // (see graft.Tables.events) and is converted identically here
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source requires a DIRECTORY; the testdata table is a
+    // single parquet file, so stage a copy under a per-input temp dir
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val staged = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged))
+      java.nio.file.Files.copy(src, staged)
+    val raw = spark.readStream
+      .schema(staticSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val events =
+      if (staticSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = agg(events).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.streaming.{Duration => _}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg converges to the batch result (B18)") {
+    val batch = StreamingOps.tumblingAgg(Tables.events(spark, sfDir))
+      .orderBy("w_start", "event_type").collect().toSeq
+    val streamed = StreamingOps.runStreamSync(
+      spark, sfDir, StreamingOps.tumblingAgg, "spec_stream_tumbling")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("streaming session windows converge to the batch result") {
+    val batch = StreamingOps.sessionAgg(Tables.events(spark, sfDir))
+      .orderBy("user_id", "s_start").collect().toSeq
+    val streamed = StreamingOps.runStreamSync(
+      spark, sfDir, StreamingOps.sessionAgg, "spec_stream_session")
+      .orderBy("user_id", "s_start").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("watermarked append-mode aggregation emits only finalized windows") {
+    // MemoryStream lets us advance the watermark explicitly: first batch has
+    // early events, second batch a late-arriving straggler + a far-future
+    // event that pushes the watermark beyond the first windows.
+    val input = MemoryStream[(java.sql.Timestamp, Double)](spark, 1)
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("spec_watermark").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData((ts(0), 1.0), (ts(1), 2.0), (ts(6), 3.0))
+      q.processAllAvailable()
+      // watermark now 10:06-10m => nothing finalized yet
+      val early = spark.table("spec_watermark").count()
+      // straggler for 10:00 window (still above watermark) + watermark push
+      input.addData((ts(2), 4.0), (ts(59), 5.0))
+      q.processAllAvailable()
+      input.addData() // one more batch so the new watermark finalizes windows
+      q.processAllAvailable()
+      val rows = spark.table("spec_watermark")
+        .orderBy("w_start").as[(java.sql.Timestamp, Long)].collect().toSeq
+      assert(early === 0, "windows must not emit before the watermark passes")
+      // 10:00 window contains 10:00,10:01 and the straggler 10:02 => n=3
+      assert(rows.exists { case (w, n) => w == ts(0) && n == 3 },
+        s"expected finalized 10:00 window with straggler counted, got $rows")
+      assert(rows.exists { case (w, n) => w == ts(5) && n == 1 })
+    } finally q.stop()
+  }
+}
