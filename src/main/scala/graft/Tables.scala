@@ -37,6 +37,21 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as one small parquet file → one input
+    * partition. The text/similarity operators over them are compute-bound
+    * (higher-order array expressions evaluate interpreted, not codegen'd),
+    * so a single partition serializes the whole stage on one core.
+    * Repartitioning to the session's parallelism is the scale-correct
+    * posture: compute-bound stages want width even when input bytes are
+    * tiny.
+    */
+  private def computeParallel(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    computeParallel(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    computeParallel(load(s, d, "embeddings"))
 }

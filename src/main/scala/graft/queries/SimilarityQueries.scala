@@ -45,7 +45,8 @@ object SimilarityQueries {
     val docs = docsWithPlants(spark, dir)
       .withColumn("sh", shingleSet(col("text"), 3))
     val sigs = docs
-      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), 32))
+      .withColumn("sig",
+        graft.expressions.MinHashSignature.minhashSignature(shingleHashes(col("sh")), 32))
     val bandedA = sigs.select(col("doc_id"), explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
     val bandedB = bandedA.select(col("doc_id").as("doc_id_b"), col("bk").as("bk_b"))
     val cand = bandedA.join(bandedB,
@@ -68,7 +69,7 @@ object SimilarityQueries {
   def q37DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsWithPlants(spark, dir)
       .withColumn("th", transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)))
-      .withColumn("sh64", simhash(col("th")))
+      .withColumn("sh64", graft.expressions.SimHash64.simhash64(col("th")))
     val fps = docs.select(col("doc_id"), col("sh64"))
     val banded = docs.select(col("doc_id"), col("sh64"), explode(simhashBandKeys(col("sh64"), 4, 16)).as("bk"))
     val bandedB = banded.select(col("doc_id").as("doc_id_b"), col("sh64").as("sh64_b"), col("bk").as("bk_b"))
@@ -131,10 +132,13 @@ object SimilarityQueries {
     * cosine confirmation.
     */
   def q39EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val proj = hyperplanes(16, 64, seed = 7)
+    // 32 hyperplanes in 4 bands × 8 bits: a random pair collides on a band
+    // with p≈1/256 (bounded candidate count ∝ n²/256 per band), while a
+    // planted twin flips ~0 sign bits, so ≥3 bands stay clean → recall ≈ 1
+    val proj = hyperplanes(32, 64, seed = 7)
     val vecs = vecsWithPlants(spark, dir)
       .withColumn("sig", lshSignature(col("v"), proj))
-    val banded = vecs.select(col("vec_id"), col("v"), explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val banded = vecs.select(col("vec_id"), col("v"), explode(lshBandKeys(col("sig"), 4, 8)).as("bk"))
     val bandedB = banded.select(col("vec_id").as("vec_id_b"), col("v").as("v_b"), col("bk").as("bk_b"))
     banded.join(bandedB,
         col("bk") === col("bk_b") && col("vec_id") < col("vec_id_b"))

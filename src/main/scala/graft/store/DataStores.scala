@@ -48,9 +48,21 @@ final class ParquetStore(targetPath: String, keys: Seq[String]) extends DataStor
 /** JDBC staged upsert ≙ `PostgresDataStore.upsert_data`
   * (`services/data_store.py:14-41`): executors write the staging table in
   * parallel, then ONE driver-side transaction promotes it — delete matched,
-  * insert all, drop staging — which the reference printed but never ran.
+  * insert all, drop staging — which the reference only printed. Statements
+  * are dialect-portable (IN-subquery delete instead of Postgres
+  * `DELETE USING`; transaction control via JDBC autocommit, not SQL text),
+  * so the same store runs on Postgres/MySQL/MSSQL/Oracle/Derby.
   */
-final class JdbcStore(cfg: JdbcConfig, table: String, key: String) extends DataStore {
+final class JdbcStore(
+    cfg: JdbcConfig,
+    table: String,
+    key: String,
+    // identifier quote for the key column — Spark's JDBC writer creates the
+    // staging table with QUOTED (case-exact) column names, so the key must
+    // be quoted the same way or an unquoted reference in the IN-subquery
+    // silently resolves to the OUTER table's column and deletes every row.
+    // '"' is ANSI (Postgres/Oracle/MSSQL/Derby); MySQL needs "`".
+    quote: String = "\"") extends DataStore {
   def upsert(staging: DataFrame): Unit = {
     val stagingTable = s"${table}_staging"
     staging.write.format("jdbc")
@@ -61,17 +73,21 @@ final class JdbcStore(cfg: JdbcConfig, table: String, key: String) extends DataS
       .option("driver", cfg.driver)
       .mode(SaveMode.Overwrite)
       .save()
-    val sql =
-      s"""BEGIN;
-         |DELETE FROM $table USING $stagingTable
-         |  WHERE $table.$key = $stagingTable.$key;
-         |INSERT INTO $table SELECT * FROM $stagingTable;
-         |DROP TABLE $stagingTable;
-         |COMMIT;""".stripMargin
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
     try {
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
-      try st.execute(sql) finally st.close()
+      try {
+        val qk = s"$quote$key$quote"
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM $stagingTable)")
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stagingTable")
+        conn.commit()
+        st.executeUpdate(s"DROP TABLE $stagingTable")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
     } finally conn.close()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{MinHashSignature, SimHash64}
+import graft.functions.{Similarity, TextFunctions}
+
+/** Native codegen'd expressions must be semantically identical to their
+  * declarative (higher-order-function) formulations — same results, just
+  * ~100× cheaper.
+  */
+class ExpressionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tokenHashes = Tables.documents(spark, sfDir)
+    .limit(50)
+    .select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
+
+  test("SimHash64 equals the declarative simhash") {
+    val both = tokenHashes
+      .select(col("doc_id"),
+        SimHash64.simhash64(col("th")).as("native"),
+        Similarity.simhash(col("th")).as("declarative"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("MinHashSignature equals the declarative minhashSignature") {
+    val base = Tables.documents(spark, sfDir)
+      .limit(50)
+      .select(col("doc_id"),
+        Similarity.shingleHashes(Similarity.shingleSet(col("text"), 3)).as("hs"))
+    val both = base
+      .select(col("doc_id"),
+        MinHashSignature.minhashSignature(col("hs"), 16).as("native"),
+        Similarity.minhashSignature(col("hs"), 16).as("declarative"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect()
+    both.foreach { case (id, n, d) => assert(n === d, s"doc $id") }
+  }
+
+  test("MinHashSignature handles empty input") {
+    val r = Seq(Seq.empty[Long]).toDF("hs")
+      .select(MinHashSignature.minhashSignature(col("hs"), 4))
+      .as[Seq[Long]].head()
+    assert(r === Seq(0L, 0L, 0L, 0L))
+  }
+}
