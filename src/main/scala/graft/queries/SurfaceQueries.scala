@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.{CsvSource, JsonSource, XmlSource}
+
+/** API-surface queries: the SQL parser entry point and the file-format
+  * sources (A1–A3) exercised inside the correctness gate via write→read
+  * roundtrips. Each roundtrip writes a testdata table in the format under
+  * test, reads it back through the graft source connector (schema
+  * inference on), casts inferred wide types back to the originals, and
+  * must hash-match the direct-parquet oracle — any loss in the
+  * writer/reader/inference path breaks the gate.
+  */
+object SurfaceQueries {
+
+  /** spark.sql(...) text entry over registered temp views — the full
+    * parse → analyze → optimize path on SQL text.
+    */
+  def q52SqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q52Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def rtDir(dir: String, format: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${format}_${Integer.toHexString(dir.hashCode)}"
+
+  /** A2 CSV: header + inferSchema roundtrip of customer. */
+  def q53CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "csv")
+    Tables.customer(spark, dir).write
+      .mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    CsvSource(out).fetch(spark)
+      .select(
+        col("c_custkey").cast(LongType),
+        col("c_name"),
+        col("c_nationkey").cast(IntegerType),
+        col("c_acctbal").cast(DoubleType),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q53Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** A1 JSON: JSON-lines roundtrip of region (inference widens ints to
+    * bigint; cast back).
+    */
+  def q54JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "json")
+    Tables.region(spark, dir).write.mode(SaveMode.Overwrite).json(out)
+    JsonSource(out, multiLine = false).fetch(spark)
+      .select(col("r_regionkey").cast(IntegerType), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val q54Oracle: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** A3 XML: rowTag roundtrip of supplier through Spark 4's native XML
+    * source.
+    */
+  def q55XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "xml")
+    Tables.supplier(spark, dir).write
+      .mode(SaveMode.Overwrite).option("rowTag", "supplier").xml(out)
+    XmlSource(out, rowTag = "supplier").fetch(spark)
+      .select(
+        col("s_suppkey").cast(LongType),
+        col("s_name"),
+        col("s_nationkey").cast(IntegerType),
+        col("s_acctbal").cast(DoubleType))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q55Oracle: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_sql_entry"     -> (q52SqlEntry _),
+    "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
+    "q54_json_roundtrip" -> (q54JsonRoundtrip _),
+    "q55_xml_roundtrip" -> (q55XmlRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q52_sql_entry"     -> q52Oracle,
+    "q53_csv_roundtrip" -> q53Oracle,
+    "q54_json_roundtrip" -> q54Oracle,
+    "q55_xml_roundtrip" -> q55Oracle)
+}

@@ -18,11 +18,13 @@ trait DataSource {
   def fetch(spark: SparkSession): DataFrame
 }
 
-/** Multiline permissive JSON ≙ reference `services/data_source.py:27-39`. */
-final case class JsonSource(path: String) extends DataSource {
+/** Multiline permissive JSON ≙ reference `services/data_source.py:27-39`.
+  * `multiLine = false` reads standard JSON-lines (the format Spark writes).
+  */
+final case class JsonSource(path: String, multiLine: Boolean = true) extends DataSource {
   def fetch(spark: SparkSession): DataFrame =
     spark.read
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
       .json(path)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted, not assumed — filter pushdown into the parquet scan, column
+  * pruning, broadcast joins on dimensions, and the absence of cartesian
+  * products anywhere in the suite.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "pruned column must not be read")
+  }
+
+  test("q02 pushes range predicates to the scan") {
+    val p = plan("q02_filter_predicates")
+    // FileScan metadata rendering truncates at 100 chars; assert on the
+    // DataFilters that fit plus the PushedFilters prefix
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("(o_totalprice") && p.contains(">= 1000.0"), p)
+  }
+
+  test("q04 broadcasts every dimension side and pushes the region filter") {
+    val p = plan("q04_join_inner")
+    // at test scale ALL sides fit the broadcast threshold — the invariant
+    // worth asserting is: hash joins only (no BNLJ/cartesian), region
+    // filter pushed into its scan, per-scan column pruning
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("In(r_name"), "region filter must push into the scan")
+    assert(p.contains("struct<c_custkey:bigint,c_nationkey:int>"),
+      "customer scan must prune to join keys")
+  }
+
+  test("q06/q07 plan as semi/anti joins, not row-multiplying joins") {
+    assert(plan("q06_join_semi").contains("LeftSemi"))
+    assert(plan("q07_join_anti").contains("LeftAnti"))
+  }
+
+  test("q08 range join anchors on the equi key (hash/merge join, not BNLJ)") {
+    val p = plan("q08_join_range")
+    // the user_id equi key must drive the join (any hash/merge variant);
+    // the time range rides along as a join condition — never a nested loop
+    assert(p.contains("Join [user_id"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (name != "q46_stream_tumbling") { // streaming exec has no static plan
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      }
+    }
+  }
+
+  test("top-k global plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q17_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // under AQE the codegen stages only appear in the final plan, so
+    // execute first, then inspect
+    val df = SparkEntry.queries("q01_agg_pricing")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen stages in compact mode
+    assert(p.contains("*(") , p)
+  }
+}

@@ -28,6 +28,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState custom per-user counter matches batch counts (B18)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val input = MemoryStream[(Long, Double)](spark, 1)
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+    val q = counted.toDF("user_id", "n").writeStream
+      .outputMode("update").format("memory").queryName("spec_state").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      input.addData((1L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user equals the batch count
+    val last = spark.table("spec_state")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(last === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("watermarked append-mode aggregation emits only finalized windows") {
     // MemoryStream lets us advance the watermark explicitly: first batch has
     // early events, second batch a late-arriving straggler + a far-future
