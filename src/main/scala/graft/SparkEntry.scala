@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.registry ++ Windows.registry ++ Scalars.registry ++
       EtlQueries.registry ++ TextQueries.registry ++
       SimilarityQueries.registry ++ StreamingQueries.registry ++
-      ExtensionQueries.registry ++ SurfaceQueries.registry
+      ExtensionQueries.registry ++ SurfaceQueries.registry ++
+      AdvancedQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
       EtlQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ StreamingQueries.oracles ++
-      ExtensionQueries.oracles ++ SurfaceQueries.oracles
+      ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
+      AdvancedQueries.oracles
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory ≙ reference `get_spark_session(app_name, config_options,
+  * jars, packages)` (`lambda_function.py:54-80`), Spark-4 idiomatic: scale
+  * defaults (AQE, UTC, sized shuffle partitions) applied first, caller
+  * config layered on top.
+  */
+object SparkSessionFactory {
+
+  def build(
+      appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      configOptions: Map[String, String] = Map.empty,
+      jars: Seq[String] = Nil): SparkSession = {
+    val shufflePartitions = master match {
+      case l if l.startsWith("local[") && !l.contains("*") =>
+        l.stripPrefix("local[").stripSuffix("]")
+      case _ => Runtime.getRuntime.availableProcessors().toString
+    }
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val withJars = if (jars.nonEmpty) b.config("spark.jars", jars.mkString(",")) else b
+    configOptions.foldLeft(withJars) { case (bb, (k, v)) => bb.config(k, v) }
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Advanced relational + text operators: as-of join, exact percentiles,
+  * histogram binning, edit-distance similarity, tf-idf term weighting.
+  */
+object AdvancedQueries {
+  import Exact._
+
+  /** As-of join — for each purchase, the latest strictly-preceding click of
+    * the same user — WITHOUT a join: tag both event kinds, one window over
+    * (user, time), running max of the click (ts, value) struct over
+    * preceding rows. One shuffle on user_id, no row multiplication — the
+    * scalable as-of shape. The oracle uses DuckDB's native ASOF JOIN.
+    */
+  def q56AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "click").as("is_click"))
+    // at equal ts a click is NOT eligible (strict <), so purchases sort first
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click",
+        max(when(col("is_click"), struct(col("ts").as("cts"), col("value").as("cval"))))
+          .over(w))
+      .filter(!col("is_click"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("last_click.cts").as("click_ts"),
+        col("last_click.cval").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q56Oracle: String =
+    """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both linear-interpolate between closest ranks).
+    */
+  def q57Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q57Oracle: String =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Histogram binning via pure arithmetic (portable, unlike width_bucket
+    * dialects): 50k-wide buckets over order totals.
+    */
+  def q58Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(least(floor(col("o_totalprice") / 50000), lit(9)).cast(IntegerType).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        out2(sum(dec2(col("o_totalprice")))).as("sum_total"))
+      .orderBy(col("bucket"))
+
+  val q58Oracle: String =
+    """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** Edit-distance similarity over near-id part-name pairs (the
+    * string-metric complement to token-level dedup).
+    */
+  def q59EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    // a bare id-range join would plan as a nested loop (O(n²)); a small
+    // fixed offset set turns it into a union of equi-joins — one shuffle
+    // each, linear work
+    val pairs = (1 to 2).map(off =>
+        a.join(b, col("id_b") === col("id_a") + off))
+      .reduce(_ unionByName _)
+    pairs
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"),
+        (element_at(split(col("name_a"), " "), -1) ===
+          element_at(split(col("name_b"), " "), -1)).as("same_noun"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q59Oracle: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+      |  string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1] AS same_noun
+      |FROM part a JOIN part b
+      |  ON b.p_partkey > a.p_partkey AND b.p_partkey <= a.p_partkey + 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** tf-idf term weighting: top-3 terms per document. tf and df come from
+    * two hash aggregates; the document count joins in as a broadcast 1-row
+    * frame (no driver round-trip, no global window).
+    */
+  def q60TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(broadcast(nDocs), lit(true))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q60Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, term, tfidf FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rn
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  /** Content-hash exact dedup at scale: md5 of the text is the dedup key
+    * (how petabyte corpora dedup without comparing full texts); keeps the
+    * lowest doc_id per hash.
+    */
+  def q61DedupContentHash(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Oracle: String =
+    """SELECT doc_id, h, n_chars FROM (
+      |  SELECT doc_id, md5(text) AS h, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_asof_join"     -> (q56AsofJoin _),
+    "q57_percentiles"   -> (q57Percentiles _),
+    "q58_histogram"     -> (q58Histogram _),
+    "q59_edit_distance" -> (q59EditDistance _),
+    "q60_tfidf"         -> (q60TfIdf _),
+    "q61_dedup_content_hash" -> (q61DedupContentHash _))
+
+  val oracles: Map[String, String] = Map(
+    "q56_asof_join"     -> q56Oracle,
+    "q57_percentiles"   -> q57Oracle,
+    "q58_histogram"     -> q58Oracle,
+    "q59_edit_distance" -> q59Oracle,
+    "q60_tfidf"         -> q60Oracle,
+    "q61_dedup_content_hash" -> q61Oracle)
+}
