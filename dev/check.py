@@ -59,6 +59,19 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns differ: oracle={wc} spark={gc}")
             n_fail += 1
             continue
+        # type drift warning via Arrow schemas (driver reports schema
+        # match separately; DBAPI description is too coarse)
+        try:
+            ws = con.execute(sql).fetch_arrow_table().schema
+            gs = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table().schema
+            wt = {f.name: str(f.type) for f in ws}
+            gt = {f.name: str(f.type) for f in gs}
+            for cn in wc:
+                if wt.get(cn) != gt.get(cn):
+                    print(f"  WARN {name}.{cn}: oracle type {wt.get(cn)} vs spark {gt.get(cn)}")
+        except Exception as e:
+            print(f"  WARN {name}: type check failed: {e}")
         if len(wrows) != len(grows):
             print(f"FAIL {name}: row count differ: oracle={len(wrows)} spark={len(grows)}")
             n_fail += 1

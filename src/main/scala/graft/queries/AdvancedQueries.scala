@@ -156,8 +156,8 @@ object AdvancedQueries {
       |SELECT doc_id, rn, term, tfidf FROM (
       |  SELECT tf.doc_id, tf.term,
       |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf,
-      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term) AS INTEGER) AS rn
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin

@@ -116,7 +116,7 @@ object ExtensionQueries {
   }
 
   val q51Oracle: String =
-    """SELECT doc_id, frame_idx,
+    """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
       |  frame_idx * (n_bytes // n_frames) AS byte_off
       |FROM (
       |  SELECT doc_id,

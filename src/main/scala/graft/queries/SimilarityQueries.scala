@@ -172,9 +172,9 @@ object SimilarityQueries {
     """SELECT qid, vid, ROUND(sim, 6) AS sim, rn FROM (
       |  SELECT q.vec_id AS qid, c.vec_id AS vid,
       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
-      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-      |               c.vec_id) AS rn
+      |               c.vec_id) AS INTEGER) AS rn
       |  FROM embeddings q, embeddings c
       |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
       |WHERE rn <= 5

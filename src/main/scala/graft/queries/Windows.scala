@@ -39,9 +39,9 @@ object Windows {
   val q14Oracle: String =
     """SELECT c_mktsegment, c_custkey,
       |  CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
-      |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
-      |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
-      |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
+      |  CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk
       |FROM customer
       |ORDER BY c_mktsegment, rn""".stripMargin
 
@@ -125,7 +125,7 @@ object Windows {
     """SELECT c_mktsegment, c_custkey, balance, rn FROM (
       |  SELECT c_mktsegment, c_custkey,
       |    CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
-      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
       |  FROM customer)
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
