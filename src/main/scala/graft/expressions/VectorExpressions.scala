@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native vector math for embedding similarity (array<double> inputs).
+  *
+  * The declarative `aggregate(zip_with(...))` folds evaluate interpreted —
+  * ~16M lambda dispatches on a 41k-candidate near-dup pass measured 6s.
+  * These expressions run the SAME additions in the SAME order as the
+  * declarative forms (three sequential accumulators), so results stay
+  * bit-identical — including to DuckDB's list_cosine_similarity, which the
+  * q40 oracle depends on.
+  */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $x.getDouble($i);
+         |  final double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Sign-LSH signature: bit b = [v · proj(b) > 0], packed little-endian into
+  * an int. The projection matrix is a plan-time constant baked into the
+  * generated code.
+  */
+case class SignLshSignature(child: Expression, proj: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val flat: Array[Double] = proj.flatten
+  private def nBits: Int = proj.length
+  private def dim: Int = if (proj.isEmpty) 0 else proj(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+      if (dot > 0) sig |= (1 << b)
+      b += 1
+    }
+    java.lang.Integer.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val projRef = ctx.addReferenceObj("proj", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val b = ctx.freshName("b")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $dim);
+         |${ev.value} = 0;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $dot = 0.0;
+         |  final int $off = $b * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $v.getDouble($i) * $projRef[$off + $i];
+         |  }
+         |  if ($dot > 0) ${ev.value} |= (1 << $b);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshSignature =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def vecCosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecCosine(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def signLshSignature(vec: Column, proj: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(SignLshSignature(GraftColumnBridge.expression(vec), proj))
+}

@@ -42,11 +42,16 @@ object SimilarityQueries {
     * output is the exact-Jaccard-confirmed pair list.
     */
   def q36DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // hash-identified shingles (native expression, no string shingle
+    // materialization); exact-Jaccard confirmation runs on the hash sets —
+    // valid because this query is oracle-free and 64-bit shingle collisions
+    // are negligible
     val docs = docsWithPlants(spark, dir)
-      .withColumn("sh", shingleSet(col("text"), 3))
+      .withColumn("sh", graft.expressions.ShingleHashes.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3))
     val sigs = docs
       .withColumn("sig",
-        graft.expressions.MinHashSignature.minhashSignature(shingleHashes(col("sh")), 32))
+        graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
     val bandedA = sigs.select(col("doc_id"), explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
     val bandedB = bandedA.select(col("doc_id").as("doc_id_b"), col("bk").as("bk_b"))
     val cand = bandedA.join(bandedB,
@@ -88,8 +93,15 @@ object SimilarityQueries {
     * product).
     */
   def q38NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // native string shingles (identical strings to the oracle's), and an
+    // explicit repartition on the join key so BOTH self-join branches hang
+    // off one canonically-equal exchange → ReuseExchange computes the
+    // shingle sets once
     val d = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .select(col("lang"), col("doc_id"),
+        graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      .repartition(col("lang"))
     val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b,

@@ -43,6 +43,29 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     both.foreach { case (id, n, d) => assert(n === d, s"doc $id") }
   }
 
+  test("VecCosine equals the declarative cosine bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val a = emb.filter(col("vec_id") < 5).select(col("v").as("qv"))
+    val pairs = emb.crossJoin(a)
+    val both = pairs.select(
+      Similarity.cosine(col("qv"), col("v")).as("native"),
+      Similarity.cosineDeclarative(col("qv"), col("v")).as("declarative"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("SignLshSignature equals the declarative signature") {
+    val proj = Similarity.hyperplanes(32, 64, seed = 7)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(Similarity.toDouble(col("embedding")).as("v"))
+    val both = emb.select(
+      Similarity.lshSignature(col("v"), proj).as("native"),
+      Similarity.lshSignatureDeclarative(col("v"), proj).as("declarative"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("MinHashSignature handles empty input") {
     val r = Seq(Seq.empty[Long]).toDF("hs")
       .select(MinHashSignature.minhashSignature(col("hs"), 4))
