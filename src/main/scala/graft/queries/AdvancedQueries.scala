@@ -184,7 +184,37 @@ object AdvancedQueries {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Top-k per group through the CUSTOM PHYSICAL OPERATOR
+    * [[graft.plans.GroupTopK]] (logical node → strategy → heap-based exec,
+    * one shuffle, NO sort) — same semantics as the window-function q18, and
+    * checked against the same oracle.
+    */
+  def q62TopKCustomOperator(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        dec2(col("c_acctbal")).as("balance"))
+    graft.plans.GroupTopK.topKPerGroup(
+        base,
+        keyCols = Seq("c_mktsegment"),
+        orderDescCol = "balance",
+        tieAscCol = "c_custkey",
+        k = 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  // identical to the q18 oracle (the operator must reproduce the window
+  // formulation exactly)
+  val q62Oracle: String =
+    """SELECT c_mktsegment, c_custkey, balance, rn FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_topk_custom_operator" -> (q62TopKCustomOperator _),
     "q56_asof_join"     -> (q56AsofJoin _),
     "q57_percentiles"   -> (q57Percentiles _),
     "q58_histogram"     -> (q58Histogram _),
@@ -193,6 +223,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q62_topk_custom_operator" -> q62Oracle,
     "q56_asof_join"     -> q56Oracle,
     "q57_percentiles"   -> q57Oracle,
     "q58_histogram"     -> q58Oracle,

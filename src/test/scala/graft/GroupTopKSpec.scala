@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GroupTopK
+
+class GroupTopKSpec extends AnyFunSuite with SparkSpec {
+
+  private def base = Tables.customer(spark, sfDir)
+    .select(col("c_mktsegment"), col("c_custkey"),
+      col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+
+  test("custom GroupTopK operator equals the window formulation") {
+    val custom = GroupTopK.topKPerGroup(
+        base, Seq("c_mktsegment"), "balance", "c_custkey", 3)
+      .orderBy("c_mktsegment", "rn").collect().toSeq
+    val window = SparkEntry.queries("q18_topk_pergroup")(spark, sfDir)
+      .collect().toSeq
+    assert(custom === window)
+  }
+
+  test("GroupTopK plans one exchange and NO sort") {
+    val df = GroupTopK.topKPerGroup(
+      base, Seq("c_mktsegment"), "balance", "c_custkey", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK "), plan) // exec node prints without the Exec suffix
+    assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
+  }
+
+  test("GroupTopK handles k larger than any group") {
+    val n = base.count()
+    val all = GroupTopK.topKPerGroup(
+      base, Seq("c_mktsegment"), "balance", "c_custkey", n.toInt + 10)
+    assert(all.count() === n)
+  }
+}
