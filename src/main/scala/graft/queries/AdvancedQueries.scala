@@ -213,7 +213,66 @@ object AdvancedQueries {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** Deterministic hash-based train/val/test split — the reproducible way
+    * to partition a training corpus (content-independent RNG splits break
+    * on re-runs and on data re-ordering; a key hash never does). md5 is
+    * identical in Spark and DuckDB, so the assignment itself is
+    * oracle-gated.
+    */
+  def q63TrainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast(StringType)), 1, 1).as("hx"))
+      .withColumn("split",
+        when(col("hx").isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .when(col("hx").isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("split"))
+
+  val q63Oracle: String =
+    """SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |              IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
+  /** Sequence packing: stream documents (per language, in id order) into
+    * ~2048-token training bins via a running token cumsum — the standard
+    * pre-tokenization packing pass, as one window + arithmetic (no state,
+    * no UDF).
+    */
+  def q64SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum_tokens") - 1) / 2048).cast(IntegerType))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q64Oracle: String =
+    """SELECT lang, doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER))
+      |    OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(FLOOR((CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER))
+      |    OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1) / 2048) AS INTEGER) AS bin
+      |FROM documents
+      |ORDER BY lang, doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_train_test_split" -> (q63TrainTestSplit _),
+    "q64_sequence_packing" -> (q64SequencePacking _),
     "q62_topk_custom_operator" -> (q62TopKCustomOperator _),
     "q56_asof_join"     -> (q56AsofJoin _),
     "q57_percentiles"   -> (q57Percentiles _),
@@ -223,6 +282,8 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q63_train_test_split" -> q63Oracle,
+    "q64_sequence_packing" -> q64Oracle,
     "q62_topk_custom_operator" -> q62Oracle,
     "q56_asof_join"     -> q56Oracle,
     "q57_percentiles"   -> q57Oracle,
