@@ -133,7 +133,38 @@ object EtlQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** A21 end-to-end: the constructor-injected pipeline — parquet source →
+    * dedup+schema-map transform → parquet upsert store → post-process —
+    * run twice against the same target (the second run upserts the same
+    * keys), then the stored table is read back. Idempotence and the full
+    * composition are what the oracle checks.
+    */
+  def q68EtlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_pipe_${Integer.toHexString(dir.hashCode)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    val pipeline = new graft.pipeline.EtlPipeline(
+      source = graft.sources.ParquetSource(s"$dir/customer.parquet"),
+      transform = df => Transforms.mapColumnsToTarget(
+        Transforms.dedupExact(df),
+        TargetSchema(Seq(
+          ColumnMapping("customer_id", "c_custkey", "string"),
+          ColumnMapping("name", "c_name", "string"),
+          ColumnMapping("segment", "c_mktsegment", "string")))),
+      store = new graft.store.ParquetStore(target, Seq("customer_id")))
+    pipeline.run(spark)
+    pipeline.run(spark) // idempotent upsert of identical keys
+    spark.read.parquet(target).orderBy(col("customer_id"))
+  }
+
+  val q68Oracle: String =
+    """SELECT CAST(c_custkey AS VARCHAR) AS customer_id, c_name AS name,
+      |  c_mktsegment AS segment
+      |FROM customer
+      |ORDER BY customer_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_etl_pipeline"  -> (q68EtlPipeline _),
     "q27_dedup_exact"   -> (q27DedupExact _),
     "q28_dedup_keyed"   -> (q28DedupKeyed _),
     "q29_schema_map"    -> (q29SchemaMap _),
@@ -141,6 +172,7 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q68_etl_pipeline"  -> q68Oracle,
     "q27_dedup_exact"   -> q27Oracle,
     "q28_dedup_keyed"   -> q28Oracle,
     "q29_schema_map"    -> q29Oracle,

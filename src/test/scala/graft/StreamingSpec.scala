@@ -55,6 +55,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.functions._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val purchases = Seq((1L, ts(10)), (1L, ts(30)), (2L, ts(15)))
+    val clicks = Seq((1L, ts(8)), (1L, ts(9)), (1L, ts(29)), (2L, ts(1)), (3L, ts(9)))
+
+    // batch reference: clicks within 5 minutes before the purchase
+    val bp = purchases.toDF("user_id", "pts")
+    val bc = clicks.toDF("c_user", "cts")
+    val batch = bp.join(bc,
+        col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 5 MINUTES") &&
+        col("cts") < col("pts"))
+      .select(col("user_id"), col("pts"), col("cts"))
+      .orderBy(col("user_id"), col("pts"), col("cts")).collect().toSeq
+
+    val pIn = MemoryStream[(Long, java.sql.Timestamp)](spark, 1)
+    val cIn = MemoryStream[(Long, java.sql.Timestamp)](spark, 1)
+    val sp = pIn.toDF().toDF("user_id", "pts").withWatermark("pts", "1 minute")
+    val sc = cIn.toDF().toDF("c_user", "cts").withWatermark("cts", "1 minute")
+    val joined = sp.join(sc,
+      col("user_id") === col("c_user") &&
+      col("cts") >= col("pts") - expr("INTERVAL 5 MINUTES") &&
+      col("cts") < col("pts"))
+    val q = joined.select(col("user_id"), col("pts"), col("cts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_ss_join").start()
+    try {
+      pIn.addData(purchases)
+      cIn.addData(clicks)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("spec_ss_join")
+      .orderBy("user_id", "pts", "cts").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("watermarked append-mode aggregation emits only finalized windows") {
     // MemoryStream lets us advance the watermark explicitly: first batch has
     // early events, second batch a late-arriving straggler + a far-future
