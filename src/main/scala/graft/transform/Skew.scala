@@ -52,7 +52,7 @@ object Skew {
     // not the join keys (hashing only the keys would keep each hot key in
     // one bucket and change nothing)
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft
