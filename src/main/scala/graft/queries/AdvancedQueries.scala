@@ -72,6 +72,21 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    * percentile path: fixed-size mergeable sketch, no per-group sort,
+    * unlike exact `percentile` (q57). Sketch values are
+    * implementation-specific ⇒ no SQL oracle; the scalatest invariant
+    * bounds the error against the exact q57 answers.
+    */
+  def q69ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_pcts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Histogram binning via pure arithmetic (portable, unlike width_bucket
     * dialects): 50k-wide buckets over order totals.
     */
@@ -271,6 +286,7 @@ object AdvancedQueries {
       |ORDER BY lang, doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_approx_percentiles" -> (q69ApproxPercentiles _),
     "q63_train_test_split" -> (q63TrainTestSplit _),
     "q64_sequence_packing" -> (q64SequencePacking _),
     "q62_topk_custom_operator" -> (q62TopKCustomOperator _),
