@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Credentials
+import graft.store.Upsert
+import graft.transform.Transforms
+
+/** Property-based invariants (SURVEY §5): algebraic laws of the core
+  * operators over scalacheck-generated inputs (seeded, so runs are
+  * reproducible), not just fixed examples.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to n).map { _ =>
+      val a = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  private val kvRows: Gen[List[(Int, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 9), Gen.alphaStr.map(_.take(5))))
+
+  test("Upsert law: staging keys come only from staging; other keys untouched") {
+    samples(Gen.zip(kvRows, kvRows), 10).foreach { case (t, s) =>
+      val target = Transforms.dedupKeyed(t.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val staging = Transforms.dedupKeyed(s.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val out = Upsert(target, staging, Seq("id")).as[(Int, String)].collect().toMap
+      val tm = target.as[(Int, String)].collect().toMap
+      val sm = staging.as[(Int, String)].collect().toMap
+      assert(out === tm ++ sm)
+    }
+  }
+
+  test("Upsert is idempotent: applying the same staging twice changes nothing") {
+    samples(Gen.zip(kvRows, kvRows), 5).foreach { case (t, s) =>
+      val target = Transforms.dedupKeyed(t.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val staging = Transforms.dedupKeyed(s.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val once = Upsert(target, staging, Seq("id"))
+      val twice = Upsert(once, staging, Seq("id"))
+      assert(twice.orderBy("id", "v").collect().toSeq ===
+        once.orderBy("id", "v").collect().toSeq)
+    }
+  }
+
+  test("dedupKeyed keeps exactly one row per key, and it is the minimum") {
+    samples(kvRows.suchThat(_.nonEmpty), 10).foreach { rows =>
+      val out = Transforms.dedupKeyed(rows.toDF("id", "v"), Seq("id"), Seq(col("v")))
+        .as[(Int, String)].collect()
+      assert(out.map(_._1).distinct.length === out.length)
+      val expect = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      assert(out.toMap === expect)
+    }
+  }
+
+  test("credential crypto roundtrips arbitrary printable passwords") {
+    val keyHex = "00112233445566778899aabbccddeeff00112233445566778899aabbccddeeff"
+    val ivHex = "0102030405060708090a0b0c"
+    val pwGen = Gen.asciiPrintableStr.map(_.take(40).filterNot(_ == '"'))
+    samples(pwGen, 50).foreach { pw =>
+      val (ct, tag) = Credentials.encryptPassword(pw, keyHex, ivHex)
+      assert(Credentials.decryptPassword(ct, tag, keyHex, ivHex) === pw)
+    }
+  }
+
+  test("jaccard is bounded, reflexive, and symmetric on token sets") {
+    val tokenSets = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.distinct)
+    samples(Gen.zip(tokenSets, tokenSets), 15).foreach { case (x, y) =>
+      val (j, jr, jid) = Seq((x, y)).toDF("a", "b").select(
+        graft.functions.Similarity.jaccard(col("a"), col("b")),
+        graft.functions.Similarity.jaccard(col("b"), col("a")),
+        graft.functions.Similarity.jaccard(col("a"), col("a")))
+        .as[(Double, Double, Double)].head()
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j === jr)
+      assert(jid === 1.0)
+    }
+  }
+}
