@@ -28,8 +28,9 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: small end-to-end action to absorb JVM/codegen startup
-    run(SparkEntry.queries.head._2(spark, sfDir).limit(1))
+    // warmup: small end-to-end action to absorb JVM/codegen startup — a
+    // fixed side-effect-free query (Map.head could pick one that writes)
+    run(queries.Relational.q01Pricing(spark, sfDir).limit(1))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("foreachBatch streaming upsert converges to last-value-per-key (streaming ETL)") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+      .resolve("target").toString
+    val store = new graft.store.ParquetStore(dir, Seq("id"))
+    val input = MemoryStream[(Int, String)](spark, 1)
+    val q = input.toDF().toDF("id", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the reference's ETL loop, streaming-shaped: each microbatch is a
+        // staging frame upserted into the target
+        store.upsert(graft.transform.Transforms.dedupKeyed(
+          batch, Seq("id"), Seq(org.apache.spark.sql.functions.col("v").desc)))
+      }
+      .start()
+    try {
+      input.addData((1, "a1"), (2, "b1"))
+      q.processAllAvailable()
+      input.addData((2, "b2"), (3, "c1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(dir).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(out === Seq((1, "a1"), (2, "b2"), (3, "c1")))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import org.apache.spark.sql.functions._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
