@@ -79,7 +79,10 @@ object Scalars {
         substring(col("p_type"), 1, 4).as("type_prefix"),
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
         element_at(split(col("p_name"), " "), 1).as("first_word"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_lowered_vowels"),
+        reverse(col("p_name")).as("name_reversed"))
       .orderBy(col("p_partkey"))
 
   val q22Oracle: String =
@@ -88,7 +91,10 @@ object Scalars {
       |  SUBSTRING(p_type, 1, 4) AS type_prefix,
       |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
       |  string_split(p_name, ' ')[1] AS first_word,
-      |  CAST(LENGTH(p_name) AS INTEGER) AS name_len
+      |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+      |  lpad(p_brand, 12, '*') AS brand_padded,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_lowered_vowels,
+      |  reverse(p_name) AS name_reversed
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
@@ -104,7 +110,10 @@ object Scalars {
         year(col("o_orderdate")).as("o_year"),
         month(col("o_orderdate")).as("o_month"),
         date_trunc("month", col("o_orderdate")).as("o_month_start"),
-        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate")).as("days_to_2002"))
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate")).as("days_to_2002"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
       .orderBy(col("o_orderkey"))
 
   val q23Oracle: String =
@@ -114,7 +123,10 @@ object Scalars {
       |  CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
       |  CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
-      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
+      |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
@@ -128,7 +140,9 @@ object Scalars {
         size(split(col("text"), " ")).as("n_tokens"),
         size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
         array_contains(split(col("text"), " "), "spark").as("has_spark"),
-        element_at(split(col("text"), " "), 1).as("first_token"))
+        element_at(split(col("text"), " "), 1).as("first_token"),
+        slice(sort_array(array_distinct(split(col("text"), " "))), 1, 3)
+          .as("first3_sorted_tokens"))
       .orderBy(col("doc_id"))
 
   val q24Oracle: String =
@@ -136,7 +150,8 @@ object Scalars {
       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
       |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-      |  string_split(text, ' ')[1] AS first_token
+      |  string_split(text, ' ')[1] AS first_token,
+      |  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

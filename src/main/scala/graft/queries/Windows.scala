@@ -32,7 +32,10 @@ object Windows {
         dec2(col("c_acctbal")).as("balance"),
         row_number().over(byBal).as("rn"),
         rank().over(byBalTies).as("rnk"),
-        dense_rank().over(byBalTies).as("drnk"))
+        dense_rank().over(byBalTies).as("drnk"),
+        ntile(4).over(byBal).as("quartile"),
+        percent_rank().over(byBalTies).as("pct_rank"),
+        cume_dist().over(byBalTies).as("cume"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
@@ -41,7 +44,10 @@ object Windows {
       |  CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
       |  CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
-      |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk
+      |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk,
+      |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
+      |  PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS pct_rank,
+      |  CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cume
       |FROM customer
       |ORDER BY c_mktsegment, rn""".stripMargin
 
@@ -77,14 +83,18 @@ object Windows {
       .select(
         col("o_custkey"), col("o_orderkey"),
         out2(sum(col("total")).over(w)).as("running_total"),
-        count(lit(1)).over(w).as("running_n"))
+        count(lit(1)).over(w).as("running_n"),
+        first(col("total")).over(w).as("first_total"),
+        last(col("total")).over(w).as("latest_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val q16Oracle: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_total,
-      |  COUNT(*) OVER w AS running_n
+      |  COUNT(*) OVER w AS running_n,
+      |  FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS first_total,
+      |  LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS latest_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
