@@ -64,6 +64,14 @@ class JdbcSpec extends AnyFunSuite with SparkSpec {
     assert(!names.contains("users_staging"))
   }
 
+  test("tableNames collects the catalog list Dataset-native (A8/A9)") {
+    val tables = JdbcTableSource(cfg,
+      "(SELECT tablename AS table_name FROM sys.systables WHERE tabletype = 'T') t")
+      .fetch(spark)
+    val names = DataSources.tableNames(tables).map(_.toLowerCase)
+    assert(names.contains("users"))
+  }
+
   test("partitioned JDBC read splits the scan (scale posture)") {
     val df = JdbcTableSource(cfg, "users",
       Some(graft.sources.JdbcPartitioning("id", 1, 5, 2))).fetch(spark)

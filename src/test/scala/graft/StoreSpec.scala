@@ -34,6 +34,25 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === 1)
   }
 
+  test("ShowStore displays without failing (A20)") {
+    new graft.store.ShowStore().upsert(Tables.region(spark, sfDir))
+  }
+
+  test("map functions: creation, keys/values, lookup, filter (B13)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, "a", 10.0), (1, "b", 20.0)).toDF("id", "k", "v")
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("m"))
+    val r = df.select(
+      sort_array(map_keys(col("m"))).as("ks"),
+      element_at(col("m"), "b").as("vb"),
+      size(map_filter(col("m"), (_, v) => v > 15.0)).as("nbig"))
+      .head()
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+    assert(r.getDouble(1) === 20.0)
+    assert(r.getInt(2) === 1)
+  }
+
   test("EtlPipeline composes fetch -> transform -> store -> post (A21)") {
     val outDir = Files.createTempDirectory("graft-pipe").resolve("out").toString
     val pipeline = new EtlPipeline(
