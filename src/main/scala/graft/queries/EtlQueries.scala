@@ -163,7 +163,75 @@ object EtlQueries {
       |FROM customer
       |ORDER BY customer_id""".stripMargin
 
+  /** CDC changelog application: upsert generalized with deletes. The
+    * synthetic changelog updates keys ≡0 (mod 3), deletes keys ≡1 (mod 5);
+    * the oracle replays the same set algebra.
+    */
+  def q70CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val target = orders
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"),
+        col("o_orderstatus").as("status"))
+    val changelog = orders
+      .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 1)
+      .select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) + lit(5)).cast(D2).as("total"),
+        lit("C").as("status"),
+        when(col("o_orderkey") % 5 === 1, "D").otherwise("U").as("op"))
+    graft.store.ApplyChangelog(target, changelog, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q70CdcOracle: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderstatus AS status FROM orders),
+      |chg AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DECIMAL(12,2)) AS total,
+      |    'C' AS status,
+      |    CASE WHEN o_orderkey % 5 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 1)
+      |SELECT * FROM (
+      |  SELECT t.* FROM tgt t WHERE NOT EXISTS
+      |    (SELECT 1 FROM chg c WHERE c.o_orderkey = t.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, total, status FROM chg WHERE op <> 'D')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Data-quality validation: five checks evaluated in one aggregation
+    * pass; output is the per-check scoreboard.
+    */
+  def q71DataQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.QualityChecks._
+    run(Tables.orders(spark, dir), Seq(
+      notNull("o_custkey"),
+      inRange("o_totalprice", 0, 1000000),
+      inSet("o_orderstatus", Seq("F", "O", "P")),
+      matches("o_orderpriority", "^[1-5]-"),
+      uniqueKey("o_orderkey")))
+  }
+
+  val q71Oracle: String =
+    """WITH wide AS (
+      |  SELECT COUNT(*) AS total,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS c2,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS c3,
+      |    SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS c4,
+      |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS c5
+      |  FROM orders)
+      |SELECT check_name, total, violations, violations = 0 AS passed FROM (
+      |  SELECT total, 'not_null_o_custkey' AS check_name, CAST(c1 AS BIGINT) AS violations FROM wide
+      |  UNION ALL SELECT total, 'range_o_totalprice', CAST(c2 AS BIGINT) FROM wide
+      |  UNION ALL SELECT total, 'in_set_o_orderstatus', CAST(c3 AS BIGINT) FROM wide
+      |  UNION ALL SELECT total, 'regex_o_orderpriority', CAST(c4 AS BIGINT) FROM wide
+      |  UNION ALL SELECT total, 'unique_o_orderkey', CAST(c5 AS BIGINT) FROM wide)
+      |ORDER BY check_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_cdc_apply"     -> (q70CdcApply _),
+    "q71_data_quality"  -> (q71DataQuality _),
     "q68_etl_pipeline"  -> (q68EtlPipeline _),
     "q27_dedup_exact"   -> (q27DedupExact _),
     "q28_dedup_keyed"   -> (q28DedupKeyed _),
@@ -172,6 +240,8 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q70_cdc_apply"     -> q70CdcOracle,
+    "q71_data_quality"  -> q71Oracle,
     "q68_etl_pipeline"  -> q68Oracle,
     "q27_dedup_exact"   -> q27Oracle,
     "q28_dedup_keyed"   -> q28Oracle,

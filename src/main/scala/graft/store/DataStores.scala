@@ -20,6 +20,26 @@ object Upsert {
     target.join(staging, keys, "left_anti").unionByName(staging)
 }
 
+/** CDC changelog application — the upsert generalized with deletes: rows
+  * whose key appears in the changelog are replaced by the changelog's
+  * latest non-delete image; 'D' ops remove the key. One anti-join + one
+  * union, same shuffle profile as [[Upsert]].
+  */
+object ApplyChangelog {
+  import org.apache.spark.sql.functions._
+
+  /** `changelog` carries the target's columns plus `opCol` ∈ {I,U,D}. */
+  def apply(
+      target: DataFrame,
+      changelog: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val survivors = changelog.filter(col(opCol) =!= "D").drop(opCol)
+    target.join(changelog.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
+}
+
 trait DataStore {
   /** ≙ abstract `DataStore.upsert_data` (`services/data_store.py:3-9`). */
   def upsert(staging: DataFrame): Unit
