@@ -34,6 +34,22 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === 1)
   }
 
+  test("observe() exposes pipeline metrics without a second pass") {
+    import org.apache.spark.sql.functions._
+    val observed = Tables.orders(spark, sfDir)
+      .observe("etl_metrics",
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("big_orders"))
+      .filter(col("o_totalprice") > 0)
+    // the metrics hang off the QueryExecution that ran — use the same DF's
+    // action (a write would plan a fresh QueryExecution and leave this one
+    // unexecuted)
+    observed.collect()
+    val metrics = observed.queryExecution.observedMetrics("etl_metrics")
+    assert(metrics.getAs[Long]("rows_seen") === 1500L)
+    assert(metrics.getAs[Long]("big_orders") > 0L)
+  }
+
   test("ShowStore displays without failing (A20)") {
     new graft.store.ShowStore().upsert(Tables.region(spark, sfDir))
   }
