@@ -35,7 +35,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a crashing query must not masquerade as a fast success
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $secs%8.2fs")
       name -> secs

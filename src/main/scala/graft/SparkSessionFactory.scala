@@ -14,9 +14,11 @@ object SparkSessionFactory {
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       configOptions: Map[String, String] = Map.empty,
       jars: Seq[String] = Nil): SparkSession = {
+    // local[N] and local[N,maxRetries] both carry a thread count; anything
+    // else (including local[*]) falls back to the machine's core count
+    val LocalN = """local\[(\d+)(?:,\d+)?\]""".r
     val shufflePartitions = master match {
-      case l if l.startsWith("local[") && !l.contains("*") =>
-        l.stripPrefix("local[").stripSuffix("]")
+      case LocalN(n) => n
       case _ => Runtime.getRuntime.availableProcessors().toString
     }
     val b = SparkSession.builder()

@@ -70,14 +70,17 @@ case class SignLshSignature(child: Expression, proj: Array[Array[Double]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    // a vector shorter than the projection dim yields signature 0 — the
+    // declarative reference null-propagates every dot product in that case
+    // (zip_with pads with null), so all its sign bits are 0 too
+    if (v.numElements() < dim) return java.lang.Integer.valueOf(0)
     var sig = 0
     var b = 0
     while (b < nBits) {
       var dot = 0.0
       var i = 0
       val off = b * dim
-      while (i < n) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+      while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
       if (dot > 0) sig |= (1 << b)
       b += 1
     }
@@ -87,19 +90,20 @@ case class SignLshSignature(child: Expression, proj: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val projRef = ctx.addReferenceObj("proj", flat, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n"); val b = ctx.freshName("b")
+      val b = ctx.freshName("b")
       val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
       val off = ctx.freshName("off")
       s"""
-         |final int $n = java.lang.Math.min($v.numElements(), $dim);
          |${ev.value} = 0;
-         |for (int $b = 0; $b < $nBits; $b++) {
-         |  double $dot = 0.0;
-         |  final int $off = $b * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $v.getDouble($i) * $projRef[$off + $i];
+         |if ($v.numElements() >= $dim) {
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    double $dot = 0.0;
+         |    final int $off = $b * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += $v.getDouble($i) * $projRef[$off + $i];
+         |    }
+         |    if ($dot > 0) ${ev.value} |= (1 << $b);
          |  }
-         |  if ($dot > 0) ${ev.value} |= (1 << $b);
          |}
        """.stripMargin
     })

@@ -21,6 +21,11 @@ object Aggregators {
       if (v == null) b
       else if (b.n == 0L) VecBuf(v.toArray, 1L)
       else {
+        // fail fast on ragged input: silently truncating (or crashing only
+        // when the longer row happens to arrive first) would make results
+        // depend on partition order
+        require(v.length == b.sums.length,
+          s"VecAvg: vector length ${v.length} != ${b.sums.length}")
         var i = 0
         val s = b.sums
         while (i < s.length) { s(i) += v(i); i += 1 }
@@ -31,6 +36,8 @@ object Aggregators {
       if (a.n == 0L) b
       else if (b.n == 0L) a
       else {
+        require(a.sums.length == b.sums.length,
+          s"VecAvg: vector length ${b.sums.length} != ${a.sums.length}")
         var i = 0
         val s = a.sums
         while (i < s.length) { s(i) += b.sums(i); i += 1 }

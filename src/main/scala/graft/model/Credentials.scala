@@ -19,9 +19,52 @@ object Credentials {
   private def hex(b: Array[Byte]): String =
     b.map("%02x".format(_)).mkString
 
+  /** Minimal JSON string codec — the reference json.loads/dumps the quoted
+    * password, so escape sequences must be honored (stripping only the
+    * outer quotes would mangle any password containing `"` or `\`).
+    */
+  private def jsonUnescape(s: String): String = {
+    require(s.length >= 2 && s.head == '"' && s.last == '"',
+      s"expected a JSON string, got: $s")
+    val body = s.substring(1, s.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case '"'  => sb += '"';  i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '/'  => sb += '/';  i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 'b'  => sb += '\b'; i += 2
+          case 'f'  => sb += '\f'; i += 2
+          case 'u'  =>
+            sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** ≙ `decrypt_pass(encrypted_hex, tag_hex, key_hex, iv_hex)`: GCM
-    * decrypt, then the reference JSON-decodes the plaintext (it stores the
-    * quoted password string) — mirrored by stripping surrounding quotes.
+    * decrypt, then JSON-decode the plaintext (the reference stores the
+    * json.dumps'd password string).
     */
   def decryptPassword(
       encryptedHex: String,
@@ -35,9 +78,7 @@ object Credentials {
       new GCMParameterSpec(128, unhex(ivHex)))
     // JCE expects ciphertext || tag
     val plain = cipher.doFinal(unhex(encryptedHex) ++ unhex(tagHex))
-    val s = new String(plain, StandardCharsets.UTF_8)
-    if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
-    else s
+    jsonUnescape(new String(plain, StandardCharsets.UTF_8))
   }
 
   /** Test/fixture helper: produce the reference's wire format
@@ -52,7 +93,7 @@ object Credentials {
       Cipher.ENCRYPT_MODE,
       new SecretKeySpec(unhex(keyHex), "AES"),
       new GCMParameterSpec(128, unhex(ivHex)))
-    val out = cipher.doFinal(("\"" + password + "\"").getBytes(StandardCharsets.UTF_8))
+    val out = cipher.doFinal(jsonEscape(password).getBytes(StandardCharsets.UTF_8))
     val (ct, tag) = out.splitAt(out.length - 16)
     (hex(ct), hex(tag))
   }

@@ -33,6 +33,7 @@ case class GroupTopKNode(
     // a fresh rn attribute per copy would orphan downstream references
     rnAttr: AttributeReference =
       AttributeReference("rn", IntegerType, nullable = false)()) extends UnaryNode {
+  require(k >= 1, s"GroupTopK requires k >= 1, got $k") // empty heap would NPE in the exec
   override def output: Seq[Attribute] = child.output :+ rnAttr
   // rn is PRODUCED here, not read from the child — without this,
   // CheckAnalysis counts it as a missing input attribute

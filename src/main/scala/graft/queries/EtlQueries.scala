@@ -163,22 +163,27 @@ object EtlQueries {
       |FROM customer
       |ORDER BY customer_id""".stripMargin
 
-  /** CDC changelog application: upsert generalized with deletes. The
-    * synthetic changelog updates keys ≡0 (mod 3), deletes keys ≡1 (mod 5);
-    * the oracle replays the same set algebra.
+  /** CDC changelog application with MULTI-ENTRY keys: generation 1 updates
+    * keys ≡0 (mod 3); generation 2 deletes keys ≡1 (mod 5) and re-updates
+    * keys ≡0 (mod 15) — so some keys carry update-then-update (latest must
+    * win) and some update-then-delete (must vanish despite the stale
+    * update). The oracle replays the same latest-image set algebra.
     */
   def q70CdcApply(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val target = orders
       .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"),
         col("o_orderstatus").as("status"))
-    val changelog = orders
-      .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 1)
-      .select(col("o_orderkey"),
-        (dec2(col("o_totalprice")) + lit(5)).cast(D2).as("total"),
-        lit("C").as("status"),
-        when(col("o_orderkey") % 5 === 1, "D").otherwise("U").as("op"))
-    graft.store.ApplyChangelog(target, changelog, Seq("o_orderkey"))
+    def gen(pred: org.apache.spark.sql.Column, delta: Int, status: String,
+        op: String, seq: Int) =
+      orders.filter(pred).select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) + lit(delta)).cast(D2).as("total"),
+        lit(status).as("status"), lit(op).as("op"), lit(seq).as("seq"))
+    val changelog =
+      gen(col("o_orderkey") % 3 === 0, 5, "C1", "U", 1)
+        .unionByName(gen(col("o_orderkey") % 5 === 1, 0, "XX", "D", 2))
+        .unionByName(gen(col("o_orderkey") % 15 === 0, 7, "C2", "U", 2))
+    graft.store.ApplyChangelog(target, changelog, Seq("o_orderkey"), "seq")
       .orderBy(col("o_orderkey"))
   }
 
@@ -189,14 +194,22 @@ object EtlQueries {
       |chg AS (
       |  SELECT o_orderkey,
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DECIMAL(12,2)) AS total,
-      |    'C' AS status,
-      |    CASE WHEN o_orderkey % 5 = 1 THEN 'D' ELSE 'U' END AS op
-      |  FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 1)
+      |    'C1' AS status, 'U' AS op, 1 AS seq
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 0 AS DECIMAL(12,2)),
+      |    'XX', 'D', 2 FROM orders WHERE o_orderkey % 5 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 7 AS DECIMAL(12,2)),
+      |    'C2', 'U', 2 FROM orders WHERE o_orderkey % 15 = 0),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM chg)
       |SELECT * FROM (
       |  SELECT t.* FROM tgt t WHERE NOT EXISTS
       |    (SELECT 1 FROM chg c WHERE c.o_orderkey = t.o_orderkey)
       |  UNION ALL
-      |  SELECT o_orderkey, total, status FROM chg WHERE op <> 'D')
+      |  SELECT o_orderkey, total, status FROM latest WHERE rn = 1 AND op <> 'D')
       |ORDER BY o_orderkey""".stripMargin
 
   /** Data-quality validation: five checks evaluated in one aggregation

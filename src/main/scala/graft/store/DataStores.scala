@@ -20,21 +20,33 @@ object Upsert {
     target.join(staging, keys, "left_anti").unionByName(staging)
 }
 
-/** CDC changelog application — the upsert generalized with deletes: rows
-  * whose key appears in the changelog are replaced by the changelog's
-  * latest non-delete image; 'D' ops remove the key. One anti-join + one
-  * union, same shuffle profile as [[Upsert]].
+/** CDC changelog application — the upsert generalized with deletes: keys
+  * in the changelog are replaced by their LATEST image (by `seqCol`), and
+  * keys whose latest op is 'D' are removed. One window pass over the
+  * changelog + one anti-join + one union — same shuffle profile as
+  * [[Upsert]].
   */
 object ApplyChangelog {
+  import org.apache.spark.sql.expressions.Window
   import org.apache.spark.sql.functions._
 
-  /** `changelog` carries the target's columns plus `opCol` ∈ {I,U,D}. */
+  /** `changelog` carries the target's columns plus `opCol` ∈ {I,U,D} and a
+    * monotone `seqCol` ordering multiple entries per key (a CDC stream
+    * routinely has several — insert then update then delete).
+    */
   def apply(
       target: DataFrame,
       changelog: DataFrame,
       keys: Seq[String],
+      seqCol: String,
       opCol: String = "op"): DataFrame = {
-    val survivors = changelog.filter(col(opCol) =!= "D").drop(opCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     target.join(changelog.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(survivors)
   }
@@ -99,9 +111,15 @@ final class JdbcStore(
       val st = conn.createStatement()
       try {
         val qk = s"$quote$key$quote"
+        // enumerate columns by name: a positional SELECT * would silently
+        // swap same-typed fields whenever the DataFrame column order
+        // differs from the target table's DDL order
+        val colList = staging.columns
+          .map(c => s"$quote$c$quote").mkString(", ")
         st.executeUpdate(
           s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM $stagingTable)")
-        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stagingTable")
+        st.executeUpdate(
+          s"INSERT INTO $table ($colList) SELECT $colList FROM $stagingTable")
         conn.commit()
         st.executeUpdate(s"DROP TABLE $stagingTable")
         conn.commit()

@@ -72,13 +72,16 @@ object StreamingOps {
     // the file-stream source requires a DIRECTORY; the testdata table is a
     // single parquet file, so stage a copy under a per-input temp dir
     val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // key the staging dir on the sanitized path (hashCode could collide
+    // across dirs) and ALWAYS refresh the copy (a stale copy would silently
+    // stream outdated input after the source file changes)
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      sys.props("java.io.tmpdir"), s"graft_stream_$dirKey")
     java.nio.file.Files.createDirectories(streamDir)
     val staged = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(src, staged)
+    java.nio.file.Files.copy(src, staged,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = spark.readStream
       .schema(staticSchema)
       .option("maxFilesPerTrigger", "1")

@@ -28,13 +28,19 @@ object QualityChecks {
   def uniqueKey(c: String): Check =
     Check(s"unique_$c", count(col(c)) - countDistinct(col(c)))
 
-  /** One aggregate over the frame, then stack to one row per check. */
+  /** One aggregate over the frame, then stack to one row per check.
+    * Check names are spliced into SQL, so identifiers are backtick-quoted
+    * and the literal is escaped — a column like `unit-price` would
+    * otherwise parse as subtraction, and a quote would break the literal.
+    */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggs = count(lit(1)).as("total") +:
       checks.map(c => c.violations.cast("long").as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.map(c => s"'${c.name}', ${c.name}").mkString(", ")
+    def ident(n: String): String = "`" + n.replace("`", "``") + "`"
+    def strLit(n: String): String = "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stacked = checks.map(c => s"${strLit(c.name)}, ${ident(c.name)}").mkString(", ")
     wide.selectExpr("total",
         s"stack(${checks.size}, $stacked) AS (check_name, violations)")
       .select(

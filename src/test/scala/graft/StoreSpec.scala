@@ -34,6 +34,19 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() === 1)
   }
 
+  test("ApplyChangelog keeps only the latest image per key and honors deletes") {
+    val target = Seq((1, "t1"), (2, "t2"), (3, "t3")).toDF("id", "v")
+    // key 1: insert then update (latest wins); key 2: update then delete
+    // (gone, despite the stale update); key 4: plain insert
+    val changelog = Seq(
+      (1, "new1a", "I", 1), (1, "new1b", "U", 2),
+      (2, "stale2", "U", 1), (2, "x", "D", 2),
+      (4, "new4", "I", 1)).toDF("id", "v", "op", "seq")
+    val out = graft.store.ApplyChangelog(target, changelog, Seq("id"), "seq")
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(out === Seq((1, "new1b"), (3, "t3"), (4, "new4")))
+  }
+
   test("observe() exposes pipeline metrics without a second pass") {
     import org.apache.spark.sql.functions._
     val observed = Tables.orders(spark, sfDir)
