@@ -255,7 +255,27 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Dedup clusters: confirmed near-dup pairs → connected components →
+    * canonical selection (min id per cluster). The end product of corpus
+    * dedup: every document with its cluster id and keep/drop flag.
+    * Oracle-free (iterative CC has no SQL mirror here); SimilaritySpec
+    * asserts the planted twins cluster with their originals and exactly
+    * one canonical per cluster.
+    */
+  def q72DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q36DedupMinhash(spark, dir).select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(pairs)
+    val docs = docsWithPlants(spark, dir).select(col("doc_id"))
+    docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_dedup_clusters" -> (q72DedupClusters _),
     "q36_dedup_minhash"  -> (q36DedupMinhash _),
     "q37_dedup_simhash"  -> (q37DedupSimhash _),
     "q38_ngram_jaccard"  -> (q38NgramJaccard _),

@@ -62,6 +62,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.3, s"IVF ANN recall $recall < 0.3")
   }
 
+  test("dedup clusters: planted twins share their original's cluster; one canonical each") {
+    val rows = SparkEntry.queries("q72_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    (0L until nDocs by 5).foreach { i =>
+      assert(cluster(i + Offset) === cluster(i),
+        s"planted twin ${i + Offset} not clustered with $i")
+    }
+    // exactly one canonical per cluster, and it is the min id
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val canon = members.filter(_._3)
+      assert(canon.length === 1, s"cluster $cid has ${canon.length} canonicals")
+      assert(canon.head._1 === members.map(_._1).min)
+      assert(cid === members.map(_._1).min)
+    }
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric on pairs") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
