@@ -32,11 +32,12 @@ object Bench {
     // fixed side-effect-free query (Map.head could pick one that writes)
     run(queries.Relational.q01Pricing(spark, sfDir).limit(1))
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case e: Throwable =>
-        // a crashing query must not masquerade as a fast success
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -46,7 +47,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are carried in the JSON itself — a crash's time-to-throw
+    // must not read as a fast success to anything parsing stdout
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

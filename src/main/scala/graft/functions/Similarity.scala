@@ -179,15 +179,28 @@ object Similarity {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      labels = labels.unionByName(neighborLabels)
+      val next = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
+      // converged when no node changed label this round — without this, a
+      // component with diameter > maxIter would silently split
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (component diameter exceeds it)")
     labels
   }
 }

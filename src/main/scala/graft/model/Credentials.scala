@@ -31,7 +31,9 @@ object Credentials {
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
-      if (c == '\\' && i + 1 < body.length) {
+      if (c == '\\') {
+        if (i + 1 >= body.length)
+          throw new IllegalArgumentException(s"truncated escape in JSON string: $s")
         body.charAt(i + 1) match {
           case '"'  => sb += '"';  i += 2
           case '\\' => sb += '\\'; i += 2
@@ -42,9 +44,16 @@ object Credentials {
           case 'b'  => sb += '\b'; i += 2
           case 'f'  => sb += '\f'; i += 2
           case 'u'  =>
-            sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+            if (i + 6 > body.length)
+              throw new IllegalArgumentException(s"truncated \\u escape in JSON string: $s")
+            val hexDigits = body.substring(i + 2, i + 6)
+            if (!hexDigits.forall(d => Character.digit(d, 16) >= 0))
+              throw new IllegalArgumentException(s"invalid \\u escape '$hexDigits' in JSON string: $s")
+            sb += Integer.parseInt(hexDigits, 16).toChar
             i += 6
-          case other => sb += other; i += 2
+          case other =>
+            // json.loads (the reference behavior) rejects unknown escapes
+            throw new IllegalArgumentException(s"invalid escape '\\$other' in JSON string: $s")
         }
       } else { sb += c; i += 1 }
     }

@@ -41,11 +41,15 @@ object SimilarityQueries {
     * probability); candidates from band-bucket equi-joins only; final
     * output is the exact-Jaccard-confirmed pair list.
     */
-  def q36DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Confirmed near-dup pairs WITHOUT presentation (no rounding, no global
+    * sort) — shared by q36 (which adds the ordered, rounded output) and
+    * q72's clustering (which would otherwise pay a wasted sort-shuffle).
+    */
+  private[queries] def confirmedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // hash-identified shingles (native expression, no string shingle
     // materialization); exact-Jaccard confirmation runs on the hash sets —
-    // valid because this query is oracle-free and 64-bit shingle collisions
-    // are negligible
+    // valid because these consumers are oracle-free and 64-bit shingle
+    // collisions are negligible
     val docs = docsWithPlants(spark, dir)
       .withColumn("sh", graft.expressions.ShingleHashes.shingleHashes(
         graft.functions.TextFunctions.tokens(col("text")), 3))
@@ -64,9 +68,13 @@ object SimilarityQueries {
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def q36DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    confirmedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** B15 SimHash near-dup: 64-bit majority fingerprint, 4 bands × 16 bits
     * candidate buckets, Hamming ≤ 6 confirmation.
@@ -263,7 +271,7 @@ object SimilarityQueries {
     * one canonical per cluster.
     */
   def q72DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q36DedupMinhash(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = confirmedNearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
     val labels = connectedComponents(pairs)
     val docs = docsWithPlants(spark, dir).select(col("doc_id"))
     docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

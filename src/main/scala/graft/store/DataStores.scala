@@ -32,7 +32,10 @@ object ApplyChangelog {
 
   /** `changelog` carries the target's columns plus `opCol` ∈ {I,U,D} and a
     * monotone `seqCol` ordering multiple entries per key (a CDC stream
-    * routinely has several — insert then update then delete).
+    * routinely has several — insert then update then delete). Entries that
+    * TIE on seqCol (e.g. one commit LSN shared by a batch) are broken
+    * deterministically over the remaining columns — never by partition
+    * order.
     */
   def apply(
       target: DataFrame,
@@ -40,8 +43,11 @@ object ApplyChangelog {
       keys: Seq[String],
       seqCol: String,
       opCol: String = "op"): DataFrame = {
+    val tieBreak = changelog.columns.toIndexedSeq
+      .filterNot(c => c == seqCol || keys.contains(c))
+      .map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc)
+      .orderBy(col(seqCol).desc +: tieBreak: _*)
     val latest = changelog
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -89,10 +95,14 @@ final class JdbcStore(
     cfg: JdbcConfig,
     table: String,
     key: String,
-    // identifier quote for the key column — Spark's JDBC writer creates the
-    // staging table with QUOTED (case-exact) column names, so the key must
-    // be quoted the same way or an unquoted reference in the IN-subquery
-    // silently resolves to the OUTER table's column and deletes every row.
+    // identifier quote — Spark's JDBC writer creates the staging table with
+    // QUOTED (case-exact) column names, so the key must be quoted the same
+    // way or an unquoted reference in the IN-subquery silently resolves to
+    // the OUTER table's column and deletes every row; the INSERT's column
+    // list is quoted for the same reason. Consequence: the TARGET table
+    // must also be created with case-exact (quoted) column names matching
+    // the DataFrame schema — an unquoted DDL on a case-folding database
+    // (Derby/Oracle uppercase) will not match.
     // '"' is ANSI (Postgres/Oracle/MSSQL/Derby); MySQL needs "`".
     quote: String = "\"") extends DataStore {
   def upsert(staging: DataFrame): Unit = {

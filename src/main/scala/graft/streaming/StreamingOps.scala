@@ -72,10 +72,16 @@ object StreamingOps {
     // the file-stream source requires a DIRECTORY; the testdata table is a
     // single parquet file, so stage a copy under a per-input temp dir
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // key the staging dir on the sanitized path (hashCode could collide
-    // across dirs) and ALWAYS refresh the copy (a stale copy would silently
+    // key the staging dir on a cryptographic digest of the path (a
+    // sanitized path still collides — '/a.b' vs '/a_b' — and can exceed
+    // filename limits; String.hashCode collides too) plus a short readable
+    // suffix, and ALWAYS refresh the copy (a stale copy would silently
     // stream outdated input after the source file changes)
-    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val dirKey = s"${digest}_$suffix"
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_$dirKey")
     java.nio.file.Files.createDirectories(streamDir)
