@@ -1,36 +1,60 @@
 #!/usr/bin/env python3
-"""Dev-loop correctness harness (mimics the driver's DuckDB oracle compare).
+"""Dev-loop correctness harness (mimics the driver's oracle compare).
 
 Usage: python3 dev/check.py <verifyOutDir> <sfDir>
 
 Reads oracle_sql.json from the verify output dir, registers each testdata
-parquet as a DuckDB view, runs each oracle, and compares it cell-by-cell with
-the Spark-written parquet result. NOT part of the library — local dev only.
+parquet as a DuckDB view, runs each oracle, and compares with the
+Spark-written parquet result THE WAY THE DRIVER DOES:
+
+  - the SPARK side is read via pyarrow/pandas (NOT DuckDB) — so parquet
+    decimals arrive as decimal.Decimal objects and arrays as numpy arrays,
+    exactly as the driver sees them;
+  - the ORACLE side is the DuckDB result converted to pandas (decimals →
+    float64);
+  - both sides: columns sorted by name, rows sorted by all columns
+    (sort_values — crashes on unhashable array cells, as the driver does),
+    then every cell stringified and hashed.
+
+Reports rows/schema/hash per query like CORRECTNESS_r{N}.json. NOT part of
+the library — local dev only.
 """
-import json, math, sys
+import glob
+import hashlib
+import json
+import sys
+
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
 
-def eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    try:
-        if isinstance(a, (int, float)) or isinstance(b, (int, float)):
-            return a == b and type(a) == type(b) or a == b
-    except Exception:
-        pass
-    return a == b
+def read_spark(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise RuntimeError(f"no parquet under {path}")
+    import pyarrow as pa
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    # the driver's sort_values raises TypeError on array-typed cells —
+    # intentionally not caught here so the dev loop reproduces that failure
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def df_hash(df):
+    # to_csv, not per-cell str(): pandas' CSV writer normalizes
+    # all-midnight datetime64 columns to bare dates, which is how a
+    # date-typed Spark column and a timestamp-typed oracle column end up
+    # representation-equal
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -40,60 +64,54 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
-            wrows = want.fetchall()
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
+            want = canon(con.execute(sql).df())
+            got = canon(read_spark(f"{out_dir}/{name}"))
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
+            print(f"FAIL {name}: exec error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        # driver sorts columns by name before hashing
-        worder = sorted(range(len(wcols)), key=lambda i: wcols[i])
-        gorder = sorted(range(len(gcols)), key=lambda i: gcols[i])
-        wc = [wcols[i] for i in worder]
-        gc = [gcols[i] for i in gorder]
-        if wc != gc:
-            print(f"FAIL {name}: columns differ: oracle={wc} spark={gc}")
-            n_fail += 1
-            continue
-        # type drift warning via Arrow schemas (driver reports schema
-        # match separately; DBAPI description is too coarse)
-        try:
-            ws = con.execute(sql).fetch_arrow_table().schema
-            gs = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table().schema
-            wt = {f.name: str(f.type) for f in ws}
-            gt = {f.name: str(f.type) for f in gs}
-            for cn in wc:
-                if wt.get(cn) != gt.get(cn):
-                    print(f"  WARN {name}.{cn}: oracle type {wt.get(cn)} vs spark {gt.get(cn)}")
-        except Exception as e:
-            print(f"  WARN {name}: type check failed: {e}")
-        if len(wrows) != len(grows):
-            print(f"FAIL {name}: row count differ: oracle={len(wrows)} spark={len(grows)}")
-            n_fail += 1
-            continue
-        bad = None
-        for ri, (wr, gr) in enumerate(zip(wrows, grows)):
-            for ci in range(len(wc)):
-                a, b = wr[worder[ci]], gr[gorder[ci]]
-                if not eq(a, b):
-                    bad = (ri, wc[ci], a, b)
-                    break
-            if bad:
-                break
-        if bad:
-            ri, cn, a, b = bad
-            print(f"FAIL {name}: first diff row {ri} col {cn}: oracle={a!r} ({type(a).__name__}) spark={b!r} ({type(b).__name__})")
-            n_fail += 1
+        ok = True
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns differ: oracle={list(want.columns)}"
+                  f" spark={list(got.columns)}")
+            ok = False
+        elif len(want) != len(got):
+            print(f"FAIL {name}: row count: oracle={len(want)} spark={len(got)}")
+            ok = False
         else:
-            print(f"PASS {name} ({len(wrows)} rows, {len(wc)} cols)")
+            for cn in want.columns:
+                if str(want[cn].dtype) != str(got[cn].dtype):
+                    print(f"  WARN {name}.{cn}: oracle dtype {want[cn].dtype}"
+                          f" vs spark {got[cn].dtype}")
+            hw, hg = df_hash(want), df_hash(got)
+            if hw != hg:
+                # locate first cell diff for the report
+                bad = None
+                for ri in range(len(want)):
+                    for cn in want.columns:
+                        a, b = want[cn].iloc[ri], got[cn].iloc[ri]
+                        if str(a) != str(b):
+                            bad = (ri, cn, a, b)
+                            break
+                    if bad:
+                        break
+                if bad:
+                    ri, cn, a, b = bad
+                    print(f"FAIL {name}: hash mismatch; first diff row {ri} "
+                          f"col {cn}: oracle={a!r} ({type(a).__name__}) "
+                          f"spark={b!r} ({type(b).__name__})")
+                else:
+                    print(f"FAIL {name}: hash mismatch (no cell-level diff "
+                          f"found — ordering?)")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(want)} rows, {len(want.columns)} cols)")
             n_pass += 1
+        else:
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

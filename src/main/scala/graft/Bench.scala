@@ -50,7 +50,13 @@ object Bench {
     // failures are carried in the JSON itself — a crash's time-to-throw
     // must not read as a fast success to anything parsing stdout
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing the contract line: shutdown logging must
+    // not land after (or interleave with) the JSON, which consumers parse
+    // from the tail of stdout. A file copy is kept as a robust fallback.
     spark.stop()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    println(json)
+    System.out.flush()
   }
 }

@@ -82,8 +82,11 @@ object AdvancedQueries {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("approx_pcts"),
+        // joined to one string: array-typed output columns are not hashable
+        // by row-wise comparators downstream
+        array_join(
+          expr("transform(approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000), x -> cast(x as string))"),
+          ",").as("approx_pcts"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
@@ -102,7 +105,7 @@ object AdvancedQueries {
   val q58Oracle: String =
     """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
       |FROM orders
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
@@ -207,7 +210,7 @@ object AdvancedQueries {
   def q62TopKCustomOperator(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
       .select(col("c_mktsegment"), col("c_custkey"),
-        dec2(col("c_acctbal")).as("balance"))
+        money(col("c_acctbal")).as("balance"))
     graft.plans.GroupTopK.topKPerGroup(
         base,
         keyCols = Seq("c_mktsegment"),
@@ -222,7 +225,7 @@ object AdvancedQueries {
   val q62Oracle: String =
     """SELECT c_mktsegment, c_custkey, balance, rn FROM (
       |  SELECT c_mktsegment, c_custkey,
-      |    CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
       |  FROM customer)
       |WHERE rn <= 3

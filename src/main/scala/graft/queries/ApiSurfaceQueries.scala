@@ -46,13 +46,13 @@ object ApiSurfaceQueries {
       .na.fill(Map("segment" -> "UNKNOWN"))
       .na.drop(Seq("big_bal"))
       .select(col("c_custkey"), col("segment"),
-        dec2(col("big_bal")).as("big_bal"))
+        money(col("big_bal")).as("big_bal"))
       .orderBy(col("c_custkey"))
 
   val q66Oracle: String =
     """SELECT c_custkey,
       |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS big_bal
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS big_bal
       |FROM customer
       |WHERE c_acctbal > 5000
       |ORDER BY c_custkey""".stripMargin

@@ -46,10 +46,11 @@ object EtlQueries {
           dec2(col("l_extendedprice")).as("price")),
       keys = Seq("l_orderkey"),
       tieBreak = Seq(col("l_linenumber"), col("l_partkey"), col("price")))
+      .withColumn("price", col("price").cast(DoubleType)) // final output: double
       .orderBy(col("l_orderkey"))
 
   val q28Oracle: String =
-    """SELECT l_orderkey, l_linenumber, l_partkey, price FROM (
+    """SELECT l_orderkey, l_linenumber, l_partkey, CAST(price AS DOUBLE) AS price FROM (
       |  SELECT l_orderkey, l_linenumber, l_partkey,
       |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
       |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, CAST(l_extendedprice AS DECIMAL(12,2))) AS rn
@@ -94,7 +95,9 @@ object EtlQueries {
       .select(col("o_orderkey"),
         (dec2(col("o_totalprice")) + lit(10)).cast(D2).as("total"),
         lit("U").as("status"))
-    Upsert(target, staging, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    Upsert(target, staging, Seq("o_orderkey"))
+      .withColumn("total", col("total").cast(DoubleType)) // final output: double
+      .orderBy(col("o_orderkey"))
   }
 
   val q30Oracle: String =
@@ -107,7 +110,7 @@ object EtlQueries {
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS total,
       |    'U' AS status
       |  FROM orders WHERE o_orderkey % 3 = 0)
-      |SELECT * FROM (
+      |SELECT o_orderkey, CAST(total AS DOUBLE) AS total, status FROM (
       |  SELECT t.* FROM tgt t WHERE NOT EXISTS
       |    (SELECT 1 FROM stg s WHERE s.o_orderkey = t.o_orderkey)
       |  UNION ALL
@@ -184,6 +187,7 @@ object EtlQueries {
         .unionByName(gen(col("o_orderkey") % 5 === 1, 0, "XX", "D", 2))
         .unionByName(gen(col("o_orderkey") % 15 === 0, 7, "C2", "U", 2))
     graft.store.ApplyChangelog(target, changelog, Seq("o_orderkey"), "seq")
+      .withColumn("total", col("total").cast(DoubleType)) // final output: double
       .orderBy(col("o_orderkey"))
   }
 
@@ -205,7 +209,7 @@ object EtlQueries {
       |latest AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
       |  FROM chg)
-      |SELECT * FROM (
+      |SELECT o_orderkey, CAST(total AS DOUBLE) AS total, status FROM (
       |  SELECT t.* FROM tgt t WHERE NOT EXISTS
       |    (SELECT 1 FROM chg c WHERE c.o_orderkey = t.o_orderkey)
       |  UNION ALL

@@ -39,28 +39,31 @@ object ExtensionQueries {
 
   /** B19 typed Aggregator: per-label embedding centroid via the public
     * Aggregator API (partial/merge/final — scales like a built-in agg).
+    * Output is exploded to one (label, pos, value) row per dimension —
+    * scalar rows stay hashable/sortable for row-wise comparators where an
+    * array column would not.
     */
   def q48UdafVecAvg(spark: SparkSession, dir: String): DataFrame = {
     val vecAvg = udaf(Aggregators.VecAvg)
     Tables.embeddings(spark, dir)
       .groupBy(col("label"))
       .agg(vecAvg(toDouble(col("embedding"))).as("raw"))
+      .select(col("label"), posexplode(col("raw")).as(Seq("pos", "x")))
       .select(
         col("label"),
-        transform(col("raw"), x => round(x, 4)).as("centroid"))
-      .orderBy(col("label"))
+        (col("pos") + 1).cast(IntegerType).as("pos"),
+        round(col("x"), 4).as("centroid_val"))
+      .orderBy(col("label"), col("pos"))
   }
 
   val q48Oracle: String =
-    """SELECT label, list(r ORDER BY pos) AS centroid FROM (
-      |  SELECT label, pos, ROUND(AVG(x), 4) AS r FROM (
-      |    SELECT label,
-      |      unnest(CAST(embedding AS DOUBLE[])) AS x,
-      |      unnest(range(1, len(embedding) + 1)) AS pos
-      |    FROM embeddings)
-      |  GROUP BY label, pos)
-      |GROUP BY label
-      |ORDER BY label""".stripMargin
+    """SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(AVG(x), 4) AS centroid_val FROM (
+      |  SELECT label,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |    unnest(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
 
   /** Multimodal metadata catalog: binary payload + length + sha256. */
   def q49MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

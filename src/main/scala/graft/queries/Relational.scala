@@ -15,7 +15,13 @@ import graft.Tables
   *     IEEE division of identical operands, hence bit-identical;
   *   - every query ends in an orderBy over a unique key (or aggregates to a
   *     fully-ordered low-cardinality result);
-  *   - decimal outputs are cast to a pinned DECIMAL(38,s) in both engines.
+  *   - FINAL outputs are double, never decimal: the exact decimal result is
+  *     pinned to DECIMAL(38,s) and then cast once to double in BOTH engines.
+  *     A single IEEE cast of identical decimal operands is bit-identical,
+  *     and a double output avoids representation drift in downstream
+  *     readers (a decimal carries its scale — Decimal('5.70') — while other
+  *     engines hand back the float 5.7; stringified or hashed, those
+  *     diverge even though the values are equal).
   */
 object Exact {
   val D2: DecimalType = DecimalType(12, 2) // money columns (2-dec doubles)
@@ -24,9 +30,11 @@ object Exact {
   def dec2(c: Column): Column = c.cast(D2)
   def rate(c: Column): Column = c.cast(D1)
   val one: Column = lit(1).cast(D1)
-  def out2(c: Column): Column = c.cast(DecimalType(38, 2))
-  def out4(c: Column): Column = c.cast(DecimalType(38, 4))
-  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+  def out2(c: Column): Column = c.cast(DecimalType(38, 2)).cast(DoubleType)
+  def out4(c: Column): Column = c.cast(DecimalType(38, 4)).cast(DoubleType)
+  def out6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
+  /** Money source column as a final output: exact 2-dec decimal → double. */
+  def money(c: Column): Column = dec2(c).cast(DoubleType)
 }
 
 /** Tier-B relational operators: filters, projections, joins, aggregates
@@ -63,10 +71,10 @@ object Relational {
 
   val q01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -86,12 +94,12 @@ object Relational {
         col("o_custkey").isNotNull)
       .select(
         col("o_orderkey"), col("o_custkey"),
-        dec2(col("o_totalprice")).as("total"), col("o_orderpriority"))
+        money(col("o_totalprice")).as("total"), col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
 
   val q02Oracle: String =
     """SELECT o_orderkey, o_custkey,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS total, o_orderpriority
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total, o_orderpriority
       |FROM orders
       |WHERE o_totalprice BETWEEN 1000 AND 200000
       |  AND o_orderpriority LIKE '%URGENT%'
@@ -111,7 +119,7 @@ object Relational {
 
   val q03Oracle: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       |  l_returnflag || '/' || l_linestatus AS flag_status
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -138,7 +146,7 @@ object Relational {
 
   val q04Oracle: String =
     """SELECT r_name, n_name, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_rev
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_rev
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -159,7 +167,7 @@ object Relational {
 
   val q05Oracle: String =
     """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(38,2)) AS total_spent
+      |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(38,2)) AS DOUBLE) AS total_spent
       |FROM customer
       |LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name
@@ -172,12 +180,12 @@ object Relational {
     val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48)
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"))
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderkey"))
   }
 
   val q06Oracle: String =
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
       |FROM orders o
       |WHERE EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
@@ -247,9 +255,9 @@ object Relational {
 
   val q09Oracle: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total,
-      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS min_total,
-      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS max_total,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total,
+      |  CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS min_total,
+      |  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS max_total,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_total
       |FROM orders
       |GROUP BY o_orderstatus, o_orderpriority
@@ -308,7 +316,7 @@ object Relational {
       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
       |FROM orders
       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin

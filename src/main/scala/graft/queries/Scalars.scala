@@ -105,8 +105,10 @@ object Scalars {
     Tables.orders(spark, dir)
       .select(
         col("o_orderkey"),
-        round(dec2(col("o_totalprice")), 0).cast(DecimalType(38, 0)).as("total_rounded"),
-        abs(dec2(col("o_totalprice")) - lit(100000)).cast(DecimalType(38, 2)).as("dist_from_100k"),
+        round(dec2(col("o_totalprice")), 0).cast(DecimalType(38, 0))
+          .cast(DoubleType).as("total_rounded"),
+        abs(dec2(col("o_totalprice")) - lit(100000)).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("dist_from_100k"),
         year(col("o_orderdate")).as("o_year"),
         month(col("o_orderdate")).as("o_month"),
         date_trunc("month", col("o_orderdate")).as("o_month_start"),
@@ -118,8 +120,8 @@ object Scalars {
 
   val q23Oracle: String =
     """SELECT o_orderkey,
-      |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 0) AS DECIMAL(38,0)) AS total_rounded,
-      |  CAST(ABS(CAST(o_totalprice AS DECIMAL(12,2)) - 100000) AS DECIMAL(38,2)) AS dist_from_100k,
+      |  CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 0) AS DECIMAL(38,0)) AS DOUBLE) AS total_rounded,
+      |  CAST(CAST(ABS(CAST(o_totalprice AS DECIMAL(12,2)) - 100000) AS DECIMAL(38,2)) AS DOUBLE) AS dist_from_100k,
       |  CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
       |  CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
@@ -141,7 +143,10 @@ object Scalars {
         size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
         array_contains(split(col("text"), " "), "spark").as("has_spark"),
         element_at(split(col("text"), " "), 1).as("first_token"),
-        slice(sort_array(array_distinct(split(col("text"), " "))), 1, 3)
+        // joined to one string: array-typed output columns are not hashable
+        // by row-wise comparators downstream, and the scalar form carries
+        // the same information
+        array_join(slice(sort_array(array_distinct(split(col("text"), " "))), 1, 3), ",")
           .as("first3_sorted_tokens"))
       .orderBy(col("doc_id"))
 
@@ -151,7 +156,7 @@ object Scalars {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
       |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
       |  string_split(text, ' ')[1] AS first_token,
-      |  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted_tokens
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3_sorted_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

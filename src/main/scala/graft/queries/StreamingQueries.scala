@@ -21,7 +21,7 @@ object StreamingQueries {
   val q43Oracle: String =
     """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
@@ -56,7 +56,7 @@ object StreamingQueries {
       |SELECT user_id, MIN(ts) AS s_start,
       |  MAX(ts) + INTERVAL '30 minutes' AS s_end,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM sess
       |GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin

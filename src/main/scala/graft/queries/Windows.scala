@@ -29,7 +29,7 @@ object Windows {
     Tables.customer(spark, dir)
       .select(
         col("c_mktsegment"), col("c_custkey"),
-        dec2(col("c_acctbal")).as("balance"),
+        money(col("c_acctbal")).as("balance"),
         row_number().over(byBal).as("rn"),
         rank().over(byBalTies).as("rnk"),
         dense_rank().over(byBalTies).as("drnk"),
@@ -41,7 +41,7 @@ object Windows {
 
   val q14Oracle: String =
     """SELECT c_mktsegment, c_custkey,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
       |  CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
       |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk,
@@ -56,7 +56,7 @@ object Windows {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("total", dec2(col("o_totalprice")))
+      .withColumn("total", money(col("o_totalprice")))
       .select(
         col("o_custkey"), col("o_orderkey"), col("total"),
         lag(col("total"), 1).over(w).as("prev_total"),
@@ -66,9 +66,9 @@ object Windows {
 
   val q15Oracle: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS total,
-      |  LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_total,
-      |  LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_total
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total,
+      |  LAG(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 1) OVER w AS prev_total,
+      |  LEAD(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 1) OVER w AS next_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -84,17 +84,17 @@ object Windows {
         col("o_custkey"), col("o_orderkey"),
         out2(sum(col("total")).over(w)).as("running_total"),
         count(lit(1)).over(w).as("running_n"),
-        first(col("total")).over(w).as("first_total"),
-        last(col("total")).over(w).as("latest_total"))
+        first(col("total")).over(w).cast(DoubleType).as("first_total"),
+        last(col("total")).over(w).cast(DoubleType).as("latest_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val q16Oracle: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_total,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS running_total,
       |  COUNT(*) OVER w AS running_n,
-      |  FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS first_total,
-      |  LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS latest_total
+      |  CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS first_total,
+      |  CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS latest_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -108,10 +108,10 @@ object Windows {
     Tables.orders(spark, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
-      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("total"))
+      .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("total"))
 
   val q17Oracle: String =
-    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total
+    """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 10""".stripMargin
@@ -125,7 +125,7 @@ object Windows {
     Tables.customer(spark, dir)
       .select(
         col("c_mktsegment"), col("c_custkey"),
-        dec2(col("c_acctbal")).as("balance"),
+        money(col("c_acctbal")).as("balance"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
       .orderBy(col("c_mktsegment"), col("rn"))
@@ -134,7 +134,7 @@ object Windows {
   val q18Oracle: String =
     """SELECT c_mktsegment, c_custkey, balance, rn FROM (
       |  SELECT c_mktsegment, c_custkey,
-      |    CAST(c_acctbal AS DECIMAL(12,2)) AS balance,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
       |  FROM customer)
       |WHERE rn <= 3

@@ -26,7 +26,9 @@ object StreamingOps {
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        // exact decimal sum, then ONE IEEE cast to double for the output
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Sliding-window aggregate: 1-hour windows every 30 minutes — each event
@@ -48,7 +50,8 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("sum_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("s_start"),

@@ -10,7 +10,8 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
 
   private def base = Tables.customer(spark, sfDir)
     .select(col("c_mktsegment"), col("c_custkey"),
-      col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+      col("c_acctbal").cast(DecimalType(12, 2))
+        .cast("double").as("balance")) // same final type as q18/q62
 
   test("custom GroupTopK operator equals the window formulation") {
     val custom = GroupTopK.topKPerGroup(

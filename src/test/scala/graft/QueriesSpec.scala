@@ -25,7 +25,8 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     val exact = SparkEntry.queries("q57_percentiles")(spark, sfDir).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val approx = SparkEntry.queries("q69_approx_percentiles")(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) ->
+        r.getString(1).split(",").toSeq.map(_.toDouble)).toMap
     approx.foreach { case (prio, aps) =>
       exact(prio).zip(aps).foreach { case (e, a) =>
         // 2.5%: p99 over a few hundred rows per group is inherently noisy
