@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // dimension-mismatched inputs yield null even when both inputs are
+  // non-null, so nullability cannot be derived from the children alone
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // a prefix cosine over mismatched dimensions would be silently wrong;
+    // null matches the declarative zip_with reference (null-propagating
+    // pads) and DuckDB's list_cosine_similarity error/null behavior
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -40,14 +47,18 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $x.getDouble($i);
-         |  final double $yi = $y.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $x.getDouble($i);
+         |    final double $yi = $y.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -70,10 +81,11 @@ case class SignLshSignature(child: Expression, proj: Array[Array[Double]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    // a vector shorter than the projection dim yields signature 0 — the
-    // declarative reference null-propagates every dot product in that case
-    // (zip_with pads with null), so all its sign bits are 0 too
-    if (v.numElements() < dim) return java.lang.Integer.valueOf(0)
+    // ANY dimension mismatch yields signature 0 — the declarative
+    // reference null-propagates every dot product for short vectors
+    // (zip_with pads with null), and treating long vectors the same keeps
+    // the behavior symmetric instead of signing a silent prefix
+    if (v.numElements() != dim) return java.lang.Integer.valueOf(0)
     var sig = 0
     var b = 0
     while (b < nBits) {
@@ -95,7 +107,7 @@ case class SignLshSignature(child: Expression, proj: Array[Array[Double]])
       val off = ctx.freshName("off")
       s"""
          |${ev.value} = 0;
-         |if ($v.numElements() >= $dim) {
+         |if ($v.numElements() == $dim) {
          |  for (int $b = 0; $b < $nBits; $b++) {
          |    double $dot = 0.0;
          |    final int $off = $b * $dim;

@@ -33,9 +33,11 @@ object ApplyChangelog {
   /** `changelog` carries the target's columns plus `opCol` ∈ {I,U,D} and a
     * monotone `seqCol` ordering multiple entries per key (a CDC stream
     * routinely has several — insert then update then delete). Entries that
-    * TIE on seqCol (e.g. one commit LSN shared by a batch) are broken
-    * deterministically over the remaining columns — never by partition
-    * order.
+    * TIE on seqCol (e.g. one commit LSN shared by a batch) are resolved by
+    * an EXPLICIT op priority — a delete wins over an update at the same
+    * sequence number (the conservative read of "the key was deleted in
+    * that commit") — then deterministically over the remaining columns,
+    * never by partition order.
     */
   def apply(
       target: DataFrame,
@@ -43,11 +45,12 @@ object ApplyChangelog {
       keys: Seq[String],
       seqCol: String,
       opCol: String = "op"): DataFrame = {
+    val opPriority = when(col(opCol) === "D", 0).otherwise(1)
     val tieBreak = changelog.columns.toIndexedSeq
-      .filterNot(c => c == seqCol || keys.contains(c))
+      .filterNot(c => c == seqCol || c == opCol || keys.contains(c))
       .map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc +: tieBreak: _*)
+      .orderBy(col(seqCol).desc +: opPriority.asc +: tieBreak: _*)
     val latest = changelog
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -78,8 +81,21 @@ final class ParquetStore(targetPath: String, keys: Seq[String]) extends DataStor
       else staging
     val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    // swap via rename-to-backup: the target is recoverable at every step
+    // (a plain delete-then-rename loses the table if the rename fails or
+    // the process dies between the two), and a failed rename must THROW —
+    // Hadoop FileSystem.rename reports failure as `false`, and ignoring it
+    // would leave the old data in place while reporting success
+    val backup = new org.apache.hadoop.fs.Path(targetPath + "__bak")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, backup))
+      throw new java.io.IOException(s"rename $target -> $backup failed")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(backup, target) // best-effort restore
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (hadTarget) fs.delete(backup, true)
   }
 }
 

@@ -13,8 +13,11 @@ object QualityChecks {
   /** `violations` is an aggregate Column counting violating rows. */
   final case class Check(name: String, violations: Column)
 
+  // coalesce: on an EMPTY input sum(...) is NULL, which would make both
+  // `violations` and `passed` NULL — the gate would neither pass nor fail
+  // and a downstream filter on `passed` would silently drop the check row
   private def countWhere(pred: Column): Column =
-    sum(when(pred, 1L).otherwise(0L))
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
   def notNull(c: String): Check =
     Check(s"not_null_$c", countWhere(col(c).isNull))

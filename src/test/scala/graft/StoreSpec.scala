@@ -47,6 +47,18 @@ class StoreSpec extends AnyFunSuite with SparkSpec {
     assert(out === Seq((1, "new1b"), (3, "t3"), (4, "new4")))
   }
 
+  test("ApplyChangelog seq ties resolve by explicit op priority: D beats U") {
+    val target = Seq((1, "t1"), (2, "t2")).toDF("id", "v")
+    // both keys have a U and a D at the SAME seq — the delete must win
+    // regardless of how the value columns would sort
+    val changelog = Seq(
+      (1, "zzz", "U", 5), (1, "aaa", "D", 5),
+      (2, "aaa", "U", 5), (2, "zzz", "D", 5)).toDF("id", "v", "op", "seq")
+    val out = graft.store.ApplyChangelog(target, changelog, Seq("id"), "seq")
+      .as[(Int, String)].collect().toSeq
+    assert(out.isEmpty)
+  }
+
   test("observe() exposes pipeline metrics without a second pass") {
     import org.apache.spark.sql.functions._
     val observed = Tables.orders(spark, sfDir)
