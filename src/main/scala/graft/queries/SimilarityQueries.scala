@@ -76,6 +76,48 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- shared oracle fragments (DuckDB SQL) ----
+
+  /** Planted corpus + distinct trigram sets, as DuckDB CTEs (mirrors
+    * docsWithPlants + hashed shingling; string trigram sets have the same
+    * cardinalities as the 64-bit hash sets, collisions aside).
+    */
+  private val oracleDocsTri: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tri =
+      s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+         |     ELSE list_transform(range(1, len($toks) - 1),
+         |            i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END""".stripMargin
+    s"""docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text || ' zz9end' FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id, list_distinct($tri) AS sh FROM docs_p),
+       |dl AS (SELECT doc_id, sh, len(sh) AS n FROM d)""".stripMargin
+  }
+
+  /** Exhaustive exact-Jaccard ≥ 0.8 pair subquery over the planted corpus.
+    * The length-ratio prefilter (J ≤ min/max of the set sizes) prunes the
+    * quadratic candidate space without losing any qualifying pair. The LSH
+    * path must return EXACTLY these pairs — its banding is deterministic
+    * (fixed-seed hashes), so recall on the gate corpus is a fixed fact the
+    * oracle verifies, not a probability.
+    */
+  private val oracleExactPairs: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM dl a JOIN dl b
+      |    ON b.doc_id > a.doc_id
+      |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)""".stripMargin
+
+  val q36Oracle: String =
+    s"""WITH $oracleDocsTri
+       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+       |  $oracleExactPairs)
+       |WHERE j >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** B15 SimHash near-dup: 64-bit majority fingerprint, 4 bands × 16 bits
     * candidate buckets, Hamming ≤ 6 confirmation.
     */
@@ -101,20 +143,24 @@ object SimilarityQueries {
     * product).
     */
   def q38NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // native string shingles (identical strings to the oracle's), and an
-    // explicit repartition on the join key so BOTH self-join branches hang
-    // off one canonically-equal exchange → ReuseExchange computes the
-    // shingle sets once
+    // native string shingles (identical strings to the oracle's). The
+    // id-range condition is unrolled into 3 equi-joins on the
+    // HIGH-CARDINALITY (lang, doc_id) composite key: a join keyed on lang
+    // alone (or an explicit repartition(lang)) would put the whole corpus
+    // on ≤5 shuffle partitions — one hot partition per language — at any
+    // scale. Unrolling trades 3 small co-partitioned joins for skew-free
+    // exchanges whose partition count grows with the data.
     val d = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         graft.expressions.ShingleStrings.shingleStrings(
           graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
-      .repartition(col("lang"))
     val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b,
-        col("lang") === col("lang_b") &&
-        col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
+    (1 to 3).map { off =>
+        a.join(b,
+          col("lang") === col("lang_b") && col("id_b") === col("id_a") + off)
+      }
+      .reduce(_ unionByName _)
       .select(col("id_a"), col("id_b"), col("lang"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -170,6 +216,25 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q39 oracle: the SAME planted corpus built in SQL (DuckDB list lambdas
+    * are 1-indexed; the +0.001 nudge on component 1 is the identical IEEE
+    * double operation), then EXHAUSTIVE cosine ≥ 0.99 over all pairs — the
+    * LSH path must recover exactly that pair set.
+    */
+  val q39Oracle: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |plants AS (
+       |  SELECT vec_id + $PlantOffset AS vec_id,
+       |    list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS v
+       |  FROM base WHERE vec_id % 7 = 0),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM plants)
+       |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_cosine_similarity(a.v, b.v) AS cos
+       |  FROM allv a JOIN allv b ON b.vec_id > a.vec_id)
+       |WHERE cos >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** B16 brute-force cosine top-k (the exactness baseline): 8 query vectors
     * broadcast against all candidates, top-5 each. Oracle-checked against
     * DuckDB's list_cosine_similarity (bit-identical formula).
@@ -224,6 +289,39 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** q41 oracle: the 16 seed-7 hyperplanes are DETERMINISTIC plan-time
+    * constants, so they inline into the SQL as full-precision double
+    * literals (Double.toString round-trips). DuckDB recomputes the sign
+    * signatures (list_dot_product folds in the same ascending order as the
+    * codegen'd loop), the 4×4-bit band buckets, the candidate join, and
+    * the exact-cosine top-5 — the whole ANN pipeline, independently.
+    */
+  val q41Oracle: String = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val values = proj.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.map(java.lang.Double.toString).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH proj(b, p) AS (VALUES $values),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (
+       |  SELECT v.vec_id, proj.b,
+       |    CASE WHEN list_dot_product(v.v, proj.p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+       |  FROM v, proj),
+       |sig AS (SELECT vec_id, SUM(bit << b) AS sig FROM bits GROUP BY vec_id),
+       |banded AS (
+       |  SELECT v.vec_id, v.v, t.band, (s.sig >> (4 * t.band)) & 15 AS bk
+       |  FROM v JOIN sig s USING (vec_id), UNNEST([0,1,2,3]) AS t(band)),
+       |qb AS (SELECT vec_id AS qid, v AS qv, band, bk FROM banded WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, q.qv, b.vec_id AS vid, b.v
+       |  FROM banded b JOIN qb q ON b.band = q.band AND b.bk = q.bk AND b.vec_id <> q.qid)
+       |SELECT qid, vid, ROUND(sim, 6) AS sim, rn FROM (
+       |  SELECT qid, vid, list_cosine_similarity(qv, v) AS sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qv, v) DESC, vid) AS INTEGER) AS rn
+       |  FROM cand)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** B16 IVF ANN: inverted-file index with deterministic "trained"
     * centroids (the first 16 vectors), nprobe=4. Assignment and probing are
     * broadcast joins + argmin windows — a real IVF partitioning shape (at
@@ -263,12 +361,40 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** q42 oracle: the whole IVF pipeline re-expressed in SQL — first-16
+    * centroids, nearest-centroid assignment (list_distance is monotone in
+    * the squared distance, so the argmin ranks agree), 4-probe search,
+    * exact-cosine top-5.
+    */
+  val q42Oracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM v WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT v.vec_id, v.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+      |    FROM v, c) WHERE arn = 1),
+      |probes AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT v.vec_id AS qid, v.v AS qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY list_distance(v.v, c.cv), c.cid) AS prn
+      |    FROM v, c WHERE v.vec_id < 8) WHERE prn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, p.qv, a.vec_id AS vid, a.v
+      |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.qid)
+      |SELECT qid, vid, ROUND(sim, 6) AS sim, rn FROM (
+      |  SELECT qid, vid, list_cosine_similarity(qv, v) AS sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qv, v) DESC, vid) AS INTEGER) AS rn
+      |  FROM cand)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   /** Dedup clusters: confirmed near-dup pairs → connected components →
     * canonical selection (min id per cluster). The end product of corpus
     * dedup: every document with its cluster id and keep/drop flag.
-    * Oracle-free (iterative CC has no SQL mirror here); SimilaritySpec
-    * asserts the planted twins cluster with their originals and exactly
-    * one canonical per cluster.
+    * Oracle: exhaustive exact-Jaccard pairs + a recursive-CTE transitive
+    * closure (min reachable id = the same min-label the iterative CC
+    * converges to); SimilaritySpec additionally asserts the planted twins
+    * cluster with their originals and exactly one canonical per cluster.
     */
   def q72DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = confirmedNearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
@@ -282,6 +408,28 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
+  val q72Oracle: String =
+    s"""WITH RECURSIVE
+       |$oracleDocsTri,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |  $oracleExactPairs)
+       |  WHERE j >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |   WHERE e.dst <> r.src),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+       |SELECT p.doc_id,
+       |  COALESCE(LEAST(l.mn, p.doc_id), p.doc_id) AS cluster_id,
+       |  p.doc_id = COALESCE(LEAST(l.mn, p.doc_id), p.doc_id) AS is_canonical
+       |FROM docs_p p LEFT JOIN labels l USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_dedup_clusters" -> (q72DedupClusters _),
     "q36_dedup_minhash"  -> (q36DedupMinhash _),
@@ -293,6 +441,11 @@ object SimilarityQueries {
     "q42_ann_ivf"        -> (q42AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q36_dedup_minhash"  -> q36Oracle,
     "q38_ngram_jaccard"  -> q38Oracle,
-    "q40_cosine_topk"    -> q40Oracle)
+    "q39_embed_neardup"  -> q39Oracle,
+    "q40_cosine_topk"    -> q40Oracle,
+    "q41_ann_lsh"        -> q41Oracle,
+    "q42_ann_ivf"        -> q42Oracle,
+    "q72_dedup_clusters" -> q72Oracle)
 }

@@ -50,6 +50,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q38 never partitions on the 5-value lang key alone (skew)") {
+    val p = plan("q38_ngram_jaccard")
+    // hashpartitioning(lang#N, 32) — lang as the SOLE key — would put the
+    // whole corpus on ≤5 partitions; the composite (lang, id) keys keep
+    // exchange cardinality growing with the data
+    val solo = "hashpartitioning\\(lang#\\d+L?, \\d+\\)".r
+    assert(solo.findFirstIn(p).isEmpty, s"lang-only exchange found:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (name != "q46_stream_tumbling") { // streaming exec has no static plan
