@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.IntegerType
   * .orderBy(o)) <= k` must SORT every key group in full. This exec keeps a
   * bounded heap of k rows per key instead: one shuffle on the key (declared
   * via `requiredChildDistribution`, so Catalyst plans the exchange), O(n
-  * log k) per partition, no sort buffers, no spill pressure — at 100 TB
-  * with millions of groups this is the difference between a heap per key
-  * and sorting the whole table.
+  * log k) per partition, no sort buffers — at 100 TB with millions of
+  * groups this is the difference between a heap per key and sorting the
+  * whole table. Memory story: heap state is capped at
+  * `spark.graft.topk.maxRowsInMemory` retained rows per partition; past
+  * the cap the operator degrades to a DISK-SPILLABLE sort + rank walk
+  * (the window shape), so a pathological key cardinality slows down
+  * instead of OOMing.
   *
   * Output = child columns + `rn` (1-based rank within the key).
   */
@@ -62,11 +66,20 @@ case class GroupTopKExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Soft cap on per-partition heap state: above this many retained rows
+    * (groups × ≤k) the operator falls back to a SPILLABLE sort — the heap
+    * map is unbounded otherwise and a high-cardinality key would OOM the
+    * executor. Session-configurable for tests and tuning.
+    */
+  private def maxRowsInMemory: Int =
+    conf.getConfString("spark.graft.topk.maxRowsInMemory", (1 << 22).toString).toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    val budget = maxRowsInMemory.max(kk + 1)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -74,7 +87,9 @@ case class GroupTopKExec(
       val heaps = new java.util.HashMap[InternalRow,
         java.util.PriorityQueue[InternalRow]]()
       val worstFirst = ordering.reversed()
-      while (iter.hasNext) {
+      var retained = 0L
+      var overBudget = false
+      while (iter.hasNext && !overBudget) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -82,26 +97,71 @@ case class GroupTopKExec(
           heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kk) heap.add(row.copy())
+        if (heap.size < kk) { heap.add(row.copy()); retained += 1 }
         else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())
         }
+        if (retained > budget) overBudget = true
       }
-      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
       val outProj = UnsafeProjection.create(output, output)
-      heaps.forEach { (_, heap) =>
-        val rows = new Array[InternalRow](heap.size)
-        var i = heap.size - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // worst pops first
-        var r = 0
-        while (r < rows.length) {
-          val joined = new JoinedRow(rows(r),
-            InternalRow(r + 1))
-          out += outProj(joined).copy()
-          r += 1
+      if (!overBudget) {
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+        heaps.forEach { (_, heap) =>
+          val rows = new Array[InternalRow](heap.size)
+          var i = heap.size - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // worst pops first
+          var r = 0
+          while (r < rows.length) {
+            val joined = new JoinedRow(rows(r), InternalRow(r + 1))
+            out += outProj(joined).copy()
+            r += 1
+          }
+        }
+        out.iterator
+      } else {
+        // SPILLABLE fallback: too many groups for in-memory heaps. The
+        // rows already retained are a correct candidate superset (a heap
+        // only ever discards rows beaten by k better rows of the same
+        // key), so retained + the unread remainder feed a disk-backed
+        // sort on (keys asc, order), then rank-walk emits ≤ k per key.
+        // This is the window-function execution shape — slower, bounded.
+        val keySort = keyExprs.map(SortOrder(_, Ascending))
+        val fullOrdering =
+          new LazilyGeneratedOrdering(keySort ++ sortOrder, childOutput)
+        val retainedRows = {
+          val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+          heaps.forEach { (_, heap) =>
+            while (!heap.isEmpty) buf += heap.poll()
+          }
+          heaps.clear()
+          buf.iterator
+        }
+        val all = retainedRows ++ iter.map(_.copy())
+        val sorted = org.apache.spark.graft.GraftSpillBridge
+          .sortedWithSpill(all, fullOrdering)
+        new Iterator[InternalRow] {
+          private var curKey: InternalRow = null
+          private var rank = 0
+          private var nextRow: InternalRow = null
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+              rank += 1
+              if (rank <= kk) nextRow = row
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = outProj(new JoinedRow(nextRow, InternalRow(rank))).copy()
+            advance()
+            r
+          }
         }
       }
-      out.iterator
     }
   }
 

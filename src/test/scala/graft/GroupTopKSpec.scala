@@ -30,6 +30,30 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
   }
 
+  test("GroupTopK over-budget fallback (spillable sort) is result-identical") {
+    // force the fallback: a high-cardinality key (every customer its own
+    // group) with a tiny in-memory budget
+    spark.conf.set("spark.graft.topk.maxRowsInMemory", "8")
+    try {
+      val perCust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("balance"))
+      val custom = GroupTopK.topKPerGroup(
+          perCust, Seq("c_custkey"), "balance", "c_mktsegment", 1)
+        .orderBy("c_custkey").collect().toSeq
+      val n = Tables.customer(spark, sfDir).count()
+      assert(custom.size === n, "one row per group expected")
+      assert(custom.forall(_.getInt(3) == 1))
+      // and the grouped shape still matches the window formulation
+      val seg = GroupTopK.topKPerGroup(
+          base, Seq("c_mktsegment"), "balance", "c_custkey", 3)
+        .orderBy("c_mktsegment", "rn").collect().toSeq
+      val window = SparkEntry.queries("q18_topk_pergroup")(spark, sfDir)
+        .collect().toSeq
+      assert(seg === window)
+    } finally spark.conf.unset("spark.graft.topk.maxRowsInMemory")
+  }
+
   test("GroupTopK handles k larger than any group") {
     val n = base.count()
     val all = GroupTopK.topKPerGroup(
