@@ -20,6 +20,11 @@ object SourceType {
   case object Postgres extends SourceType
   case object Oracle  extends SourceType
   case object MsSql   extends SourceType
+  /** Embedded test dialect (ships with Spark) — lets the full JDBC control
+    * flow run end-to-end without a database server. Not a reference
+    * dialect; everything else treats it as a normal JDBC source.
+    */
+  case object Derby   extends SourceType
 
   /** Dispatch table ≙ reference `DATASOURCE_MAP` (`services/data_source.py:9-21`). */
   def fromString(s: String): SourceType = s.toLowerCase match {
@@ -31,8 +36,11 @@ object SourceType {
     case "postgresql" | "postgres" => Postgres
     case "oracle"        => Oracle
     case "mssql"         => MsSql
+    case "derby"         => Derby
     case other => throw new IllegalArgumentException(s"Unsupported data source: $other")
   }
+
+  val jdbcTypes: Set[SourceType] = Set(MySql, Postgres, Oracle, MsSql, Derby)
 }
 
 /** JDBC connection config ≙ reference `DATABASE_CONFIG` url templates
@@ -51,8 +59,29 @@ object JdbcConfig {
     case SourceType.Postgres => s"jdbc:postgresql://$host:$port/$database"
     case SourceType.Oracle   => s"jdbc:oracle:thin:@//$host:$port/$database"
     case SourceType.MsSql    => s"jdbc:sqlserver://$host:$port;databaseName=$database"
+    case SourceType.Derby    => s"jdbc:derby:memory:$database;create=true"
     case other => throw new IllegalArgumentException(s"Not a JDBC source: $other")
   }
+
+  /** Driver classes per dialect ≙ reference `DATABASE_CONFIG[*]["driver"]`
+    * (`lambda_function.py:30-51`).
+    */
+  def driverFor(tpe: SourceType): String = tpe match {
+    case SourceType.MySql    => "com.mysql.cj.jdbc.Driver"
+    case SourceType.Postgres => "org.postgresql.Driver"
+    case SourceType.Oracle   => "oracle.jdbc.driver.OracleDriver"
+    case SourceType.MsSql    => "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    case SourceType.Derby    => "org.apache.derby.jdbc.EmbeddedDriver"
+    case other => throw new IllegalArgumentException(s"Not a JDBC source: $other")
+  }
+
+  /** Assemble a connection config from dialect + creds (reference
+    * `lambda_function.py:137-148`).
+    */
+  def forDialect(
+      tpe: SourceType, host: String, port: Int, database: String,
+      user: String, password: String): JdbcConfig =
+    JdbcConfig(urlFor(tpe, host, port, database), user, password, driverFor(tpe))
 }
 
 /** One target column ≙ reference YAML `target_schema.columns[]` entry

@@ -107,12 +107,25 @@ final case class LocalRowsSource(rows: Seq[Row], schema: StructType) extends Dat
 }
 
 object DataSources {
+  /** Liveness probe SQL per dialect — the reference's bare `SELECT 1`
+    * (`services/data_source.py:93-111`) works on MySQL/Postgres/MSSQL but
+    * Oracle and Derby require a FROM clause.
+    */
+  def probeQuery(tpe: SourceType): String = tpe match {
+    case SourceType.Oracle => "SELECT 1 AS test_column FROM DUAL"
+    case SourceType.Derby  => "SELECT 1 AS test_column FROM SYSIBM.SYSDUMMY1"
+    case _                 => "SELECT 1 AS test_column"
+  }
+
   /** Connection liveness probe ≙ `check_connection`'s `SELECT 1 AS
     * test_column` pushdown (`services/data_source.py:93-111`).
     */
-  def checkConnection(spark: SparkSession, cfg: JdbcConfig): Boolean =
+  def checkConnection(
+      spark: SparkSession,
+      cfg: JdbcConfig,
+      tpe: SourceType = SourceType.Postgres): Boolean =
     try {
-      JdbcQuerySource(cfg, "SELECT 1 AS test_column").fetch(spark).count() == 1L
+      JdbcQuerySource(cfg, probeQuery(tpe)).fetch(spark).count() == 1L
     } catch { case _: Exception => false }
 
   /** Dialect-specific catalog listing ≙ `show_tables`
@@ -128,6 +141,8 @@ object DataSources {
       "(SELECT table_name FROM user_tables)"
     case SourceType.MsSql =>
       "(SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE') AS tables"
+    case SourceType.Derby =>
+      "(SELECT tablename AS table_name FROM sys.systables WHERE tabletype = 'T') t"
     case other => throw new IllegalArgumentException(s"Not a JDBC source: $other")
   }
 

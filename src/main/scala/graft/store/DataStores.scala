@@ -120,15 +120,22 @@ final class JdbcStore(
     // the DataFrame schema — an unquoted DDL on a case-folding database
     // (Derby/Oracle uppercase) will not match.
     // '"' is ANSI (Postgres/Oracle/MSSQL/Derby); MySQL needs "`".
-    quote: String = "\"") extends DataStore {
+    quote: String = "\"",
+    // explicit staging DDL types ("order_id VARCHAR(16), n INT") — needed
+    // when the writer's default type mapping is not comparable with the
+    // target's (e.g. Derby maps StringType to CLOB, which cannot equal a
+    // VARCHAR key in the delete's IN-subquery)
+    stagingColumnTypes: Option[String] = None) extends DataStore {
   def upsert(staging: DataFrame): Unit = {
     val stagingTable = s"${table}_staging"
-    staging.write.format("jdbc")
+    val writer = staging.write.format("jdbc")
       .option("url", cfg.url)
       .option("dbtable", stagingTable)
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("driver", cfg.driver)
+    stagingColumnTypes.foreach(writer.option("createTableColumnTypes", _))
+    writer
       .mode(SaveMode.Overwrite)
       .save()
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)

@@ -2,54 +2,129 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.model.{ColumnMapping, Credentials, MappingRegistry}
-import graft.transform.Transforms
+import graft.model.{ColumnMapping, Credentials, SourceType, TargetSchema}
+import graft.pipeline.JobRunner
+import graft.pipeline.JobRunner.{ConnectorRecord, EncryptedCreds}
+import graft.sources.JdbcTableSource
+import graft.store.JdbcStore
 
+/** End-to-end test of the composed flagship flow (JobRunner ≙
+  * `lambda_function.py:84-203`) against embedded Derby: encrypted creds →
+  * decrypt → connect → catalog listing → table validation → fetch →
+  * schema-map → staged JDBC upsert.
+  */
 class ControlPlaneSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  private val keyHex = "00112233445566778899aabbccddeeff00112233445566778899aabbccddeeff"
+  private val keyHex = "00112233445566778899aabbccddeeff" * 2 // AES-256
   private val ivHex = "0102030405060708090a0b0c"
+  private val dbName = "ctrlplane"
 
-  test("connector password AES-GCM roundtrip matches the reference wire format (A19)") {
-    val (ct, tag) = Credentials.encryptPassword("s3cr3t-pw", keyHex, ivHex)
-    assert(Credentials.decryptPassword(ct, tag, keyHex, ivHex) === "s3cr3t-pw")
+  private def jdbcUrl = s"jdbc:derby:memory:$dbName;create=true"
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try f(c) finally c.close()
   }
 
-  test("tampered auth tag is rejected") {
-    val (ct, tag) = Credentials.encryptPassword("pw", keyHex, ivHex)
-    val bad = (if (tag.head == '0') "1" else "0") + tag.tail
-    intercept[Exception](Credentials.decryptPassword(ct, bad, keyHex, ivHex))
+  private def connector(id: String): ConnectorRecord = {
+    val (ct, tag) = Credentials.encryptPassword("s3cr3t!", keyHex, ivHex)
+    ConnectorRecord(
+      id = id,
+      source = SourceType.Derby,
+      creds = Some(EncryptedCreds(
+        host = "localhost", port = 1527, database = dbName,
+        username = "app", encryptedPasswordHex = ct, tagHex = tag, ivHex = ivHex)))
   }
 
-  test("MappingRegistry parses per-connector target schemas (dynamic model mapping)") {
-    val json =
-      """{"conn-1": {"columns": [
-        |  {"name": "customer_id", "source": "Customer Id", "type": "string"},
-        |  {"name": "subscribed_on", "source": "Subscription Date", "type": "date",
-        |   "format": "yyyy-MM-dd"}]},
-        | "conn-2": {"columns": [
-        |  {"name": "n", "source": "num", "type": "integer"}]}}""".stripMargin
-    val reg = MappingRegistry.parse(json)
-    assert(reg.keySet === Set("conn-1", "conn-2"))
-    assert(reg("conn-1").columns === Seq(
-      ColumnMapping("customer_id", "Customer Id", "string"),
-      ColumnMapping("subscribed_on", "Subscription Date", "date", Some("yyyy-MM-dd"))))
+  test("flagship flow: decrypt -> probe -> catalog -> fetch -> map -> upsert") {
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE src_orders ("oid" INT PRIMARY KEY, "status" VARCHAR(8), "amount" DOUBLE)""")
+      st.execute("""INSERT INTO src_orders VALUES (1, 'O', 10.5), (2, 'F', 20.25), (3, 'O', 7.75)""")
+      st.execute("""CREATE TABLE tgt_orders ("order_id" VARCHAR(16) PRIMARY KEY, "amount_f" REAL)""")
+      st.close()
+    }
+    val mapping = TargetSchema(Seq(
+      ColumnMapping("order_id", "oid", "string"),
+      ColumnMapping("amount_f", "amount", "float")))
+    val cfg = graft.model.JdbcConfig(jdbcUrl, "app", "s3cr3t!",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    val report = JobRunner.run(
+      spark,
+      connectors = Map("conn-1" -> connector("conn-1")),
+      connectionId = "conn-1",
+      table = Some("SRC_ORDERS"),
+      keyHex = keyHex,
+      mappings = Map("conn-1" -> mapping),
+      store = new JdbcStore(cfg, "tgt_orders", "order_id",
+        stagingColumnTypes = Some("order_id VARCHAR(16)")))
+    assert(report.sourceType === SourceType.Derby)
+    assert(report.tables.map(_.toUpperCase).contains("SRC_ORDERS"))
+    val stored = JdbcTableSource(cfg, "tgt_orders").fetch(spark)
+      .orderBy("order_id").as[(String, Float)].collect().toSeq
+    assert(stored === Seq(("1", 10.5f), ("2", 20.25f), ("3", 7.75f)))
   }
 
-  test("a registry mapping drives the transform end-to-end") {
-    val reg = MappingRegistry.parse(
-      """{"c": {"columns": [
-        |  {"name": "id", "source": "raw_id", "type": "integer"},
-        |  {"name": "day", "source": "raw_day", "type": "date", "format": "dd/MM/yyyy"}]}}""".stripMargin)
-    val df = Seq(("7", "02/01/2024")).toDF("raw_id", "raw_day")
-    val out = Transforms.mapColumnsToTarget(df, reg("c")).head()
-    assert(out.getInt(0) === 7)
-    assert(out.getDate(1).toString === "2024-01-02")
+  test("flagship flow is idempotent on re-run (staged upsert semantics)") {
+    val mapping = TargetSchema(Seq(
+      ColumnMapping("order_id", "oid", "string"),
+      ColumnMapping("amount_f", "amount", "float")))
+    val cfg = graft.model.JdbcConfig(jdbcUrl, "app", "s3cr3t!",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    JobRunner.run(
+      spark,
+      connectors = Map("conn-1" -> connector("conn-1")),
+      connectionId = "conn-1",
+      table = Some("SRC_ORDERS"),
+      keyHex = keyHex,
+      mappings = Map("conn-1" -> mapping),
+      store = new JdbcStore(cfg, "tgt_orders", "order_id",
+        stagingColumnTypes = Some("order_id VARCHAR(16)")))
+    val n = JdbcTableSource(cfg, "tgt_orders").fetch(spark).count()
+    assert(n === 3, "same keys upserted twice must not duplicate")
   }
 
-  test("malformed registry JSON fails loudly") {
-    intercept[IllegalArgumentException](MappingRegistry.parse("""{"c": {"columns": 5}}"""))
-    intercept[IllegalArgumentException](MappingRegistry.parse("""[1,2]"""))
+  test("unknown connector id fails loudly") {
+    intercept[NoSuchElementException] {
+      JobRunner.run(spark, Map.empty, "nope")
+    }
+  }
+
+  test("invalid table name fails against the live catalog") {
+    val ex = intercept[IllegalArgumentException] {
+      JobRunner.run(
+        spark,
+        connectors = Map("conn-1" -> connector("conn-1")),
+        connectionId = "conn-1",
+        table = Some("NO_SUCH_TABLE"),
+        keyHex = keyHex)
+    }
+    assert(ex.getMessage.contains("Invalid table name"))
+  }
+
+  test("wrong key fails the credential decrypt (GCM auth)") {
+    intercept[Exception] {
+      JobRunner.run(
+        spark,
+        connectors = Map("conn-1" -> connector("conn-1")),
+        connectionId = "conn-1",
+        table = Some("SRC_ORDERS"),
+        keyHex = "ff" * 32)
+    }
+  }
+
+  test("file-source connector dispatches without a table or creds") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ctrl_csv"
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val report = JobRunner.run(
+      spark,
+      connectors = Map("conn-f" -> ConnectorRecord(
+        "conn-f", SourceType.Csv, filePath = Some(dir))),
+      connectionId = "conn-f",
+      store = new graft.store.ParquetStore(
+        s"${sys.props("java.io.tmpdir")}/graft_ctrl_out", Seq("id")))
+    assert(report.result.count() === 2)
   }
 }
