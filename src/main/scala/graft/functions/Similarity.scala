@@ -155,6 +155,53 @@ object Similarity {
   def distSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** Lloyd's k-means over an embedding column, as pure DataFrame ops — the
+    * real IVF training path. Per iteration: assignment is ONE pass over the
+    * corpus against BROADCAST centroids (k·dim doubles — tiny at any corpus
+    * size), and the update is a (cid, pos) hash aggregate — so the corpus
+    * never shuffles by itself and each round is linear. Deterministic:
+    * first-k init by id, ties to the lower cid, empty clusters keep their
+    * previous centroid.
+    *
+    * @param vecs (vec_id, v: array&lt;double&gt;)
+    * @return (cid: int, cv: array&lt;double&gt;)
+    */
+  def kmeansCentroids(
+      vecs: org.apache.spark.sql.DataFrame,
+      k: Int,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var centroids = vecs.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
+      .select(col("cid"), col("v").as("cv"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val assigned = vecs.join(broadcast(centroids), lit(true))
+        .withColumn("d2", distSq(col("v"), col("cv")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv_new"))
+      centroids = centroids
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        // truncate lineage: each round would otherwise nest the whole
+        // previous plan (same rationale as connectedComponents below)
+        .localCheckpoint(true)
+      i += 1
+    }
+    centroids
+  }
+
   /** Connected components over an undirected pair list (id_a, id_b) by
     * min-label propagation: every node's label converges to the smallest id
     * in its component. Iterations bound the component DIAMETER —

@@ -322,17 +322,13 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  /** B16 IVF ANN: inverted-file index with deterministic "trained"
-    * centroids (the first 16 vectors), nprobe=4. Assignment and probing are
-    * broadcast joins + argmin windows — a real IVF partitioning shape (at
-    * production scale the centroids come from k-means; the index/probe
-    * machinery is identical).
+  /** IVF index + probe over an arbitrary centroid table: assignment and
+    * probing are broadcast joins + argmin windows — the real IVF
+    * partitioning shape (the corpus never self-shuffles; only k·dim
+    * centroid doubles move).
     */
-  def q42AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+  private[queries] def annIvf(
+      emb: DataFrame, centroids: DataFrame, nprobe: Int, topK: Int): DataFrame = {
     // inverted lists: each vector assigned to its nearest centroid
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
     val assigned = emb.join(broadcast(centroids), lit(true))
@@ -340,14 +336,14 @@ object SimilarityQueries {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
-    // queries probe their 4 nearest centroids
+    // queries probe their nprobe nearest centroids
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("qd2"), col("cid"))
     val probes = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .join(broadcast(centroids), lit(true))
       .withColumn("qd2", distSq(col("qv"), col("cv")))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 4)
+      .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     assigned.join(probes, Seq("cid"))
@@ -356,9 +352,33 @@ object SimilarityQueries {
       .distinct()
       .withColumn("sim", cosine(col("qv"), col("v")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= topK)
       .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** B16 IVF ANN, gate form: DETERMINISTIC centroids (the first 16
+    * vectors) so the exact SQL oracle can replay the index — the k-means
+    * TRAINED variant is [[q42AnnIvfTrained]]/SimilaritySpec (float means
+    * have no bit-stable SQL mirror).
+    */
+  def q42AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    annIvf(emb, centroids, nprobe = 4, topK = 5)
+  }
+
+  /** IVF with k-means-TRAINED centroids (Lloyd's, 5 rounds) — the
+    * production index. Rows-only at the gate; SimilaritySpec bounds its
+    * recall against brute force and against the untrained baseline.
+    */
+  def q42AnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids = kmeansCentroids(emb, k = 16, iters = 5)
+    annIvf(emb, centroids, nprobe = 4, topK = 5)
   }
 
   /** q42 oracle: the whole IVF pipeline re-expressed in SQL — first-16
@@ -438,7 +458,8 @@ object SimilarityQueries {
     "q39_embed_neardup"  -> (q39EmbedNearDup _),
     "q40_cosine_topk"    -> (q40CosineTopK _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
-    "q42_ann_ivf"        -> (q42AnnIvf _))
+    "q42_ann_ivf"        -> (q42AnnIvf _),
+    "q74_ann_ivf_trained" -> (q42AnnIvfTrained _))
 
   val oracles: Map[String, String] = Map(
     "q36_dedup_minhash"  -> q36Oracle,

@@ -66,15 +66,37 @@ object StreamingQueries {
     StreamingOps.runStreamSync(spark, dir, StreamingOps.tumblingAgg, "graft_stream_tumbling")
       .orderBy(col("w_start"), col("event_type"))
 
+  /** The WATERMARKED tumbling aggregation in append mode — the production
+    * posture (bounded state, emit-once). On the bounded input the final
+    * watermark is max(ts) − 1h and exactly the windows whose end ≤ that
+    * watermark are emitted, which the oracle replays in SQL.
+    */
+  def q73StreamWatermarked(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.runStreamSync(spark, dir,
+        StreamingOps.tumblingAggWatermarked, "graft_stream_wm", outputMode = "append")
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q73Oracle: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+      |SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING w_start + INTERVAL '6 hours' <= (SELECT w FROM wm)
+      |ORDER BY w_start, event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_window_tumbling" -> (q43Tumbling _),
     "q44_window_sliding"  -> (q44Sliding _),
     "q45_session_window"  -> (q45Session _),
-    "q46_stream_tumbling" -> (q46StreamTumbling _))
+    "q46_stream_tumbling" -> (q46StreamTumbling _),
+    "q73_stream_watermarked" -> (q73StreamWatermarked _))
 
   val oracles: Map[String, String] = Map(
     "q43_window_tumbling" -> q43Oracle,
     "q44_window_sliding"  -> q44Oracle,
     "q45_session_window"  -> q45Oracle,
-    "q46_stream_tumbling" -> q43Oracle)
+    "q46_stream_tumbling" -> q43Oracle,
+    "q73_stream_watermarked" -> q73Oracle)
 }

@@ -100,15 +100,27 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Order-sensitive rolling-hash document fingerprint. No SQL oracle
-    * (DuckDB's list_reduce has no initial accumulator); scalatest invariants
-    * cover determinism and order sensitivity, and the aggregate groupBy
-    * makes duplicate fingerprints visible.
+  /** Order-sensitive rolling-hash document fingerprint. The oracle
+    * replays the fold in DuckDB: list_reduce has no initial accumulator,
+    * but the fold's first step from acc=0 is `0*31 + u1 = u1` — exactly
+    * list_reduce's seed — so the two are step-identical.
     */
   def q35Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  val q35Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> CAST(ascii(t) AS BIGINT) * 131 + length(t)) AS us
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(us) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE list_reduce(us, (a, b) -> (a * 31 + b) % 2147483647) END AS fp
+      |FROM u
+      |ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_text_stats"   -> (q32TextStats _),
@@ -119,5 +131,6 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q32_text_stats"   -> q32Oracle,
     "q33_lang_id"      -> q33Oracle,
-    "q34_token_counts" -> q34Oracle)
+    "q34_token_counts" -> q34Oracle,
+    "q35_fingerprint"  -> q35Oracle)
 }

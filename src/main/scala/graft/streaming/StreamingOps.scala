@@ -31,6 +31,24 @@ object StreamingOps {
           .cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Tumbling aggregate with an event-time WATERMARK — the production
+    * streaming posture (append mode): a window emits exactly once, when
+    * the watermark (max event time − delay) passes its end, and its state
+    * is dropped — state stays bounded no matter how long the stream runs,
+    * unlike complete-mode which accumulates every window forever. On a
+    * bounded input the result is deterministic: every window whose end ≤
+    * final watermark.
+    */
+  def tumblingAggWatermarked(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Sliding-window aggregate: 1-hour windows every 30 minutes — each event
     * lands in exactly two windows.
     */
@@ -67,7 +85,8 @@ object StreamingOps {
       spark: SparkSession,
       dir: String,
       agg: DataFrame => DataFrame,
-      queryName: String): DataFrame = {
+      queryName: String,
+      outputMode: String = "complete"): DataFrame = {
     // streaming source needs an explicit schema; ts arrives as INT64 nanos
     // (see graft.Tables.events) and is converted identically here
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -100,7 +119,7 @@ object StreamingOps {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val q = agg(events).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()

