@@ -72,4 +72,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
       .as[Seq[Long]].head()
     assert(r === Seq(0L, 0L, 0L, 0L))
   }
+
+  test("VecCosine returns null on dimension mismatch (never a prefix cosine)") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(!out(2).isNullAt(0))
+  }
+
+  test("SignLshSignature yields 0 on ANY dimension mismatch (short or long)") {
+    val proj = Similarity.hyperplanes(8, 3, seed = 1)
+    val df = Seq(
+      Seq(1.0, 2.0),            // shorter than dim
+      Seq(1.0, 2.0, 3.0, 4.0),  // longer than dim
+      Seq(1.0, 2.0, 3.0)        // exact
+    ).toDF("v")
+    val sigs = df.select(Similarity.lshSignature(col("v"), proj)).as[Int].collect()
+    assert(sigs(0) === 0 && sigs(1) === 0)
+    assert(sigs(2) !== 0) // overwhelmingly likely with 8 random hyperplanes
+  }
 }

@@ -70,4 +70,16 @@ class TransformsSpec extends AnyFunSuite with SparkSpec {
       Transforms.aesDecryptCol(Transforms.aesEncryptCol(col("v"), key), key).as("rt"))
     assert(out.as[String].collect().toSeq === Seq("secret-1", "secret-2"))
   }
+
+  test("QualityChecks passes (violations=0) on EMPTY input, not null") {
+    import graft.transform.QualityChecks.{inSet, notNull}
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val rows = graft.transform.QualityChecks
+      .run(empty, Seq(notNull("k"), inSet("s", Seq("a"))))
+      .select("check_name", "total", "violations", "passed")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._2).forall(_ === 0L))
+    assert(rows.map(_._3).forall(_ === 0L), "violations must be 0, not null")
+    assert(rows.map(_._4).forall(identity), "passed must be true on empty input")
+  }
 }
