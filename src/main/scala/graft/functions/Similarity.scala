@@ -155,13 +155,17 @@ object Similarity {
   def distSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** Lloyd's k-means over an embedding column, as pure DataFrame ops — the
-    * real IVF training path. Per iteration: assignment is ONE pass over the
-    * corpus against BROADCAST centroids (k·dim doubles — tiny at any corpus
-    * size), and the update is a (cid, pos) hash aggregate — so the corpus
-    * never shuffles by itself and each round is linear. Deterministic:
-    * first-k init by id, ties to the lower cid, empty clusters keep their
-    * previous centroid.
+  /** Lloyd's k-means over an embedding column — the real IVF training path.
+    * Per iteration: the current centroids (k·dim doubles — tiny at any
+    * corpus size) are collected and baked into a codegen'd projection
+    * ([[graft.expressions.NearestCentroids]]), so assignment is ONE
+    * shuffle-free pass over the corpus; the mean update is a single
+    * per-cid hash aggregate with the whole-vector [[Aggregators.VecAvg]]
+    * (partial/merge/final, map-side combined) — no posexplode, no dim×
+    * row amplification. The corpus never shuffles by itself and each round
+    * is linear. Deterministic under a fixed input partitioning: first-k
+    * init by id, ties to the lower cid, empty clusters keep their previous
+    * centroid.
     *
     * @param vecs (vec_id, v: array&lt;double&gt;)
     * @return (cid: int, cv: array&lt;double&gt;)
@@ -171,6 +175,7 @@ object Similarity {
       k: Int,
       iters: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val vecAvg = udaf(Aggregators.VecAvg)
     var centroids = vecs.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
@@ -178,19 +183,13 @@ object Similarity {
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val assigned = vecs.join(broadcast(centroids), lit(true))
-        .withColumn("d2", distSq(col("v"), col("cv")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv_new"))
+      // k rows — the round's centroids are already materialized by the
+      // eager localCheckpoint, so this collect costs one tiny fetch
+      val cents: Array[(Int, Array[Double])] = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val assigned = vecs.withColumn("cid", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
+      val means = assigned.groupBy(col("cid")).agg(vecAvg(col("v")).as("cv_new"))
       centroids = centroids
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))

@@ -322,34 +322,36 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  /** IVF index + probe over an arbitrary centroid table: assignment and
-    * probing are broadcast joins + argmin windows — the real IVF
-    * partitioning shape (the corpus never self-shuffles; only k·dim
-    * centroid doubles move).
+  /** IVF index + probe over an arbitrary centroid table. The centroid table
+    * is k·dim doubles — tiny at ANY corpus size — so it is collected once
+    * and baked into a codegen'd projection
+    * ([[graft.expressions.NearestCentroids]]): corpus-side assignment is a
+    * pure map with ZERO exchange and ZERO row amplification. (The previous
+    * join-against-centroids + window-argmin shape shuffled an n×k frame — a
+    * k× amplification of the whole corpus just to take a per-row argmin.)
     */
   private[queries] def annIvf(
       emb: DataFrame, centroids: DataFrame, nprobe: Int, topK: Int): DataFrame = {
-    // inverted lists: each vector assigned to its nearest centroid
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val assigned = emb.join(broadcast(centroids), lit(true))
-      .withColumn("d2", distSq(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    // queries probe their nprobe nearest centroids
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qd2"), col("cid"))
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // inverted lists: each vector assigned to its nearest centroid — one
+    // projection over the scan, no shuffle
+    val assigned = emb
+      .withColumn("cid",
+        element_at(graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
+    // queries probe their nprobe nearest centroids (8 queries × nprobe rows)
     val probes = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("qd2", distSq(col("qv"), col("cv")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
+      .withColumn("cid",
+        explode(graft.expressions.VectorExpressions.nearestCentroids(col("qv"), cents, nprobe)))
       .select(col("qid"), col("qv"), col("cid"))
+    // each vid carries exactly one cid and (qid, cid) is unique, so the
+    // candidate join emits each (qid, vid) at most once — no dedup needed
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    assigned.join(probes, Seq("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id").as("vid"), col("v"))
-      .distinct()
       .withColumn("sim", cosine(col("qv"), col("v")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)

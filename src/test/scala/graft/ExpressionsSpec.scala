@@ -83,6 +83,52 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(!out(2).isNullAt(0))
   }
 
+  test("NearestCentroids equals the declarative distSq window argmin") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val centDf = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val cents = centDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val nprobe = 4
+    val native = emb.select(col("vec_id"),
+        graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, nprobe).as("cids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // declarative reference: the old explode + window-argmin shape
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val declarative = emb.join(broadcast(centDf), lit(true))
+      .withColumn("d2", Similarity.distSq(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"), col("cid")))),
+        s => s.getField("cid")).as("cids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native.size === declarative.size)
+    native.foreach { case (id, cids) =>
+      assert(cids === declarative(id), s"vec $id")
+    }
+  }
+
+  test("NearestCentroids: null on dimension mismatch, ties to lower cid") {
+    val cents = Array(
+      (5, Array(0.0, 0.0)),
+      (2, Array(1.0, 1.0)),
+      (9, Array(1.0, 1.0))) // duplicate centroid: tie must go to cid 2
+    val df = Seq(
+      Seq(1.0, 1.0),      // exact-match ties between cid 2 and 9
+      Seq(1.0, 1.0, 1.0), // wrong dimension
+      Seq(0.1, 0.0)       // nearest 5, then the 2/9 tie
+    ).toDF("v")
+    val out = df.select(
+      graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 3).as("c"))
+      .collect()
+    assert(out(0).getSeq[Int](0) === Seq(2, 9, 5))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getSeq[Int](0) === Seq(5, 2, 9))
+  }
+
   test("SignLshSignature yields 0 on ANY dimension mismatch (short or long)") {
     val proj = Similarity.hyperplanes(8, 3, seed = 1)
     val df = Seq(

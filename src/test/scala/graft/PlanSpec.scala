@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q42 IVF assignment is a pure projection — no exchange, window, or BNLJ before the candidate join") {
+    val p = plan("q42_ann_ivf")
+    // the old argmin shape joined the corpus against all k centroids and
+    // window-ranked the n×k frame: a hashpartitioning(vec_id) exchange of a
+    // 16×-amplified corpus. The NearestCentroids projection removes it.
+    assert(!p.contains("hashpartitioning(vec_id"), s"n×k argmin exchange found:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"lit(true) centroid join found:\n$p")
+    // exactly ONE window remains: the final per-query top-k
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    assert(p.contains("nearestcentroids"), p)
+  }
+
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
     assert(plan("q17_topk_global").contains("TakeOrderedAndProject"))
   }
