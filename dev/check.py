@@ -2,6 +2,7 @@
 """Dev-loop correctness harness (mimics the driver's oracle compare).
 
 Usage: python3 dev/check.py <verifyOutDir> <sfDir>
+       python3 dev/check.py --bench-diff <oldBench.json> <newBench.json> [maxRatio]
 
 Reads oracle_sql.json from the verify output dir, registers each testdata
 parquet as a DuckDB view, runs each oracle, and compares with the
@@ -113,5 +114,44 @@ def main(out_dir, sf_dir):
     return 1 if n_fail else 0
 
 
+def bench_diff(old_path, new_path, max_ratio=2.0):
+    """Flag per-query time regressions between two BENCH_r{N}.json rounds.
+
+    Sub-100ms queries are noise-dominated (JVM scheduling jitter exceeds
+    the signal), so a floor of 0.1s is applied to the old time before the
+    ratio test. Returns nonzero if any query regressed > max_ratio.
+    """
+    def load_queries(path):
+        d = json.load(open(path))
+        if "queries" in d:
+            return d["queries"]
+        # driver-side BENCH_r{N}.json wraps the bench stdout tail (possibly
+        # truncated at the FRONT) in a "tail" string — recover what survives
+        import re
+        pairs = re.findall(r'"(q[0-9][0-9a-z_]*)":([0-9.]+)', d.get("tail", ""))
+        return {k: float(v) for k, v in pairs}
+
+    old = load_queries(old_path)
+    new = load_queries(new_path)
+    bad = []
+    for name, t_new in sorted(new.items()):
+        t_old = old.get(name)
+        if t_old is None:
+            print(f"  NEW  {name}: {t_new:.2f}s (no prior round)")
+            continue
+        ratio = t_new / max(t_old, 0.1)
+        if ratio > max_ratio:
+            print(f"REGRESS {name}: {t_old:.2f}s -> {t_new:.2f}s ({ratio:.1f}x)")
+            bad.append(name)
+    gone = sorted(set(old) - set(new))
+    for name in gone:
+        print(f"  GONE {name} (was {old[name]:.2f}s)")
+    print(f"== {len(bad)} regression(s) > {max_ratio}x over {len(new)} queries ==")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--bench-diff":
+        ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+        sys.exit(bench_diff(sys.argv[2], sys.argv[3], ratio))
     sys.exit(main(sys.argv[1], sys.argv[2]))

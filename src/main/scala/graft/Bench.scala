@@ -11,11 +11,18 @@ import org.apache.spark.sql.SparkSession
   * writer, so the numbers reflect real operator cost. A small warmup query
   * absorbs first-action JVM/codegen startup so per-query numbers are
   * steady-state.
+  *
+  * Each query is timed `SPARK_GRAFT_REPEATS` times (default 2) and the MIN
+  * is reported: the min is the contention-robust statistic — a one-off
+  * noisy-neighbor run can only inflate a single repeat, never the minimum
+  * (round 2's harness recorded 17.3 s for a query that cleanly runs in
+  * 0.57 s because something else held the box during the single repeat).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,23 +41,33 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      // min over repeats; a repeat that throws poisons the query (a crash's
+      // time-to-throw must not read as a fast success), and failures retry
+      // on every repeat so a flaky first attempt still surfaces
+      var best = Double.MaxValue
+      var ok = true
+      var r = 0
+      while (r < repeats && ok) {
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (secs < best) best = secs
+        r += 1
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $secs%8.2fs")
-      name -> secs
+      if (!ok) failed += name
+      System.err.println(f"[bench] $name%-24s $best%8.2fs (min of $repeats)")
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // failures are carried in the JSON itself — a crash's time-to-throw
-    // must not read as a fast success to anything parsing stdout
+    // failures are carried in the JSON itself
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.
