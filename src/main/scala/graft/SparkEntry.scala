@@ -21,7 +21,8 @@ object SparkEntry {
       EtlQueries.registry ++ TextQueries.registry ++
       SimilarityQueries.registry ++ StreamingQueries.registry ++
       ExtensionQueries.registry ++ SurfaceQueries.registry ++
-      AdvancedQueries.registry ++ ApiSurfaceQueries.registry
+      AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
+      ScaleQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       EtlQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ StreamingQueries.oracles ++
       ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
-      AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles
+      AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
+      ScaleQueries.oracles
 }

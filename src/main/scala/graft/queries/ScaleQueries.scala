@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.transform.Skew
+
+/** Gate queries for the two explicit 100 TB shuffle postures (SURVEY §7):
+  * bucketed co-located joins (the zero-exchange fact-fact join) and salted
+  * join/aggregation over a known-hot key. Both were previously proved only
+  * in scalatest (ScaleSpec); as gate queries the driver's DuckDB oracle
+  * re-verifies their RESULTS while PlanSpec pins their plan shape.
+  */
+object ScaleQueries {
+  import Exact._
+
+  /** The 100 TB fact-fact join posture: both sides bucketed on the join key
+    * at write time, so the merge join reads co-located buckets and the plan
+    * has NO exchange on the join key — the shuffle happened once at layout
+    * time and is amortized over every subsequent join. (At cluster scale
+    * the bucketed write is the ingest job; here it is the query's setup
+    * step, rewritten idempotently per run.)
+    */
+  def q75BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_lineitem")
+    // force merge join: broadcast would also avoid the exchange, but the
+    // invariant under test is that BUCKETING carries the co-location
+    spark.table("graft_b_lineitem")
+      .join(spark.table("graft_b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q75Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Skew posture: o_orderpriority has 5 values, so a plain shuffle join or
+    * aggregation on it lands the whole fact table on ≤5 reducers at ANY
+    * scale. The salted forms spread each hot key over 8 salt buckets:
+    * [[Skew.saltedJoin]] replicates the 5-row dimension across salts (the
+    * join exchange partitions on (key, __salt)), and [[Skew.saltedAgg]]
+    * partial-aggregates on (key, __salt) before the tiny merge. Results are
+    * identical to the plain forms — the DuckDB oracle proves it.
+    */
+  def q77SkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // 5-row dimension: per-priority average (exact decimal-sum / count)
+    val dim = orders
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").cast("double")
+        / count(lit(1))).as("prio_avg"))
+    // shuffle_hash hint: AQE would broadcast the 40-row replicated dim and
+    // skip the exchange whose salted layout is under test
+    val joined = Skew.saltedJoin(
+      orders, dim.hint("shuffle_hash"), Seq("o_orderpriority"), saltBuckets = 8)
+    Skew.saltedAgg(
+      joined,
+      keys = Seq("o_orderpriority", "prio_avg"),
+      saltFrom = Seq(col("o_orderkey")),
+      saltBuckets = 8,
+      partialAggs = Seq(
+        count(lit(1)).as("pn"),
+        sum(dec2(col("o_totalprice"))).as("ps")),
+      mergeAggs = Seq(
+        sum(col("pn")).as("n_orders"),
+        out2(sum(col("ps"))).as("sum_total")))
+      .select(col("o_orderpriority"), col("prio_avg"), col("n_orders"), col("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q77Oracle: String =
+    """WITH dim AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+      |      / COUNT(*) AS prio_avg
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, d.prio_avg, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
+      |FROM orders o JOIN dim d USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority, d.prio_avg
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_bucketed_join"   -> (q75BucketedJoin _),
+    "q77_skew_salted_join" -> (q77SkewSaltedJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q75_bucketed_join"   -> q75Oracle,
+    "q77_skew_salted_join" -> q77Oracle)
+}

@@ -80,6 +80,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("nearestcentroids"), p)
   }
 
+  test("q75 bucketed join plans with no exchange on the join key") {
+    val p = plan("q75_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle on the join key:\n$p")
+  }
+
+  test("q77 salted join/agg: the salt column reaches every skew-prone exchange") {
+    val p = plan("q77_skew_salted_join")
+    // the join and partial-agg exchanges must partition on (key, __salt) —
+    // a hashpartitioning on o_orderpriority alone is the ≤5-reducer skew
+    // plan the salting exists to prevent (the final merge agg over
+    // key×salt rows is the one legitimately tiny key-only exchange)
+    val keyOnly = "hashpartitioning\\(o_orderpriority#\\d+, \\d+\\)".r
+    assert(keyOnly.findAllIn(p).size <= 1,
+      s"skew-prone key-only exchange found:\n$p")
+    assert(p.contains("__salt"), s"salt column missing from the plan:\n$p")
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+      s"no exchange partitions on the salt:\n$p")
+  }
+
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
     assert(plan("q17_topk_global").contains("TakeOrderedAndProject"))
   }
