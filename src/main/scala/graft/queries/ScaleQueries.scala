@@ -25,6 +25,22 @@ object ScaleQueries {
   def q75BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
     spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    // DROP TABLE only clears THIS session's in-memory catalog; the managed
+    // locations survive on disk across sessions and make the next
+    // saveAsTable fail with LOCATION_ALREADY_EXISTS — clear them physically
+    val warehouse = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")) match {
+        case u if u.getScheme == "file" => u.getPath
+        case u => u.toString
+      })
+    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+      val p = warehouse.resolve(t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

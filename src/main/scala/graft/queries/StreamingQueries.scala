@@ -86,17 +86,35 @@ object StreamingQueries {
       |HAVING w_start + INTERVAL '6 hours' <= (SELECT w FROM wm)
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Stream-stream interval join through a REAL streaming execution (two
+    * watermarked file-stream sources, append mode); the oracle replays the
+    * interval join in batch SQL — exact on bounded input.
+    */
+  def q76StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamStreamIntervalJoin(spark, dir, "graft_stream_ss")
+      .orderBy(col("p_event"), col("c_event"))
+
+  val q76Oracle: String =
+    """SELECT p.user_id, p.event_id AS p_event, p.ts AS pts,
+      |  c.event_id AS c_event, c.ts AS cts
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+      |ORDER BY p_event, c_event""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_window_tumbling" -> (q43Tumbling _),
     "q44_window_sliding"  -> (q44Sliding _),
     "q45_session_window"  -> (q45Session _),
     "q46_stream_tumbling" -> (q46StreamTumbling _),
-    "q73_stream_watermarked" -> (q73StreamWatermarked _))
+    "q73_stream_watermarked" -> (q73StreamWatermarked _),
+    "q76_stream_stream_join" -> (q76StreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q43_window_tumbling" -> q43Oracle,
     "q44_window_sliding"  -> q44Oracle,
     "q45_session_window"  -> q45Oracle,
     "q46_stream_tumbling" -> q43Oracle,
-    "q73_stream_watermarked" -> q73Oracle)
+    "q73_stream_watermarked" -> q73Oracle,
+    "q76_stream_stream_join" -> q76Oracle)
 }

@@ -76,23 +76,14 @@ object StreamingOps {
         col("session_window.end").as("s_end"),
         col("n"), col("sum_value"))
 
-  /** Run a streaming aggregation over the events parquet synchronously:
-    * readStream (one file per microbatch) → agg → complete-mode memory
-    * sink → final table. Returns the materialized result; semantics match
-    * the batch form on bounded input.
+  /** Streaming source over the events parquet (one file per microbatch).
+    * The file-stream source requires a DIRECTORY, so the single-file
+    * testdata table is staged under a per-input temp dir; `ts` arrives as
+    * INT64 nanos (see graft.Tables.events) and is converted identically.
     */
-  def runStreamSync(
-      spark: SparkSession,
-      dir: String,
-      agg: DataFrame => DataFrame,
-      queryName: String,
-      outputMode: String = "complete"): DataFrame = {
-    // streaming source needs an explicit schema; ts arrives as INT64 nanos
-    // (see graft.Tables.events) and is converted identically here
+  def eventsReadStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source requires a DIRECTORY; the testdata table is a
-    // single parquet file, so stage a copy under a per-input temp dir
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     // key the staging dir on a cryptographic digest of the path (a
     // sanitized path still collides — '/a.b' vs '/a_b' — and can exceed
@@ -114,11 +105,18 @@ object StreamingOps {
       .schema(staticSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-    val events =
-      if (staticSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val q = agg(events).writeStream
+    if (staticSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Synchronously drain a streaming query into a memory sink and return
+    * the materialized table.
+    */
+  private def drainToTable(
+      spark: SparkSession, out: DataFrame, queryName: String,
+      outputMode: String): DataFrame = {
+    val q = out.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
@@ -129,5 +127,44 @@ object StreamingOps {
       q.stop()
     }
     spark.table(queryName)
+  }
+
+  /** Run a streaming aggregation over the events parquet synchronously:
+    * readStream (one file per microbatch) → agg → memory sink → final
+    * table. Returns the materialized result; semantics match the batch
+    * form on bounded input.
+    */
+  def runStreamSync(
+      spark: SparkSession,
+      dir: String,
+      agg: DataFrame => DataFrame,
+      queryName: String,
+      outputMode: String = "complete"): DataFrame =
+    drainToTable(spark, agg(eventsReadStream(spark, dir)), queryName, outputMode)
+
+  /** Stream-stream INTERVAL join, production posture: purchases joined to
+    * the clicks that preceded them by < 1 hour, both sides watermarked so
+    * join state is evicted once the watermark passes the interval bound —
+    * bounded state on an unbounded stream. On the bounded gate input every
+    * match is emitted (all rows precede the first watermark advance), so
+    * the result equals the batch interval join and a SQL oracle can replay
+    * it exactly.
+    */
+  def streamStreamIntervalJoin(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val purchases = eventsReadStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = eventsReadStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+      .select(col("user_id"), col("p_event"), col("pts"), col("c_event"), col("cts"))
+    drainToTable(spark, joined, queryName, "append")
   }
 }
