@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery is real and tested — binary columns, metadata
   * structs, typed `mapPartitions` batch processing (the Scala analogue of a
-  * vectorized decode UDF), `posexplode`-style frame index generation. The
-  * DECODE step is a clearly-marked deterministic STUB: this container has
-  * no image/audio codecs, so `stubDecode` derives fake-but-reproducible
-  * features from the payload bytes. Swapping in a real codec changes only
-  * the body of `stubDecode`; schema, partitioning, and batch shape stay.
+  * vectorized decode UDF), `posexplode`-style frame index generation.
+  *
+  * The IMAGE decode path is REAL: [[bmpMediaTable]] generates genuine
+  * 24-bpp BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel
+  * rows) and [[decodeBmp]] parses the container format from the bytes —
+  * magic, little-endian offsets, dimensions, stride-aware pixel walk.
+  * Audio/video decode remains a clearly-marked deterministic STUB
+  * (`stubDecode`): this container has no codecs for those; swapping in a
+  * real one changes only that function — schema, partitioning, and batch
+  * shape stay.
   */
 object Multimodal {
 
@@ -41,6 +46,97 @@ object Multimodal {
       length(col("payload")).as("n_bytes"),
       sha2(col("payload"), 256).as("sha"))
 
+  /** A genuine 24-bpp BMP file with dimensions derived from the doc id
+    * (width 1+id%32, height 1+id%24) and pixel byte j = (id + j) % 256 in
+    * file order — every field a real little-endian BMP header field, rows
+    * padded to 4 bytes as the format requires. Small enough (≤ ~2.4 KB)
+    * to synthesize per row at any scale.
+    */
+  def bmpBytes(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 32).toInt
+    val h = (1 + docId % 24).toInt
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val pixelOff = 14 + 40
+    val fileSize = pixelOff + stride * h
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(fileSize).putShort(0).putShort(0).putInt(pixelOff)
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1)          // planes
+      .putShort(24)         // bpp
+      .putInt(0)            // BI_RGB, uncompressed
+      .putInt(stride * h)   // image size
+      .putInt(2835).putInt(2835) // 72 DPI
+      .putInt(0).putInt(0)
+    var j = 0
+    var row = 0
+    while (row < h) {
+      var b = 0
+      while (b < stride) {
+        // pixel bytes counted in j; padding bytes written as zero
+        if (b < rowBytes) { buf.put(((docId + j) % 256).toByte); j += 1 }
+        else buf.put(0.toByte)
+        b += 1
+      }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Container sniff — a text payload could START with "BM" by chance, so
+    * membership also requires the header's little-endian file size to
+    * equal the actual payload length (unforgeable by accident).
+    */
+  def isBmp(payload: Array[Byte]): Boolean =
+    payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&
+      java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(2) == payload.length
+
+  /** REAL BMP decode: validates the magic, reads the little-endian pixel
+    * offset / dimensions / bpp from the headers, and walks the pixel data
+    * stride-aware (rows padded to 4 bytes; padding excluded from the
+    * brightness mean). Still image ⇒ n_frames = 1.
+    */
+  def decodeBmp(m: MediaRow): MediaFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(m.payload.length >= 54 &&
+      m.payload(0) == 'B'.toByte && m.payload(1) == 'M'.toByte,
+      s"doc ${m.doc_id}: not a BMP payload")
+    val pixelOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = math.abs(buf.getInt(22)) // negative height = top-down rows
+    val bpp = buf.getShort(28).toInt
+    require(bpp == 24 && buf.getInt(30) == 0,
+      s"doc ${m.doc_id}: unsupported BMP variant (bpp=$bpp)")
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    var sum = 0L
+    var row = 0
+    while (row < h) {
+      var b = 0
+      val base = pixelOff + row * stride
+      while (b < rowBytes) {
+        sum += m.payload(base + b) & 0xff
+        b += 1
+      }
+      row += 1
+    }
+    val nPix = rowBytes.toLong * h
+    MediaFeatures(m.doc_id, m.media_type, w, h, n_frames = 1,
+      brightness = if (nPix == 0) 0.0 else sum.toDouble / nPix)
+  }
+
+  /** Real-image media table: every document carries a genuine BMP payload. */
+  def bmpMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "image", bmpBytes(id)))
+  }
+
   /** STUB decoder — deterministic fake in lieu of a real codec. A real
     * implementation would parse the container format here (per-partition,
     * so codec init cost amortizes across the batch).
@@ -58,11 +154,15 @@ object Multimodal {
   }
 
   /** Batch feature extraction via typed mapPartitions — executor-side,
-    * streaming over rows, no driver involvement.
+    * streaming over rows, no driver involvement. Dispatches on the payload
+    * container magic: real BMP parse for BMP payloads, the stub for
+    * formats this container has no codec for.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(stubDecode))
+    media.mapPartitions(_.map { m =>
+      if (isBmp(m.payload)) decodeBmp(m) else stubDecode(m)
+    })
   }
 
   /** Frame sampling: one row per sampled frame with its byte offset —

@@ -78,16 +78,18 @@ object ExtensionQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Multimodal batch feature extraction through typed mapPartitions (the
-    * stubbed decode; see graft.multimodal.Multimodal). The oracle replays
-    * the stub's arithmetic, verifying the Encoder/mapPartitions plumbing
-    * end-to-end. Brightness = mean of the first 256 payload bytes — ASCII
-    * text payloads make that SQL-expressible via the char codes.
+  /** Multimodal batch feature extraction through typed mapPartitions with a
+    * REAL decode: the payloads are genuine 24-bpp BMP files and the
+    * features come from parsing their actual bytes — magic validation,
+    * little-endian header offsets, stride-aware pixel walk (see
+    * graft.multimodal.Multimodal.decodeBmp). The oracle independently
+    * replays the generator's formulas (dims from doc_id; brightness = mean
+    * of (doc_id + j) % 256 over the w·h·3 pixel bytes), so a parser that
+    * read the wrong offsets, mixed up the dimension fields, or included
+    * the row padding would hash-mismatch.
     */
   def q50MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = Multimodal.mediaTable(Tables.documents(spark, dir))
-      .as[Multimodal.MediaRow]
+    val media = Multimodal.bmpMediaTable(Tables.documents(spark, dir))
     Multimodal.extractFeatures(media).toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("n_frames"), round(col("brightness"), 6).as("brightness"))
@@ -95,13 +97,13 @@ object ExtensionQueries {
   }
 
   val q50Oracle: String =
-    """SELECT doc_id,
-      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-      |  CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
-      |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INTEGER) AS height,
-      |  CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
-      |  ROUND(CAST(list_sum(list_transform(string_split(substring(text, 1, 256), ''), c -> ascii(c))) AS DOUBLE)
-      |        / least(octet_length(encode(text)), 256), 6) AS brightness
+    """SELECT doc_id, 'image' AS media_type,
+      |  CAST(1 + doc_id % 32 AS INTEGER) AS width,
+      |  CAST(1 + doc_id % 24 AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS n_frames,
+      |  ROUND(CAST(list_sum(list_transform(range(0, (1 + doc_id % 32) * (1 + doc_id % 24) * 3),
+      |          j -> (doc_id + j) % 256)) AS DOUBLE)
+      |        / ((1 + doc_id % 32) * (1 + doc_id % 24) * 3), 6) AS brightness
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
