@@ -81,4 +81,38 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(DataSources.showTablesQuery(SourceType.Postgres).contains("'public'"))
     assert(DataSources.showTablesQuery(SourceType.MsSql).contains("BASE TABLE"))
   }
+
+  test("OdbcSource live transport: connect → execute → fetchall → DataFrame (A7 live)") {
+    // Derby's embedded JDBC driver stands in for the ODBC driver manager —
+    // same raw connect/cursor/fetch control flow as the reference's pyodbc
+    val cfg = OdbcStyleConfig(SourceType.Derby, "localhost", 0, "odbcsrc", "app", "app")
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE odbc_t (id INT NOT NULL, name VARCHAR(20), amount DECIMAL(10,2), flag BOOLEAN)")
+    st.execute("INSERT INTO odbc_t VALUES (1, 'alpha', 12.50, true), (2, NULL, 0.25, false)")
+    st.close(); conn.close()
+
+    val df = OdbcSource(cfg, "SELECT id, name, amount, flag FROM odbc_t ORDER BY id").fetch(spark)
+    assert(df.schema.fieldNames.toSeq === Seq("ID", "NAME", "AMOUNT", "FLAG"))
+    assert(df.schema("ID").dataType === IntegerType)
+    assert(df.schema("AMOUNT").dataType.typeName.startsWith("decimal"))
+    val rows = df.collect()
+    assert(rows.length === 2)
+    assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "alpha")
+    assert(rows(1).isNullAt(1), "NULL must survive the transport")
+    assert(rows(0).getDecimal(2).doubleValue() === 12.50)
+  }
+
+  test("OdbcStyleConfig: pyodbc wire format round-trips through the parser") {
+    val cfg = OdbcStyleConfig(SourceType.Postgres, "db.example", 5432, "appdb", "u1", "secret")
+    assert(cfg.connectionString ===
+      "DRIVER={PostgreSQL Unicode};SERVER=db.example;DATABASE=appdb;UID=u1;PWD=secret;")
+    val parsed = OdbcStyleConfig.fromConnectionString(cfg.connectionString)
+    assert(parsed === cfg) // default Postgres port 5432 fills back in
+    val mysql = OdbcStyleConfig.fromConnectionString(
+      "DRIVER={MySQL ODBC 9.1 Unicode Driver};SERVER=h;PORT=3307;DATABASE=d;UID=u;PWD=p;")
+    assert(mysql.tpe === SourceType.MySql && mysql.port === 3307)
+    intercept[IllegalArgumentException](
+      OdbcStyleConfig.fromConnectionString("DRIVER={SQLite3};SERVER=x;"))
+  }
 }
