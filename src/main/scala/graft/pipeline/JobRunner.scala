@@ -101,11 +101,15 @@ object JobRunner {
           throw new IllegalArgumentException(
             s"connector $connectionId: a table name is required for JDBC sources")
         }
-        // ≙ the reference's input() validation loop, minus the prompt
-        if (!names.exists(_.equalsIgnoreCase(chosen)))
+        // ≙ the reference's input() validation loop, minus the prompt.
+        // Fetch under the CATALOG's spelling, not the caller's: validation
+        // is case-insensitive, but a case-sensitive catalog (quoted
+        // Postgres identifiers) would resolve the caller's casing to a
+        // different — or no — table
+        val resolved = names.find(_.equalsIgnoreCase(chosen)).getOrElse(
           throw new IllegalArgumentException(
-            s"Invalid table name: $chosen (catalog: ${names.mkString(", ")})")
-        (JdbcTableSource(cfg, chosen), names)
+            s"Invalid table name: $chosen (catalog: ${names.mkString(", ")})"))
+        (JdbcTableSource(cfg, resolved), names)
       }
 
     val transform: DataFrame => DataFrame =

@@ -139,16 +139,24 @@ case class GroupTopKExec(
         val all = retainedRows ++ iter.map(_.copy())
         val sorted = org.apache.spark.graft.GraftSpillBridge
           .sortedWithSpill(all, fullOrdering)
+        // group boundaries via the KEY ORDERING, not binary row equality:
+        // contiguity is only guaranteed up to ordering-equality, and a key
+        // type whose ordering-equal values are not binary-equal would
+        // otherwise interleave and reset the rank mid-group (UnsafeWriter
+        // normalizes NaN/-0.0, but the sort-consistent compare holds for
+        // every orderable type by construction)
+        val keyOrdering = new LazilyGeneratedOrdering(keySort, childOutput)
         new Iterator[InternalRow] {
-          private var curKey: InternalRow = null
+          private var curKeyRow: InternalRow = null
           private var rank = 0
           private var nextRow: InternalRow = null
           private def advance(): Unit = {
             nextRow = null
             while (nextRow == null && sorted.hasNext) {
               val row = sorted.next()
-              val key = keyProj(row)
-              if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+              if (curKeyRow == null || keyOrdering.compare(curKeyRow, row) != 0) {
+                curKeyRow = row.copy(); rank = 0
+              }
               rank += 1
               if (rank <= kk) nextRow = row
             }

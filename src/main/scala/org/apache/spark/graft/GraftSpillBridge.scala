@@ -23,6 +23,11 @@ object GraftSpillBridge {
     sorter.insertAll(records.map(r => (r, null)))
     context.taskMetrics().incMemoryBytesSpilled(sorter.memoryBytesSpilled)
     context.taskMetrics().incDiskBytesSpilled(sorter.diskBytesSpilled)
+    // CompletionIterator alone leaks sorter memory + spill files if a
+    // downstream operator short-circuits (limit/take never drains the
+    // iterator); the task-completion hook guarantees release either way
+    // (stop() is idempotent — Spark's own callers pair the two the same way)
+    context.addTaskCompletionListener[Unit](_ => sorter.stop())
     CompletionIterator[T, Iterator[T]](
       sorter.iterator.map(_._1), sorter.stop())
   }

@@ -37,14 +37,24 @@ class ControlPlaneSpec extends AnyFunSuite with SparkSpec {
         username = "app", encryptedPasswordHex = ct, tagHex = tag, ivHex = ivHex)))
   }
 
-  test("flagship flow: decrypt -> probe -> catalog -> fetch -> map -> upsert") {
-    withConn { c =>
-      val st = c.createStatement()
-      st.execute("""CREATE TABLE src_orders ("oid" INT PRIMARY KEY, "status" VARCHAR(8), "amount" DOUBLE)""")
-      st.execute("""INSERT INTO src_orders VALUES (1, 'O', 10.5), (2, 'F', 20.25), (3, 'O', 7.75)""")
-      st.execute("""CREATE TABLE tgt_orders ("order_id" VARCHAR(16) PRIMARY KEY, "amount_f" REAL)""")
-      st.close()
+  /** Idempotent schema fixture: every test that needs the Derby tables
+    * references this, so any single test (or any ordering) runs
+    * self-contained instead of depending on a creator test running first.
+    */
+  private lazy val schemaReady: Unit = withConn { c =>
+    val st = c.createStatement()
+    def createOnce(sql: String): Unit = try st.execute(sql) catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
     }
+    createOnce("""CREATE TABLE src_orders ("oid" INT PRIMARY KEY, "status" VARCHAR(8), "amount" DOUBLE)""")
+    createOnce("""CREATE TABLE tgt_orders ("order_id" VARCHAR(16) PRIMARY KEY, "amount_f" REAL)""")
+    st.execute("DELETE FROM src_orders")
+    st.execute("""INSERT INTO src_orders VALUES (1, 'O', 10.5), (2, 'F', 20.25), (3, 'O', 7.75)""")
+    st.close()
+  }
+
+  test("flagship flow: decrypt -> probe -> catalog -> fetch -> map -> upsert") {
+    schemaReady
     val mapping = TargetSchema(Seq(
       ColumnMapping("order_id", "oid", "string"),
       ColumnMapping("amount_f", "amount", "float")))
@@ -67,6 +77,7 @@ class ControlPlaneSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("flagship flow is idempotent on re-run (staged upsert semantics)") {
+    schemaReady
     val mapping = TargetSchema(Seq(
       ColumnMapping("order_id", "oid", "string"),
       ColumnMapping("amount_f", "amount", "float")))
@@ -92,6 +103,7 @@ class ControlPlaneSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("invalid table name fails against the live catalog") {
+    schemaReady
     val ex = intercept[IllegalArgumentException] {
       JobRunner.run(
         spark,
