@@ -47,7 +47,11 @@ object Tables {
     */
   private def computeParallel(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // cheap driver-side probe (df.rdd.getNumPartitions builds the full RDD
+    // lineage just to ask). Fewer files than cores means an under-parallel
+    // scan UNLESS the files are large enough to split by byte range — and a
+    // file that large is past the point where this widening matters anyway
+    if (df.inputFiles.length < cores) df.repartition(cores) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
