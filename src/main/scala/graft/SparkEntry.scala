@@ -22,7 +22,7 @@ object SparkEntry {
       SimilarityQueries.registry ++ StreamingQueries.registry ++
       ExtensionQueries.registry ++ SurfaceQueries.registry ++
       AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
-      ScaleQueries.registry
+      ScaleQueries.registry ++ CurationQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       SimilarityQueries.oracles ++ StreamingQueries.oracles ++
       ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
       AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++ CurationQueries.oracles
 }

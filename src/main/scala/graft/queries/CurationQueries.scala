@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{Similarity, TextFunctions}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between ingest and tokenization (north-star tier, alongside B15/B17):
+  * repetition-based quality filtering (the Gopher/RefinedWeb rule family),
+  * PII redaction, and deterministic stratified sampling.
+  *
+  * Scale shapes: everything is a projection/filter over the scan plus at
+  * most one high-cardinality-key aggregation (doc_id or (doc_id, token) —
+  * never a low-cardinality hot key), so all three run at corpus scale with
+  * one skew-free shuffle. Determinism: sampling and synthetic PII use
+  * md5/doc_id arithmetic, identical in Spark and DuckDB, so every output —
+  * including the redacted text, via its md5 — is exact-oracle-gated.
+  */
+object CurationQueries {
+
+  /** Repetition quality signals (Gopher-style): duplicate-trigram ratio
+    * (the fraction of trigram occurrences that are repeats) and top-token
+    * share (most frequent token / token count), plus the keep/drop verdict
+    * of the combined rule. Documents that loop or keyword-stuff score high
+    * on both and get dropped before training.
+    */
+  def q78QualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast(IntegerType).as("n_tokens"),
+        Similarity.wordShingles(toks, 3).as("tris"),
+        toks.as("toks"))
+    val base = docs.withColumn("dup_trigram_ratio",
+      round(lit(1.0) -
+        size(array_distinct(col("tris"))).cast(DoubleType) / size(col("tris")), 6))
+    // top token count per doc: explode + (doc_id, token) aggregate — a
+    // composite high-cardinality key, so the shuffle stays skew-free at
+    // any corpus size (same posture as q38's composite join keys)
+    val topTok = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    base.join(topTok, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("dup_trigram_ratio"),
+        round(col("max_tok").cast(DoubleType) / col("n_tokens"), 6).as("top_token_share"),
+        (col("n_tokens") >= 20 &&
+          col("dup_trigram_ratio") <= 0.2 &&
+          col("max_tok").cast(DoubleType) / col("n_tokens") <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id)
+       |SELECT tri.doc_id,
+       |  CAST(len(tri.toks) AS INTEGER) AS n_tokens,
+       |  ROUND(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6) AS dup_trigram_ratio,
+       |  ROUND(CAST(max_tok AS DOUBLE) / len(tri.toks), 6) AS top_token_share,
+       |  (len(tri.toks) >= 20
+       |    AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+       |    AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+       |FROM tri JOIN top ON tri.doc_id = top.doc_id
+       |ORDER BY tri.doc_id""".stripMargin
+  }
+
+  private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: emails and phone numbers replaced with typed tags. The
+    * corpus has no natural PII, so deterministic PII is PLANTED (every
+    * 10th doc an email, every 10th+5 a phone number) and the op must both
+    * count and scrub exactly those. The redacted text itself is verified
+    * via md5 — identical in both engines — so a regex that over- or
+    * under-matched by one character would hash-mismatch.
+    */
+  def q79PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com now")))
+        .when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    withPii
+      .select(
+        col("doc_id"),
+        (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+          .cast(IntegerType).as("n_pii"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q79Oracle: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         WHEN doc_id % 10 = 5
+       |           THEN text || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe'))
+       |     + len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_pii,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: per-language rates via an md5
+    * bucket compare — lowercase hex compares lexicographically as numeric,
+    * so `substr(md5, 1, 2) < '40'` keeps exactly 64/256 = 25% in
+    * expectation, reproducibly under reordering and re-runs (the same
+    * property q63's split relies on). Downsample the over-represented
+    * languages, keep the rest whole.
+    */
+  def q80StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+    val threshold = when(col("lang") === "en", "40")  // 25%
+      .when(col("lang") === "de", "80")               // 50%
+      .when(col("lang") === "fr", "c0")               // 75%
+      .otherwise("g")                                 // > 'ff': keep all
+    Tables.documents(spark, dir)
+      .filter(bucket < threshold)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  val q80Oracle: String =
+    """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' WHEN 'fr' THEN 'c0'
+      |       ELSE 'g' END
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_quality_repetition" -> (q78QualityRepetition _),
+    "q79_pii_redact"         -> (q79PiiRedact _),
+    "q80_stratified_sample"  -> (q80StratifiedSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q78_quality_repetition" -> q78Oracle,
+    "q79_pii_redact"         -> q79Oracle,
+    "q80_stratified_sample"  -> q80Oracle)
+}
