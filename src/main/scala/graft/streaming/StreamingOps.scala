@@ -112,19 +112,34 @@ object StreamingOps {
 
   /** Synchronously drain a streaming query into a memory sink and return
     * the materialized table.
+    *
+    * Stateful operators commit one state store PER SHUFFLE PARTITION per
+    * microbatch (a stream-stream join commits four stores per partition),
+    * so the batch session's 32 partitions mean ~128 store commits a batch
+    * — pure overhead at gate input sizes. The partition count is pinned
+    * lower for the streaming query (state partitioning is fixed at batch 0
+    * by the checkpoint, so this must be set before `start()`); results are
+    * partitioning-independent. At production scale this knob RISES with
+    * state volume — it is per-query, which is exactly the point.
     */
   private def drainToTable(
       spark: SparkSession, out: DataFrame, queryName: String,
-      outputMode: String): DataFrame = {
-    val q = out.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
+      outputMode: String, statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
-      q.processAllAvailable()
+      val q = out.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     } finally {
-      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(queryName)
   }
