@@ -24,6 +24,7 @@ object SparkSessionFactory {
     val b = SparkSession.builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -291,10 +291,16 @@ object Relational {
     */
   def q11AggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      // pre-aggregate to distinct (flag, partkey) pairs FIRST: the single
+      // countDistinct/approx pair over raw rows plans an Expand (2× every
+      // input row) before the shuffle, while this shape dedups map-side and
+      // shuffles each distinct pair once. HLL is duplicate-insensitive, so
+      // the sketch over distinct pairs is the identical estimate
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(
         col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) <=

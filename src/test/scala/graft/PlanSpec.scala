@@ -75,8 +75,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // 16×-amplified corpus. The NearestCentroids projection removes it.
     assert(!p.contains("hashpartitioning(vec_id"), s"n×k argmin exchange found:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"lit(true) centroid join found:\n$p")
-    // exactly ONE window remains: the final per-query top-k
-    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    // NO window remains: the assign/probe argmins are projections and the
+    // final per-query top-k auto-rewrites to the GroupTopK operator
+    assert("Window \\[".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("GroupTopK"), p)
     assert(p.contains("nearestcentroids"), p)
   }
 
@@ -100,6 +102,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("__salt"), s"salt column missing from the plan:\n$p")
     assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
       s"no exchange partitions on the salt:\n$p")
+  }
+
+  test("window top-k auto-rewrites to the custom GroupTopK operator (no sort)") {
+    // the TopKRewrite optimizer rule (injected via GraftExtensions) turns
+    // the row_number-filter pattern into the heap-based exec — q18 is plain
+    // window-API user code and must get the no-sort plan automatically
+    val p = plan("q18_topk_pergroup")
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("WindowExec") && !"\\bWindow \\[".r.findFirstIn(p).isDefined, p)
+    // escape hatch: with the rewrite off, the window plan comes back
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try {
+      val off = plan("q18_topk_pergroup")
+      assert(!off.contains("GroupTopK"), off)
+      assert("Window \\[".r.findFirstIn(off).isDefined, off)
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
   }
 
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
