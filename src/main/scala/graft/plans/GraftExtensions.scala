@@ -46,6 +46,10 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v - 1))
       case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) => Some((a, v))
       case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) => Some((a, v - 1))
+      // rn = 1 ⟺ rn <= 1 (the keyed-dedup survivor pattern); rn = k for
+      // k > 1 selects a SLICE, not a top-k — deliberately not matched
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if v == 1 => Some((a, 1))
+      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if v == 1 => Some((a, 1))
       case _ => None
     }
   }
