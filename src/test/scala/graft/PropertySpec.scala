@@ -84,4 +84,29 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(jid === 1.0)
     }
   }
+
+  test("TopKRewrite law: rewritten window top-k equals the window plan exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // (key, value, tie): tie is unique per row so row_number is total-order
+    // deterministic and both plans must agree row for row
+    val rows: Gen[List[(Int, Int)]] =
+      Gen.listOfN(60, Gen.zip(Gen.choose(0, 6), Gen.choose(-50, 50)))
+    samples(Gen.zip(rows, Gen.choose(1, 5)), 8).foreach { case (data, k) =>
+      val df = data.zipWithIndex.map { case ((key, v), i) => (key, v, i) }
+        .toDF("key", "v", "tie")
+      val w = Window.partitionBy(col("key")).orderBy(col("v").desc, col("tie"))
+      def run(): Seq[(Int, Int, Int, Int)] = df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .orderBy(col("key"), col("rn"))
+        .as[(Int, Int, Int, Int)].collect().toSeq
+      val rewritten = run()
+      assert(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .queryExecution.optimizedPlan.toString.contains("GroupTopK"),
+        "rewrite must fire on this pattern")
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val windowed = try run() finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(rewritten === windowed, s"k=$k")
+    }
+  }
 }
