@@ -174,31 +174,33 @@ object Similarity {
       vecs: org.apache.spark.sql.DataFrame,
       k: Int,
       iters: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val vecAvg = udaf(Aggregators.VecAvg)
-    var centroids = vecs.orderBy(col("vec_id")).limit(k)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
-      .select(col("cid"), col("v").as("cv"))
-      .localCheckpoint(true)
+    // centroid STATE is k·dim doubles — it lives on the driver, so each
+    // Lloyd's round is exactly ONE distributed job (assignment projection +
+    // per-cid VecAvg hash aggregate, map-side combined) and the k-row merge
+    // is plain driver arithmetic: no per-round join, no lineage growth, no
+    // checkpoint. (connectedComponents below keeps DISTRIBUTED state and
+    // therefore does need the checkpoint treatment — the contrast is the
+    // point: state size dictates the home.)
+    var cents: Array[(Int, Array[Double])] =
+      vecs.orderBy(col("vec_id")).limit(k) // TakeOrdered: no full sort
+        .select(col("v")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     var i = 0
     while (i < iters) {
-      // k rows — the round's centroids are already materialized by the
-      // eager localCheckpoint, so this collect costs one tiny fetch
-      val cents: Array[(Int, Array[Double])] = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      val assigned = vecs.withColumn("cid", element_at(
-        graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
-      val means = assigned.groupBy(col("cid")).agg(vecAvg(col("v")).as("cv_new"))
-      centroids = centroids
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))
-        // truncate lineage: each round would otherwise nest the whole
-        // previous plan (same rationale as connectedComponents below)
-        .localCheckpoint(true)
+      val means = vecs
+        .withColumn("cid", element_at(
+          graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
+        .groupBy(col("cid")).agg(vecAvg(col("v")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       i += 1
     }
-    centroids
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) by
