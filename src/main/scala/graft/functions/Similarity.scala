@@ -232,17 +232,22 @@ object Similarity {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("id").agg(min(col("label")).as("label"))
+      // carry the previous label THROUGH the min-aggregate (each id has
+      // exactly one prev row, so min(when(is_prev)) recovers it): the
+      // convergence probe then reads the already-checkpointed frame with
+      // no labels⋈labels join — one shuffle fewer per round
+      val next = labels.select(col("id"), col("label"), lit(true).as("is_prev"))
+        .unionByName(neighborLabels.withColumn("is_prev", lit(false)))
+        .groupBy("id").agg(
+          min(col("label")).as("label"),
+          min(when(col("is_prev"), col("label"))).as("prev_label"))
         .localCheckpoint(true)
       // converged when no node changed label this round — without this, a
       // component with diameter > maxIter would silently split
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
+      val changed = next.filter(col("label") =!= col("prev_label"))
         .limit(1).count()
       converged = changed == 0
-      labels = next
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     if (!converged)
