@@ -177,10 +177,77 @@ case class GroupTopKExec(
     copy(child = newChild)
 }
 
+/** Map-side partial top-k — the combiner half of the operator. BEFORE the
+  * key exchange, each input partition keeps only its LOCAL top-k rows per
+  * key: a superset of the global per-key top-k (a row outside its
+  * partition's local top-k is beaten by k rows that all reach the reducer
+  * with it), so the final pass computes identical results while the
+  * shuffle carries at most k·(keys present) rows per mapper instead of
+  * every input row — the same reason hash aggregates partial-aggregate
+  * map-side. Over the per-partition state budget it degrades to
+  * pass-through: partial pruning is an optimization, never a correctness
+  * requirement.
+  */
+case class GroupTopKPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  private def maxRowsInMemory: Int =
+    conf.getConfString("spark.graft.topk.maxRowsInMemory", (1 << 22).toString).toInt
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    val budget = maxRowsInMemory.max(kk + 1)
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      val heaps = new java.util.HashMap[InternalRow,
+        java.util.PriorityQueue[InternalRow]]()
+      val worstFirst = ordering.reversed()
+      var retained = 0L
+      var overBudget = false
+      while (iter.hasNext && !overBudget) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) { heap.add(row.copy()); retained += 1 }
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+        if (retained > budget) overBudget = true
+      }
+      val pruned = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      heaps.forEach { (_, heap) => heap.forEach(r => pruned += r) }
+      // over budget: ship the retained superset plus the unread remainder —
+      // the final pass (which CAN spill) does the real selection
+      if (overBudget) pruned.iterator ++ iter else pruned.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKPartialExec =
+    copy(child = newChild)
+}
+
 object GroupTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKNode(keys, order, k, child, rnAttr) =>
-      GroupTopKExec(keys, order, k, rnAttr, planLater(child)) :: Nil
+      // final over partial; EnsureRequirements inserts the key exchange
+      // between them (final declares ClusteredDistribution), so the
+      // shuffle reads the partial's pruned output
+      GroupTopKExec(keys, order, k, rnAttr,
+        GroupTopKPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -22,12 +22,42 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
     assert(custom === window)
   }
 
-  test("GroupTopK plans one exchange and NO sort") {
+  test("GroupTopK plans partial → exchange → final, and NO sort") {
     val df = GroupTopK.topKPerGroup(
       base, Seq("c_mktsegment"), "balance", "c_custkey", 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GroupTopK "), plan) // exec node prints without the Exec suffix
+    // the map-side combiner must sit BELOW the key exchange so the shuffle
+    // carries at most k rows per key per mapper
+    assert(plan.contains("GroupTopKPartial"), plan)
+    val iPartial = plan.indexOf("GroupTopKPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iExchange >= 0 && iExchange < iPartial,
+      s"partial must be under the exchange:\n$plan")
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
+  }
+
+  test("partial top-k prunes the shuffle to at most k rows per key per partition") {
+    import spark.implicits._
+    // 4 input partitions × 2 keys × k=2 → partial emits ≤ 16 rows of 4000
+    val df = (1 to 4000).map(i => (i % 2, i)).toDF("key", "v").repartition(4)
+    val topk = GroupTopK.topKPerGroup(df, Seq("key"), "v", "v", 2)
+    val expected = Seq((0, 4000, 1), (0, 3998, 2), (1, 3999, 1), (1, 3997, 2))
+    assert(topk.select("key", "v", "rn").as[(Int, Int, Int)].collect().toSet
+      === expected.toSet)
+    // the pruned pre-shuffle frame is the partial exec's own output:
+    // execute just that subtree and count what would cross the wire
+    // (unwrap AQE — collect() does not traverse into AdaptiveSparkPlanExec)
+    val physical = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val partialPlan = physical.collect {
+      case p: graft.plans.GroupTopKPartialExec => p
+    }
+    assert(partialPlan.nonEmpty, "partial exec missing from the plan")
+    val shuffled = partialPlan.head.execute().count()
+    assert(shuffled <= 16L, s"partial must prune the shuffle, shipped $shuffled rows")
   }
 
   test("GroupTopK over-budget fallback (spillable sort) is result-identical") {
