@@ -10,17 +10,21 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
-/** Whole-operator extension demo (SURVEY §7 / guide level (c)): top-k rows
-  * per key as a first-class operator — logical node → strategy → physical
-  * exec, registered through `spark.experimental.extraStrategies`.
+/** Whole-operator extension (SURVEY §7 / guide level (c)): top-k rows per
+  * key as a first-class operator — logical node → strategy → physical
+  * exec, registered library-grade through [[GraftExtensions]]
+  * (SparkSessionExtensions; `experimental.extraStrategies` remains as the
+  * ad-hoc fallback in [[GroupTopK.topKPerGroup]]), with [[TopKRewrite]]
+  * rewriting plain window-top-k user code onto it automatically.
   *
   * Why an operator and not a window: `row_number().over(partitionBy(k)
-  * .orderBy(o)) <= k` must SORT every key group in full. This exec keeps a
-  * bounded heap of k rows per key instead: one shuffle on the key (declared
-  * via `requiredChildDistribution`, so Catalyst plans the exchange), O(n
-  * log k) per partition, no sort buffers — at 100 TB with millions of
-  * groups this is the difference between a heap per key and sorting the
-  * whole table. Memory story: heap state is capped at
+  * .orderBy(o)) <= k` must SORT every key group in full. This plans as
+  * partial heap → key exchange → final heap: the map-side partial prunes
+  * the shuffle to ≤ k rows per key per mapper (the combiner posture of a
+  * hash aggregate), and the final keeps a bounded heap of k rows per key —
+  * one shuffle, O(n log k) per partition, no sort buffers. At 100 TB with
+  * millions of groups this is the difference between a heap per key and
+  * sorting the whole table. Memory story: heap state is capped at
   * `spark.graft.topk.maxRowsInMemory` retained rows per partition; past
   * the cap the operator degrades to a DISK-SPILLABLE sort + rank walk
   * (the window shape), so a pathological key cardinality slows down
