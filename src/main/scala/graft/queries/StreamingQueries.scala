@@ -102,13 +102,27 @@ object StreamingQueries {
       |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
       |ORDER BY p_event, c_event""".stripMargin
 
+  /** Streaming ingest dedup through a real streaming execution: the events
+    * stream unioned with itself (2× every row), deduped by event_id within
+    * the watermark; oracle = the plain distinct event set.
+    */
+  def q81StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamDedup(spark, dir, "graft_stream_dedup")
+      .orderBy(col("event_id"))
+
+  val q81Oracle: String =
+    """SELECT event_id, user_id, ts, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_window_tumbling" -> (q43Tumbling _),
     "q44_window_sliding"  -> (q44Sliding _),
     "q45_session_window"  -> (q45Session _),
     "q46_stream_tumbling" -> (q46StreamTumbling _),
     "q73_stream_watermarked" -> (q73StreamWatermarked _),
-    "q76_stream_stream_join" -> (q76StreamStreamJoin _))
+    "q76_stream_stream_join" -> (q76StreamStreamJoin _),
+    "q81_stream_dedup"    -> (q81StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q43_window_tumbling" -> q43Oracle,
@@ -116,5 +130,6 @@ object StreamingQueries {
     "q45_session_window"  -> q45Oracle,
     "q46_stream_tumbling" -> q43Oracle,
     "q73_stream_watermarked" -> q73Oracle,
-    "q76_stream_stream_join" -> q76Oracle)
+    "q76_stream_stream_join" -> q76Oracle,
+    "q81_stream_dedup"    -> q81Oracle)
 }

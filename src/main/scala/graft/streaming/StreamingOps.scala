@@ -157,6 +157,26 @@ object StreamingOps {
       outputMode: String = "complete"): DataFrame =
     drainToTable(spark, agg(eventsReadStream(spark, dir)), queryName, outputMode)
 
+  /** Streaming ingest DEDUP, production posture: duplicates dropped by key
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes — bounded state on an
+    * unbounded stream, unlike plain streaming dropDuplicates, whose state
+    * grows forever). The input is the events stream UNIONED WITH ITSELF, so
+    * every event arrives (at least) twice and the operator must eliminate a
+    * real 2× duplication; on bounded input the result is exactly the
+    * distinct event set, which a batch oracle replays.
+    */
+  def streamDedup(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "ts", "event_type", "value").map(col)
+    def side = eventsReadStream(spark, dir).select(cols: _*)
+    val doubled = side.unionByName(side)
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    drainToTable(spark, deduped, queryName, "append")
+  }
+
   /** Stream-stream INTERVAL join, production posture: purchases joined to
     * the clicks that preceded them by < 1 hour, both sides watermarked so
     * join state is evicted once the watermark passes the interval bound —
