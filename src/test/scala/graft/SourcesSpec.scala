@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -101,6 +102,45 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "alpha")
     assert(rows(1).isNullAt(1), "NULL must survive the transport")
     assert(rows(0).getDecimal(2).doubleValue() === 12.50)
+  }
+
+  test("graft-odbc V2 source: executor-side reads with pruning, pushdown, and range partitions") {
+    val cfg = OdbcStyleConfig(SourceType.Derby, "localhost", 0, "odbcv2", "app", "app")
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE v2_t ("id" INT NOT NULL, "grp" VARCHAR(8), "amount" DOUBLE)""")
+    (0 until 100).grouped(20).foreach { batch =>
+      st.execute("INSERT INTO v2_t VALUES " + batch.map(i =>
+        s"($i, 'g${i % 3}', ${i * 1.5})").mkString(", "))
+    }
+    st.close(); conn.close()
+
+    def reader = spark.read.format("graft-odbc")
+      .option("url", cfg.url).option("dbtable", "v2_t")
+
+    // full scan
+    assert(reader.load().count() === 100)
+
+    // pruning + filter pushdown reach the scan
+    val q = reader.load().filter(col("grp") === "g1").select("id", "amount")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("grp"),
+      s"filter must push into the source:\n$plan")
+    val rows = q.collect()
+    assert(rows.length === 33 && rows.forall(r => r.getInt(0) % 3 == 1))
+
+    // range-partitioned read: same result, 4 executor-side slices
+    val parts = reader
+      .option("partitionColumn", "id").option("lowerBound", "0")
+      .option("upperBound", "100").option("numPartitions", "4")
+      .load()
+    assert(parts.rdd.getNumPartitions === 4)
+    assert(parts.count() === 100)
+    assert(parts.agg(sum("id")).head.getLong(0) === (0 until 100).sum)
+
+    // unsupported filter shapes stay in Spark (correctness over pushdown)
+    val like = reader.load().filter(col("grp").startsWith("g")).count()
+    assert(like === 100)
   }
 
   test("OdbcStyleConfig: pyodbc wire format round-trips through the parser") {
