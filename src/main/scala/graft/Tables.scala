@@ -46,12 +46,23 @@ object Tables {
     * tiny.
     */
   private def computeParallel(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    // cheap driver-side probe (df.rdd.getNumPartitions builds the full RDD
-    // lineage just to ask). Fewer files than cores means an under-parallel
-    // scan UNLESS the files are large enough to split by byte range — and a
-    // file that large is past the point where this widening matters anyway
-    if (df.inputFiles.length < cores) df.repartition(cores) else df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= cores) return df
+    // few files is only under-parallel if they are also too SMALL to split
+    // by byte range (the scan splits at maxPartitionBytes) — repartitioning
+    // a large splittable file would shuffle the whole table for nothing.
+    // File sizes come from the filesystem, not from building an RDD.
+    val maxPartitionBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(hadoopConf).getFileStatus(p).getLen catch { case _: Exception => 0L }
+    }.sum
+    val scanSplits = math.max(files.length.toLong, totalBytes / maxPartitionBytes)
+    if (scanSplits < cores) df.repartition(cores) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

@@ -193,6 +193,10 @@ object Similarity {
       val means = vecs
         .withColumn("cid", element_at(
           graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
+        // a null/dimension-mismatched vector gets a null cid from
+        // NearestCentroids (by design) — excluded from training rather
+        // than crashing the driver-side merge or polluting a centroid
+        .filter(col("cid").isNotNull)
         .groupBy(col("cid")).agg(vecAvg(col("v")).as("cv"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap

@@ -87,26 +87,8 @@ case class GroupTopKExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      // per key: bounded "worst-first" heap of the k best rows
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
-      val worstFirst = ordering.reversed()
-      var retained = 0L
-      var overBudget = false
-      while (iter.hasNext && !overBudget) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) { heap.add(row.copy()); retained += 1 }
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-        if (retained > budget) overBudget = true
-      }
+      val (heaps, overBudget) =
+        GroupTopK.accumulateHeaps(iter, keyProj, ordering, kk, budget)
       val outProj = UnsafeProjection.create(output, output)
       if (!overBudget) {
         val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
@@ -213,25 +195,8 @@ case class GroupTopKPartialExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
-      val worstFirst = ordering.reversed()
-      var retained = 0L
-      var overBudget = false
-      while (iter.hasNext && !overBudget) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) { heap.add(row.copy()); retained += 1 }
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-        if (retained > budget) overBudget = true
-      }
+      val (heaps, overBudget) =
+        GroupTopK.accumulateHeaps(iter, keyProj, ordering, kk, budget)
       val pruned = new scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.forEach { (_, heap) => heap.forEach(r => pruned += r) }
       // over budget: ship the retained superset plus the unread remainder —
@@ -257,6 +222,40 @@ object GroupTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 }
 
 object GroupTopK {
+  /** The shared per-partition heap pass of both execs: per key, a bounded
+    * "worst-first" heap of the k best rows. Returns the heaps plus whether
+    * the retained-row budget was exceeded (the input iterator then still
+    * holds the unread remainder — each exec decides its own degraded mode:
+    * spillable sort for the final, pass-through for the partial).
+    */
+  private[plans] def accumulateHeaps(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int,
+      budget: Long): (java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]], Boolean) = {
+    val heaps = new java.util.HashMap[InternalRow,
+      java.util.PriorityQueue[InternalRow]]()
+    val worstFirst = ordering.reversed()
+    var retained = 0L
+    var overBudget = false
+    while (iter.hasNext && !overBudget) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) { heap.add(row.copy()); retained += 1 }
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+      if (retained > budget) overBudget = true
+    }
+    (heaps, overBudget)
+  }
+
   /** Register the strategy (idempotent) and build the operator over `df`:
     * top `k` rows per `keys`, best-first by `orderCol` descending with
     * `tieCol` ascending as the deterministic tie-break.

@@ -52,12 +52,16 @@ object ExtensionQueries {
       .select(
         col("label"),
         (col("pos") + 1).cast(IntegerType).as("pos"),
-        round(col("x"), 4).as("centroid_val"))
+        // + 0.0 normalizes IEEE signed zero: the two engines sum in
+        // different orders, so a zero mean can land as -0.0 on one side
+        // and +0.0 on the other (surfaced at sf0.1) — adding +0.0 maps
+        // both to +0.0 and changes nothing else
+        (round(col("x"), 4) + 0.0).as("centroid_val"))
       .orderBy(col("label"), col("pos"))
   }
 
   val q48Oracle: String =
-    """SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(AVG(x), 4) AS centroid_val FROM (
+    """SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(AVG(x), 4) + 0.0 AS centroid_val FROM (
       |  SELECT label,
       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
       |    unnest(range(1, len(embedding) + 1)) AS pos

@@ -185,25 +185,8 @@ object OdbcStyleConfig {
   * exists for reference-surface completeness and small control-plane reads.
   */
 final case class OdbcSource(cfg: OdbcStyleConfig, query: String) extends DataSource {
-  import java.sql.{DriverManager, ResultSetMetaData, Types}
+  import java.sql.DriverManager
   import org.apache.spark.sql.types._
-
-  private def sparkType(md: ResultSetMetaData, i: Int): DataType =
-    md.getColumnType(i) match {
-      case Types.BIT | Types.BOOLEAN => BooleanType
-      case Types.TINYINT | Types.SMALLINT | Types.INTEGER => IntegerType
-      case Types.BIGINT => LongType
-      case Types.FLOAT | Types.DOUBLE => DoubleType
-      case Types.REAL => FloatType
-      case Types.NUMERIC | Types.DECIMAL =>
-        DecimalType(math.min(math.max(md.getPrecision(i), 1), 38),
-          math.max(md.getScale(i), 0))
-      case Types.DATE => DateType
-      case Types.TIMESTAMP => TimestampType
-      case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB =>
-        BinaryType
-      case _ => StringType
-    }
 
   def fetch(spark: SparkSession): DataFrame = {
     Class.forName(cfg.driver)
@@ -212,10 +195,9 @@ final case class OdbcSource(cfg: OdbcStyleConfig, query: String) extends DataSou
       val rs = conn.createStatement().executeQuery(query)
       val md = rs.getMetaData
       val n = md.getColumnCount
-      val schema = StructType((1 to n).map { i =>
-        StructField(md.getColumnLabel(i), sparkType(md, i),
-          md.isNullable(i) != ResultSetMetaData.columnNoNulls)
-      })
+      // type mapping shared with the V2 connector (OdbcV2Source) — one
+      // JDBC→Catalyst table, no drift between the transports
+      val schema = OdbcV2Source.schemaOf(md)
       val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
       while (rs.next()) {
         rows += Row.fromSeq((1 to n).map { i =>

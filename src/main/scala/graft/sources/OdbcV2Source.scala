@@ -56,23 +56,32 @@ class OdbcV2Source extends TableProvider with DataSourceRegister {
 }
 
 object OdbcV2Source {
+  /** JDBC → Catalyst type mapping, shared with [[OdbcSource]] so the V1
+    * and V2 transports cannot drift.
+    */
+  def catalystType(md: java.sql.ResultSetMetaData, i: Int): DataType = {
+    import java.sql.Types
+    md.getColumnType(i) match {
+      case Types.BIT | Types.BOOLEAN => BooleanType
+      case Types.TINYINT | Types.SMALLINT | Types.INTEGER => IntegerType
+      case Types.BIGINT => LongType
+      case Types.FLOAT | Types.DOUBLE => DoubleType
+      case Types.REAL => FloatType
+      case Types.NUMERIC | Types.DECIMAL =>
+        DecimalType(math.min(math.max(md.getPrecision(i), 1), 38),
+          math.max(md.getScale(i), 0))
+      case Types.DATE => DateType
+      case Types.TIMESTAMP => TimestampType
+      case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB =>
+        BinaryType
+      case _ => StringType
+    }
+  }
+
   def schemaOf(md: java.sql.ResultSetMetaData): StructType = {
-    import java.sql.{ResultSetMetaData, Types}
+    import java.sql.ResultSetMetaData
     StructType((1 to md.getColumnCount).map { i =>
-      val dt = md.getColumnType(i) match {
-        case Types.BIT | Types.BOOLEAN => BooleanType
-        case Types.TINYINT | Types.SMALLINT | Types.INTEGER => IntegerType
-        case Types.BIGINT => LongType
-        case Types.FLOAT | Types.DOUBLE => DoubleType
-        case Types.REAL => FloatType
-        case Types.NUMERIC | Types.DECIMAL =>
-          DecimalType(math.min(math.max(md.getPrecision(i), 1), 38),
-            math.max(md.getScale(i), 0))
-        case Types.DATE => DateType
-        case Types.TIMESTAMP => TimestampType
-        case _ => StringType
-      }
-      StructField(md.getColumnLabel(i), dt,
+      StructField(md.getColumnLabel(i), catalystType(md, i),
         md.isNullable(i) != ResultSetMetaData.columnNoNulls)
     })
   }
@@ -83,6 +92,11 @@ object OdbcV2Source {
     */
   def compileFilter(f: Filter, q: String => String): Option[String] = {
     def lit(v: Any): Option[String] = v match {
+      // backslashes are dialect-sensitive (MySQL escapes with them; ANSI
+      // dialects do not), so a backslash-bearing literal cannot be pushed
+      // faithfully everywhere — keep that filter in Spark instead of
+      // producing malformed (or injectable) SQL on one dialect family
+      case s: String if s.contains("\\") => None
       case s: String => Some("'" + s.replace("'", "''") + "'")
       case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => Some(n.toString)
       case b: Boolean => Some(b.toString.toUpperCase)
@@ -165,6 +179,9 @@ class OdbcV2Scan(schema: StructType, pushed: Array[Filter], options: CaseInsensi
     val col = options.get("partitionColumn")
     if (col == null) Array(OdbcRangePartition(None))
     else {
+      require(options.get("lowerBound") != null && options.get("upperBound") != null,
+        "graft-odbc: partitionColumn requires lowerBound and upperBound " +
+          "(and usually numPartitions)")
       val lower = options.get("lowerBound").toLong
       val upper = options.get("upperBound").toLong
       val n = math.max(options.getOrDefault("numPartitions", "1").toInt, 1)
@@ -187,7 +204,13 @@ class OdbcV2Scan(schema: StructType, pushed: Array[Filter], options: CaseInsensi
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val opts = options.asCaseSensitiveMap().asScala.toMap // serializable snapshot
+    // serializable snapshot with NORMALIZED keys: the driver-side path
+    // resolves options case-insensitively (CaseInsensitiveStringMap), so
+    // the executor-side lookups must too — a caller's option("URL", ...)
+    // must not plan fine and then crash every partition reader
+    val opts = options.asCaseSensitiveMap().asScala.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }.toMap
     val sch = schema
     val filterSql = {
       val quoteCh = opts.getOrElse("quote", "\"")
@@ -241,6 +264,7 @@ class OdbcPartitionReaderFactory(
               val ts = rs.getTimestamp(i + 1)
               if (ts == null) null
               else org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+            case BinaryType => rs.getBytes(i + 1)
             case _ =>
               val s = rs.getString(i + 1)
               if (s == null) null else UTF8String.fromString(s)

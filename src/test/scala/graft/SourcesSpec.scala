@@ -141,6 +141,17 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     // unsupported filter shapes stay in Spark (correctness over pushdown)
     val like = reader.load().filter(col("grp").startsWith("g")).count()
     assert(like === 100)
+
+    // mixed-case option keys must reach the executor-side reader too
+    // (options are case-insensitive on the driver path; the snapshot the
+    // readers get must match)
+    val mixed = spark.read.format("graft-odbc")
+      .option("URL", cfg.url).option("DBTable", "v2_t").load().count()
+    assert(mixed === 100)
+
+    // a backslash-bearing string literal is NOT pushed (dialect-sensitive
+    // escaping) but still filters correctly in Spark
+    assert(reader.load().filter(col("grp") === "g\\1").count() === 0)
   }
 
   test("OdbcStyleConfig: pyodbc wire format round-trips through the parser") {
