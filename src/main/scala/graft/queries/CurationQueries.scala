@@ -160,13 +160,48 @@ object CurationQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Symmetric int8 embedding quantization — the standard 4× compression
+    * pass before shipping vectors to an ANN index or training job:
+    * per-vector scale = 127 / max|x|, q_i = round(x_i · scale) ∈ [−127,127].
+    * Rounding is written as floor(y + 0.5) so both engines compute the
+    * identical branch-free formula (engine `round()` half-way semantics
+    * differ in edge cases); the quantized array is verified through the
+    * md5 of its joined form — one byte off anywhere hash-mismatches.
+    * Pure projection: zero shuffle at any corpus size.
+    */
+  def q82VecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.functions.Similarity.toDouble(col("embedding"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val quant = transform(v, x => floor(x * scale + 0.5).cast(IntegerType))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        md5(concat_ws(",", quant)).as("q_md5"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q82Oracle: String =
+    """SELECT vec_id,
+      |  ROUND(127.0 / mx, 6) AS scale,
+      |  md5(array_to_string(list_transform(v, x ->
+      |      CAST(FLOOR(x * (127.0 / mx) + 0.5) AS INTEGER)), ',')) AS q_md5
+      |FROM (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+      |  FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_quality_repetition" -> (q78QualityRepetition _),
     "q79_pii_redact"         -> (q79PiiRedact _),
-    "q80_stratified_sample"  -> (q80StratifiedSample _))
+    "q80_stratified_sample"  -> (q80StratifiedSample _),
+    "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
     "q78_quality_repetition" -> q78Oracle,
     "q79_pii_redact"         -> q79Oracle,
-    "q80_stratified_sample"  -> q80Oracle)
+    "q80_stratified_sample"  -> q80Oracle,
+    "q82_vec_quantize"       -> q82Oracle)
 }

@@ -49,6 +49,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(bad === 0)
   }
 
+  test("int8 quantization bounds the reconstruction error by half a step") {
+    val v = graft.functions.Similarity.toDouble(col("embedding"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val quant = transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
+    val worst = Tables.embeddings(spark, sfDir)
+      .select(
+        array_max(zip_with(v, quant,
+          (x, q) => abs(x - q.cast("double") / scale))).as("err"),
+        (lit(0.5) / scale).as("half_step"))
+      .filter(col("err") > col("half_step") * 1.000001) // fp slack
+      .count()
+    assert(worst === 0, "a quantized value strayed past half a step")
+  }
+
   test("stratified sample rates land near the configured per-lang fractions") {
     val sampled = SparkEntry.queries("q80_stratified_sample")(spark, sfDir)
       .select("lang", "n_sampled").as[(String, Long)].collect().toMap
