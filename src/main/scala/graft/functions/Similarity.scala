@@ -99,6 +99,21 @@ object Similarity {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Portable 64-bit string hash from the first 8 md5 bytes: md5 is
+    * bit-identical in Spark and DuckDB (the q61/q63/q79 recipe), so a
+    * pipeline built on THIS hash — unlike Spark's seed-42 `xxhash64` —
+    * can be replayed exactly by a SQL oracle. Two 32-bit hex halves are
+    * parsed separately and recombined ((hi << 32) | lo; Spark's shiftleft
+    * wraps into the sign bit exactly like the oracle's explicit mod-2^64
+    * arithmetic), because a single 16-hex-digit parse would overflow
+    * BIGINT in the oracle engine.
+    */
+  def md5Hash64(s: Column): Column = {
+    val h = md5(s)
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast(LongType), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast(LongType))
+  }
+
   // ---- vector math (Array[Float] embeddings) ----
 
   /** Cast a float vector to double for drift-free arithmetic. */

@@ -119,11 +119,15 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** B15 SimHash near-dup: 64-bit majority fingerprint, 4 bands × 16 bits
-    * candidate buckets, Hamming ≤ 6 confirmation.
+    * candidate buckets, Hamming ≤ 6 confirmation. Token hashes are the
+    * md5-derived [[graft.functions.Similarity.md5Hash64]] (not Spark's
+    * seeded xxhash64), so the DuckDB oracle replays the ENTIRE pipeline —
+    * token hashing → majority fingerprint → band buckets → Hamming filter —
+    * and the gate is an exact hash-match, not rows-only.
     */
   def q37DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsWithPlants(spark, dir)
-      .withColumn("th", transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("th", transform(graft.functions.TextFunctions.tokens(col("text")), t => md5Hash64(t)))
       .withColumn("sh64", graft.expressions.SimHash64.simhash64(col("th")))
     val fps = docs.select(col("doc_id"), col("sh64"))
     val banded = docs.select(col("doc_id"), col("sh64"), explode(simhashBandKeys(col("sh64"), 4, 16)).as("bk"))
@@ -135,6 +139,54 @@ object SimilarityQueries {
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q37 oracle: the full SimHash pipeline replayed in SQL. The md5-derived
+    * token hash is recomputed hex-half by hex-half (HUGEINT intermediate —
+    * the signed-BIGINT wrap is explicit mod-2^64 arithmetic); bit
+    * extraction uses (h >> b) & 1, which is sign-safe under arithmetic
+    * shift; the 64 majority votes repack through HUGEINT (bit 63 would
+    * overflow a BIGINT shift); bands and the Hamming filter mirror
+    * simhashBandKeys/hamming exactly.
+    */
+  val q37Oracle: String = {
+    val tokHash64 =
+      """CAST((CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS HUGEINT) * 4294967296
+        |             + CAST('0x' || substr(md5(t), 9, 8) AS BIGINT))
+        |            - CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) >= 2147483648
+        |                   THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT)""".stripMargin
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text || ' zz9end' FROM documents WHERE doc_id % 5 = 0),
+       |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM docs_p),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(tk, t -> $tokHash64) AS th,
+       |    len(tk) AS n
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> b) & 1)) > n
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th, UNNEST(range(0, 64)) AS r(b)),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(bit AS HUGEINT) << b)
+       |         - CASE WHEN SUM(CAST(bit AS HUGEINT) << b) >= CAST(9223372036854775808 AS HUGEINT)
+       |                THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS sh64
+       |  FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh64, band, (sh64 >> (16 * band)) & 65535 AS bk
+       |  FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh64 AS ha, b.sh64 AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(ha, hb)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** B15 exact n-gram Jaccard with a DuckDB oracle: trigram-set similarity
@@ -465,6 +517,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_dedup_minhash"  -> q36Oracle,
+    "q37_dedup_simhash"  -> q37Oracle,
     "q38_ngram_jaccard"  -> q38Oracle,
     "q39_embed_neardup"  -> q39Oracle,
     "q40_cosine_topk"    -> q40Oracle,

@@ -26,6 +26,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(bad === 0)
   }
 
+  test("md5Hash64 equals the first 8 md5 digest bytes, big-endian") {
+    val rows = Seq("hello", "world", "", "zz9end", "a b c")
+      .toDF("t")
+      .select(col("t"), Similarity.md5Hash64(col("t")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val expect = java.nio.ByteBuffer.wrap(md).getLong // big-endian first 8 bytes
+      assert(r.getLong(1) === expect, s"md5Hash64('${r.getString(0)}')")
+    }
+  }
+
   test("simhash finds most planted pairs with small hamming distance") {
     val out = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
