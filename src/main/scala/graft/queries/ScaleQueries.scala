@@ -22,18 +22,21 @@ object ScaleQueries {
     * the bucketed write is the ingest job; here it is the query's setup
     * step, rewritten idempotently per run.)
     */
-  def q75BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
-    // DROP TABLE only clears THIS session's in-memory catalog; the managed
-    // locations survive on disk across sessions and make the next
-    // saveAsTable fail with LOCATION_ALREADY_EXISTS — clear them physically
+  /** Idempotent managed-table reset for gate-setup writes. DROP TABLE only
+    * clears THIS session's in-memory catalog; the managed locations survive
+    * on disk across sessions and make the next saveAsTable fail with
+    * LOCATION_ALREADY_EXISTS — clear them physically. (Local-FS gate
+    * plumbing only; a production deployment would target an object-store
+    * path / real metastore and never re-create the layout per query.)
+    */
+  private def resetManagedTables(spark: SparkSession, tables: Seq[String]): Unit = {
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val warehouse = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")) match {
         case u if u.getScheme == "file" => u.getPath
         case u => u.toString
       })
-    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+    tables.foreach { t =>
       val p = warehouse.resolve(t)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
@@ -41,6 +44,10 @@ object ScaleQueries {
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
     }
+  }
+
+  def q75BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    resetManagedTables(spark, Seq("graft_b_orders", "graft_b_lineitem"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -115,11 +122,64 @@ object ScaleQueries {
       |GROUP BY o.o_orderpriority, d.prio_avg
       |ORDER BY o.o_orderpriority""".stripMargin
 
+  /** The 100 TB scan-cost posture: the fact table is laid out PARTITIONED
+    * on a date-derived column, so a query that touches a date slice reads
+    * only that slice's files — static partition pruning for literal
+    * predicates, DYNAMIC partition pruning (DPP) for the partitions named
+    * by a filtered dimension at runtime. Both levers appear in this one
+    * plan: the scan's PartitionFilters carry the literal year-range bounds
+    * AND a dynamicpruningexpression fed from the broadcast dimension
+    * (PlanSpec pins exactly that). At cluster scale this is the single
+    * biggest scan-cost lever there is: the difference between reading 3
+    * months and reading the whole corpus. (As with q75, the partitioned
+    * write is the ingest job's layout step, re-done here per run as gate
+    * setup.)
+    */
+  def q83PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    resetManagedTables(spark, Seq("graft_p_lineitem"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("l_ship_month"))
+      .write.partitionBy("l_ship_month")
+      .mode("overwrite").saveAsTable("graft_p_lineitem")
+    // dimension side: the months of 1996-Q1 order dates — a filtered,
+    // broadcast dim whose month set is only known at runtime (the DPP
+    // trigger shape; reuseBroadcastOnly makes the pruning subquery free)
+    val dim = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1996 && quarter(col("o_orderdate")) === 1)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .distinct()
+    spark.table("graft_p_lineitem")
+      // static prune: literal bounds on the partition column reach the
+      // scan as PartitionFilters without touching any file
+      .filter(col("l_ship_month") >= "1996-01" && col("l_ship_month") <= "1996-12")
+      .join(broadcast(dim), col("l_ship_month") === col("month"))
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("month"))
+  }
+
+  val q83Oracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1)
+      |SELECT month, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_quantity FROM lineitem
+      |      WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12') l
+      |JOIN dim USING (month)
+      |GROUP BY month
+      |ORDER BY month""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_bucketed_join"   -> (q75BucketedJoin _),
-    "q77_skew_salted_join" -> (q77SkewSaltedJoin _))
+    "q77_skew_salted_join" -> (q77SkewSaltedJoin _),
+    "q83_partition_pruning" -> (q83PartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "q75_bucketed_join"   -> q75Oracle,
-    "q77_skew_salted_join" -> q77Oracle)
+    "q77_skew_salted_join" -> q77Oracle,
+    "q83_partition_pruning" -> q83Oracle)
 }

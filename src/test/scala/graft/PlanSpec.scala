@@ -104,6 +104,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"no exchange partitions on the salt:\n$p")
   }
 
+  test("q83 fact scan carries static partition filters AND a dynamic pruning expression") {
+    // scan metadata truncates at 100 chars by default, which would cut the
+    // PartitionFilters list off mid-"dynamicp..." — widen it for the assert
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val p = plan("q83_partition_pruning")
+      // the partitioned FACT scan must prune BOTH ways: literal month
+      // bounds as static PartitionFilters (no file touched outside 1996)
+      // and a dynamicpruningexpression fed from the broadcast dimension
+      // (only the months the filtered dim actually names get read). The
+      // dim's own scan legitimately shows empty PartitionFilters — the
+      // assertions anchor on the fact table's partition column.
+      assert("PartitionFilters: \\[isnotnull\\(l_ship_month".r.findFirstIn(p).isDefined,
+        s"fact scan has no partition filters:\n$p")
+      assert(p.contains("(l_ship_month#") && p.contains(">= 1996-01"),
+        s"static month bounds missing:\n$p")
+      assert("dynamicpruningexpression\\(l_ship_month".r.findFirstIn(p).isDefined,
+        s"DPP missing on the fact scan:\n$p")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("window top-k auto-rewrites to the custom GroupTopK operator (no sort)") {
     // the TopKRewrite optimizer rule (injected via GraftExtensions) turns
     // the row_number-filter pattern into the heap-based exec — q18 is plain
