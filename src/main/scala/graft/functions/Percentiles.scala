@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** EXACT per-group interpolated percentiles via DISTRIBUTED RANK — the
+  * 100 TB replacement for the `percentile()` aggregate, which buffers and
+  * sorts every group's values inside ≤(distinct groups) reducers (5 groups
+  * ⇒ 5 reducers own the whole corpus, at any scale).
+  *
+  * Shape: ONE range exchange on (group, value) — partition count grows
+  * with the DATA, not the group count, so a single giant group still
+  * spreads over the whole cluster — a spillable within-partition sort, and
+  * a streaming O(1)-memory local-rank pass. Everything downstream operates
+  * on tiny frames: per-(partition, group) counts (P·G rows) windowed into
+  * global-rank offsets, the ≤2·|ps|·G needed ranks picked via broadcast
+  * joins, and the interpolation arithmetic itself.
+  *
+  * Exactness: global rank = prefix-count offset + local rank reproduces
+  * the total order; the interpolation replicates `percentile`'s own
+  * formula — pos = p·(n−1) over the sorted non-null values, result =
+  * (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi with its early-outs — in the same IEEE
+  * operation order, so results are BIT-equal to the aggregate's
+  * (PercentilesSpec asserts exact equality, no tolerance).
+  */
+object Percentiles {
+
+  /** @param ps percentile fractions, e.g. Seq(0.5, 0.9, 0.99); output gets
+    *           one double column per entry named like "p50"/"p90"/"p99"
+    *           (p·100, trailing zeros trimmed), plus `n` = COUNT(*).
+    * @return one row per group: (groupCol, p…, …, n), unrounded doubles.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad ps: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def colName(p: Double): String = {
+      // decimal-string arithmetic, not p*100 in doubles (0.99*100 is not 99
+      // in IEEE and would leak into the column name)
+      val s = new java.math.BigDecimal(java.lang.Double.toString(p))
+        .multiply(new java.math.BigDecimal(100)).stripTrailingZeros.toPlainString
+      "p" + s.replace(".", "_")
+    }
+
+    val vals = df.select(
+      col(groupCol).cast(StringType).as("g"),
+      col(valueCol).cast(DoubleType).as("v"))
+    // COUNT(*) per group (output contract) — partial-aggregated map-side,
+    // the exchange carries one tiny row per (mapper, group)
+    val nAll = df.groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(count(lit(1)).as("n"))
+
+    // the one full-data stage: range-partition on (group, value) — NOT on
+    // the group alone — then sort within partitions (spillable) and stream
+    // out per-(partition, group) local ranks with O(1) state
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranked = vals.filter(col("v").isNotNull)
+      .repartitionByRange(p, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var cur: String = null
+        var r = 0L
+        it.map { case (g, v) =>
+          if (cur == null || g != cur) { cur = g; r = 0L }
+          r += 1
+          (pid, g, v, r)
+        }
+      }
+      .toDF("pid", "g", "v", "local_rank")
+
+    // P·G-row frame: counts per (partition, group) → per-group running
+    // offsets (window over ≤P rows per group) and non-null totals
+    val counts = ranked.groupBy("pid", "g").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("g").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col("g"), col("off"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("nn"))
+
+    // 0-based target position pos = p·(nn−1); the bracketing global ranks
+    // (1-based) are ⌊pos⌋+1 and ⌈pos⌉+1 — at most 2·|ps| rows per group
+    val needed = totals
+      .select(col("g"), col("nn"), explode(typedlit(ps)).as("p"))
+      .withColumn("pos", col("p") * (col("nn") - 1).cast(DoubleType))
+      .withColumn("lo", floor(col("pos")).cast(LongType) + 1)
+      .withColumn("hi", ceil(col("pos")).cast(LongType) + 1)
+
+    val neededRanks = needed
+      .select(col("g"), explode(array(col("lo"), col("hi"))).as("grank"))
+      .distinct()
+
+    // pick the bracketing rows: broadcast the tiny rank list against the
+    // ranked corpus — a filter-shaped join, no corpus shuffle
+    val picked = ranked
+      .join(broadcast(offsets), Seq("pid", "g"))
+      .withColumn("grank", col("off") + col("local_rank"))
+      .join(broadcast(neededRanks), Seq("g", "grank"))
+      .select(col("g"), col("grank"), col("v"))
+
+    // interpolate with the aggregate's own formula and early-outs
+    // (Percentile.getPercentile): integral position or equal neighbors
+    // return the lower value directly; otherwise
+    // (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi — bit-equal, not just close
+    val interp = needed
+      .join(picked.select(col("g"), col("grank").as("lo"), col("v").as("lo_v")), Seq("g", "lo"))
+      .join(picked.select(col("g"), col("grank").as("hi"), col("v").as("hi_v")), Seq("g", "hi"))
+      .withColumn("pv",
+        when(col("lo") === col("hi") || col("lo_v") === col("hi_v"), col("lo_v"))
+          .otherwise(
+            (ceil(col("pos")) - col("pos")) * col("lo_v") +
+              (col("pos") - floor(col("pos"))) * col("hi_v")))
+
+    val aggCols = ps.map(pp => max(when(col("p") === pp, col("pv"))).as(colName(pp)))
+    val pivoted = interp.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+
+    // left join from the COUNT(*) side: an all-null group has no ranked
+    // rows but still gets its output row (null percentiles, n > 0) —
+    // exactly what the percentile() aggregate emits
+    nAll.join(pivoted, Seq("g"), "left")
+      .select((col("g").as(groupCol) +: ps.map(pp => col(colName(pp)))) :+ col("n"): _*)
+  }
+}

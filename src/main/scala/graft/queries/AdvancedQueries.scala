@@ -49,17 +49,25 @@ object AdvancedQueries {
       |  ON p.user_id = c.user_id AND c.ts < p.ts
       |ORDER BY p.event_id""".stripMargin
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`: both linear-interpolate between closest ranks).
+  /** Exact interpolated percentiles per group (≡ DuckDB `quantile_cont`:
+    * linear interpolation between closest ranks) — computed via the
+    * DISTRIBUTED-RANK operator [[graft.functions.Percentiles]], not the
+    * `percentile()` aggregate, whose per-group buffer-and-sort lands the
+    * whole corpus on ≤5 reducers here at any scale. One range exchange on
+    * (group, value), O(1)-memory rank streaming, broadcast rank picks;
+    * bit-equal to the aggregate's interpolation formula (PercentilesSpec
+    * proves it; PlanSpec pins the plan shape).
     */
   def q57Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
-        count(lit(1)).as("n"))
+    graft.functions.Percentiles.exactPercentiles(
+        Tables.orders(spark, dir), "o_orderpriority", "o_totalprice",
+        Seq(0.5, 0.9, 0.99))
+      .select(
+        col("o_orderpriority"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"),
+        col("n"))
       .orderBy(col("o_orderpriority"))
 
   val q57Oracle: String =
@@ -72,27 +80,35 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
-    * percentile path: fixed-size mergeable sketch, no per-group sort,
-    * unlike exact `percentile` (q57). Sketch values are
-    * implementation-specific, so the gate emits an in-query `within_bounds`
-    * check of each approximate percentile against the exact interpolated
-    * one (≤2.5% relative — p99 over a few hundred rows per group is
-    * inherently noisy), which the DuckDB oracle expects to be literally
-    * TRUE alongside the recomputed group counts — a full oracle gate.
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the everyday
+    * 100 TB percentile path: fixed-size mergeable sketch, no per-group
+    * sort. Sketch values are implementation-specific, so the gate emits an
+    * in-query `within_bounds` check of each approximate percentile against
+    * the exact interpolated one (≤2.5% relative — p99 over a few hundred
+    * rows per group is inherently noisy), which the DuckDB oracle expects
+    * to be literally TRUE alongside the recomputed group counts — a full
+    * oracle gate. The exact side comes from the distributed-rank operator
+    * (the q57 path), so the VERIFICATION harness is as scale-safe as the
+    * operator under test — no `percentile()` buffer-and-sort anywhere.
     */
-  def q69ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def q69ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val approx = orders
       .groupBy(col("o_orderpriority"))
       .agg(
         expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
-        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ep"),
         count(lit(1)).as("n"))
+    val exact = graft.functions.Percentiles.exactPercentiles(
+        orders, "o_orderpriority", "o_totalprice", Seq(0.5, 0.9, 0.99))
+      .select(col("o_orderpriority"),
+        array(col("p50"), col("p90"), col("p99")).as("ep"))
+    approx.join(broadcast(exact), Seq("o_orderpriority"))
       .select(
         col("o_orderpriority"), col("n"),
         expr("forall(zip_with(ap, ep, (a, e) -> abs(cast(a AS double) - e) <= 0.025 * e), x -> x)")
           .as("within_bounds"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val q69Oracle: String =
     """SELECT o_orderpriority, COUNT(*) AS n, TRUE AS within_bounds

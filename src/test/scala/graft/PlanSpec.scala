@@ -141,6 +141,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite")
   }
 
+  test("q57 exact percentiles use distributed rank, not a per-group percentile buffer") {
+    val p = plan("q57_percentiles")
+    // the percentile() aggregate buffers and sorts every group inside ≤5
+    // reducers; the distributed-rank plan must not contain it, and must
+    // carry the range exchange on (group, value) that spreads even a
+    // single giant group across the cluster
+    assert(!p.contains("percentile("), s"percentile() aggregate found:\n$p")
+    assert("rangepartitioning\\(g#\\d+ ASC NULLS FIRST, v#\\d+".r.findFirstIn(p).isDefined,
+      s"no (group, value) range exchange:\n$p")
+  }
+
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
     assert(plan("q17_topk_global").contains("TakeOrderedAndProject"))
   }
