@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * 24-bpp BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel
   * rows) and [[decodeBmp]] parses the container format from the bytes —
   * magic, little-endian offsets, dimensions, stride-aware pixel walk.
-  * Audio/video decode remains a clearly-marked deterministic STUB
-  * (`stubDecode`): this container has no codecs for those; swapping in a
-  * real one changes only that function — schema, partitioning, and batch
-  * shape stay.
+  * The AUDIO decode path is REAL too: [[wavMediaTable]] generates genuine
+  * RIFF/WAVE PCM files and [[decodeWav]] walks the chunk list from the
+  * bytes — magic + size validation, fmt/data chunk parse, s16le sample
+  * walk. Only VIDEO decode remains a clearly-marked deterministic STUB
+  * (`stubDecode`): this container has no video codecs; swapping in a real
+  * one changes only that function — schema, partitioning, and batch shape
+  * stay.
   */
 object Multimodal {
 
@@ -135,6 +138,127 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, "image", bmpBytes(id)))
+  }
+
+  case class AudioFeatures(
+      doc_id: Long, media_type: String,
+      sample_rate: Int, n_channels: Int, bits_per_sample: Int,
+      n_frames: Int, duration_ms: Double, mean_amp: Double)
+
+  private val WavRates = Array(8000, 16000, 22050, 44100)
+
+  /** A genuine RIFF/WAVE file (PCM s16le): RIFF header, canonical 16-byte
+    * "fmt " chunk, "data" chunk. Every field is a real little-endian WAV
+    * header field. Parameters derive from the doc id (sample rate cycles
+    * through four standard rates, 1–2 channels, 100–499 sample frames);
+    * interleaved sample k is the replayable (id + 7k) % 201 − 100.
+    */
+  def wavBytes(docId: Long): Array[Byte] = {
+    val sampleRate = WavRates((docId % 4).toInt)
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 100 + (docId % 400).toInt
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val fileSize = 12 + 24 + 8 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(fileSize - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                              // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)          // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16)                             // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    val nSamples = nFrames * channels
+    while (k < nSamples) {
+      buf.putShort(((docId + 7L * k) % 201 - 100).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Container sniff: RIFF magic + WAVE form type + the header's RIFF size
+    * matching the payload length (same unforgeability rule as [[isBmp]]).
+    */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 44 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E' &&
+      java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4) == payload.length - 8
+
+  /** REAL WAV decode: validates the RIFF/WAVE magic, then WALKS THE CHUNK
+    * LIST (id + little-endian size, word-aligned) to find "fmt " and
+    * "data" — unknown chunks (LIST, fact, …) are skipped by size, as the
+    * format requires, so files with metadata chunks between the header
+    * and the samples parse identically. Features come from the parsed
+    * fields: rate/channels/bits from fmt, frame count from the data size
+    * over the block alignment, duration from frames over rate, and the
+    * mean absolute s16le amplitude from the sample bytes themselves.
+    */
+  def decodeWav(m: MediaRow): AudioFeatures = {
+    require(isWav(m.payload), s"doc ${m.doc_id}: not a RIFF/WAVE payload")
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataSize = 0
+    while (off + 8 <= m.payload.length && (sampleRate == 0 || dataOff < 0)) {
+      val id = new String(m.payload, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= m.payload.length,
+        s"doc ${m.doc_id}: chunk $id overruns payload")
+      id match {
+        case "fmt " =>
+          require(buf.getShort(off + 8) == 1, s"doc ${m.doc_id}: not PCM")
+          channels = buf.getShort(off + 10).toInt
+          sampleRate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22).toInt
+        case "data" =>
+          dataOff = off + 8
+          dataSize = size
+        case _ => // unknown chunk — skip by size
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0,
+      s"doc ${m.doc_id}: missing fmt /data chunk")
+    require(bits == 16, s"doc ${m.doc_id}: unsupported bit depth $bits")
+    val blockAlign = channels * (bits / 8)
+    val nFrames = dataSize / blockAlign
+    val nSamples = nFrames * channels
+    var sum = 0L
+    var k = 0
+    while (k < nSamples) {
+      sum += math.abs(buf.getShort(dataOff + 2 * k).toLong)
+      k += 1
+    }
+    AudioFeatures(
+      m.doc_id, m.media_type, sampleRate, channels, bits, nFrames,
+      duration_ms = nFrames * 1000.0 / sampleRate,
+      mean_amp = if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
+  }
+
+  /** Real-audio media table: every document carries a genuine WAV payload. */
+  def wavMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", wavBytes(id)))
+  }
+
+  /** Batch audio feature extraction — same typed-mapPartitions posture as
+    * the image path.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeWav))
   }
 
   /** STUB decoder — deterministic fake in lieu of a real codec. A real

@@ -111,6 +111,40 @@ object ExtensionQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Multimodal AUDIO feature extraction with a REAL decode: payloads are
+    * genuine RIFF/WAVE PCM files and the features come from walking their
+    * actual chunk bytes (graft.multimodal.Multimodal.decodeWav). The
+    * oracle independently replays the generator's formulas — rate /
+    * channels / frame count from doc_id, duration from frames over rate,
+    * mean |amplitude| over the (id + 7k) % 201 − 100 interleaved samples —
+    * so a parser that misread a header offset, used the wrong block
+    * alignment, or walked samples big-endian would hash-mismatch.
+    */
+  def q86AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.wavMediaTable(Tables.documents(spark, dir))
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select(col("doc_id"), col("media_type"), col("sample_rate"),
+        col("n_channels"), col("bits_per_sample"), col("n_frames"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("mean_amp"), 6).as("mean_amp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q86Oracle: String =
+    """SELECT doc_id, 'audio' AS media_type,
+      |  [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+      |  CAST(16 AS INTEGER) AS bits_per_sample,
+      |  CAST(100 + doc_id % 400 AS INTEGER) AS n_frames,
+      |  ROUND(((100 + doc_id % 400) * 1000.0)
+      |        / [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1], 6) AS duration_ms,
+      |  ROUND(CAST(list_sum(list_transform(
+      |          range(0, (100 + doc_id % 400) * (1 + doc_id % 2)),
+      |          k -> abs((doc_id + 7 * k) % 201 - 100))) AS DOUBLE)
+      |        / ((100 + doc_id % 400) * (1 + doc_id % 2)), 6) AS mean_amp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: per-frame byte offsets via explode over a generated
     * index range.
     */
@@ -140,12 +174,14 @@ object ExtensionQueries {
     "q48_udaf_vecavg"        -> (q48UdafVecAvg _),
     "q49_multimodal_meta"    -> (q49MultimodalMeta _),
     "q50_multimodal_features" -> (q50MultimodalFeatures _),
-    "q51_frame_sample"       -> (q51FrameSample _))
+    "q51_frame_sample"       -> (q51FrameSample _),
+    "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q47_udf_source_id"      -> q47Oracle,
     "q48_udaf_vecavg"        -> q48Oracle,
     "q49_multimodal_meta"    -> q49Oracle,
     "q50_multimodal_features" -> q50Oracle,
-    "q51_frame_sample"       -> q51Oracle)
+    "q51_frame_sample"       -> q51Oracle,
+    "q86_audio_features"     -> q86Oracle)
 }

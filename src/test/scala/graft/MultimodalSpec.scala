@@ -41,6 +41,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.isBmp(Multimodal.bmpBytes(42L)))
   }
 
+  test("wavBytes → decodeWav round-trips every header field and the sample mean") {
+    Seq(0L, 1L, 2L, 3L, 17L, 399L, 12345L).foreach { id =>
+      val f = Multimodal.decodeWav(MediaRow(id, "audio", Multimodal.wavBytes(id)))
+      assert(f.sample_rate === Array(8000, 16000, 22050, 44100)((id % 4).toInt), s"id=$id")
+      assert(f.n_channels === 1 + (id % 2).toInt, s"id=$id")
+      assert(f.bits_per_sample === 16)
+      assert(f.n_frames === 100 + (id % 400).toInt, s"id=$id")
+      assert(f.duration_ms === f.n_frames * 1000.0 / f.sample_rate, s"id=$id")
+      val nSamples = f.n_frames * f.n_channels
+      val expected = (0 until nSamples)
+        .map(k => math.abs((id + 7L * k) % 201 - 100)).sum.toDouble / nSamples
+      assert(f.mean_amp === expected, s"id=$id")
+    }
+  }
+
+  test("decodeWav walks the chunk list: unknown chunks between fmt and data are skipped") {
+    // splice a LIST chunk (odd size → word-aligned padding byte) between
+    // the fmt and data chunks; a parser reading fixed offsets instead of
+    // walking chunk sizes would misread the data chunk entirely
+    val base = Multimodal.wavBytes(5L)
+    val listBody = "INFOgraft".getBytes("US-ASCII") // 9 bytes, odd
+    val insertAt = 12 + 24 // after fmt chunk
+    val extra = 8 + listBody.length + 1 // header + body + pad
+    val spliced = java.nio.ByteBuffer
+      .allocate(base.length + extra).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(base, 0, insertAt)
+    spliced.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+      .put(listBody).put(0.toByte)
+    spliced.put(base, insertAt, base.length - insertAt)
+    val payload = spliced.array()
+    // fix the RIFF size field for the sniffer's length check
+    java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, payload.length - 8)
+    val f = Multimodal.decodeWav(MediaRow(5L, "audio", payload))
+    val plain = Multimodal.decodeWav(MediaRow(5L, "audio", base))
+    assert(f === plain.copy(doc_id = 5L))
+  }
+
+  test("isWav rejects text that merely starts with RIFF") {
+    val fake = ("RIFF" + "x" * 100).getBytes("UTF-8")
+    assert(!Multimodal.isWav(fake))
+    assert(Multimodal.isWav(Multimodal.wavBytes(42L)))
+  }
+
   test("extractFeatures dispatches: BMP payloads real-decoded, others stubbed") {
     import spark.implicits._
     val rows = Seq(
