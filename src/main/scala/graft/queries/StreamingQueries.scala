@@ -102,6 +102,47 @@ object StreamingQueries {
       |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
       |ORDER BY p_event, c_event""".stripMargin
 
+  /** CUSTOM streaming state through a real streaming execution:
+    * hand-built session windows via `flatMapGroupsWithState` (explicit
+    * per-user state + event-time timeout — see
+    * StreamingOps.customStateSessions). Emission rule on the bounded gate
+    * input: sessions closed by GAP EVIDENCE (a later event of the same
+    * user ≥ 30 min after their last) emit in-batch; each user's final
+    * open session emits only if the watermark (max ts − 1 h) passed its
+    * end via the timeout path. The oracle replays both rules in SQL —
+    * sessionization identical to q45's, the watermark compare in the same
+    * floored-millisecond arithmetic the GroupState API uses.
+    */
+  def q84StreamCustomState(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.customStateSessions(spark, dir, "graft_stream_custom")
+      .orderBy(col("user_id"), col("s_start"))
+
+  val q84Oracle: String =
+    """WITH brk AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk),
+      |sessions AS (
+      |  SELECT user_id, sid, MIN(ts) AS s_start,
+      |    MAX(ts) + INTERVAL '30 minutes' AS s_end,
+      |    COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |  FROM sess
+      |  GROUP BY user_id, sid),
+      |wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+      |last AS (SELECT user_id, MAX(sid) AS max_sid FROM sessions GROUP BY user_id)
+      |SELECT s.user_id, s.s_start, s.s_end, s.n, s.sum_value
+      |FROM sessions s JOIN last l USING (user_id), wm
+      |WHERE s.sid < l.max_sid OR epoch_ms(s.s_end) < wm.wm_ms
+      |ORDER BY s.user_id, s.s_start""".stripMargin
+
   /** Streaming ingest dedup through a real streaming execution: the events
     * stream unioned with itself (2× every row), deduped by event_id within
     * the watermark; oracle = the plain distinct event set.
@@ -122,7 +163,8 @@ object StreamingQueries {
     "q46_stream_tumbling" -> (q46StreamTumbling _),
     "q73_stream_watermarked" -> (q73StreamWatermarked _),
     "q76_stream_stream_join" -> (q76StreamStreamJoin _),
-    "q81_stream_dedup"    -> (q81StreamDedup _))
+    "q81_stream_dedup"    -> (q81StreamDedup _),
+    "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
     "q43_window_tumbling" -> q43Oracle,
@@ -131,5 +173,6 @@ object StreamingQueries {
     "q46_stream_tumbling" -> q43Oracle,
     "q73_stream_watermarked" -> q73Oracle,
     "q76_stream_stream_join" -> q76Oracle,
-    "q81_stream_dedup"    -> q81Oracle)
+    "q81_stream_dedup"    -> q81Oracle,
+    "q84_stream_custom_state" -> q84Oracle)
 }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types._
   * runs with `withWatermark` + append mode; here complete mode keeps the
   * final microbatch equal to the batch answer on a bounded input.
   */
-object StreamingOps {
+// Serializable: the flatMapGroupsWithState function is a nested def whose
+// eta-expanded lambda captures this module instance (stateless — nothing
+// beyond the class ref is serialized)
+object StreamingOps extends Serializable {
 
   /** Tumbling-window aggregate (batch form). 6-hour windows are
     * epoch-aligned in both Spark and DuckDB's time_bucket.
@@ -175,6 +178,104 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     drainToTable(spark, deduped, queryName, "append")
+  }
+
+  /** Open-session state carried across microbatches by
+    * [[customStateSessions]]: epoch-micros bounds plus exact cent-integer
+    * value sum (long micros/cents, not Timestamp/Double, so the state
+    * encoder is flat and the arithmetic exact).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
+
+  case class SessionRow(
+      user_id: Long, s_start: java.sql.Timestamp, s_end: java.sql.Timestamp,
+      n: Long, sum_value: Double)
+
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** CUSTOM per-key streaming state (B18's `flatMapGroupsWithState`
+    * surface): session windows re-implemented by hand — the same semantics
+    * as [[sessionAgg]]'s built-in `session_window`, so the gate oracle can
+    * replay it — with explicitly managed state and an EVENT-TIME TIMEOUT.
+    *
+    * Per user and microbatch: merge the batch's events (sorted within the
+    * group; Spark does not order grouped input) into the open session
+    * carried in state. A session CLOSED by gap evidence (a later event ≥
+    * gap after its last) is emitted immediately — no watermark needed, the
+    * data itself proves no earlier event can extend it (events behind the
+    * watermark are dropped upstream). The still-open session goes back
+    * into state with `setTimeoutTimestamp(session end)`: when the
+    * watermark passes it, Spark hands the group back with `hasTimedOut`
+    * and the session flushes — bounded state on an unbounded stream, the
+    * exact posture `session_window` + watermark gives, built manually.
+    *
+    * Value sums accumulate as exact cent integers (the DECIMAL(12,2)
+    * recipe in state form); the final division is the one IEEE operation,
+    * matching the oracle's decimal-sum-then-cast bit-for-bit.
+    */
+  def customStateSessions(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val GapUs = 30L * 60 * 1000000
+    def toRow(userId: Long, s: OpenSession): SessionRow =
+      SessionRow(userId, usToTs(s.startUs), usToTs(s.lastUs + GapUs),
+        s.n, s.sumCents / 100.0)
+
+    def fn(
+        userId: Long,
+        events: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+        state: GroupState[OpenSession]): Iterator[SessionRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(toRow(userId, s))
+      } else {
+        val sorted = events.map { case (_, _, tsu, cents) => (tsu, cents) }
+          .toArray.sortBy(_._1)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+        var open = state.getOption
+        sorted.foreach { case (tsu, cents) =>
+          open = open match {
+            case Some(s) if tsu < s.lastUs + GapUs =>
+              Some(OpenSession(s.startUs, tsu, s.n + 1, s.sumCents + cents))
+            case Some(s) =>
+              closed += s
+              Some(OpenSession(tsu, tsu, 1, cents))
+            case None =>
+              Some(OpenSession(tsu, tsu, 1, cents))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // flush when the watermark passes the session end (ms precision —
+          // the GroupState API takes millis)
+          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
+        }
+        closed.iterator.map(toRow(userId, _))
+      }
+    }
+
+    val sessions = eventsReadStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      // the watermarked ts column must SURVIVE the projection feeding the
+      // stateful operator (dropping it fails analysis: "Watermark must be
+      // specified"); micros ride alongside for exact state arithmetic
+      .select(
+        col("user_id").cast(LongType),
+        col("ts"),
+        unix_micros(col("ts")),
+        // exact cents (the DECIMAL(12,2) cast in integer form)
+        round(col("value") * 100).cast(LongType))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    drainToTable(spark, sessions.toDF(), queryName, "append")
   }
 
   /** Stream-stream INTERVAL join, production posture: purchases joined to
