@@ -182,13 +182,22 @@ object Similarity {
     * init by id, ties to the lower cid, empty clusters keep their previous
     * centroid.
     *
+    * With `gridRound` the updated means are snapped back to the integer
+    * grid (⌊m + 0.5⌋) each round — INTEGER-GRID k-means: over integer-
+    * valued inputs every distance and sum is then exact in double
+    * arithmetic (order-independent, tie-exact), which is what makes the
+    * trained index SQL-replayable (q85) — and it is the arithmetic an int8
+    * IVF index does anyway (q82's quantization story, applied to the
+    * centroids).
+    *
     * @param vecs (vec_id, v: array&lt;double&gt;)
     * @return (cid: int, cv: array&lt;double&gt;)
     */
   def kmeansCentroids(
       vecs: org.apache.spark.sql.DataFrame,
       k: Int,
-      iters: Int): org.apache.spark.sql.DataFrame = {
+      iters: Int,
+      gridRound: Boolean = false): org.apache.spark.sql.DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val vecAvg = udaf(Aggregators.VecAvg)
@@ -214,7 +223,10 @@ object Similarity {
         .filter(col("cid").isNotNull)
         .groupBy(col("cid")).agg(vecAvg(col("v")).as("cv"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) -> {
+          val m = r.getSeq[Double](1).toArray
+          if (gridRound) m.map(x => math.floor(x + 0.5)) else m
+        }).toMap
       // empty clusters keep their previous centroid
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       i += 1

@@ -435,6 +435,87 @@ object SimilarityQueries {
     annIvf(emb, centroids, nprobe = 4, topK = 5)
   }
 
+  /** IVF with k-means centroids TRAINED ON AN INTEGER GRID — the exact-
+    * oracle companion to q74: embeddings quantize to ⌊16x + 0.5⌋ (q82's
+    * compression op as the index's coordinate system) and Lloyd's runs
+    * with grid-rounded means, so every distance, sum and mean across all
+    * iterations is exact integer-derived double arithmetic — order-
+    * independent and tie-exact — and DuckDB can replay the ENTIRE training
+    * loop (init → 3× assign/update → probe → exact-cosine top-k)
+    * bit-for-bit. Float-mean training stays q74 (rows-only + recall spec);
+    * THIS gate proves the trained-IVF mechanics — assignment argmin, mean
+    * update, empty-cluster carry, probe fan-out — against an independent
+    * engine.
+    */
+  def q85AnnIvfIntTrained(spark: SparkSession, dir: String): DataFrame = {
+    val vq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        // Spark floor() yields LONG; back to double for the vector ops
+        transform(toDouble(col("embedding")),
+          x => floor(x * 16 + lit(0.5)).cast(DoubleType)).as("v"))
+    val centroids = kmeansCentroids(vq, k = 8, iters = 3, gridRound = true)
+    annIvf(vq, centroids, nprobe = 2, topK = 5)
+  }
+
+  /** q85 oracle: integer-grid Lloyd's unrolled — per iteration an argmin
+    * assignment (list_distance is monotone in the exact squared distance;
+    * ties break to the lower cid exactly as NearestCentroids does) and a
+    * per-dimension SUM/COUNT mean snapped to the grid, with empty clusters
+    * carrying the previous centroid via the LEFT JOIN coalesce.
+    */
+  val q85Oracle: String = {
+    val k = 8
+    val iters = 3
+    def iteration(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT v.vec_id, v.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+         |    FROM v, $prev c) WHERE arn = 1),
+         |m$i AS (
+         |  SELECT cid, list(val ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, FLOOR(SUM(x) / COUNT(*) + 0.5) AS val
+         |    FROM (SELECT cid, unnest(v) AS x,
+         |            unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(m$i.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$i USING (cid))""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 16 + 0.5)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k)),
+       |${(1 to iters).map(iteration).mkString(",\n")},
+       |assigned AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT v.vec_id, v.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+       |    FROM v, c$iters c) WHERE arn = 1),
+       |probes AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT v.vec_id AS qid, v.v AS qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_distance(v.v, c.cv), c.cid) AS prn
+       |    FROM v, c$iters c WHERE v.vec_id < 8) WHERE prn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, p.qv, a.vec_id AS vid, a.v
+       |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.qid)
+       |SELECT qid, vid, ROUND(sim, 6) AS sim, rn FROM (
+       |  SELECT qid, vid, list_cosine_similarity(qv, v) AS sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY list_cosine_similarity(qv, v) DESC, vid) AS INTEGER) AS rn
+       |  FROM cand)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** q42 oracle: the whole IVF pipeline re-expressed in SQL — first-16
     * centroids, nearest-centroid assignment (list_distance is monotone in
     * the squared distance, so the argmin ranks agree), 4-probe search,
@@ -513,7 +594,8 @@ object SimilarityQueries {
     "q40_cosine_topk"    -> (q40CosineTopK _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q42_ann_ivf"        -> (q42AnnIvf _),
-    "q74_ann_ivf_trained" -> (q42AnnIvfTrained _))
+    "q74_ann_ivf_trained" -> (q42AnnIvfTrained _),
+    "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
     "q36_dedup_minhash"  -> q36Oracle,
@@ -523,5 +605,6 @@ object SimilarityQueries {
     "q40_cosine_topk"    -> q40Oracle,
     "q41_ann_lsh"        -> q41Oracle,
     "q42_ann_ivf"        -> q42Oracle,
-    "q72_dedup_clusters" -> q72Oracle)
+    "q72_dedup_clusters" -> q72Oracle,
+    "q85_ann_ivf_int_trained" -> q85Oracle)
 }
