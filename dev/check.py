@@ -3,6 +3,7 @@
 
 Usage: python3 dev/check.py <verifyOutDir> <sfDir>
        python3 dev/check.py --bench-diff <oldBench.json> <newBench.json> [maxRatio]
+       python3 dev/check.py --scale-check <smallSfBench.json> <bigSfBench.json> [maxRatio]
 
 Reads oracle_sql.json from the verify output dir, registers each testdata
 parquet as a DuckDB view, runs each oracle, and compares with the
@@ -121,18 +122,11 @@ def bench_diff(old_path, new_path, max_ratio=2.0):
     the signal), so a floor of 0.1s is applied to the old time before the
     ratio test. Returns nonzero if any query regressed > max_ratio.
     """
-    def load_queries(path):
-        d = json.load(open(path))
-        if "queries" in d:
-            return d["queries"]
-        # driver-side BENCH_r{N}.json wraps the bench stdout tail (possibly
-        # truncated at the FRONT) in a "tail" string — recover what survives
-        import re
-        pairs = re.findall(r'"(q[0-9][0-9a-z_]*)":([0-9.]+)', d.get("tail", ""))
-        return {k: float(v) for k, v in pairs}
-
-    old = load_queries(old_path)
-    new = load_queries(new_path)
+    # driver-side BENCH_r{N}.json wraps the bench stdout tail (possibly
+    # truncated at the FRONT) in a "tail" string — load_bench_queries
+    # recovers what survives
+    old = load_bench_queries(old_path)
+    new = load_bench_queries(new_path)
     bad = []
     for name, t_new in sorted(new.items()):
         t_old = old.get(name)
@@ -150,8 +144,48 @@ def bench_diff(old_path, new_path, max_ratio=2.0):
     return 1 if bad else 0
 
 
+def load_bench_queries(path):
+    d = json.load(open(path))
+    if "queries" in d:
+        return d["queries"]
+    import re
+    pairs = re.findall(r'"(q[0-9][0-9a-z_]*)":([0-9.]+)', d.get("tail", ""))
+    return {k: float(v) for k, v in pairs}
+
+
+def scale_check(small_path, big_path, max_ratio=15.0):
+    """Flag SUPERLINEAR queries between two bench runs at different SFs.
+
+    For a 10x data-size step, a linear operator lands well under 10x
+    (fixed per-query overhead dominates small-SF runs); > max_ratio
+    (default 15x) marks work growing faster than the data — the scale
+    smell the plan audits exist to catch. Sub-0.2s small-SF times are
+    floored (those queries are pure overhead at the small scale, so their
+    ratio is meaningless noise). Returns nonzero if any query exceeds the
+    threshold.
+    """
+    small = load_bench_queries(small_path)
+    big = load_bench_queries(big_path)
+    bad = []
+    for name, t_big in sorted(big.items()):
+        t_small = small.get(name)
+        if t_small is None:
+            print(f"  MISSING {name}: not in small-SF bench")
+            continue
+        ratio = t_big / max(t_small, 0.2)
+        flag = "SUPERLINEAR" if ratio > max_ratio else "ok"
+        print(f"  {flag:>11} {name:<28} {t_small:6.2f}s -> {t_big:6.2f}s ({ratio:4.1f}x)")
+        if ratio > max_ratio:
+            bad.append(name)
+    print(f"== {len(bad)} superlinear querie(s) > {max_ratio}x over {len(big)} ==")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "--bench-diff":
         ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
         sys.exit(bench_diff(sys.argv[2], sys.argv[3], ratio))
+    if sys.argv[1] == "--scale-check":
+        ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
+        sys.exit(scale_check(sys.argv[2], sys.argv[3], ratio))
     sys.exit(main(sys.argv[1], sys.argv[2]))
