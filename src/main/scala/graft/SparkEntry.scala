@@ -22,7 +22,8 @@ object SparkEntry {
       SimilarityQueries.registry ++ StreamingQueries.registry ++
       ExtensionQueries.registry ++ SurfaceQueries.registry ++
       AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
-      ScaleQueries.registry ++ CurationQueries.registry
+      ScaleQueries.registry ++ CurationQueries.registry ++
+      RelationalPlus.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++ StreamingQueries.oracles ++
       ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
       AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
-      ScaleQueries.oracles ++ CurationQueries.oracles
+      ScaleQueries.oracles ++ CurationQueries.oracles ++
+      RelationalPlus.oracles
 }

@@ -193,13 +193,86 @@ object CurationQueries {
       |  FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  /** Count-min-sketch heavy-hitter verification (the q11/q69 recipe for
+    * sketches): build the CMS over l_orderkey with the built-in
+    * `count_min_sketch` aggregate (fixed-size mergeable sketch — the
+    * 100 TB frequency path), then check its per-key estimates against the
+    * exact counts IN-QUERY. Two invariants become oracle-expected
+    * booleans: a CMS NEVER underestimates (hard guarantee — must hold for
+    * every key), and ≥97% of keys sit within the ε·N additive bound
+    * (the probabilistic guarantee at confidence 0.99; deterministic here
+    * under the fixed seed). ε is sized so collisions genuinely occur
+    * (width ≪ key cardinality) — the bounds are doing real work.
+    *
+    * The sketch itself is a few KB collected once (like the IVF centroid
+    * table); the estimate probe broadcasts it back inside a UDF — the
+    * exact side is one partial-aggregated count.
+    */
+  def q90CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.01
+    val bytes = Tables.lineitem(spark, dir)
+      .agg(expr("count_min_sketch(l_orderkey, 0.01d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val estimate = udf((k: Long) => cms.estimateCount(k))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val total = Tables.lineitem(spark, dir).agg(count(lit(1)).as("total"))
+    exact
+      .withColumn("est", estimate(col("l_orderkey")))
+      .join(broadcast(total), lit(true))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        (sum(when(col("est") < col("n"), 1).otherwise(0)) === 0).as("never_under"),
+        ((sum(when(col("est") - col("n") <= lit(eps) * col("total"), 1).otherwise(0))
+          .cast(DoubleType) / count(lit(1))) >= 0.97).as("bounds_hold"))
+  }
+
+  val q90Oracle: String =
+    """SELECT COUNT(DISTINCT l_orderkey) AS n_keys,
+      |  TRUE AS never_under, TRUE AS bounds_hold
+      |FROM lineitem""".stripMargin
+
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES in the log
+    * domain): per-doc uniform u from an md5-derived 24-bit fraction
+    * (reproducible under reordering and re-runs — q63/q80's property,
+    * weighted), selection key ln(u)/w with w = n_chars, keep the top-k
+    * keys. Longer documents win proportionally to their weight;
+    * TakeOrdered top-k, no full sort. The oracle replays hash, key and
+    * selection exactly.
+    */
+  def q91WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
+      .cast(DoubleType) + 0.5) / 16777216.0
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"), round(col("sel_key"), 6).as("sel_key"))
+  }
+
+  val q91Oracle: String =
+    """SELECT doc_id, n_chars, ROUND(sel_key, 6) AS sel_key FROM (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
+      |       / 16777216.0) / n_chars AS sel_key
+      |  FROM documents)
+      |ORDER BY sel_key DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_cms_heavy_hitters"  -> (q90CmsHeavyHitters _),
+    "q91_weighted_sample"    -> (q91WeightedSample _),
     "q78_quality_repetition" -> (q78QualityRepetition _),
     "q79_pii_redact"         -> (q79PiiRedact _),
     "q80_stratified_sample"  -> (q80StratifiedSample _),
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q90_cms_heavy_hitters"  -> q90Oracle,
+    "q91_weighted_sample"    -> q91Oracle,
     "q78_quality_repetition" -> q78Oracle,
     "q79_pii_redact"         -> q79Oracle,
     "q80_stratified_sample"  -> q80Oracle,

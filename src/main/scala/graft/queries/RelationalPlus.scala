@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational-surface completeness (tier B1–B9 addenda): full outer join,
+  * unpivot/melt, explicit grouping sets. The operators a user coming from
+  * any SQL warehouse expects on day one; each is a one-shuffle shape with
+  * the same broadcast/partial-agg posture as the core tier.
+  */
+object RelationalPlus {
+  import Exact._
+
+  /** FULL OUTER equi-join: customers from a nation slice against per-
+    * customer order rollups — unmatched rows survive on BOTH sides (a
+    * customer with no orders keeps null rollups; an order rollup whose
+    * customer fell outside the slice keeps a null name). Same hash-join
+    * shuffle shape as inner; null-extension is free.
+    */
+  def q87JoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val ords = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        out2(sum(dec2(col("o_totalprice")))).as("sum_total"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("c_nationkey"), col("n_orders"), col("sum_total"))
+      .orderBy(col("custkey"))
+  }
+
+  val q87Oracle: String =
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_name, c.c_nationkey, o.n_orders, o.sum_total
+      |FROM (SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_nationkey < 5) c
+      |FULL JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
+      |  FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** UNPIVOT (melt): the four lineitem measure columns into (metric,
+    * value) rows — the wide→long reshape every feature pipeline needs.
+    * Pure projection+generate over the scan: no shuffle at any scale.
+    */
+  def q88Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  val q88Oracle: String =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** Explicit GROUPING SETS with a portable grouping id: per-priority,
+    * per-status, and grand-total rows from ONE aggregation pass (the
+    * rollup/cube generalization, B9). gid is composed from grouping()
+    * bits — grouping_id() bit orders differ across engines, the manual
+    * composition does not.
+    */
+  def q89GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        (grouping(col("o_orderpriority")) * 2 + grouping(col("o_orderstatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        out2(sum(dec2(col("o_totalprice")))).as("sum_total"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+        col("n"), col("sum_total"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+
+  val q89Oracle: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_join_full_outer" -> (q87JoinFullOuter _),
+    "q88_unpivot"         -> (q88Unpivot _),
+    "q89_grouping_sets"   -> (q89GroupingSets _))
+
+  val oracles: Map[String, String] = Map(
+    "q87_join_full_outer" -> q87Oracle,
+    "q88_unpivot"         -> q88Oracle,
+    "q89_grouping_sets"   -> q89Oracle)
+}

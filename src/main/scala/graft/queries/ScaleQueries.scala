@@ -173,13 +173,68 @@ object ScaleQueries {
       |GROUP BY month
       |ORDER BY month""".stripMargin
 
+  /** Z-ORDER clustering: bit-align both keys to 16 bits via min/max
+    * normalization, then Morton-interleave them into one 64-bit curve
+    * value ([[graft.expressions.InterleaveBits]]) — the layout sort key
+    * that makes per-file min/max statistics tight in BOTH columns at once,
+    * so predicates on either dimension skip most files (the multi-column
+    * data-skipping lever; ScaleSpec proves the locality on a
+    * range-partitioned sort). The normalization is what makes the curve
+    * real: raw interleave of a 16-bit key with a 4-bit key degenerates to
+    * a single-column sort because the wide key owns every high bit.
+    * Stats are a broadcast 1-row frame; integer arithmetic throughout so
+    * the oracle replays scaling AND interleave exactly.
+    */
+  private[graft] def zorderLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      min(col("l_partkey")).as("minp"), max(col("l_partkey")).as("maxp"),
+      min(col("l_suppkey")).as("mins"), max(col("l_suppkey")).as("maxs"))
+    li.join(broadcast(stats), lit(true))
+      .withColumn("pb",
+        expr("CAST((l_partkey - minp) * 65535 div greatest(maxp - minp, 1) AS INT)"))
+      .withColumn("sb",
+        expr("CAST((l_suppkey - mins) * 65535 div greatest(maxs - mins, 1) AS INT)"))
+      .withColumn("zv",
+        graft.expressions.InterleaveBits.zorder64(col("pb"), col("sb")))
+  }
+
+  def q92ZorderCluster(spark: SparkSession, dir: String): DataFrame =
+    zorderLineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("zv"))
+      .orderBy(col("zv"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val q92Oracle: String = {
+    def spread(c: String, offset: Int): String =
+      s"""list_sum(list_transform(range(0, 32),
+         |      i -> ((($c >> i) & 1) << (2 * i + $offset))))""".stripMargin
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zv FROM (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CAST(${spread("pb", 0)}
+       |       + ${spread("sb", 1)} AS BIGINT) AS zv
+       |  FROM (
+       |    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |      (l_partkey - minp) * 65535 // GREATEST(maxp - minp, 1) AS pb,
+       |      (l_suppkey - mins) * 65535 // GREATEST(maxs - mins, 1) AS sb
+       |    FROM lineitem CROSS JOIN (
+       |      SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+       |             MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs
+       |      FROM lineitem)))
+       |ORDER BY zv, l_orderkey, l_linenumber
+       |LIMIT 100""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_bucketed_join"   -> (q75BucketedJoin _),
     "q77_skew_salted_join" -> (q77SkewSaltedJoin _),
-    "q83_partition_pruning" -> (q83PartitionPruning _))
+    "q83_partition_pruning" -> (q83PartitionPruning _),
+    "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
     "q75_bucketed_join"   -> q75Oracle,
     "q77_skew_salted_join" -> q77Oracle,
-    "q83_partition_pruning" -> q83Oracle)
+    "q83_partition_pruning" -> q83Oracle,
+    "q92_zorder_cluster"  -> q92Oracle)
 }

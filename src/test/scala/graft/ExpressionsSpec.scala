@@ -18,6 +18,31 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     .select(col("doc_id"),
       transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
 
+  test("InterleaveBits equals the reference Morton encoding (incl. negatives)") {
+    def morton(x: Int, y: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((x >>> i) & 1L) << (2 * i)
+        z |= ((y >>> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 5), (65535, 1),
+      (Int.MaxValue, Int.MinValue), (-1, -1), (123456789, 987654321))
+    val rows = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.expressions.InterleaveBits.zorder64(col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === morton(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+    // interleave is a bijection: distinct inputs → distinct codes
+    assert(rows.map(_.getLong(2)).distinct.length === cases.length)
+  }
+
   test("SimHash64 equals the declarative simhash") {
     val both = tokenHashes
       .select(col("doc_id"),

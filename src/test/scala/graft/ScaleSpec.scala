@@ -15,6 +15,35 @@ import graft.transform.Skew
 class ScaleSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("z-order layout clusters BOTH key dimensions (tight per-partition spans)") {
+    // range-partition + sort lineitem on the Morton code, then measure the
+    // per-partition bounding box of each original key: on a Z-curve both
+    // spans must shrink far below the global span — the property that makes
+    // per-file min/max stats skip files for predicates on EITHER column.
+    // (A single-column sort gets one tight span; the other stays global.)
+    val zed = graft.queries.ScaleQueries.zorderLineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("zv"))
+      .repartitionByRange(16, col("zv"))
+      .sortWithinPartitions(col("zv"))
+    val spans = zed
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(
+        (max(col("l_partkey")) - min(col("l_partkey"))).as("part_span"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("supp_span"))
+      .agg(avg(col("part_span")), avg(col("supp_span")))
+      .head()
+    val global = Tables.lineitem(spark, sfDir)
+      .agg(
+        max(col("l_partkey")) - min(col("l_partkey")),
+        max(col("l_suppkey")) - min(col("l_suppkey")))
+      .head()
+    assert(spans.getDouble(0) < global.getLong(0) / 2.0,
+      s"partkey span ${spans.getDouble(0)} not clustered vs ${global.getLong(0)}")
+    assert(spans.getDouble(1) < global.getLong(1) / 2.0,
+      s"suppkey span ${spans.getDouble(1)} not clustered vs ${global.getLong(1)}")
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
