@@ -116,6 +116,44 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** MERGEABLE HLL sketches (Apache DataSketches via `hll_sketch_agg`) —
+    * the re-aggregatable distinct-count path: per-group sketches are
+    * built ONCE, then union to coarser granularities without rescanning
+    * the data (`hll_union_agg`) — the OLAP-cube / pre-aggregation posture
+    * q11's scalar `approx_count_distinct` can't express. The gate checks
+    * BOTH levels in-query against exact distinct counts (≤5% relative,
+    * deterministic — DataSketches HLL has no seed), and the oracle expects
+    * the bounds to be literally TRUE beside the recomputed exact counts —
+    * the q69 sketch-gate recipe.
+    */
+  def q94HllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val perGroup = orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        expr("hll_sketch_agg(o_custkey, 12)").as("sk"),
+        countDistinct(col("o_custkey")).as("n_distinct"))
+    def bounded(df: DataFrame): DataFrame = df.select(
+      col("grp"), col("n_distinct"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("n_distinct"))
+        <= lit(0.05) * col("n_distinct")).as("within_bounds"))
+    val groups = bounded(perGroup)
+    val overall = bounded(
+      perGroup.agg(expr("hll_union_agg(sk)").as("sk"))
+        .join(broadcast(
+          orders.agg(countDistinct(col("o_custkey")).as("n_distinct"))), lit(true))
+        .withColumn("grp", lit("ALL")))
+    groups.unionByName(overall).orderBy(col("grp"))
+  }
+
+  val q94Oracle: String =
+    """SELECT grp, n_distinct, TRUE AS within_bounds FROM (
+      |  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS n_distinct
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders)
+      |ORDER BY grp""".stripMargin
+
   /** Histogram binning via pure arithmetic (portable, unlike width_bucket
     * dialects): 50k-wide buckets over order totals.
     */
@@ -315,6 +353,7 @@ object AdvancedQueries {
       |ORDER BY lang, doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_hll_sketch_rollup" -> (q94HllSketchRollup _),
     "q69_approx_percentiles" -> (q69ApproxPercentiles _),
     "q63_train_test_split" -> (q63TrainTestSplit _),
     "q64_sequence_packing" -> (q64SequencePacking _),
@@ -327,6 +366,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q94_hll_sketch_rollup" -> q94Oracle,
     "q63_train_test_split" -> q63Oracle,
     "q64_sequence_packing" -> q64Oracle,
     "q62_topk_custom_operator" -> q62Oracle,

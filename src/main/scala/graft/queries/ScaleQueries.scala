@@ -226,13 +226,58 @@ object ScaleQueries {
        |LIMIT 100""".stripMargin
   }
 
+  /** BLOOM-PRUNED shuffle join: build a Bloom filter over the SELECTIVE
+    * dimension's join keys (a few KB for millions of keys — the CMS/
+    * centroid collect-once pattern) and filter the fact side BEFORE its
+    * exchange, so the shuffle carries ~selectivity·|fact| rows instead of
+    * all of them — the row-level analogue of q83's partition pruning, and
+    * what Spark's own runtime row filtering injects when stats allow; here
+    * it is explicit and oracle-gated. False positives pass the bloom and
+    * are removed by the exact join, so the result is IDENTICAL to the
+    * plain join (the oracle proves it) — only the shuffled volume changes
+    * (ScaleSpec measures the reduction).
+    */
+  private[graft] def bloomPrunedLineitem(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    val prunedFact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(mightContain(col("l_orderkey")))
+    (prunedFact, dim)
+  }
+
+  def q93BloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = bloomPrunedLineitem(spark, dir)
+    // merge hint: at fact-fact scale neither side broadcasts — the bloom
+    // exists precisely to shrink the shuffled volume
+    fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"))
+  }
+
+  val q93Oracle: String =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996) o
+      |  ON l_orderkey = o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_bloom_pruned_join" -> (q93BloomPrunedJoin _),
     "q75_bucketed_join"   -> (q75BucketedJoin _),
     "q77_skew_salted_join" -> (q77SkewSaltedJoin _),
     "q83_partition_pruning" -> (q83PartitionPruning _),
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q93_bloom_pruned_join" -> q93Oracle,
     "q75_bucketed_join"   -> q75Oracle,
     "q77_skew_salted_join" -> q77Oracle,
     "q83_partition_pruning" -> q83Oracle,

@@ -44,6 +44,23 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       s"suppkey span ${spans.getDouble(1)} not clustered vs ${global.getLong(1)}")
   }
 
+  test("bloom pruning shrinks the shuffled fact side without losing matches") {
+    val (pruned, dim) = graft.queries.ScaleQueries.bloomPrunedLineitem(spark, sfDir)
+    val full = Tables.lineitem(spark, sfDir)
+    val nFull = full.count()
+    val nPruned = pruned.count()
+    // the dim slice is a few % of orders, fpp 1% — the pre-shuffle filter
+    // must remove the vast majority of fact rows
+    assert(nPruned < nFull / 3, s"bloom kept $nPruned of $nFull rows")
+    // and keep EVERY true match (no-false-negative guarantee): the pruned
+    // join equals the plain join
+    val plain = full.select(col("l_orderkey"))
+      .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val viaBloom = pruned
+      .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    assert(viaBloom === plain)
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
