@@ -244,6 +244,49 @@ object AdvancedQueries {
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** FUNNEL analysis — ordered-stage conversion (view → click → purchase):
+    * a user reaches a stage only via an event STRICTLY AFTER their first
+    * event of the previous stage. Three high-cardinality-key aggregations
+    * chained by user_id equi-joins — each stage shrinks the frame, no
+    * window over a hot key, no row explosion; the standard product-
+    * analytics query at any scale.
+    */
+  def q96Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(evType: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val clicks = firstAfter("click", views)
+    val purchases = firstAfter("purchase", clicks)
+    views.agg(count(lit(1)).as("n_users")).select(lit("a_view").as("stage"), col("n_users"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .select(lit("b_click").as("stage"), col("n_users")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .select(lit("c_purchase").as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  val q96Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT 'a_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT 'b_click', COUNT(*) FROM c
+      |  UNION ALL SELECT 'c_purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   /** Content-hash exact dedup at scale: md5 of the text is the dedup key
     * (how petabyte corpora dedup without comparing full texts); keeps the
     * lowest doc_id per hash.
@@ -354,6 +397,7 @@ object AdvancedQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_hll_sketch_rollup" -> (q94HllSketchRollup _),
+    "q96_funnel"            -> (q96Funnel _),
     "q69_approx_percentiles" -> (q69ApproxPercentiles _),
     "q63_train_test_split" -> (q63TrainTestSplit _),
     "q64_sequence_packing" -> (q64SequencePacking _),
@@ -367,6 +411,7 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "q94_hll_sketch_rollup" -> q94Oracle,
+    "q96_funnel"            -> q96Oracle,
     "q63_train_test_split" -> q63Oracle,
     "q64_sequence_packing" -> q64Oracle,
     "q62_topk_custom_operator" -> q62Oracle,

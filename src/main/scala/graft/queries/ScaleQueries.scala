@@ -269,7 +269,52 @@ object ScaleQueries {
       |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996) o
       |  ON l_orderkey = o_orderkey""".stripMargin
 
+  /** SMALL-FILE COMPACTION — the lake-maintenance pass every long-running
+    * ingest needs: a fragmented table (64 shards here, simulating
+    * per-microbatch/per-task files) is rewritten into a few right-sized
+    * files (`repartition` + `maxRecordsPerFile`, the two levers that
+    * control output file count and size). The gate aggregates the
+    * COMPACTED copy — counts, distinct keys, exact value sum, ts bounds —
+    * against the ORIGINAL table's oracle, proving the rewrite is lossless
+    * through the full shard→compact round trip; ScaleSpec asserts the
+    * file-count collapse itself. At 100 TB this is the difference between
+    * a scan planning 10M tiny splits and 10k right-sized ones.
+    */
+  private[graft] def compactionDirs(dir: String): (java.nio.file.Path, java.nio.file.Path) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_compact_$digest")
+    (base.resolve("shards"), base.resolve("compact"))
+  }
+
+  def q95Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val (shards, compact) = compactionDirs(dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(shards.toString)
+    spark.read.parquet(shards.toString)
+      .repartition(4)
+      .write.option("maxRecordsPerFile", "500000")
+      .mode("overwrite").parquet(compact.toString)
+    spark.read.parquet(compact.toString)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_events"),
+        out2(sum(dec2(col("value")))).as("sum_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+  }
+
+  val q95Oracle: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      |FROM events""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_compaction"      -> (q95Compaction _),
     "q93_bloom_pruned_join" -> (q93BloomPrunedJoin _),
     "q75_bucketed_join"   -> (q75BucketedJoin _),
     "q77_skew_salted_join" -> (q77SkewSaltedJoin _),
@@ -277,6 +322,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q95_compaction"      -> q95Oracle,
     "q93_bloom_pruned_join" -> q93Oracle,
     "q75_bucketed_join"   -> q75Oracle,
     "q77_skew_salted_join" -> q77Oracle,

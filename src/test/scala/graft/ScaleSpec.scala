@@ -44,6 +44,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       s"suppkey span ${spans.getDouble(1)} not clustered vs ${global.getLong(1)}")
   }
 
+  test("compaction collapses the shard count to the target file layout") {
+    graft.queries.ScaleQueries.q95Compaction(spark, sfDir).collect()
+    val (shards, compact) = graft.queries.ScaleQueries.compactionDirs(sfDir)
+    def partFiles(p: java.nio.file.Path): Long =
+      Files.list(p).filter(f => f.getFileName.toString.startsWith("part-")).count()
+    assert(partFiles(shards) >= 32, "shard layout must actually be fragmented")
+    assert(partFiles(compact) <= 4, "compacted layout must hit the target file count")
+  }
+
   test("bloom pruning shrinks the shuffled fact side without losing matches") {
     val (pruned, dim) = graft.queries.ScaleQueries.bloomPrunedLineitem(spark, sfDir)
     val full = Tables.lineitem(spark, sfDir)
