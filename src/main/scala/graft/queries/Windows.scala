@@ -140,7 +140,39 @@ object Windows {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** B10 RANGE-frame window — the time-based rolling aggregate rows-frames
+    * can't express: per user, the count and exact value sum of events in
+    * the TRAILING HOUR of each event (frame bounds follow the ORDER-BY
+    * VALUE, so ties share a frame and sparse gaps shrink it). Ordering is
+    * on epoch seconds — numeric range frames are portable; interval
+    * range-frame syntax is not.
+    */
+  def q97WindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_sec"),
+        dec2(col("value")).as("v"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        out2(sum(col("v")).over(w)).as("sum_last_hour"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  val q97Oracle: String =
+    """SELECT user_id, event_id, ts_sec,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS sum_last_hour
+      |FROM (SELECT user_id, event_id, value, epoch_ms(ts) // 1000 AS ts_sec FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_sec, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_window_range_frame" -> (q97WindowRangeFrame _),
     "q14_window_rank"    -> (q14WindowRank _),
     "q15_window_lag"     -> (q15WindowLag _),
     "q16_window_running" -> (q16WindowRunning _),
@@ -148,6 +180,7 @@ object Windows {
     "q18_topk_pergroup"  -> (q18TopKPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q97_window_range_frame" -> q97Oracle,
     "q14_window_rank"    -> q14Oracle,
     "q15_window_lag"     -> q15Oracle,
     "q16_window_running" -> q16Oracle,
