@@ -50,13 +50,22 @@ object Percentiles {
       "p" + s.replace(".", "_")
     }
 
-    val vals = df.select(
-      col(groupCol).cast(StringType).as("g"),
-      col(valueCol).cast(DoubleType).as("v"))
+    // the group key travels internally as a NON-NULL struct (null flag +
+    // coalesced string): a raw null key would be dropped by every equi-join
+    // below and would defeat the rank pass's change detection — while the
+    // percentile() aggregate this operator must match treats null as an
+    // ordinary group
+    val gEnc = struct(
+      col(groupCol).isNull.as("is_null"),
+      coalesce(col(groupCol).cast(StringType), lit("")).as("s"))
+    def gDec(c: org.apache.spark.sql.Column) =
+      when(c.getField("is_null"), lit(null).cast(StringType))
+        .otherwise(c.getField("s"))
+
+    val vals = df.select(gEnc.as("g"), col(valueCol).cast(DoubleType).as("v"))
     // COUNT(*) per group (output contract) — partial-aggregated map-side,
     // the exchange carries one tiny row per (mapper, group)
-    val nAll = df.groupBy(col(groupCol).cast(StringType).as("g"))
-      .agg(count(lit(1)).as("n"))
+    val nAll = df.groupBy(gEnc.as("g")).agg(count(lit(1)).as("n"))
 
     // the one full-data stage: range-partition on (group, value) — NOT on
     // the group alone — then sort within partitions (spillable) and stream
@@ -65,18 +74,22 @@ object Percentiles {
     val ranked = vals.filter(col("v").isNotNull)
       .repartitionByRange(p, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
-      .as[(String, Double)]
+      .as[((Boolean, String), Double)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        var cur: String = null
+        var first = true
+        var cur: (Boolean, String) = null
         var r = 0L
         it.map { case (g, v) =>
-          if (cur == null || g != cur) { cur = g; r = 0L }
+          if (first || g != cur) { cur = g; r = 0L; first = false }
           r += 1
           (pid, g, v, r)
         }
       }
       .toDF("pid", "g", "v", "local_rank")
+      // the tuple encoder names the struct fields _1/_2 — rebuild with the
+      // field names the downstream joins/decodes use
+      .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
 
     // P·G-row frame: counts per (partition, group) → per-group running
     // offsets (window over ≤P rows per group) and non-null totals
@@ -128,6 +141,6 @@ object Percentiles {
     // rows but still gets its output row (null percentiles, n > 0) —
     // exactly what the percentile() aggregate emits
     nAll.join(pivoted, Seq("g"), "left")
-      .select((col("g").as(groupCol) +: ps.map(pp => col(colName(pp)))) :+ col("n"): _*)
+      .select((gDec(col("g")).as(groupCol) +: ps.map(pp => col(colName(pp)))) :+ col("n"): _*)
   }
 }

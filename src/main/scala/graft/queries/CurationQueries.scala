@@ -218,7 +218,9 @@ object CurationQueries {
     val estimate = udf((k: Long) => cms.estimateCount(k))
     val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-    val total = Tables.lineitem(spark, dir).agg(count(lit(1)).as("total"))
+    // total = Σ per-key counts — derived from the tiny exact frame, not a
+    // third full-table scan
+    val total = exact.agg(sum(col("n")).as("total"))
     exact
       .withColumn("est", estimate(col("l_orderkey")))
       .join(broadcast(total), lit(true))
@@ -253,14 +255,21 @@ object CurationQueries {
       .select(col("doc_id"), col("n_chars"), round(col("sel_key"), 6).as("sel_key"))
   }
 
+  /** NOTE: the ORDER BY + LIMIT must run on the UNROUNDED key in an inner
+    * query — in the flat form `ORDER BY sel_key` binds to the rounded
+    * output alias, and rounded keys collide at 1e-6 granularity, selecting
+    * a different top-20 than the operator's unrounded ordering (observed
+    * at sf0.1).
+    */
   val q91Oracle: String =
     """SELECT doc_id, n_chars, ROUND(sel_key, 6) AS sel_key FROM (
-      |  SELECT doc_id, n_chars,
-      |    ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
-      |       / 16777216.0) / n_chars AS sel_key
-      |  FROM documents)
-      |ORDER BY sel_key DESC, doc_id
-      |LIMIT 20""".stripMargin
+      |  SELECT doc_id, n_chars, sel_key FROM (
+      |    SELECT doc_id, n_chars,
+      |      ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
+      |         / 16777216.0) / n_chars AS sel_key
+      |    FROM documents)
+      |  ORDER BY sel_key DESC, doc_id
+      |  LIMIT 20)""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_cms_heavy_hitters"  -> (q90CmsHeavyHitters _),

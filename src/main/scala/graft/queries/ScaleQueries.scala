@@ -281,10 +281,7 @@ object ScaleQueries {
     * a scan planning 10M tiny splits and 10k right-sized ones.
     */
   private[graft] def compactionDirs(dir: String): (java.nio.file.Path, java.nio.file.Path) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
-    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_compact_$digest")
+    val base = graft.util.Staging.dir("graft_compact", dir)
     (base.resolve("shards"), base.resolve("compact"))
   }
 

@@ -88,18 +88,10 @@ object StreamingOps extends Serializable {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staticSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // key the staging dir on a cryptographic digest of the path (a
-    // sanitized path still collides — '/a.b' vs '/a_b' — and can exceed
-    // filename limits; String.hashCode collides too) plus a short readable
-    // suffix, and ALWAYS refresh the copy (a stale copy would silently
-    // stream outdated input after the source file changes)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    val dirKey = s"${digest}_$suffix"
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_$dirKey")
+    // collision-safe staging dir (see graft.util.Staging); ALWAYS refresh
+    // the copy (a stale copy would silently stream outdated input after
+    // the source file changes)
+    val streamDir = graft.util.Staging.dir("graft_stream", dir)
     java.nio.file.Files.createDirectories(streamDir)
     val staged = streamDir.resolve("events.parquet")
     java.nio.file.Files.copy(src, staged,
@@ -242,7 +234,13 @@ object StreamingOps extends Serializable {
         sorted.foreach { case (tsu, cents) =>
           open = open match {
             case Some(s) if tsu < s.lastUs + GapUs =>
-              Some(OpenSession(s.startUs, tsu, s.n + 1, s.sumCents + cents))
+              // min/max bounds, not plain assignment: a LATER microbatch
+              // may deliver an older-but-within-watermark event, which
+              // must widen the open session, never move its end backward
+              // (a shrunken lastUs would corrupt subsequent gap decisions
+              // and flush the timeout early)
+              Some(OpenSession(math.min(s.startUs, tsu), math.max(s.lastUs, tsu),
+                s.n + 1, s.sumCents + cents))
             case Some(s) =>
               closed += s
               Some(OpenSession(tsu, tsu, 1, cents))

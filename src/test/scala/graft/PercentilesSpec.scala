@@ -25,7 +25,10 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
         ("withnull", java.lang.Double.valueOf(1.0)),
         ("withnull", null),                          // null excluded from ranks
         ("withnull", java.lang.Double.valueOf(3.0)),
-        ("allnull", null))                           // group emits null percentiles
+        ("allnull", null),                           // group emits null percentiles
+        (null, java.lang.Double.valueOf(5.0)),       // NULL is an ordinary group
+        (null, java.lang.Double.valueOf(7.0)),       // to percentile() — the
+        (null, java.lang.Double.valueOf(9.0)))       // operator must agree
     val df = rows.toDF("g", "v")
     val ps = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
 

@@ -47,8 +47,11 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
   test("compaction collapses the shard count to the target file layout") {
     graft.queries.ScaleQueries.q95Compaction(spark, sfDir).collect()
     val (shards, compact) = graft.queries.ScaleQueries.compactionDirs(sfDir)
-    def partFiles(p: java.nio.file.Path): Long =
-      Files.list(p).filter(f => f.getFileName.toString.startsWith("part-")).count()
+    def partFiles(p: java.nio.file.Path): Long = {
+      val s = Files.list(p) // Files.list streams must be closed (fd leak)
+      try s.filter(f => f.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
     assert(partFiles(shards) >= 32, "shard layout must actually be fragmented")
     assert(partFiles(compact) <= 4, "compacted layout must hit the target file count")
   }
