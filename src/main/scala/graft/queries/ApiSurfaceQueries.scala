@@ -95,12 +95,45 @@ object ApiSurfaceQueries {
       |GROUP BY o_orderstatus
       |ORDER BY status""".stripMargin
 
+  /** `Dataset.observe` + `Observation` — the in-flight metrics surface: a
+    * pipeline attaches named aggregate metrics to a frame and reads them
+    * off the SAME pass that materializes it (no second scan, no separate
+    * monitoring query; the production use is data-quality counters on
+    * every batch). The gate materializes the observed frame through the
+    * noop sink, then returns the captured metrics as a 1-row frame the
+    * oracle recomputes independently.
+    */
+  def q98ObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import Exact._
+    val obs = new org.apache.spark.sql.Observation("graft_metrics")
+    Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        out2(sum(dec2(col("value")))).as("sum_value"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[Double],
+        m("n_purchase").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_value", "n_purchase")
+  }
+
+  val q98Oracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      |FROM events""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_observe_metrics" -> (q98ObserveMetrics _),
     "q65_pivot"       -> (q65Pivot _),
     "q66_na_handling" -> (q66NaHandling _),
     "q67_typed_ops"   -> (q67TypedOps _))
 
   val oracles: Map[String, String] = Map(
+    "q98_observe_metrics" -> q98Oracle,
     "q65_pivot"       -> q65Oracle,
     "q66_na_handling" -> q66Oracle,
     "q67_typed_ops"   -> q67Oracle)
