@@ -113,11 +113,16 @@ object ApiSurfaceQueries {
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
-    import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long],
-        m("sum_value").asInstanceOf[Double],
-        m("n_purchase").asInstanceOf[Long]))
-      .toDF("n_rows", "sum_value", "n_purchase")
+    // Row + explicit schema, not tuple unboxing: on an empty/all-null
+    // input the observed sum is null, and `.asInstanceOf[Double]` would
+    // silently coerce it to 0.0 where the oracle's SUM yields NULL
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(m("n_rows"), m("sum_value"), m("n_purchase"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_purchase", org.apache.spark.sql.types.LongType))))
   }
 
   val q98Oracle: String =

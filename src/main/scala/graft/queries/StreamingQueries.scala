@@ -104,14 +104,15 @@ object StreamingQueries {
 
   /** CUSTOM streaming state through a real streaming execution:
     * hand-built session windows via `flatMapGroupsWithState` (explicit
-    * per-user state + event-time timeout — see
-    * StreamingOps.customStateSessions). Emission rule on the bounded gate
-    * input: sessions closed by GAP EVIDENCE (a later event of the same
-    * user ≥ 30 min after their last) emit in-batch; each user's final
-    * open session emits only if the watermark (max ts − 1 h) passed its
-    * end via the timeout path. The oracle replays both rules in SQL —
-    * sessionization identical to q45's, the watermark compare in the same
-    * floored-millisecond arithmetic the GroupState API uses.
+    * per-user merged-session-list state + event-time timeout — see
+    * StreamingOps.customStateSessions). Emission is purely
+    * WATERMARK-DRIVEN — a session emits exactly when the watermark
+    * (max ts − 1 h on the bounded gate input) strictly passes its end;
+    * sessions ending inside the final watermark horizon stay in state,
+    * since a late event could still extend or bridge them. The oracle
+    * replays that rule in SQL — sessionization identical to q45's, the
+    * watermark compare in the same floored-millisecond arithmetic the
+    * GroupState API uses.
     */
   def q84StreamCustomState(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.customStateSessions(spark, dir, "graft_stream_custom")
@@ -136,11 +137,10 @@ object StreamingQueries {
       |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |  FROM sess
       |  GROUP BY user_id, sid),
-      |wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
-      |last AS (SELECT user_id, MAX(sid) AS max_sid FROM sessions GROUP BY user_id)
+      |wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events)
       |SELECT s.user_id, s.s_start, s.s_end, s.n, s.sum_value
-      |FROM sessions s JOIN last l USING (user_id), wm
-      |WHERE s.sid < l.max_sid OR epoch_ms(s.s_end) < wm.wm_ms
+      |FROM sessions s, wm
+      |WHERE epoch_ms(s.s_end) < wm.wm_ms
       |ORDER BY s.user_id, s.s_start""".stripMargin
 
   /** Streaming ingest dedup through a real streaming execution: the events

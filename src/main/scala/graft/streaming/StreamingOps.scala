@@ -194,21 +194,40 @@ object StreamingOps extends Serializable {
     * as [[sessionAgg]]'s built-in `session_window`, so the gate oracle can
     * replay it — with explicitly managed state and an EVENT-TIME TIMEOUT.
     *
-    * Per user and microbatch: merge the batch's events (sorted within the
-    * group; Spark does not order grouped input) into the open session
-    * carried in state. A session CLOSED by gap evidence (a later event ≥
-    * gap after its last) is emitted immediately — no watermark needed, the
-    * data itself proves no earlier event can extend it (events behind the
-    * watermark are dropped upstream). The still-open session goes back
-    * into state with `setTimeoutTimestamp(session end)`: when the
-    * watermark passes it, Spark hands the group back with `hasTimedOut`
-    * and the session flushes — bounded state on an unbounded stream, the
-    * exact posture `session_window` + watermark gives, built manually.
+    * This is the textbook sessionization shape (what the built-in
+    * operator's state store does internally): per user, state holds the
+    * SORTED LIST of gap-disjoint sessions still inside the watermark
+    * horizon. Each batch, new events enter as singleton sessions and the
+    * list re-merges by interval folding (session aggregates merge
+    * additively), which handles late-but-within-watermark events landing
+    * ANYWHERE — extending a session backward, forward, or BRIDGING two
+    * previously-separate sessions — exactly as `session_window` would.
+    * A session is emitted (and dropped from state) only when the
+    * watermark passes its end: no earlier event can arrive to extend or
+    * bridge it. Gap evidence alone is NOT sufficient under late data —
+    * a late event can fuse two gap-separated sessions — so eviction is
+    * purely watermark-driven, with `setTimeoutTimestamp` scheduling the
+    * no-data flush. Bounded state on an unbounded stream, built manually.
     *
     * Value sums accumulate as exact cent integers (the DECIMAL(12,2)
     * recipe in state form); the final division is the one IEEE operation,
     * matching the oracle's decimal-sum-then-cast bit-for-bit.
     */
+  /** Interval fold over start-sorted sessions: merge when the next starts
+    * before the current session's window end (aggregates add; max() on
+    * the end covers containment). A singleton "session" per event plus
+    * this fold IS sessionization — and re-folding state ∪ new events
+    * handles late arrivals that extend or BRIDGE existing sessions.
+    */
+  private[graft] def mergeSessions(
+      items: Seq[OpenSession], gapUs: Long): List[OpenSession] =
+    items.sortBy(_.startUs).foldLeft(List.empty[OpenSession]) {
+      case (cur :: done, s) if s.startUs < cur.lastUs + gapUs =>
+        OpenSession(cur.startUs, math.max(cur.lastUs, s.lastUs),
+          cur.n + s.n, cur.sumCents + s.sumCents) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+
   def customStateSessions(
       spark: SparkSession, dir: String, queryName: String): DataFrame = {
     import spark.implicits._
@@ -221,41 +240,26 @@ object StreamingOps extends Serializable {
     def fn(
         userId: Long,
         events: Iterator[(Long, java.sql.Timestamp, Long, Long)],
-        state: GroupState[OpenSession]): Iterator[SessionRow] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(toRow(userId, s))
+        state: GroupState[Seq[OpenSession]]): Iterator[SessionRow] = {
+      val incoming = events
+        .map { case (_, _, tsu, cents) => OpenSession(tsu, tsu, 1, cents) }
+        .toSeq
+      val merged = mergeSessions(state.getOption.getOrElse(Seq.empty) ++ incoming, GapUs)
+      // evict strictly below the watermark — the same strict compare the
+      // timeout trigger uses (timeout fires when timeoutTs < watermark),
+      // so emission is consistent across groups (ms precision — the
+      // GroupState API speaks millis)
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = merged.partition(s => (s.lastUs + GapUs) / 1000 < wm)
+      if (open.nonEmpty) {
+        state.update(open)
+        // next flush at the earliest remaining session end; the API
+        // requires a timestamp strictly beyond the current watermark
+        state.setTimeoutTimestamp(math.max(open.map(s => (s.lastUs + GapUs) / 1000).min, wm + 1))
       } else {
-        val sorted = events.map { case (_, _, tsu, cents) => (tsu, cents) }
-          .toArray.sortBy(_._1)
-        val closed = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
-        var open = state.getOption
-        sorted.foreach { case (tsu, cents) =>
-          open = open match {
-            case Some(s) if tsu < s.lastUs + GapUs =>
-              // min/max bounds, not plain assignment: a LATER microbatch
-              // may deliver an older-but-within-watermark event, which
-              // must widen the open session, never move its end backward
-              // (a shrunken lastUs would corrupt subsequent gap decisions
-              // and flush the timeout early)
-              Some(OpenSession(math.min(s.startUs, tsu), math.max(s.lastUs, tsu),
-                s.n + 1, s.sumCents + cents))
-            case Some(s) =>
-              closed += s
-              Some(OpenSession(tsu, tsu, 1, cents))
-            case None =>
-              Some(OpenSession(tsu, tsu, 1, cents))
-          }
-        }
-        open.foreach { s =>
-          state.update(s)
-          // flush when the watermark passes the session end (ms precision —
-          // the GroupState API takes millis)
-          state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000)
-        }
-        closed.iterator.map(toRow(userId, _))
+        state.remove()
       }
+      closed.iterator.map(toRow(userId, _))
     }
 
     val sessions = eventsReadStream(spark, dir)

@@ -28,6 +28,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("mergeSessions folds singletons into session_window semantics, incl. late bridging") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.OpenSession
+    val gap = 100L
+    def ev(ts: Long) = OpenSession(ts, ts, 1, ts) // cents = ts for traceability
+    // in-order: 0,50 merge; 200 separate (gap after 50+100)
+    assert(StreamingOps.mergeSessions(Seq(ev(0), ev(50), ev(200)), gap) ===
+      List(OpenSession(0, 50, 2, 50), OpenSession(200, 200, 1, 200)))
+    // a LATE event at 120 bridges the two sessions into one (120 < 50+100
+    // and 200 < 120+100) — the case gap-evidence emission would get wrong
+    assert(StreamingOps.mergeSessions(
+        Seq(OpenSession(0, 50, 2, 50), OpenSession(200, 200, 1, 200), ev(120)), gap) ===
+      List(OpenSession(0, 200, 4, 370)))
+    // a late event BEFORE an existing session's start extends it backward
+    // only if within the gap; farther out it stays its own session
+    assert(StreamingOps.mergeSessions(Seq(OpenSession(200, 250, 2, 10), ev(150)), gap) ===
+      List(OpenSession(150, 250, 3, 160)))
+    assert(StreamingOps.mergeSessions(Seq(OpenSession(200, 250, 2, 10), ev(50)), gap) ===
+      List(OpenSession(50, 50, 1, 50), OpenSession(200, 250, 2, 10)))
+    // containment: a wide session absorbs a narrow later-starting one
+    assert(StreamingOps.mergeSessions(
+        Seq(OpenSession(0, 500, 5, 100), OpenSession(100, 120, 2, 20)), gap) ===
+      List(OpenSession(0, 500, 7, 120)))
+  }
+
   test("flatMapGroupsWithState custom per-user counter matches batch counts (B18)") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val input = MemoryStream[(Long, Double)](spark, 1)
