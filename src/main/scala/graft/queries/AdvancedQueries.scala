@@ -395,7 +395,63 @@ object AdvancedQueries {
       |FROM documents
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Exponential time-decay features — the recency-weighted activity
+    * signal (feature-store staple): per user, over the trailing 16 events,
+    * a half-life-per-event weighted value sum. Weights are powers of two
+    * over CENTS integers, so every term (cents·2^-k, k ≤ 15: a 31-bit
+    * dyadic) and every partial sum stays exact in double arithmetic —
+    * order-independent, hence replayable bit-for-bit by the oracle's
+    * index-aware list fold. One window exchange on user_id; the frame
+    * fold is per-row compute (no second shuffle). `ewma` divides two
+    * identical exact doubles, so it too is deterministic across engines.
+    */
+  def q103DecayFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w16 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, Window.currentRow)
+    val withArr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("arr", collect_list(col("cents")).over(w16))
+    val m = size(col("arr"))
+    // fold with index: element i (0-based) of an m-frame weighs 2^(i-m+1)
+    // — current row (last) weighs 1, each step back halves
+    val decayed = aggregate(
+      col("arr"),
+      struct(lit(0.0).as("s"), lit(0).as("i")),
+      (acc, x) => struct(
+        (acc.getField("s") +
+          x.cast(DoubleType) * pow(lit(2.0), acc.getField("i") - m + 1)).as("s"),
+        (acc.getField("i") + 1).as("i")),
+      acc => acc.getField("s"))
+    // geometric norm over the actual frame: sum 2^(i-m+1) = 2 - 2^(1-m)
+    val norm = lit(2.0) - pow(lit(2.0), lit(1) - m)
+    withArr.select(
+      col("user_id"), col("event_id"), col("ts"),
+      decayed.as("decay_cents"),
+      // no rounding: both engines divide IDENTICAL exact doubles, and
+      // identical doubles stringify identically — a round() would only
+      // introduce cross-engine tie-rule risk
+      (decayed / norm / 100.0).as("ewma"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q103Oracle: String =
+    """SELECT user_id, event_id, ts,
+      |  list_sum(list_transform(arr, (x, i) -> x * power(2.0, i - len(arr)))) AS decay_cents,
+      |  list_sum(list_transform(arr, (x, i) -> x * power(2.0, i - len(arr))))
+      |    / (2.0 - power(2.0, 1 - len(arr))) / 100.0 AS ewma
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+      |  FROM (SELECT user_id, event_id, ts,
+      |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |        FROM events))
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_decay_features"   -> (q103DecayFeatures _),
     "q94_hll_sketch_rollup" -> (q94HllSketchRollup _),
     "q96_funnel"            -> (q96Funnel _),
     "q69_approx_percentiles" -> (q69ApproxPercentiles _),
@@ -410,6 +466,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q103_decay_features"   -> q103Oracle,
     "q94_hll_sketch_rollup" -> q94Oracle,
     "q96_funnel"            -> q96Oracle,
     "q63_train_test_split" -> q63Oracle,

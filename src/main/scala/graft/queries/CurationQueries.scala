@@ -271,7 +271,45 @@ object CurationQueries {
       |  ORDER BY sel_key DESC, doc_id
       |  LIMIT 20)""".stripMargin
 
+  /** Sliding-window document chunking — the step that turns a cleaned
+    * corpus into training-sized pieces: fixed 120-char windows advancing
+    * by a 90-char stride (25% overlap so no boundary context is lost),
+    * one output row per (doc, window). Pure projection + generate over
+    * the scan — `sequence`/`posexplode` runs per-row with no shuffle, so
+    * chunking 100 TB is a single map pass whose output partitioning
+    * inherits the scan's. Chunk text is emitted by md5 (the q79 recipe:
+    * content-addressed, compare-friendly); offsets and lengths are exact.
+    */
+  def q101DocChunking(spark: SparkSession, dir: String): DataFrame = {
+    val stride = 90
+    val win = 120
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), ((col("n") - 1) / stride).cast(IntegerType))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        (col("pos") * stride).as("chunk_start"),
+        col("text").substr(col("pos") * stride + 1, lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q101Oracle: String =
+    """SELECT doc_id, CAST(k AS INTEGER) AS chunk_id, CAST(k * 90 AS INTEGER) AS chunk_start,
+      |  CAST(length(chunk) AS INTEGER) AS chunk_len, md5(chunk) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, k, substr(text, CAST(k * 90 + 1 AS INTEGER), 120) AS chunk
+      |  FROM documents, UNNEST(range(0, (length(text) - 1) // 90 + 1)) AS t(k)
+      |  WHERE length(text) > 0)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_doc_chunking"      -> (q101DocChunking _),
     "q90_cms_heavy_hitters"  -> (q90CmsHeavyHitters _),
     "q91_weighted_sample"    -> (q91WeightedSample _),
     "q78_quality_repetition" -> (q78QualityRepetition _),
@@ -280,6 +318,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q101_doc_chunking"      -> q101Oracle,
     "q90_cms_heavy_hitters"  -> q90Oracle,
     "q91_weighted_sample"    -> q91Oracle,
     "q78_quality_repetition" -> q78Oracle,

@@ -246,7 +246,39 @@ object EtlQueries {
       |  UNION ALL SELECT total, 'unique_o_orderkey', CAST(c5 AS BIGINT) FROM wide)
       |ORDER BY check_name""".stripMargin
 
+  /** SCD Type-2 dimension history from a change stream: each user's event
+    * stream is read as attribute updates to `event_type`; consecutive
+    * duplicates collapse and the surviving versions get [valid_from,
+    * valid_to) intervals with the open one flagged current — the standard
+    * warehouse dimension-history build ([[Transforms.scd2Historize]]).
+    */
+  def q102Scd2History(spark: SparkSession, dir: String): DataFrame =
+    Transforms.scd2Historize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+      keys = Seq("user_id"), attrs = Seq("event_type"),
+      ts = "ts", tieBreak = Seq("event_id"))
+      .orderBy(col("user_id"), col("version"))
+
+  val q102Oracle: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    ROW_NUMBER() OVER w AS rn, LAG(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |versions AS (
+      |  SELECT user_id, event_id, ts, event_type FROM ordered
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER w2 AS valid_to,
+      |  LEAD(ts) OVER w2 IS NULL AS is_current,
+      |  CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+      |FROM versions
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_scd2_history" -> (q102Scd2History _),
     "q70_cdc_apply"     -> (q70CdcApply _),
     "q71_data_quality"  -> (q71DataQuality _),
     "q68_etl_pipeline"  -> (q68EtlPipeline _),
@@ -257,6 +289,7 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q102_scd2_history" -> q102Oracle,
     "q70_cdc_apply"     -> q70CdcOracle,
     "q71_data_quality"  -> q71Oracle,
     "q68_etl_pipeline"  -> q68Oracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.sources.{CsvSource, JsonSource, XmlSource}
+import graft.sources.{CsvSource, JsonSource, OrcSource, XmlSource}
 
 /** API-surface queries: the SQL parser entry point and the file-format
   * sources (A1–A3) exercised inside the correctness gate via write→read
@@ -94,15 +94,34 @@ object SurfaceQueries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** ORC: typed columnar roundtrip of part — ORC carries the schema in the
+    * file footer (no inference, no casts needed back), and the read-back
+    * scan gets the same vectorized/pushdown treatment as parquet.
+    */
+  def q99OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "orc")
+    Tables.part(spark, dir).write.mode(SaveMode.Overwrite).orc(out)
+    OrcSource(out).fetch(spark)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q99Oracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_sql_entry"     -> (q52SqlEntry _),
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q54_json_roundtrip" -> (q54JsonRoundtrip _),
-    "q55_xml_roundtrip" -> (q55XmlRoundtrip _))
+    "q55_xml_roundtrip" -> (q55XmlRoundtrip _),
+    "q99_orc_roundtrip" -> (q99OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q52_sql_entry"     -> q52Oracle,
     "q53_csv_roundtrip" -> q53Oracle,
     "q54_json_roundtrip" -> q54Oracle,
-    "q55_xml_roundtrip" -> q55Oracle)
+    "q55_xml_roundtrip" -> q55Oracle,
+    "q99_orc_roundtrip" -> q99Oracle)
 }

@@ -171,8 +171,49 @@ object Windows {
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_sec, event_id""".stripMargin
 
+  /** B10 navigation functions with IGNORE NULLS — the gap-fill toolkit.
+    * Sparse observations (nulls planted on a deterministic key slice) are
+    * imputed per user timeline: `locf` carries the last observation
+    * forward (last_value over the growing frame), `next_obs` pulls the
+    * next non-null ahead (lead IGNORE NULLS), and first/nth over the full
+    * frame anchor the series. Same one-exchange shape as every window
+    * query — all five functions share one (partitionBy, orderBy) spec.
+    */
+  def q100WindowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(money(col("value"))).as("v"))
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("v"),
+        last(col("v"), ignoreNulls = true).over(grow).as("locf"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(ord).as("next_obs"),
+        first(col("v"), ignoreNulls = true).over(full).as("first_obs"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(full).as("second_obs"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q100Oracle: String =
+    """SELECT user_id, event_id, ts, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+      |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_obs,
+      |  first_value(v IGNORE NULLS) OVER wf AS first_obs,
+      |  nth_value(v, 2 IGNORE NULLS) OVER wf AS second_obs
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_id % 7 = 0 THEN NULL
+      |             ELSE CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) END AS v
+      |      FROM events)
+      |WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_window_range_frame" -> (q97WindowRangeFrame _),
+    "q100_window_navigation" -> (q100WindowNavigation _),
     "q14_window_rank"    -> (q14WindowRank _),
     "q15_window_lag"     -> (q15WindowLag _),
     "q16_window_running" -> (q16WindowRunning _),
@@ -181,6 +222,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "q97_window_range_frame" -> q97Oracle,
+    "q100_window_navigation" -> q100Oracle,
     "q14_window_rank"    -> q14Oracle,
     "q15_window_lag"     -> q15Oracle,
     "q16_window_running" -> q16Oracle,

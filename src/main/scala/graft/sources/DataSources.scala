@@ -53,6 +53,15 @@ final case class ParquetSource(path: String) extends DataSource {
   def fetch(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** ORC source — the second columnar lake format Spark ships natively.
+  * Same scan machinery as parquet (vectorized reader, predicate pushdown,
+  * column pruning via ReadSchema), so everything the engine proves about
+  * parquet scans holds for ORC-resident data too.
+  */
+final case class OrcSource(path: String) extends DataSource {
+  def fetch(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** JDBC table/query source ≙ reference `services/data_source.py:78-111`.
   *
   * Scale note: the reference reads whole tables on a single partition

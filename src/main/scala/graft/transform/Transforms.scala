@@ -61,6 +61,35 @@ object Transforms {
   def mapColumnsToTarget(df: DataFrame, schema: TargetSchema): DataFrame =
     df.select(schema.columns.map(m => castTo(col(m.source), m).as(m.name)): _*)
 
+  /** SCD Type-2 historization: collapse an ordered change stream into
+    * versioned validity intervals per key. Consecutive rows whose tracked
+    * attributes are unchanged (null-safe compare) fold into one version;
+    * each surviving version spans [valid_from, valid_to) with the open
+    * interval flagged `is_current` — the standard warehouse dimension-
+    * history shape, built from two window passes over the SAME (key,
+    * order) partitioning: change detection on the full stream, then
+    * lead() interval stitching on the (much smaller) version set. One
+    * exchange keyed on the dimension key at any scale; `tieBreak` makes
+    * ordering total so the version history is deterministic.
+    */
+  def scd2Historize(
+      df: DataFrame, keys: Seq[String], attrs: Seq[String],
+      ts: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (ts +: tieBreak).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val changed = attrs.map(a => not(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val versions = df
+      .withColumn("__chg", row_number().over(w) === 1 || changed)
+      .filter(col("__chg"))
+    versions.select(
+      (keys ++ attrs).map(col) ++ Seq(
+        col(ts).as("valid_from"),
+        lead(col(ts), 1).over(w).as("valid_to"),
+        lead(col(ts), 1).over(w).isNull.as("is_current"),
+        row_number().over(w).as("version")): _*)
+  }
+
   /** AES-GCM column decryption ≙ driver-side `decrypt_pass`
     * (`utils/helper_functions.py:54-74`) lifted into a codegen'd Spark
     * expression: runs distributed on executors instead of one Python driver.
