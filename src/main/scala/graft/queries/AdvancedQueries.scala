@@ -450,7 +450,106 @@ object AdvancedQueries {
       |        FROM events))
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Correlation / regression statistics, INTEGER-EXACT: Pearson r and
+    * the OLS slope between event value (cents) and hour-of-day, per event
+    * type. Both engines' stock corr() aggregates disagree in the last ulp
+    * (different accumulation orders), so the moments n, Σx, Σy, Σxy, Σx²,
+    * Σy² are computed as BIGINTs — one map-side-combined aggregate, exact
+    * and order-independent — and r/slope assemble from them with
+    * identical IEEE ops (sqrt is correctly rounded; divisions see
+    * identical operands). This is also the SCALABLE shape: moments
+    * partial-aggregate; a rank-based or pairwise formulation would not.
+    */
+  def q110CorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type"),
+      (dec2(col("value")) * 100).cast(LongType).as("x"),
+      hour(col("ts")).cast(LongType).as("y"))
+    val n = col("n")
+    val cxy = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sx2") - col("sx") * col("sx")
+    val vy = n * col("sy2") - col("sy") * col("sy")
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(
+        col("event_type"), n,
+        when(vx > 0 && vy > 0,
+          cxy.cast(DoubleType)
+            / (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))))
+          .as("pearson_r"),
+        when(vx > 0, cxy.cast(DoubleType) / vx.cast(DoubleType)).as("ols_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  val q110Oracle: String =
+    """SELECT event_type, n,
+      |  CASE WHEN n*sx2 - sx*sx > 0 AND n*sy2 - sy*sy > 0
+      |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) * sqrt(CAST(n*sy2 - sy*sy AS DOUBLE)))
+      |  END AS pearson_r,
+      |  CASE WHEN n*sx2 - sx*sx > 0
+      |    THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)
+      |  END AS ols_slope
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sx2, CAST(SUM(y*y) AS BIGINT) AS sy2
+      |  FROM (SELECT event_type,
+      |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |          CAST(hour(ts) AS BIGINT) AS y
+      |        FROM events)
+      |  GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** Exact ROLLING median — the robust rolling signal (spike-resistant
+    * where q103's decay mean is not): per user, the median of the
+    * trailing 15 events' values. The frame is BOUNDED, so the per-row
+    * sort is O(16 log 16) compute inside the projection — no second
+    * shuffle, no percentile state; the only exchange is the window's
+    * user_id partition. Arithmetic is cents-integer: the median of an
+    * even frame averages two longs with one identical IEEE division, so
+    * the oracle matches bit-for-bit. (Unbounded exact percentiles are a
+    * different operator — q57's distributed rank.)
+    */
+  def q111RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w15 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-14, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("sorted", sort_array(collect_list(col("cents")).over(w15)))
+      .withColumn("m", size(col("sorted")))
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("m").as("n_frame"),
+        // lo = hi at odd m; even m averages the two middle cents values
+        ((expr("element_at(sorted, cast((m + 1) div 2 as int))")
+          + expr("element_at(sorted, cast(m div 2 + 1 as int))")) / 200.0)
+          .as("rolling_median"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q111Oracle: String =
+    """SELECT user_id, event_id, ts, CAST(len(l) AS INTEGER) AS n_frame,
+      |  (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 200.0 AS rolling_median
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS l
+      |  FROM (SELECT user_id, event_id, ts,
+      |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |        FROM events))
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_rolling_median"   -> (q111RollingMedian _),
+    "q110_corr_stats"       -> (q110CorrStats _),
     "q103_decay_features"   -> (q103DecayFeatures _),
     "q94_hll_sketch_rollup" -> (q94HllSketchRollup _),
     "q96_funnel"            -> (q96Funnel _),
@@ -466,6 +565,8 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q111_rolling_median"   -> q111Oracle,
+    "q110_corr_stats"       -> q110Oracle,
     "q103_decay_features"   -> q103Oracle,
     "q94_hll_sketch_rollup" -> q94Oracle,
     "q96_funnel"            -> q96Oracle,

@@ -308,7 +308,48 @@ object CurationQueries {
       |  WHERE length(text) > 0)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Per-group z-score outlier flagging — the length-anomaly screen a
+    * curation pipeline runs per source (truncated docs, concatenation
+    * blowups). The verdict is INTEGER-EXACT: with n, S=Σx, S2=Σx² as
+    * BIGINTs, z² > 4 is exactly (n·x−S)² > 4·(n·S2−S²) — no float in the
+    * decision, so both engines agree bit-for-bit; the reported z-score
+    * divides the same exact longs (identical IEEE ops). Scale shape:
+    * one tiny per-source aggregate broadcast back over the scan — two
+    * map passes, no fact shuffle (the q92-stats recipe, per group).
+    */
+  def q104OutlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    val dev = col("n") * col("n_chars") - col("s")
+    val varn = col("n") * col("s2") - col("s") * col("s")
+    docs.join(broadcast(stats), "source")
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        when(varn > 0, dev.cast(DoubleType) / sqrt(varn.cast(DoubleType)))
+          .as("zscore"),
+        (dev * dev > varn * 4).as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Oracle: String =
+    """WITH stats AS (
+      |  SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+      |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, source, n_chars,
+      |  CASE WHEN n*s2 - s*s > 0
+      |    THEN CAST(n*n_chars - s AS DOUBLE) / sqrt(CAST(n*s2 - s*s AS DOUBLE))
+      |  END AS zscore,
+      |  (n*n_chars - s)*(n*n_chars - s) > 4*(n*s2 - s*s) AS is_outlier
+      |FROM documents JOIN stats USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_outlier_zscore"    -> (q104OutlierZscore _),
     "q101_doc_chunking"      -> (q101DocChunking _),
     "q90_cms_heavy_hitters"  -> (q90CmsHeavyHitters _),
     "q91_weighted_sample"    -> (q91WeightedSample _),
@@ -318,6 +359,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q104_outlier_zscore"    -> q104Oracle,
     "q101_doc_chunking"      -> q101Oracle,
     "q90_cms_heavy_hitters"  -> q90Oracle,
     "q91_weighted_sample"    -> q91Oracle,

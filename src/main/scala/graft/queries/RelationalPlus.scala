@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -101,12 +102,49 @@ object RelationalPlus {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** NULL-safe equi-join (`<=>`): keys where one priority class is nulled
+    * out on BOTH sides still pair up — `NULL <=> NULL` is TRUE, where a
+    * plain `=` join silently drops the whole null class (the classic
+    * lost-rows bug when dimension keys carry nulls). Null-safe equality
+    * is still hashable, so the join keeps the ordinary broadcast-hash
+    * shape — no fallback to a nested-loop plan.
+    */
+  def q105NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def key(c: org.apache.spark.sql.Column) =
+      when(c === "3-MEDIUM", lit(null)).otherwise(c)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), key(col("o_orderpriority")).as("k"),
+        col("o_totalprice"))
+    val dim = orders.groupBy(col("k"))
+      .agg((sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).cast(DoubleType)
+        / count(lit(1))).as("k_avg"))
+    orders.as("o").join(broadcast(dim.as("d")), col("o.k") <=> col("d.k"))
+      .groupBy(col("o.k").as("k"))
+      .agg(count(lit(1)).as("n_orders"), min(col("d.k_avg")).as("k_avg"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val q105Oracle: String =
+    """WITH keyed AS (
+      |  SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS k, o_totalprice
+      |  FROM orders),
+      |dim AS (
+      |  SELECT k, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+      |    / COUNT(*) AS k_avg
+      |  FROM keyed GROUP BY k)
+      |SELECT o.k, COUNT(*) AS n_orders, MIN(d.k_avg) AS k_avg
+      |FROM keyed o JOIN dim d ON o.k IS NOT DISTINCT FROM d.k
+      |GROUP BY o.k
+      |ORDER BY o.k NULLS FIRST""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_null_safe_join" -> (q105NullSafeJoin _),
     "q87_join_full_outer" -> (q87JoinFullOuter _),
     "q88_unpivot"         -> (q88Unpivot _),
     "q89_grouping_sets"   -> (q89GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q105_null_safe_join" -> q105Oracle,
     "q87_join_full_outer" -> q87Oracle,
     "q88_unpivot"         -> q88Oracle,
     "q89_grouping_sets"   -> q89Oracle)

@@ -585,7 +585,195 @@ object SimilarityQueries {
        |FROM docs_p p LEFT JOIN labels l USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
 
+  /** Asymmetric CONTAINMENT dedup — |A∩B| / |A| over trigram sets: the
+    * boilerplate/inclusion detector symmetric Jaccard misses (a short doc
+    * pasted inside a long one scores low Jaccard but containment ≈ 1).
+    * Candidates come from RARE-shingle anchors: only shingles appearing
+    * in 2–5 documents generate pairs, so per-shingle fan-out is ≤ C(5,2)
+    * and the candidate join is a skew-free equi-join on the shingle
+    * string at any corpus size (the df cap is what makes this 100 TB-
+    * safe — common shingles, the skew risk, are exactly the ones that
+    * carry no pairing signal). Scoring joins the pair list back to the
+    * per-doc shingle arrays and computes exact set containment.
+    */
+  def q107ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+    val e = d.select(col("doc_id"), explode(col("sh")).as("t"))
+    val rare = e.groupBy(col("t")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 5))
+      .select(col("t"))
+    val pairs = e.join(rare, "t")
+      .join(e.select(col("doc_id").as("id_b"), col("t")), "t")
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          / size(col("sh_a")), 6).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q107Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tri =
+      s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+         |     ELSE list_transform(range(1, len($toks) - 1),
+         |            i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, list_distinct($tri) AS sh FROM documents),
+       |e AS (SELECT doc_id, unnest(sh) AS t FROM d),
+       |rare AS (SELECT t FROM (SELECT t, COUNT(*) AS nd FROM e GROUP BY t)
+       |         WHERE nd BETWEEN 2 AND 5),
+       |pairs AS (
+       |  SELECT DISTINCT e1.doc_id AS id_a, e2.doc_id AS id_b
+       |  FROM e e1 JOIN rare USING (t) JOIN e e2 USING (t)
+       |  WHERE e1.doc_id < e2.doc_id)
+       |SELECT id_a, id_b, n_common, containment FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common,
+       |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+       |      AS containment
+       |  FROM pairs JOIN d a ON a.doc_id = id_a JOIN d b ON b.doc_id = id_b)
+       |WHERE containment >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** PRODUCT QUANTIZATION ANN (B16's compression path): the 64-dim space
+    * splits into 2 subspaces of 32; each subspace trains its own 8-code
+    * codebook (integer-grid Lloyd's — the q85 recipe, so training is
+    * exactly SQL-replayable); every vector compresses to 2 code ids (6
+    * bits replacing 512 float bits — the memory posture that makes
+    * billion-vector indexes fit); queries score candidates by ADC
+    * (asymmetric distance computation): per-query distance TABLES to each
+    * codebook (8 queries × 8 codes × 2 subspaces = 128 tiny rows,
+    * broadcast), then approx distance = d0[c0] + d1[c1] via two
+    * broadcast equi-joins on the code ids — the corpus is scanned once
+    * as (vec_id, c0, c1), never carrying vectors. All arithmetic is
+    * integer-exact (grid squares summed in doubles), so ADC scores and
+    * the top-k ranking hash-match the oracle bit-for-bit.
+    */
+  def q112AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val h = 32 // subspace width (dim 64 / M=2)
+    val vq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * 16 + lit(0.5)).cast(DoubleType)).as("v"))
+    val sub = Seq(slice(col("v"), 1, h), slice(col("v"), h + 1, h))
+    // per-subspace codebooks: integer-grid k-means, 8 codes, 2 rounds
+    val cbs = sub.map { s =>
+      kmeansCentroids(vq.select(col("vec_id"), s.as("v")),
+        k = 8, iters = 2, gridRound = true)
+    }
+    val cents = cbs.map(_.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
+    // encode: 2 codegen'd argmin projections — zero exchange over the corpus
+    val coded = vq
+      .withColumn("c0", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(sub(0), cents(0), 1), 1))
+      .withColumn("c1", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(sub(1), cents(1), 1), 1))
+      .select(col("vec_id"), col("c0"), col("c1"))
+    // ADC tables: per (query, code) squared distance in each subspace
+    val qs = vq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val Seq(t0, t1) = cbs.zipWithIndex.map { case (cb, i) =>
+      val qsub = if (i == 0) slice(col("qv"), 1, h) else slice(col("qv"), h + 1, h)
+      qs.join(broadcast(cb), lit(true))
+        .select(col("qid"), col("cid").as(s"c$i"), distSq(qsub, col("cv")).as(s"d$i"))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    coded.join(broadcast(t0), "c0")
+      .join(broadcast(t1), Seq("qid", "c1"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"), (col("d0") + col("d1")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** q112 oracle: both subspace trainings unrolled exactly as q85's (init
+    * by vec_id, argmin via monotone list_distance with ties to the lower
+    * cid, grid-snapped means, empty-cluster carry), then encoding, ADC
+    * tables via an EXACT squared distance (indexed-lambda integer sum —
+    * list_distance's sqrt would not replay bit-for-bit), and the
+    * candidate ranking.
+    */
+  val q112Oracle: String = {
+    val k = 8
+    val iters = 2
+    def kmeans(src: String, p: String): String = {
+      def iteration(i: Int): String = {
+        val prev = s"$p${i - 1}"
+        s"""${p}a$i AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT s.vec_id, s.v, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |        ORDER BY list_distance(s.v, c.cv), c.cid) AS arn
+           |    FROM $src s, $prev c) WHERE arn = 1),
+           |${p}m$i AS (
+           |  SELECT cid, list(val ORDER BY pos) AS cv FROM (
+           |    SELECT cid, pos, FLOOR(SUM(x) / COUNT(*) + 0.5) AS val
+           |    FROM (SELECT cid, unnest(v) AS x,
+           |            unnest(range(1, len(v) + 1)) AS pos FROM ${p}a$i)
+           |    GROUP BY cid, pos)
+           |  GROUP BY cid),
+           |$p$i AS (
+           |  SELECT p.cid, COALESCE(${p}m$i.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN ${p}m$i USING (cid))""".stripMargin
+      }
+      s"""${p}0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+         |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
+         |${(1 to iters).map(iteration).mkString(",\n")}""".stripMargin
+    }
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))) AS DOUBLE)"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 16 + 0.5)) AS v
+       |  FROM embeddings),
+       |s0 AS (SELECT vec_id, v[1:32] AS v FROM v),
+       |s1 AS (SELECT vec_id, v[33:64] AS v FROM v),
+       |${kmeans("s0", "ca")},
+       |${kmeans("s1", "cb")},
+       |enc0 AS (
+       |  SELECT vec_id, cid AS c0 FROM (
+       |    SELECT s.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_distance(s.v, c.cv), c.cid) AS rn
+       |    FROM s0 s, ca$iters c) WHERE rn = 1),
+       |enc1 AS (
+       |  SELECT vec_id, cid AS c1 FROM (
+       |    SELECT s.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_distance(s.v, c.cv), c.cid) AS rn
+       |    FROM s1 s, cb$iters c) WHERE rn = 1),
+       |code AS (SELECT vec_id, c0, c1 FROM enc0 JOIN enc1 USING (vec_id)),
+       |t0 AS (SELECT q.vec_id AS qid, c.cid AS c0, ${d2("q.v", "c.cv")} AS d0
+       |       FROM s0 q, ca$iters c WHERE q.vec_id < 8),
+       |t1 AS (SELECT q.vec_id AS qid, c.cid AS c1, ${d2("q.v", "c.cv")} AS d1
+       |       FROM s1 q, cb$iters c WHERE q.vec_id < 8),
+       |adc AS (
+       |  SELECT t0.qid, code.vec_id AS vid, t0.d0 + t1.d1 AS adc
+       |  FROM code JOIN t0 USING (c0) JOIN t1 ON t1.qid = t0.qid AND t1.c1 = code.c1
+       |  WHERE code.vec_id <> t0.qid)
+       |SELECT qid, vid, adc, rn FROM (
+       |  SELECT qid, vid, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS INTEGER) AS rn
+       |  FROM adc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_ann_pq"            -> (q112AnnPq _),
+    "q107_containment_dedup" -> (q107ContainmentDedup _),
     "q72_dedup_clusters" -> (q72DedupClusters _),
     "q36_dedup_minhash"  -> (q36DedupMinhash _),
     "q37_dedup_simhash"  -> (q37DedupSimhash _),
@@ -598,6 +786,8 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q112_ann_pq"            -> q112Oracle,
+    "q107_containment_dedup" -> q107Oracle,
     "q36_dedup_minhash"  -> q36Oracle,
     "q37_dedup_simhash"  -> q37Oracle,
     "q38_ngram_jaccard"  -> q38Oracle,

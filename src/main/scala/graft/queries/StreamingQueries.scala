@@ -156,7 +156,53 @@ object StreamingQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Stream-static broadcast enrichment through a REAL streaming
+    * execution: the events stream joins the batch customer dimension
+    * (market segment lookup) inside each microbatch — stateless by
+    * construction — then aggregates tumbling windows per segment. The
+    * oracle replays the same join+window in batch SQL (exact on bounded
+    * input, complete mode).
+    */
+  def q106StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    StreamingOps.runStreamSync(spark, dir,
+      StreamingOps.enrichedTumblingAgg(dim, "c_custkey", "c_mktsegment"),
+      "graft_stream_static")
+      .orderBy(col("w_start"), col("c_mktsegment"))
+  }
+
+  val q106Oracle: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, c_mktsegment,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY w_start, c_mktsegment""".stripMargin
+
+  /** foreachBatch streaming upsert sink: the bounded event stream drains
+    * into a keyed parquet table (latest row per user), and the FINAL
+    * TARGET STATE is the gated result — proving the stream→batch-sink
+    * bridge end-to-end. The oracle replays "latest event per user" over
+    * the same bounded input.
+    */
+  def q108StreamUpsert(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamUpsertSink(spark, dir)
+      .orderBy(col("user_id"))
+
+  val q108Oracle: String =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_stream_upsert" -> (q108StreamUpsert _),
+    "q106_stream_static_join" -> (q106StreamStaticJoin _),
     "q43_window_tumbling" -> (q43Tumbling _),
     "q44_window_sliding"  -> (q44Sliding _),
     "q45_session_window"  -> (q45Session _),
@@ -167,6 +213,8 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q108_stream_upsert" -> q108Oracle,
+    "q106_stream_static_join" -> q106Oracle,
     "q43_window_tumbling" -> q43Oracle,
     "q44_window_sliding"  -> q44Oracle,
     "q45_session_window"  -> q45Oracle,

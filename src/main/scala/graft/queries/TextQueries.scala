@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -122,13 +123,65 @@ object TextQueries {
       |FROM u
       |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary build + document encoding — the tokenize-to-ids step
+    * between cleaning and sequence packing (q64): the top-256 tokens by
+    * corpus frequency (deterministic tie-break on the token string) get
+    * dense ids by rank; every document becomes its id sequence, OOV
+    * tokens → -1. Scale shape: the vocab is a TakeOrdered over the
+    * (token, count) aggregate — tiny by construction — broadcast back
+    * over the exploded corpus; sequence order is restored by sorting on
+    * the captured token position, never by shuffle luck. The id array is
+    * emitted content-addressed (md5 of the comma-joined ids — the q82
+    * recipe, since the driver compare cannot sort raw array cells).
+    */
+  def q109VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val byFreq = Window.orderBy(col("n").desc, col("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(256)
+      .select(col("tok"), (row_number().over(byFreq) - 1).as("tok_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(-1)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast(StringType)), ",")).as("ids_md5"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("id") === -1, 1)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH t AS (
+       |  SELECT doc_id, u.s['pos'] AS pos, u.s['tok'] AS tok
+       |  FROM (SELECT doc_id, unnest(list_transform($toks,
+       |          (x, i) -> {'tok': x, 'pos': i})) AS s FROM documents) u),
+       |vocab AS (
+       |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS INTEGER) AS tok_id
+       |  FROM (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+       |        ORDER BY n DESC, tok LIMIT 256))
+       |SELECT doc_id,
+       |  md5(string_agg(CAST(COALESCE(tok_id, -1) AS VARCHAR), ',' ORDER BY pos)) AS ids_md5,
+       |  COUNT(*) AS n_tokens,
+       |  COUNT(*) FILTER (tok_id IS NULL) AS n_oov
+       |FROM t LEFT JOIN vocab USING (tok)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_vocab_encode" -> (q109VocabEncode _),
     "q32_text_stats"   -> (q32TextStats _),
     "q33_lang_id"      -> (q33LangId _),
     "q34_token_counts" -> (q34TokenCounts _),
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q109_vocab_encode" -> q109Oracle,
     "q32_text_stats"   -> q32Oracle,
     "q33_lang_id"      -> q33Oracle,
     "q34_token_counts" -> q34Oracle,

@@ -52,6 +52,26 @@ object StreamingOps extends Serializable {
           .cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: the streaming fact joined to a BATCH
+    * dimension (the lookup-table pattern — reference data loaded once,
+    * every microbatch joins against it). The dim side is broadcast, so
+    * each microbatch is a map-side hash join with no stateful join
+    * operator and no watermark requirement — unlike stream-stream joins,
+    * stream-static joins are stateless by construction. Aggregation then
+    * windows on event time per dimension attribute.
+    */
+  def enrichedTumblingAgg(
+      dim: DataFrame, dimKey: String, segment: String)(
+      events: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim(dimKey))
+      .groupBy(window(col("ts"), "6 hours"), col(segment))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("w_start"), col(segment), col("n"), col("sum_value"))
+
   /** Sliding-window aggregate: 1-hour windows every 30 minutes — each event
     * lands in exactly two windows.
     */
@@ -170,6 +190,44 @@ object StreamingOps extends Serializable {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     drainToTable(spark, deduped, queryName, "append")
+  }
+
+  /** Streaming UPSERT SINK via foreachBatch — the production "stream into
+    * a keyed table" pattern: each microbatch is reduced to its latest row
+    * per key, then staged-upserted into a parquet target
+    * ([[graft.store.ParquetStore]] — read-merge-swap, the same semantics
+    * the JDBC store executes against a database). foreachBatch is the
+    * bridge between Structured Streaming and any batch writer: the sink
+    * logic is ordinary DataFrame code, retried per batch id. The per-key
+    * merge assumes per-key event-time order across batches (file-replay
+    * order here); an out-of-order source would version the upsert on a
+    * sequence column (the [[graft.store.ApplyChangelog]] recipe).
+    * Returns the final target state after draining the bounded stream.
+    */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Staging.dir("graft_stream_upsert", dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val target = root.resolve("state").toString
+    val store = new graft.store.ParquetStore(target, Seq("user_id"))
+    val q = eventsReadStream(spark, dir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.transform.Transforms.dedupKeyed(
+          batch, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select(
+            col("user_id"), col("ts").as("last_ts"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            col("value").cast(DecimalType(12, 2)).cast(DoubleType).as("last_value"))
+        store.upsert(latest)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(target)
   }
 
   /** Open-session state carried across microbatches by

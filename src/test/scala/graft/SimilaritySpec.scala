@@ -75,6 +75,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.3, s"IVF ANN recall $recall < 0.3")
   }
 
+  test("PQ ANN (ADC over 2x8 codebooks) recall vs brute-force top-5 is useful") {
+    val exact = SparkEntry.queries("q40_cosine_topk")(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val pq = SparkEntry.queries("q112_ann_pq")(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    // this corpus is PQ's worst case — near-random vectors concentrate
+    // pairwise distances, so 6-bit codes can barely rank the mid-field
+    // (measured ~0.15–0.25 across codebook geometries). The bound pins
+    // "clearly better than chance" (random 5-of-500 ≈ 0.01); the planted-
+    // twin test below pins the invariant that actually matters for dedup
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.1, s"PQ ANN recall $recall < 0.1")
+  }
+
+  test("PQ codes collide for planted near-duplicate twins") {
+    import graft.functions.Similarity.kmeansCentroids
+    val h = 32
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 16 + lit(0.5)).cast("double")).as("v"))
+    // twins: dim 0 nudged by 0.001 — sub-grid-step, so ⌊16x+0.5⌋ almost
+    // always lands on the same integer vector
+    val twins = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, floor((x / 16 + 0.001) * 16 + lit(0.5)).cast("double"))
+            .otherwise(x)).as("v"))
+    val all = base.unionByName(twins)
+    val subs = Seq(slice(col("v"), 1, h), slice(col("v"), h + 1, h))
+    val cents = subs.map { s =>
+      kmeansCentroids(all.select(col("vec_id"), s.as("v")), k = 8, iters = 2,
+        gridRound = true)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    val coded = all
+      .withColumn("c0", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(subs(0), cents(0), 1), 1))
+      .withColumn("c1", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(subs(1), cents(1), 1), 1))
+      .select(col("vec_id"), col("c0"), col("c1"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val pairs = coded.keys.filter(_ >= 100000).toSeq
+    val hit = pairs.count(t => coded(t) == coded(t - 100000))
+    assert(pairs.nonEmpty)
+    assert(hit.toDouble / pairs.size >= 0.9,
+      s"only $hit/${pairs.size} twins share PQ codes")
+  }
+
   test("k-means-trained IVF keeps high recall vs brute-force top-5") {
     // at this corpus size the first-16 init already covers the space, so
     // trained-vs-untrained ordering is noise; the meaningful invariant is

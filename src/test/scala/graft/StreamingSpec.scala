@@ -175,4 +175,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows.exists { case (w, n) => w == ts(5) && n == 1 })
     } finally q.stop()
   }
+
+  test("streamUpsertSink replay is idempotent (same final keyed state)") {
+    def run() = graft.streaming.StreamingOps.streamUpsertSink(spark, sfDir)
+      .orderBy("user_id").collect().toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() === first)
+  }
 }

@@ -31,6 +31,31 @@ class TransformsSpec extends AnyFunSuite with SparkSpec {
     assert(run() === run())
   }
 
+  test("scd2Historize collapses unchanged runs into versioned intervals") {
+    val df = Seq(
+      (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"),
+      (2, 1, "X")).toDF("k", "t", "attr")
+    val out = Transforms.scd2Historize(df, Seq("k"), Seq("attr"), "t")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)), r.getBoolean(4), r.getInt(5))).toSeq
+    assert(out === Seq(
+      (1, "A", 1, Some(3), false, 1),  // t=2 repeat collapsed
+      (1, "B", 3, Some(4), false, 2),
+      (1, "A", 4, None, true, 3),      // re-appearance opens a NEW version
+      (2, "X", 1, None, true, 1)))
+  }
+
+  test("scd2Historize null-safe compare: null→value and value→null are changes") {
+    val df = Seq((1, 1, Option.empty[String]), (1, 2, Some("A")),
+      (1, 3, Option.empty[String]), (1, 4, Option.empty[String]))
+      .toDF("k", "t", "attr")
+    val versions = Transforms.scd2Historize(df, Seq("k"), Seq("attr"), "t")
+      .orderBy("version").collect()
+      .map(r => (Option(r.getString(1)), r.getInt(2))).toSeq
+    assert(versions === Seq((None, 1), (Some("A"), 2), (None, 3)))
+  }
+
   test("mapColumnsToTarget renames and casts in one projection (A11)") {
     val df = Seq(("7", "2024-01-02", "3.5", "true")).toDF("a", "b", "c", "d")
     val out = Transforms.mapColumnsToTarget(df, TargetSchema(Seq(
