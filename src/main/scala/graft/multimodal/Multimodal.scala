@@ -261,6 +261,155 @@ object Multimodal {
     media.mapPartitions(_.map(decodeWav))
   }
 
+  case class VideoFeatures(
+      doc_id: Long, media_type: String,
+      width: Int, height: Int, n_frames: Int,
+      fps: Double, duration_ms: Double, mean_frame_byte: Double)
+
+  private val AviUsPerFrame = Array(66666, 41666, 33333) // ≈15 / 24 / 30 fps
+
+  /** A genuine RIFF/AVI file: RIFF('AVI ') → LIST('hdrl') carrying a real
+    * 56-byte 'avih' MainAVIHeader plus a LIST('strl') with 'strh'
+    * (fccType 'vids') and a BITMAPINFOHEADER 'strf', then LIST('movi')
+    * with one '00db' raw-frame chunk per frame (8 deterministic payload
+    * bytes each: frame f byte k = (id + 13f + k) % 256). Every size field
+    * is a real little-endian RIFF size, so a spec-conforming parser — not
+    * just ours — walks it. Dimensions, frame rate, and frame count derive
+    * from the doc id. (Frame PIXEL decode needs a codec this container
+    * lacks; the CONTAINER — headers, stream list, frame walk — is real.)
+    */
+  def aviBytes(docId: Long): Array[Byte] = {
+    val w = (16 + 8 * (docId % 13)).toInt
+    val h = (16 + 8 * (docId % 9)).toInt
+    val usPerFrame = AviUsPerFrame((docId % 3).toInt)
+    val nFrames = (5 + docId % 20).toInt
+    val frameBytes = 8
+    val moviList = 12 + (8 + frameBytes) * nFrames
+    val hdrlList = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val fileSize = 12 + hdrlList + moviList
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(fileSize - 8); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlList - 8); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(usPerFrame)      // dwScale
+      .putInt(1000000)         // dwRate (rate/scale = fps)
+      .putInt(0).putInt(nFrames).putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviList - 8); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      var k = 0
+      while (k < frameBytes) {
+        buf.put(((docId + 13L * f + k) % 256).toByte)
+        k += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Container sniff: RIFF magic + 'AVI ' form type + size matching the
+    * payload (same unforgeability rule as [[isBmp]]/[[isWav]]).
+    */
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 24 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ' &&
+      java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4) == payload.length - 8
+
+  /** REAL AVI container decode: validates the RIFF/'AVI ' magic, walks the
+    * top-level chunk list, descends into LIST('hdrl') for the 'avih' main
+    * header (µs/frame, total frames, dimensions — read at their spec
+    * offsets) and into LIST('movi') counting '00db'/'00dc' raw-frame
+    * chunks and summing their payload bytes. Unknown chunks anywhere are
+    * skipped by size (word-aligned), so files with extra streams or index
+    * chunks parse identically. The header frame count must agree with the
+    * movi walk — a parser desync fails loudly rather than shipping wrong
+    * features.
+    */
+  def decodeAvi(m: MediaRow): VideoFeatures = {
+    require(isAvi(m.payload), s"doc ${m.doc_id}: not a RIFF/AVI payload")
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var usPerFrame = 0
+    var totalFrames = -1
+    var width = 0
+    var height = 0
+    var moviFrames = 0
+    var frameByteSum = 0L
+    var frameByteCnt = 0L
+    def id4(off: Int) = new String(m.payload, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = id4(off)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"doc ${m.doc_id}: chunk $id overruns its list")
+        id match {
+          case "LIST" =>
+            val form = id4(off + 8)
+            if (form == "hdrl" || form == "movi" || form == "strl")
+              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+          case "avih" =>
+            usPerFrame = buf.getInt(off + 8)
+            totalFrames = buf.getInt(off + 8 + 16)
+            width = buf.getInt(off + 8 + 32)
+            height = buf.getInt(off + 8 + 36)
+          case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
+            moviFrames += 1
+            var k = 0
+            while (k < size) {
+              frameByteSum += m.payload(off + 8 + k) & 0xff
+              k += 1
+            }
+            frameByteCnt += size
+          case _ => // unknown chunk — skip by size
+        }
+        off += 8 + size + (size & 1) // word alignment
+      }
+    }
+    walk(12, m.payload.length, inMovi = false)
+    require(usPerFrame > 0 && totalFrames >= 0,
+      s"doc ${m.doc_id}: missing avih header")
+    require(moviFrames == totalFrames,
+      s"doc ${m.doc_id}: header claims $totalFrames frames, movi has $moviFrames")
+    VideoFeatures(
+      m.doc_id, m.media_type, width, height, moviFrames,
+      fps = 1000000.0 / usPerFrame,
+      duration_ms = totalFrames.toLong * usPerFrame / 1000.0,
+      mean_frame_byte =
+        if (frameByteCnt == 0) 0.0 else frameByteSum.toDouble / frameByteCnt)
+  }
+
+  /** Real-video media table: every document carries a genuine AVI payload. */
+  def aviMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "video", aviBytes(id)))
+  }
+
+  /** Batch video feature extraction — same typed-mapPartitions posture. */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAvi))
+  }
+
   /** STUB decoder — deterministic fake in lieu of a real codec. A real
     * implementation would parse the container format here (per-partition,
     * so codec init cost amortizes across the batch).
@@ -279,13 +428,21 @@ object Multimodal {
 
   /** Batch feature extraction via typed mapPartitions — executor-side,
     * streaming over rows, no driver involvement. Dispatches on the payload
-    * container magic: real BMP parse for BMP payloads, the stub for
-    * formats this container has no codec for.
+    * container magic: real BMP parse for BMP payloads, real AVI container
+    * parse for AVI payloads (mean frame byte standing in for brightness —
+    * frame pixel decode needs a codec this container lacks), the stub for
+    * anything else. Audio goes through the typed [[extractAudioFeatures]]
+    * instead — its features don't fit the visual schema.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      if (isBmp(m.payload)) decodeBmp(m) else stubDecode(m)
+      if (isBmp(m.payload)) decodeBmp(m)
+      else if (isAvi(m.payload)) {
+        val v = decodeAvi(m)
+        MediaFeatures(v.doc_id, v.media_type, v.width, v.height, v.n_frames,
+          brightness = v.mean_frame_byte)
+      } else stubDecode(m)
     })
   }
 

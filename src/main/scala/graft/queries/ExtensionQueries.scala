@@ -169,7 +169,45 @@ object ExtensionQueries {
       |  FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Multimodal VIDEO container decode — REAL at the container level:
+    * payloads are genuine RIFF/AVI files (hdrl/avih/strl headers + movi
+    * raw-frame chunks) and every feature comes from walking their actual
+    * bytes (graft.multimodal.Multimodal.decodeAvi) — dimensions and
+    * µs/frame from the parsed avih, the frame count CROSS-CHECKED between
+    * the header and the movi chunk walk, mean frame byte from the frame
+    * payloads themselves. The oracle independently replays the
+    * generator's formulas, so a parser that misread an offset, skipped a
+    * LIST wrong, or miscounted frames hash-mismatches. (Frame PIXEL
+    * decode needs a codec this container lacks — that single step remains
+    * stubbed in extractFeatures's dispatch.)
+    */
+  def q113VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.aviMediaTable(Tables.documents(spark, dir))
+    Multimodal.extractVideoFeatures(media).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"),
+        round(col("fps"), 6).as("fps"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("mean_frame_byte"), 6).as("mean_frame_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Oracle: String =
+    """SELECT doc_id, 'video' AS media_type,
+      |  CAST(16 + 8 * (doc_id % 13) AS INTEGER) AS width,
+      |  CAST(16 + 8 * (doc_id % 9) AS INTEGER) AS height,
+      |  CAST(5 + doc_id % 20 AS INTEGER) AS n_frames,
+      |  ROUND(1000000.0 / [66666,41666,33333][CAST(doc_id % 3 AS INTEGER) + 1], 6) AS fps,
+      |  ROUND(((5 + doc_id % 20) * [66666,41666,33333][CAST(doc_id % 3 AS INTEGER) + 1]) / 1000.0, 6)
+      |    AS duration_ms,
+      |  ROUND(CAST(list_sum(list_transform(range(0, (5 + doc_id % 20) * 8),
+      |          j -> (doc_id + 13 * (j // 8) + (j % 8)) % 256)) AS DOUBLE)
+      |        / ((5 + doc_id % 20) * 8), 6) AS mean_frame_byte
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_video_meta"        -> (q113VideoMeta _),
     "q47_udf_source_id"      -> (q47UdfSourceId _),
     "q48_udaf_vecavg"        -> (q48UdafVecAvg _),
     "q49_multimodal_meta"    -> (q49MultimodalMeta _),
@@ -178,6 +216,7 @@ object ExtensionQueries {
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q113_video_meta"        -> q113Oracle,
     "q47_udf_source_id"      -> q47Oracle,
     "q48_udaf_vecavg"        -> q48Oracle,
     "q49_multimodal_meta"    -> q49Oracle,

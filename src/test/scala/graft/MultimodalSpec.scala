@@ -96,4 +96,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // stub formula: width = 64 + n % 1024
     assert(out(4L).width === 64 + "some opaque audio bytes".length % 1024)
   }
+
+  test("aviBytes → decodeAvi round-trips header fields and the movi frame walk") {
+    val id = 11L
+    val f = Multimodal.decodeAvi(MediaRow(id, "video", Multimodal.aviBytes(id)))
+    assert(f.width === (16 + 8 * (id % 13)).toInt)
+    assert(f.height === (16 + 8 * (id % 9)).toInt)
+    assert(f.n_frames === (5 + id % 20).toInt)
+    val usPer = Seq(66666, 41666, 33333)((id % 3).toInt)
+    assert(f.fps === 1000000.0 / usPer)
+    assert(f.duration_ms === f.n_frames.toLong * usPer / 1000.0)
+    // mean over frame payload bytes (id + 13f + k) % 256
+    val bytes = for (fr <- 0 until f.n_frames; k <- 0 until 8)
+      yield (id + 13L * fr + k) % 256
+    assert(f.mean_frame_byte === bytes.sum.toDouble / bytes.size)
+  }
+
+  test("decodeAvi skips unknown chunks and rejects a header/movi frame-count desync") {
+    val base = Multimodal.aviBytes(7L)
+    // splice an unknown 'JUNK' chunk between hdrl and movi — spec-legal
+    val junkBody = "notaframe".getBytes("US-ASCII") // 9 bytes, odd → pad
+    val insertAt = 12 + 200 // after LIST hdrl (8 + 192)
+    val extra = 8 + junkBody.length + 1
+    val spliced = java.nio.ByteBuffer
+      .allocate(base.length + extra).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(base, 0, insertAt)
+    spliced.put("JUNK".getBytes("US-ASCII")).putInt(junkBody.length)
+      .put(junkBody).put(0.toByte)
+    spliced.put(base, insertAt, base.length - insertAt)
+    val payload = spliced.array()
+    java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, payload.length - 8)
+    val f = Multimodal.decodeAvi(MediaRow(7L, "video", payload))
+    assert(f === Multimodal.decodeAvi(MediaRow(7L, "video", base)))
+    // truncate one movi frame (16 bytes) without fixing avih.dwTotalFrames:
+    // the header/movi cross-check must fail loudly
+    val truncated = base.dropRight(16)
+    java.nio.ByteBuffer.wrap(truncated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, truncated.length - 8)
+    // fix the movi LIST size so the walk itself is well-formed
+    val moviListOff = 12 + 200 // LIST movi header position in base
+    java.nio.ByteBuffer.wrap(truncated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(moviListOff + 4,
+        java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .getInt(moviListOff + 4) - 16)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeAvi(MediaRow(7L, "video", truncated))
+    }
+    assert(e.getMessage.contains("frames"))
+  }
 }

@@ -82,6 +82,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("nearestcentroids"), p)
   }
 
+  test("q112 PQ: corpus encode is a projection, ADC joins broadcast, top-k is GroupTopK") {
+    val p = plan("q112_ann_pq")
+    // both subspace argmins are codegen'd NearestCentroids projections —
+    // the corpus is never hash-partitioned by vec_id or amplified n×k
+    assert(p.contains("nearestcentroids"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), s"corpus exchange found:\n$p")
+    // ADC lookup tables attach via broadcast hash joins on the code ids
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-query ranking auto-rewrites to the bounded-heap operator
+    assert(p.contains("GroupTopK"), p)
+  }
+
+  test("q101 chunking is generate-over-scan — no hash exchange anywhere") {
+    val p = plan("q101_doc_chunking")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not shuffle (only the output sort may exchange):\n$p")
+  }
+
   test("q75 bucketed join plans with no exchange on the join key") {
     val p = plan("q75_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
