@@ -111,7 +111,37 @@ object SurfaceQueries {
     """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** SCHEMA EVOLUTION read: two parquet batches written with different
+    * schemas into one table directory — v1 lacks the status column a
+    * later ingest added — read back with `mergeSchema`, which unions the
+    * footers' schemas and null-extends the missing column for v1 files.
+    * This is the lake-format reality a long-lived 100 TB table lives
+    * with: columns arrive over time and old files stay valid. (Schema
+    * merge costs a footer read per file at planning; production tables
+    * pin the merged schema in a catalog instead — the READ semantics
+    * under test are identical.)
+    */
+  def q114SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "evolve")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode(SaveMode.Append).parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q114Oracle: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_schema_evolution" -> (q114SchemaEvolution _),
     "q52_sql_entry"     -> (q52SqlEntry _),
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q54_json_roundtrip" -> (q54JsonRoundtrip _),
@@ -119,6 +149,7 @@ object SurfaceQueries {
     "q99_orc_roundtrip" -> (q99OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q114_schema_evolution" -> q114Oracle,
     "q52_sql_entry"     -> q52Oracle,
     "q53_csv_roundtrip" -> q53Oracle,
     "q54_json_roundtrip" -> q54Oracle,

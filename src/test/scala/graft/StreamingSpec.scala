@@ -176,6 +176,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed file stream restarts without loss or reprocessing") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft_ckpt_restart")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id")
+    val total = ev.count()
+    // three disjoint slices staged as separate stream files
+    def stage(slice: Int): Unit = {
+      val tmp = root.resolve(s"tmp$slice")
+      ev.filter(col("event_id") % 3 === slice).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(f, srcDir.resolve(s"slice$slice.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(0); stage(1)
+    runStream() // phase 1: two files, two microbatches
+    val afterPhase1 = spark.read.parquet(outDir).count()
+    stage(2)
+    runStream() // phase 2: RESTART from the checkpoint — only slice 2 is new
+    val out = spark.read.parquet(outDir)
+    assert(afterPhase1 < total)
+    assert(out.count() === total, "restart lost or replayed rows")
+    assert(out.select("event_id").distinct().count() === total,
+      "restart reprocessed an already-committed file")
+  }
+
   test("streamUpsertSink replay is idempotent (same final keyed state)") {
     def run() = graft.streaming.StreamingOps.streamUpsertSink(spark, sfDir)
       .orderBy("user_id").collect().toSeq
