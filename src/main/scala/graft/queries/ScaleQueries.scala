@@ -333,7 +333,57 @@ object ScaleQueries {
       |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
       |FROM events""".stripMargin
 
+  /** DYNAMIC partition overwrite — the idempotent partitioned-ingest
+    * posture: re-running a slice's ingest replaces ONLY the partitions
+    * the new data touches, leaving every other partition untouched
+    * (static overwrite mode would truncate the whole table; append would
+    * duplicate). Here the fact table is laid out by ship-month, then one
+    * month is re-ingested with corrected quantities: the gate verifies
+    * the corrected month AND the survival of every other month from the
+    * original layout. At 100 TB this is how daily re-runs stay O(day),
+    * not O(table).
+    */
+  def q116DynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_dpo_lineitem"
+    val monthly = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("l_ship_month"))
+    // fresh base layout each run (the overwrite-then-patch cycle IS the
+    // semantics under test, so the base cannot be session-cached).
+    // Repartition on the partition column first: one task owns one month,
+    // so the layout lands as one file per partition instead of
+    // (tasks × months) small files — the compaction-friendly ingest shape
+    resetManagedTables(spark, Seq(table))
+    monthly.repartition(col("l_ship_month"))
+      .write.partitionBy("l_ship_month").mode("overwrite").saveAsTable(table)
+    val patch = monthly.filter(col("l_ship_month") === "1996-03")
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try patch.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.table(table)
+      .groupBy(col("l_ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("l_ship_month"))
+  }
+
+  val q116Oracle: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS l_ship_month, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(
+      |    CASE WHEN strftime(l_shipdate, '%Y-%m') = '1996-03'
+      |         THEN l_quantity + 100 ELSE l_quantity END
+      |    AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_ship_month""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_dynamic_partition_overwrite" -> (q116DynamicPartitionOverwrite _),
     "q95_compaction"      -> (q95Compaction _),
     "q93_bloom_pruned_join" -> (q93BloomPrunedJoin _),
     "q75_bucketed_join"   -> (q75BucketedJoin _),
@@ -342,6 +392,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q116_dynamic_partition_overwrite" -> q116Oracle,
     "q95_compaction"      -> q95Oracle,
     "q93_bloom_pruned_join" -> q93Oracle,
     "q75_bucketed_join"   -> q75Oracle,

@@ -140,7 +140,53 @@ object SurfaceQueries {
       |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Bad-record QUARANTINE: a JSON-lines ingest where a deterministic
+    * slice of lines is malformed (truncated mid-object). The PERMISSIVE
+    * read maps each bad line to null fields + the raw text in the
+    * configured corrupt-record column — ingest keeps flowing, nothing is
+    * silently dropped — and the gate buckets rows by language with the
+    * corrupt bucket alongside, carrying an md5 over the sorted raw bad
+    * lines so the quarantine captured EXACTLY the malformed text (a
+    * reader that clipped or re-encoded the line would mismatch).
+    */
+  def q117BadRecordQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir, "badjson")
+    Tables.documents(spark, dir)
+      .select(
+        when(col("doc_id") % 17 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+      .write.mode(SaveMode.Overwrite).text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(out)
+      .groupBy(coalesce(col("lang"), lit("__corrupt__")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("\n", array_sort(collect_list(col("_bad"))))).as("m"))
+      .select(col("bucket"), col("n"),
+        when(col("bucket") === "__corrupt__", col("m")).as("bad_md5"))
+      .orderBy(col("bucket"))
+  }
+
+  val q117Oracle: String =
+    """SELECT bucket, COUNT(*) AS n,
+      |  CASE WHEN bucket = '__corrupt__'
+      |    THEN md5(string_agg('{"doc_id": ' || doc_id || ', "lang": ', chr(10)
+      |             ORDER BY '{"doc_id": ' || doc_id || ', "lang": '))
+      |  END AS bad_md5
+      |FROM (SELECT CASE WHEN doc_id % 17 = 0 THEN '__corrupt__' ELSE lang END AS bucket,
+      |        doc_id
+      |      FROM documents)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_bad_record_quarantine" -> (q117BadRecordQuarantine _),
     "q114_schema_evolution" -> (q114SchemaEvolution _),
     "q52_sql_entry"     -> (q52SqlEntry _),
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
@@ -149,6 +195,7 @@ object SurfaceQueries {
     "q99_orc_roundtrip" -> (q99OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q117_bad_record_quarantine" -> q117Oracle,
     "q114_schema_evolution" -> q114Oracle,
     "q52_sql_entry"     -> q52Oracle,
     "q53_csv_roundtrip" -> q53Oracle,

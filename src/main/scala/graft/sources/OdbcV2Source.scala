@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -24,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * as `PushedFilters`/`ReadSchema` in the scan), and a numeric
   * `partitionColumn` with bounds splits the read into range predicates —
   * the same contract as Spark's JDBC source, built on the public V2 API.
+  * Aggregates (COUNT/SUM/MIN/MAX + GROUP BY on plain columns) push COMPLETE
+  * into the database on single-partition reads — the rollup runs where the
+  * data lives and only the k result rows cross the wire; range-partitioned
+  * reads keep aggregation in Spark (complete mode cannot merge per-slice
+  * results). LIMIT and ORDER-BY+LIMIT (top-N) push as ANSI
+  * `ORDER BY … FETCH FIRST n ROWS ONLY`, partially — Spark re-applies its
+  * own final limit, which makes the per-slice push safe under partitioning.
   *
   * Options: `url` (required), `dbtable` (required), `driver`, `user`,
   * `password`, `quote` (identifier quote, default `"`), and
@@ -137,18 +145,27 @@ class OdbcV2Table(tableSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class OdbcV2ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val quoteCh = options.getOrDefault("quote", "\"")
   private def q(name: String): String = quoteCh + name + quoteCh
 
   private var prunedSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  // aggregate pushdown state: SELECT list, GROUP BY clause, output schema
+  private var agg: Option[(String, Option[String], StructType)] = None
+  private var limit: Option[Int] = None
+  private var orderBy: Option[String] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // preserve the source column order for a stable SELECT list
-    val wanted = requiredSchema.fieldNames.toSet
-    prunedSchema = StructType(fullSchema.fields.filter(f => wanted.contains(f.name)))
+    // preserve the source column order for a stable SELECT list. When an
+    // aggregate is pushed the scan schema IS the aggregate's output —
+    // Spark projects any narrower need on top of it
+    if (agg.isEmpty) {
+      val wanted = requiredSchema.fieldNames.toSet
+      prunedSchema = StructType(fullSchema.fields.filter(f => wanted.contains(f.name)))
+    }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -160,19 +177,118 @@ class OdbcV2ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new OdbcV2Scan(prunedSchema, pushed, options)
+  /** Single plain column reference, or None (complex expressions stay in
+    * Spark).
+    */
+  private def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def fieldType(name: String): Option[DataType] =
+    fullSchema.fields.find(_.name == name).map(_.dataType)
+
+  /** Result type Spark expects for a pushed SUM over the given input. */
+  private def sumType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case other => other
+  }
+
+  private def compileAgg(f: AggregateFunc): Option[(String, DataType)] = f match {
+    case _: CountStar => Some(("COUNT(*)", LongType))
+    case c: Count =>
+      ref(c.column).map { n =>
+        val d = if (c.isDistinct) "DISTINCT " else ""
+        (s"COUNT($d${q(n)})", LongType)
+      }
+    case s: Sum if !s.isDistinct =>
+      for (n <- ref(s.column); t <- fieldType(n)) yield (s"SUM(${q(n)})", sumType(t))
+    case m: Min =>
+      for (n <- ref(m.column); t <- fieldType(n)) yield (s"MIN(${q(n)})", t)
+    case m: Max =>
+      for (n <- ref(m.column); t <- fieldType(n)) yield (s"MAX(${q(n)})", t)
+    case _ => None
+  }
+
+  private def compileAggregation(
+      a: Aggregation): Option[(String, Option[String], StructType)] = {
+    // COMPLETE pushdown only, so it is gated on the single-partition read:
+    // a range-partitioned scan would hand Spark per-slice aggregates that
+    // complete mode would NOT re-merge — returning false keeps the
+    // aggregation in Spark, which is always correct
+    if (options.get("partitionColumn") != null) return None
+    val groups = a.groupByExpressions.toSeq.map(ref)
+    val funcs = a.aggregateExpressions.toSeq.map(compileAgg)
+    if (groups.exists(_.isEmpty) || funcs.exists(_.isEmpty)) None
+    else {
+      val groupCols = groups.flatten
+      val aggSqls = funcs.flatten
+      val select = (groupCols.map(q) ++ aggSqls.map(_._1)).mkString(", ")
+      val groupBy =
+        if (groupCols.isEmpty) None
+        else Some(groupCols.map(q).mkString("GROUP BY ", ", ", ""))
+      val schema = StructType(
+        groupCols.map(n => StructField(n, fieldType(n).getOrElse(StringType))) ++
+          aggSqls.zipWithIndex.map { case ((_, t), i) => StructField(s"agg_$i", t) })
+      Some((select, groupBy, schema))
+    }
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    compileAggregation(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    compileAggregation(a) match {
+      case Some(compiled) => agg = Some(compiled); true
+      case None => false
+    }
+  }
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  // Spark still applies its own final limit/topN on top — required for the
+  // range-partitioned read, where FETCH FIRST n applies per slice
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val compiled = orders.toSeq.map { o =>
+      ref(o.expression()).map { c =>
+        val dir = if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+        val nulls = o.nullOrdering().toString.replace('_', ' ') // NULLS FIRST/LAST
+        s"${q(c)} $dir $nulls"
+      }
+    }
+    if (compiled.exists(_.isEmpty)) false
+    else {
+      orderBy = Some(compiled.flatten.mkString("ORDER BY ", ", ", ""))
+      limit = Some(n)
+      true
+    }
+  }
+
+  override def build(): Scan =
+    new OdbcV2Scan(prunedSchema, pushed, options, agg, orderBy, limit)
 }
 
 /** One range slice of the table (or the whole table when unpartitioned). */
 case class OdbcRangePartition(wherePart: Option[String]) extends InputPartition
 
-class OdbcV2Scan(schema: StructType, pushed: Array[Filter], options: CaseInsensitiveStringMap)
+class OdbcV2Scan(
+    prunedSchema: StructType, pushed: Array[Filter], options: CaseInsensitiveStringMap,
+    agg: Option[(String, Option[String], StructType)],
+    orderBy: Option[String], limit: Option[Int])
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = agg.map(_._3).getOrElse(prunedSchema)
   override def toBatch: Batch = this
   override def description(): String = {
     val f = pushed.map(_.toString).mkString(", ")
-    s"graft-odbc ${options.get("dbtable")} PushedFilters: [$f]"
+    val a = agg.map { case (sel, _, _) => s", PushedAggregates: [$sel]" }.getOrElse("")
+    val l = limit.map(n => s", PushedLimit: $n").getOrElse("")
+    val o = orderBy.map(ob => s", PushedTopN: [$ob]").getOrElse("")
+    s"graft-odbc ${options.get("dbtable")} PushedFilters: [$f]$a$l$o"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -211,17 +327,20 @@ class OdbcV2Scan(schema: StructType, pushed: Array[Filter], options: CaseInsensi
     val opts = options.asCaseSensitiveMap().asScala.map {
       case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
     }.toMap
-    val sch = schema
+    val sch = readSchema()
     val filterSql = {
       val quoteCh = opts.getOrElse("quote", "\"")
       pushed.flatMap(OdbcV2Source.compileFilter(_, n => quoteCh + n + quoteCh))
     }
-    new OdbcPartitionReaderFactory(sch, filterSql, opts)
+    new OdbcPartitionReaderFactory(sch, filterSql, opts,
+      agg.map { case (sel, gb, _) => (sel, gb) }, orderBy, limit)
   }
 }
 
 class OdbcPartitionReaderFactory(
-    schema: StructType, filterSql: Array[String], opts: Map[String, String])
+    schema: StructType, filterSql: Array[String], opts: Map[String, String],
+    aggSql: Option[(String, Option[String])],
+    orderBy: Option[String], limit: Option[Int])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -232,13 +351,19 @@ class OdbcPartitionReaderFactory(
       private val conn = java.sql.DriverManager.getConnection(
         opts("url"), opts.getOrElse("user", ""), opts.getOrElse("password", ""))
       private val quoteCh = opts.getOrElse("quote", "\"")
-      private val cols =
+      private val cols = aggSql.map(_._1).getOrElse {
         if (schema.isEmpty) "1" // COUNT(*)-style scans need no columns
         else schema.fieldNames.map(n => quoteCh + n + quoteCh).mkString(", ")
+      }
       private val conds = filterSql ++ part.wherePart.map(w => s"($w)")
       private val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      private val tail = Seq(
+        aggSql.flatMap(_._2),               // GROUP BY
+        orderBy,                            // ORDER BY (top-N)
+        limit.map(n => s"FETCH FIRST $n ROWS ONLY")) // ANSI FETCH (limit/top-N)
+        .flatten.map(" " + _).mkString
       private val rs = conn.createStatement().executeQuery(
-        s"SELECT $cols FROM ${opts("dbtable")}$where")
+        s"SELECT $cols FROM ${opts("dbtable")}$where$tail")
 
       override def next(): Boolean = rs.next()
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -152,6 +152,63 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     // a backslash-bearing string literal is NOT pushed (dialect-sensitive
     // escaping) but still filters correctly in Spark
     assert(reader.load().filter(col("grp") === "g\\1").count() === 0)
+  }
+
+  test("graft-odbc V2 source: aggregate, limit, and top-N pushdown") {
+    val cfg = OdbcStyleConfig(SourceType.Derby, "localhost", 0, "odbcv2agg", "app", "app")
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE v2_a ("id" INT NOT NULL, "grp" VARCHAR(8), "amount" DOUBLE)""")
+    (0 until 60).grouped(20).foreach { batch =>
+      st.execute("INSERT INTO v2_a VALUES " + batch.map(i =>
+        s"($i, 'g${i % 3}', ${i * 1.5})").mkString(", "))
+    }
+    st.close(); conn.close()
+
+    def reader = spark.read.format("graft-odbc")
+      .option("url", cfg.url).option("dbtable", "v2_a")
+
+    // COMPLETE aggregate pushdown: the GROUP BY runs in the database and
+    // the scan's output IS the 3-row rollup — no Spark-side HashAggregate
+    // over base rows
+    val agg = reader.load().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("amount").as("s"),
+        min("id").as("mn"), max("id").as("mx"))
+      .orderBy("grp")
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregates: [") && aggPlan.contains("COUNT(*)")
+      && aggPlan.contains("SUM(") && !aggPlan.contains("HashAggregate"),
+      s"aggregates must push COMPLETE into the source:\n$aggPlan")
+    val rows = agg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+    val expected = (0 until 60).groupBy(i => s"g${i % 3}").toSeq.sortBy(_._1)
+      .map { case (g, is) =>
+        (g, is.size.toLong, is.map(_ * 1.5).sum, is.min, is.max) }
+    assert(rows.toSeq === expected)
+
+    // a range-partitioned read must NOT push the aggregate (complete mode
+    // cannot merge per-slice results) — and must still be correct
+    val parts = reader
+      .option("partitionColumn", "id").option("lowerBound", "0")
+      .option("upperBound", "60").option("numPartitions", "3").load()
+      .groupBy("grp").count()
+    val partsPlan = parts.queryExecution.executedPlan.toString
+    assert(!partsPlan.contains("PushedAggregates"),
+      s"partitioned scan must keep aggregation in Spark:\n$partsPlan")
+    assert(parts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+
+    // LIMIT pushes as FETCH FIRST (partial: Spark re-limits on top)
+    val lim = reader.load().limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
+    assert(lim.count() === 5)
+
+    // ORDER BY + LIMIT pushes as top-N; result order verified end-to-end
+    val top = reader.load().orderBy(col("amount").desc).limit(3)
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("PushedTopN: [ORDER BY") && topPlan.contains("DESC"),
+      s"top-N must push into the source:\n$topPlan")
+    assert(top.collect().map(_.getInt(0)).toSeq === Seq(59, 58, 57))
   }
 
   test("OdbcStyleConfig: pyodbc wire format round-trips through the parser") {
