@@ -200,7 +200,26 @@ object StreamingQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Spark 4's transformWithState (the arbitrary-state successor to
+    * flatMapGroupsWithState): per-user running totals in an explicit
+    * RocksDB-backed ValueState, accumulated across a genuinely
+    * multi-batch bounded stream (two staged slice files). The oracle
+    * replays the final per-user totals in batch SQL.
+    */
+  def q118StreamTransformState(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.transformWithStateTotals(spark, dir, "graft_tws")
+      .orderBy(col("user_id"))
+
+  val q118Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0
+      |    AS sum_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_stream_transform_state" -> (q118StreamTransformState _),
     "q108_stream_upsert" -> (q108StreamUpsert _),
     "q106_stream_static_join" -> (q106StreamStaticJoin _),
     "q43_window_tumbling" -> (q43Tumbling _),
@@ -213,6 +232,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q118_stream_transform_state" -> q118Oracle,
     "q108_stream_upsert" -> q108Oracle,
     "q106_stream_static_join" -> q106Oracle,
     "q43_window_tumbling" -> q43Oracle,

@@ -192,6 +192,90 @@ object StreamingOps extends Serializable {
     drainToTable(spark, deduped, queryName, "append")
   }
 
+  /** Per-user running totals carried in a [[ValueState]] by
+    * [[TotalsProcessor]] — flat longs so the RocksDB state encoding stays
+    * small and the arithmetic exact.
+    */
+  case class RunningTotals(user_id: Long, n: Long, sum_cents: Long)
+
+  /** The transformWithState API (Spark 4's arbitrary-state operator, the
+    * successor surface to flatMapGroupsWithState): explicit keyed state
+    * handles (Value/List/Map) acquired in init, per-batch input iterators,
+    * optional timers. This processor accumulates per-user event count and
+    * exact cent sums across microbatches and emits the RUNNING total
+    * after each batch — update-mode output, RocksDB-backed state.
+    */
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), RunningTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[RunningTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; s += cents }
+      totals.update((n, s))
+      Iterator.single(RunningTotals(key, n, s))
+    }
+  }
+
+  /** Stage the events table as `slices` separate stream files (by event_id
+    * residue) so `maxFilesPerTrigger=1` yields a genuinely MULTI-BATCH
+    * bounded stream — cross-batch state is actually exercised, unlike the
+    * single-file replay.
+    */
+  def eventsReadStreamSliced(spark: SparkSession, dir: String, slices: Int): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    val streamDir = graft.util.Staging.dir(s"graft_stream_s$slices", dir)
+    Files.createDirectories(streamDir)
+    (0 until slices).foreach { s =>
+      val tmp = Files.createTempDirectory("graft_slice")
+      ev.filter(col("event_id") % slices === s).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+  }
+
+  /** Run the transformWithState totals over a 2-batch bounded stream and
+    * return the FINAL per-user state: counts are monotone, so the max row
+    * per user in the update-mode sink is the final accumulation.
+    */
+  def transformWithStateTotals(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = eventsReadStreamSliced(spark, dir, slices = 2)
+        .select(col("user_id"), col("cents")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+      drainToTable(spark, stream.toDF(), queryName, "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          (max(col("sum_cents")) / 100.0).as("sum_value"))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** Streaming UPSERT SINK via foreachBatch — the production "stream into
     * a keyed table" pattern: each microbatch is reduced to its latest row
     * per key, then staged-upserted into a parquet target
