@@ -85,6 +85,38 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scd2Historize laws: contiguous intervals, one current version, changes real") {
+    val rows: Gen[List[(Int, Int, String)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 99),
+        Gen.oneOf("A", "B", "C")))
+    samples(rows, 8).foreach { data =>
+      // unique (k, t): keep first occurrence so the order is total
+      val in = data.distinctBy(r => (r._1, r._2)).toDF("k", "t", "attr")
+      val hist = Transforms.scd2Historize(in, Seq("k"), Seq("attr"), "t")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+          Option(r.get(3)).map(_.asInstanceOf[Int]), r.getBoolean(4), r.getInt(5)))
+        .groupBy(_._1)
+      hist.foreach { case (k, vs) =>
+        val sorted = vs.sortBy(_._6)
+        // intervals tile: version i's valid_to == version i+1's valid_from
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3), s"key $k: gap between versions $a -> $b")
+            assert(a._2 != b._2, s"key $k: consecutive versions with equal attr")
+          case _ =>
+        }
+        // exactly the last version is open/current
+        assert(sorted.count(_._5) === 1 && sorted.last._5 && sorted.last._4.isEmpty)
+      }
+    }
+  }
+
+  test("scd2Historize and dedupKeyed accept empty input") {
+    val empty = Seq.empty[(Int, Int, String)].toDF("k", "t", "attr")
+    assert(Transforms.scd2Historize(empty, Seq("k"), Seq("attr"), "t").count() === 0)
+    assert(Transforms.dedupKeyed(empty, Seq("k"), Seq(col("t"))).count() === 0)
+  }
+
   test("TopKRewrite law: rewritten window top-k equals the window plan exactly") {
     import org.apache.spark.sql.expressions.Window
     // (key, value, tie): tie is unique per row so row_number is total-order
