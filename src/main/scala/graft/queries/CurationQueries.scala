@@ -212,7 +212,7 @@ object CurationQueries {
     val eps = 0.01
     val bytes = Tables.lineitem(spark, dir)
       .agg(expr("count_min_sketch(l_orderkey, 0.01d, 0.99d, 42)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     val estimate = udf((k: Long) => cms.estimateCount(k))

@@ -585,6 +585,57 @@ object SimilarityQueries {
        |FROM docs_p p LEFT JOIN labels l USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
 
+  /** BEST-OF-CLUSTER canonical dedup — the production selection rule on
+    * top of q72's transitive near-dup clusters: instead of "lowest id
+    * wins", each cluster keeps its HIGHEST-QUALITY member (here: the
+    * longest text, ties to the lower id — the usual "most complete
+    * version" heuristic; any deterministic score column drops in). Same
+    * label-propagation clustering, then one window over cluster_id —
+    * cluster sizes are small by construction, so the argmax window is
+    * skew-free at any corpus size.
+    */
+  def q119DedupBestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = confirmedNearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(pairs)
+    val docs = docsWithPlants(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    val clustered = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val best = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .withColumn("keep", row_number().over(best) === 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val q119Oracle: String =
+    s"""WITH RECURSIVE
+       |$oracleDocsTri,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |  $oracleExactPairs)
+       |  WHERE j >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |   WHERE e.dst <> r.src),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT p.doc_id, CAST(length(p.text) AS INTEGER) AS n_chars,
+       |    COALESCE(LEAST(l.mn, p.doc_id), p.doc_id) AS cluster_id
+       |  FROM docs_p p LEFT JOIN labels l USING (doc_id))
+       |SELECT doc_id, n_chars, cluster_id,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |FROM sized
+       |ORDER BY doc_id""".stripMargin
+
   /** Asymmetric CONTAINMENT dedup — |A∩B| / |A| over trigram sets: the
     * boilerplate/inclusion detector symmetric Jaccard misses (a short doc
     * pasted inside a long one scores low Jaccard but containment ≈ 1).
@@ -772,6 +823,7 @@ object SimilarityQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_dedup_best_of_cluster" -> (q119DedupBestOfCluster _),
     "q112_ann_pq"            -> (q112AnnPq _),
     "q107_containment_dedup" -> (q107ContainmentDedup _),
     "q72_dedup_clusters" -> (q72DedupClusters _),
@@ -786,6 +838,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q119_dedup_best_of_cluster" -> q119Oracle,
     "q112_ann_pq"            -> q112Oracle,
     "q107_containment_dedup" -> q107Oracle,
     "q36_dedup_minhash"  -> q36Oracle,

@@ -145,9 +145,12 @@ object SurfaceQueries {
     * read maps each bad line to null fields + the raw text in the
     * configured corrupt-record column — ingest keeps flowing, nothing is
     * silently dropped — and the gate buckets rows by language with the
-    * corrupt bucket alongside, carrying an md5 over the sorted raw bad
-    * lines so the quarantine captured EXACTLY the malformed text (a
-    * reader that clipped or re-encoded the line would mismatch).
+    * corrupt bucket alongside, carrying a BIT-XOR of per-line md5-derived
+    * int64s so the quarantine captured EXACTLY the malformed text (a
+    * reader that clipped or re-encoded a line would mismatch). XOR, not
+    * md5-of-concatenation: it is order-independent and MERGEABLE, so the
+    * checksum partial-aggregates map-side at any corpus size instead of
+    * collecting every bad line into one buffer.
     */
   def q117BadRecordQuarantine(spark: SparkSession, dir: String): DataFrame = {
     val out = rtDir(dir, "badjson")
@@ -167,20 +170,21 @@ object SurfaceQueries {
       .json(out)
       .groupBy(coalesce(col("lang"), lit("__corrupt__")).as("bucket"))
       .agg(count(lit(1)).as("n"),
-        md5(concat_ws("\n", array_sort(collect_list(col("_bad"))))).as("m"))
-      .select(col("bucket"), col("n"),
-        when(col("bucket") === "__corrupt__", col("m")).as("bad_md5"))
+        bit_xor(graft.functions.Similarity.md5Hash64(col("_bad"))).as("bad_xor64"))
       .orderBy(col("bucket"))
   }
 
   val q117Oracle: String =
     """SELECT bucket, COUNT(*) AS n,
-      |  CASE WHEN bucket = '__corrupt__'
-      |    THEN md5(string_agg('{"doc_id": ' || doc_id || ', "lang": ', chr(10)
-      |             ORDER BY '{"doc_id": ' || doc_id || ', "lang": '))
-      |  END AS bad_md5
+      |  bit_xor(CAST(
+      |    (CAST(CAST('0x' || substr(md5(bad), 1, 8) AS BIGINT) AS HUGEINT) * 4294967296
+      |       + CAST('0x' || substr(md5(bad), 9, 8) AS BIGINT))
+      |    - CASE WHEN CAST('0x' || substr(md5(bad), 1, 8) AS BIGINT) >= 2147483648
+      |           THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT))
+      |    AS bad_xor64
       |FROM (SELECT CASE WHEN doc_id % 17 = 0 THEN '__corrupt__' ELSE lang END AS bucket,
-      |        doc_id
+      |        CASE WHEN doc_id % 17 = 0
+      |             THEN '{"doc_id": ' || doc_id || ', "lang": ' END AS bad
       |      FROM documents)
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin

@@ -132,4 +132,37 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Tables.lineitem(spark, sfDir).join(Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey")).count())
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key owning ~99% of the fact: the classic skew shape. With
+    // the skew thresholds lowered to gate-data sizes, AQE must detect the
+    // oversized shuffle partition and split it across tasks — the RUNTIME
+    // complement to the explicit salting posture (Skew.saltedJoin): salt
+    // when the hot key is known ahead of time, AQE when it is not
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (0 until 200000).map(i =>
+        (if (i % 100 == 0) s"k${i % 7}" else "hot", i.toLong))
+        .toDF("k", "v")
+      val dim = Seq(("hot", 1), ("k0", 2), ("k1", 3)).toDF("k", "grp")
+      val joined = fact.join(dim.hint("shuffle_merge"), "k")
+        .groupBy("grp").count()
+      val rows = joined.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rows(1) === 198000L) // every non-multiple-of-100 row is 'hot'
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join split must appear in the final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
