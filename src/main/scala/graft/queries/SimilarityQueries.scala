@@ -585,6 +585,85 @@ object SimilarityQueries {
        |FROM docs_p p LEFT JOIN labels l USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
 
+  /** INCREMENTAL dedup — new-batch ingest checked against a PERSISTED
+    * signature index instead of re-clustering the corpus: the index job
+    * writes the corpus' MinHash band keys to parquet once (session-cached
+    * here, the ingest pipeline's maintained artifact in production); each
+    * arriving batch computes only ITS OWN signatures, equi-joins the
+    * stored band keys for candidates, and exact-Jaccard-confirms against
+    * just the matched corpus docs. Cost per batch is O(batch + candidates)
+    * — the corpus is touched only through the index and the candidate-
+    * pruned confirm join, which is what makes continuous ingest dedup
+    * feasible at 100 TB.
+    */
+  def q120DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def shingled(df: DataFrame) = df.withColumn("sh",
+      graft.expressions.ShingleHashes.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3))
+    val idxDir = graft.util.Staging.dir("graft_minhash_idx", dir).toString
+    val marker = "spark.graft.layout.minhash_idx"
+    if (!spark.conf.getOption(marker).contains(dir)) {
+      shingled(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .withColumn("sig",
+          graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
+        .select(col("doc_id").as("idx_id"),
+          explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
+        .select(col("idx_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .write.mode("overwrite").parquet(idxDir)
+      spark.conf.set(marker, dir)
+    }
+    // the arriving batch: the planted twins (same synthetic batch the
+    // full-corpus gates use, so recall is cross-checkable against q36)
+    val batch = shingled(Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zz9end")).as("text")))
+    val batchBanded = batch
+      .withColumn("sig",
+        graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_new"),
+        explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
+      .select(col("new_id"), col("sh_new"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = batchBanded
+      .join(spark.read.parquet(idxDir), Seq("band", "bkey"))
+      .select(col("new_id"), col("sh_new"), col("idx_id"))
+      .distinct()
+    val corpusSets = shingled(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("idx_id"), col("sh").as("sh_idx"))
+    cand.join(corpusSets, "idx_id")
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_idx")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("new_id"), col("idx_id").as("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  val q120Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tri =
+      s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+         |     ELSE list_transform(range(1, len($toks) - 1),
+         |            i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct($tri) AS sh FROM documents),
+       |batch AS (
+       |  SELECT doc_id + $PlantOffset AS doc_id, list_distinct($tri) AS sh
+       |  FROM (SELECT doc_id, text || ' zz9end' AS text FROM documents
+       |        WHERE doc_id % 5 = 0)),
+       |scored AS (
+       |  SELECT p.doc_id AS new_id, b.doc_id AS dup_of,
+       |    CAST(len(list_intersect(p.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(p.sh, b.sh))) AS j
+       |  FROM batch p JOIN base b
+       |    ON least(len(p.sh), len(b.sh)) >= 0.8 * greatest(len(p.sh), len(b.sh)))
+       |SELECT new_id, dup_of, ROUND(j, 6) AS jaccard
+       |FROM scored
+       |WHERE j >= 0.8
+       |ORDER BY new_id, dup_of""".stripMargin
+  }
+
   /** BEST-OF-CLUSTER canonical dedup — the production selection rule on
     * top of q72's transitive near-dup clusters: instead of "lowest id
     * wins", each cluster keeps its HIGHEST-QUALITY member (here: the
@@ -823,6 +902,7 @@ object SimilarityQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dedup_incremental" -> (q120DedupIncremental _),
     "q119_dedup_best_of_cluster" -> (q119DedupBestOfCluster _),
     "q112_ann_pq"            -> (q112AnnPq _),
     "q107_containment_dedup" -> (q107ContainmentDedup _),
@@ -838,6 +918,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q120_dedup_incremental" -> q120Oracle,
     "q119_dedup_best_of_cluster" -> q119Oracle,
     "q112_ann_pq"            -> q112Oracle,
     "q107_containment_dedup" -> q107Oracle,
