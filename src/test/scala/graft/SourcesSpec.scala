@@ -211,6 +211,35 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(top.collect().map(_.getInt(0)).toSeq === Seq(59, 58, 57))
   }
 
+  test("graft-odbc V2 source: filter + aggregate compose in one pushed query; global agg works") {
+    val cfg = OdbcStyleConfig(SourceType.Derby, "localhost", 0, "odbcv2agg2", "app", "app")
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE v2_b ("id" INT NOT NULL, "grp" VARCHAR(8), "amount" DOUBLE)""")
+    st.execute("INSERT INTO v2_b VALUES " + (0 until 40).map(i =>
+      s"($i, 'g${i % 2}', ${i * 2.0})").mkString(", "))
+    st.close(); conn.close()
+
+    def reader = spark.read.format("graft-odbc")
+      .option("url", cfg.url).option("dbtable", "v2_b")
+
+    // WHERE + GROUP BY both compiled into the single database query
+    val q = reader.load().filter(col("id") >= 10)
+      .groupBy("grp").agg(sum("amount").as("s")).orderBy("grp")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [") &&
+      plan.contains("PushedFilters: [GreaterThanOrEqual(id,10)"),
+      s"filter and aggregate must both push:\n$plan")
+    assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ===
+      (10 until 40).groupBy(i => s"g${i % 2}").map { case (g, is) => g -> is.map(_ * 2.0).sum })
+
+    // global aggregate (no GROUP BY): one row from the database
+    val g = reader.load().agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates: [COUNT(*)"),
+      "global aggregate must push")
+    assert(g.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((40L, 39)))
+  }
+
   test("OdbcStyleConfig: pyodbc wire format round-trips through the parser") {
     val cfg = OdbcStyleConfig(SourceType.Postgres, "db.example", 5432, "appdb", "u1", "secret")
     assert(cfg.connectionString ===
