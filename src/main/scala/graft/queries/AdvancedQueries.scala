@@ -641,7 +641,59 @@ object AdvancedQueries {
       |FROM win WHERE is_grid = 1
       |ORDER BY user_id, grid_ts""".stripMargin
 
+  /** Exact WEIGHTED median — each value weighted by its quantity (the
+    * "median price per unit sold" statistic plain medians get wrong).
+    * Pure cumulative-weight rank: one window cumsum per group ordered by
+    * (value, tie-break), then the first row whose doubled running weight
+    * reaches the group total is the weighted lower median. All integer
+    * arithmetic (cents × quantity-cents longs), so the threshold compare
+    * and the selected value are exact in both engines; the shuffle
+    * profile is one window exchange + a tiny per-group argmin — no
+    * per-group buffer, same posture as q57's distributed rank.
+    */
+  def q121WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("v"),
+      (dec2(col("l_quantity")) * 100).cast(LongType).as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy(col("l_returnflag"))
+    li
+      .withColumn("cw", sum(col("w")).over(ord))
+      .withColumn("tw", sum(col("w")).over(grp))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("cw"), col("v"))).getField("v").as("median_cents"),
+        min(col("tw")).as("total_w"))
+      .select(col("l_returnflag"),
+        (col("median_cents") / 100.0).as("weighted_median"),
+        (col("total_w") / 100.0).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q121Oracle: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, v, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v, l_orderkey, l_linenumber
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM (SELECT l_returnflag,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w,
+      |          l_orderkey, l_linenumber
+      |        FROM lineitem))
+      |SELECT l_returnflag,
+      |  MIN(CASE WHEN cw * 2 >= tw THEN v END) / 100.0 AS weighted_median,
+      |  MIN(tw) / 100.0 AS total_weight
+      |FROM ranked
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_weighted_median"  -> (q121WeightedMedian _),
     "q115_resample_interpolate" -> (q115ResampleInterpolate _),
     "q111_rolling_median"   -> (q111RollingMedian _),
     "q110_corr_stats"       -> (q110CorrStats _),
@@ -660,6 +712,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q121_weighted_median"  -> q121Oracle,
     "q115_resample_interpolate" -> q115Oracle,
     "q111_rolling_median"   -> q111Oracle,
     "q110_corr_stats"       -> q110Oracle,
