@@ -17,12 +17,16 @@ import org.apache.spark.sql.types.IntegerType
   *     ubiquitous window-top-k pattern
   *     (`row_number().over(partitionBy(k).orderBy(o))` filtered to `<= k`)
   *     into the operator automatically, so EXISTING window-style user code
-  *     gets the no-sort plan without changing a line.
+  *     gets the no-sort plan without changing a line;
+  *   - [[BandJoinRewrite]] — rewrites non-equi band joins (`l.t BETWEEN
+  *     r.t + lo AND r.t + hi`, no equi key) from the O(n·m) nested-loop
+  *     plan into a binned equi-join with a residual filter.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
   }
 }
 

@@ -382,7 +382,37 @@ object ScaleQueries {
       |GROUP BY 1
       |ORDER BY l_ship_month""".stripMargin
 
+  /** NON-EQUI band join — temporal proximity pairs ACROSS ALL USERS (no
+    * equi anchor exists: "any two events within a minute of each other").
+    * Written naively this is exactly the shape Spark plans as a
+    * broadcast-nested-loop join — O(n·m) comparisons, the non-equi scale
+    * killer. The [[graft.plans.BandJoinRewrite]] optimizer rule rewrites
+    * it automatically into a BINNED equi-join (bin = band width, probe
+    * side explodes ≤ 2 bin keys, original predicate kept as residual),
+    * so the plan PlanSpec pins has no BNLJ and the join shuffles on the
+    * bin key like any hash join. The oracle replays the naive join —
+    * n is small enough there — proving the rewrite exact.
+    */
+  def q122BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir)
+      .select(col("event_id").as("ida"), expr("unix_micros(ts)").as("ta"))
+    val b = Tables.events(spark, dir)
+      .select(col("event_id").as("idb"), expr("unix_micros(ts)").as("tb"))
+    a.join(b, col("tb") > col("ta") && col("tb") <= col("ta") + lit(60000000L))
+      .select(col("ida"), col("idb"), (col("tb") - col("ta")).as("gap_us"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val q122Oracle: String =
+    """SELECT a.event_id AS ida, b.event_id AS idb,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+      |ORDER BY ida, idb""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_band_join"    -> (q122BandJoin _),
     "q116_dynamic_partition_overwrite" -> (q116DynamicPartitionOverwrite _),
     "q95_compaction"      -> (q95Compaction _),
     "q93_bloom_pruned_join" -> (q93BloomPrunedJoin _),
@@ -392,6 +422,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q122_band_join"    -> q122Oracle,
     "q116_dynamic_partition_overwrite" -> q116Oracle,
     "q95_compaction"      -> q95Oracle,
     "q93_bloom_pruned_join" -> q93Oracle,

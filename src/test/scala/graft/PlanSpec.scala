@@ -101,6 +101,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"chunking must not shuffle (only the output sort may exchange):\n$p")
   }
 
+  test("q122 non-equi band join auto-rewrites to a binned equi-join — no BNLJ") {
+    val p = plan("q122_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must not plan as a nested loop:\n$p")
+    assert(p.contains("__band_bin"), s"bin key missing from the plan:\n$p")
+    // with the escape hatch off, the naive plan comes back (and BNLJ with it)
+    spark.conf.set("spark.graft.bandjoin.rewrite", "false")
+    try {
+      val naive = plan("q122_band_join")
+      assert(naive.contains("BroadcastNestedLoopJoin"),
+        s"escape hatch must restore the naive plan:\n$naive")
+    } finally spark.conf.unset("spark.graft.bandjoin.rewrite")
+  }
+
   test("q75 bucketed join plans with no exchange on the join key") {
     val p = plan("q75_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)

@@ -133,6 +133,17 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
         col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("band-join rewrite law: binned equi-join equals the naive nested loop exactly") {
+    val q = SparkEntry.queries("q122_band_join")
+    val rewritten = q(spark, sfDir).collect().toSeq
+    spark.conf.set("spark.graft.bandjoin.rewrite", "false")
+    val naive =
+      try q(spark, sfDir).collect().toSeq
+      finally spark.conf.unset("spark.graft.bandjoin.rewrite")
+    assert(rewritten.nonEmpty)
+    assert(rewritten === naive)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // one hot key owning ~99% of the fact: the classic skew shape. With
