@@ -117,6 +117,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(Transforms.dedupKeyed(empty, Seq("k"), Seq(col("t"))).count() === 0)
   }
 
+  test("BandJoinRewrite law: random bands equal the naive join (negatives included)") {
+    val vals: Gen[List[Long]] = Gen.listOfN(60, Gen.choose(-500L, 500L))
+    val band: Gen[(Long, Long)] =
+      Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 80L)).map { case (lo, w) => (lo, lo + w) }
+    samples(Gen.zip(vals, vals, band), 6).foreach { case (ls, rs, (lo, hi)) =>
+      val l = ls.zipWithIndex.map { case (t, i) => (i, t) }.toDF("lid", "lt")
+      val r = rs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("rid", "rt")
+      def run() = l.join(r, col("lt") >= col("rt") + lit(lo) &&
+          col("lt") <= col("rt") + lit(hi))
+        .select("lid", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      val rewritten = run()
+      // reference: the naive nested loop, computed in plain Scala
+      val expected = (for {
+        (lt, li) <- ls.zipWithIndex
+        (rt, ri) <- rs.zipWithIndex
+        if lt >= rt + lo && lt <= rt + hi
+      } yield (li, ri)).toSet
+      assert(rewritten === expected, s"band [$lo, $hi]")
+    }
+  }
+
   test("TopKRewrite law: rewritten window top-k equals the window plan exactly") {
     import org.apache.spark.sql.expressions.Window
     // (key, value, tie): tie is unique per row so row_number is total-order
