@@ -692,7 +692,43 @@ object AdvancedQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** COHORT RETENTION — the product-analytics staple: users grouped by
+    * first-seen week (their cohort), then counted per (cohort, weeks-
+    * since-cohort) cell — the retention matrix. Three skew-free
+    * aggregations keyed on user_id or (cohort, offset): min-ts per user,
+    * distinct user-weeks, then the matrix roll-up; the per-user cohort
+    * joins back broadcast-free on user_id (high cardinality). All-integer
+    * week arithmetic (ISO Monday truncation, day-diff div 7), so counts
+    * replay exactly.
+    */
+  def q123CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast(IntegerType).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q123Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, wk FROM ev)
+      |SELECT cohort_week,
+      |  CAST((wk - cohort_week) // 7 AS INTEGER) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM active JOIN cohorts USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_cohort_retention" -> (q123CohortRetention _),
     "q121_weighted_median"  -> (q121WeightedMedian _),
     "q115_resample_interpolate" -> (q115ResampleInterpolate _),
     "q111_rolling_median"   -> (q111RollingMedian _),
@@ -712,6 +748,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q123_cohort_retention" -> q123Oracle,
     "q121_weighted_median"  -> q121Oracle,
     "q115_resample_interpolate" -> q115Oracle,
     "q111_rolling_median"   -> q111Oracle,
