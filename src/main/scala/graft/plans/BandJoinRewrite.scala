@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
   * opposite sides, optionally offset by literals, in any operand order;
   * every other conjunct rides along in the residual filter. Guarded by
   * `spark.graft.bandjoin.rewrite` (default on).
+  *
+  * Boundary: bin arithmetic (`v + lo`, `v + hi`, `hi − lo + 1`) is Long
+  * and assumes it does not overflow — true for the time/sequence domains
+  * band joins exist for (epoch micros are 2^50-scale), not for values
+  * engineered near Long.MaxValue. The residual filter can only REMOVE
+  * rows, so an overflow could only ever cause missed matches, never
+  * spurious ones.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
