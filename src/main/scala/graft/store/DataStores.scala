@@ -161,6 +161,68 @@ final class JdbcStore(
       } finally st.close()
     } finally conn.close()
   }
+
+  /** EXACTLY-ONCE batch upsert for streaming foreachBatch sinks: the
+    * batch id is recorded in a commit-log table INSIDE the same database
+    * transaction that promotes the staging rows, so a batch either lands
+    * fully (rows + commit record) or not at all — and a RETRY of an
+    * already-committed batch id (Structured Streaming re-runs a batch
+    * after a sink failure or a query restart) is detected from the log
+    * and skipped before any work. This is the standard idempotent-JDBC
+    * streaming sink: at-least-once delivery from the engine + a
+    * transactional dedup log in the target = exactly-once effects.
+    */
+  def upsertBatch(staging: DataFrame, batchId: Long): Unit = {
+    val commitTable = s"${table}_commits"
+    val conn0 = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val md = conn0.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var hasLog = false
+      while (md.next()) {
+        if (md.getString("TABLE_NAME").equalsIgnoreCase(commitTable)) hasLog = true
+      }
+      val st0 = conn0.createStatement()
+      try {
+        if (!hasLog)
+          st0.executeUpdate(
+            s"CREATE TABLE $commitTable (${quote}batch_id$quote BIGINT PRIMARY KEY)")
+        val rs = st0.executeQuery(
+          s"SELECT COUNT(*) FROM $commitTable WHERE ${quote}batch_id$quote = $batchId")
+        rs.next()
+        if (rs.getInt(1) > 0) return // replay of a committed batch — no-op
+      } finally st0.close()
+    } finally conn0.close()
+    // stage the rows (executor-parallel write, its own table)
+    val stagingTable = s"${table}_staging"
+    val writer = staging.write.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", stagingTable)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+    stagingColumnTypes.foreach(writer.option("createTableColumnTypes", _))
+    writer.mode(SaveMode.Overwrite).save()
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val qk = s"$quote$key$quote"
+        val colList = staging.columns.map(c => s"$quote$c$quote").mkString(", ")
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM $stagingTable)")
+        st.executeUpdate(
+          s"INSERT INTO $table ($colList) SELECT $colList FROM $stagingTable")
+        // the commit record rides in the SAME transaction as the promote
+        st.executeUpdate(s"INSERT INTO $commitTable VALUES ($batchId)")
+        conn.commit()
+        st.executeUpdate(s"DROP TABLE $stagingTable")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** Debug/display sink ≙ `df.show()` (`lambda_function.py:192`). */

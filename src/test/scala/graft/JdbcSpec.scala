@@ -64,6 +64,32 @@ class JdbcSpec extends AnyFunSuite with SparkSpec {
     assert(!names.contains("users_staging"))
   }
 
+  test("upsertBatch is exactly-once under batch replay (streaming sink contract)") {
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE xo_t (\"k\" INT PRIMARY KEY, \"v\" INT)")
+      st.execute("INSERT INTO xo_t VALUES (1, 10), (2, 20)")
+      st.close()
+    }
+    val store = new JdbcStore(cfg, "xo_t", "k")
+    def state() = JdbcTableSource(cfg, "xo_t").fetch(spark)
+      .orderBy("k").as[(Int, Int)].collect().toSeq
+
+    store.upsertBatch(Seq((2, 21), (3, 30)).toDF("k", "v"), batchId = 0L)
+    val afterB0 = state()
+    assert(afterB0 === Seq((1, 10), (2, 21), (3, 30)))
+
+    // REPLAY of batch 0 with DIFFERENT (stale) content — Structured
+    // Streaming can re-run a batch after a sink crash; the commit log
+    // must make it a no-op, not a second application
+    store.upsertBatch(Seq((2, 99)).toDF("k", "v"), batchId = 0L)
+    assert(state() === afterB0, "replayed batch must not re-apply")
+
+    // the next batch id applies normally
+    store.upsertBatch(Seq((2, 22)).toDF("k", "v"), batchId = 1L)
+    assert(state() === Seq((1, 10), (2, 22), (3, 30)))
+  }
+
   test("tableNames collects the catalog list Dataset-native (A8/A9)") {
     val tables = JdbcTableSource(cfg,
       "(SELECT tablename AS table_name FROM sys.systables WHERE tabletype = 'T') t")
