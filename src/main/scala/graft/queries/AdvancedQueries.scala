@@ -727,7 +727,55 @@ object AdvancedQueries {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** SPIKE detection against the rolling median — the robust anomaly
+    * screen (a mean-based threshold is dragged by the spike itself; the
+    * median is not): an event is a spike when its value exceeds 3× the
+    * median of the PRECEDING 15 events. The verdict is INTEGER-EXACT:
+    * with lo+hi the two middle cents of the sorted frame (their sum is
+    * twice the median), `cents > 3 × median` is exactly
+    * `2·cents > 3·(lo+hi)` — no float in the decision. Same single
+    * user_id window exchange as q111; the frame here is 15 PRECEDING to
+    * 1 PRECEDING so the candidate never votes on its own baseline.
+    */
+  def q124SpikeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w15 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("sorted", sort_array(collect_list(col("cents")).over(w15)))
+      .withColumn("m", size(col("sorted")))
+      .filter(col("m") >= 4) // too little history → no verdict
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        (col("cents") / 100.0).as("value"),
+        ((expr("element_at(sorted, cast((m + 1) div 2 as int))")
+          + expr("element_at(sorted, cast(m div 2 + 1 as int))")) / 200.0)
+          .as("baseline_median"),
+        (col("cents") * 2 >
+          (expr("element_at(sorted, cast((m + 1) div 2 as int))")
+            + expr("element_at(sorted, cast(m div 2 + 1 as int))")) * 3)
+          .as("is_spike"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q124Oracle: String =
+    """SELECT user_id, event_id, ts, cents / 100.0 AS value,
+      |  (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 200.0 AS baseline_median,
+      |  cents * 2 > (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) * 3 AS is_spike
+      |FROM (
+      |  SELECT user_id, event_id, ts, cents,
+      |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)) AS l
+      |  FROM (SELECT user_id, event_id, ts,
+      |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |        FROM events))
+      |WHERE len(l) >= 4
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_spike_detect"     -> (q124SpikeDetect _),
     "q123_cohort_retention" -> (q123CohortRetention _),
     "q121_weighted_median"  -> (q121WeightedMedian _),
     "q115_resample_interpolate" -> (q115ResampleInterpolate _),
@@ -748,6 +796,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q124_spike_detect"     -> q124Oracle,
     "q123_cohort_retention" -> q123Oracle,
     "q121_weighted_median"  -> q121Oracle,
     "q115_resample_interpolate" -> q115Oracle,
