@@ -774,7 +774,74 @@ object AdvancedQueries {
       |WHERE len(l) >= 4
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** SESSIONIZED funnel — conversion measured WITHIN a visit, the form
+    * product analytics actually uses (q96's lifetime funnel credits a
+    * purchase days after the view; this one requires view → click →
+    * purchase inside one 30-minute-gap session). Sessionization is the
+    * explicit lag/cumsum window (one user_id exchange); the stage chain
+    * is three (user, session)-keyed aggregates with ts-ordered
+    * first-reach semantics — high-cardinality keys throughout, so every
+    * shuffle stays skew-free at corpus scale.
+    */
+  def q125SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= 1800L * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keys = Seq("user_id", "sid")
+    val views = sess.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*).agg(min(col("us")).as("va"))
+    val clicks = sess.filter(col("event_type") === "click")
+      .join(views, keys).filter(col("us") > col("va"))
+      .groupBy(keys.map(col): _*).agg(min(col("us")).as("ca"))
+    val purchases = sess.filter(col("event_type") === "purchase")
+      .join(clicks, keys).filter(col("us") > col("ca"))
+      .groupBy(keys.map(col): _*).agg(min(col("us")).as("pa"))
+    views.agg(count(lit(1)).as("n_sessions"))
+      .select(lit("a_view").as("stage"), col("n_sessions"))
+      .unionByName(purchasesStage("b_click", clicks))
+      .unionByName(purchasesStage("c_purchase", purchases))
+      .orderBy(col("stage"))
+  }
+
+  private def purchasesStage(stage: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_sessions"))
+      .select(lit(stage).as("stage"), col("n_sessions"))
+
+  val q125Oracle: String =
+    """WITH brk AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk),
+      |v AS (SELECT user_id, sid, MIN(us) AS va FROM sess
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT s.user_id, s.sid, MIN(s.us) AS ca FROM sess s
+      |      JOIN v ON s.user_id = v.user_id AND s.sid = v.sid AND s.us > v.va
+      |      WHERE s.event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT s.user_id, s.sid, MIN(s.us) AS pa FROM sess s
+      |      JOIN c ON s.user_id = c.user_id AND s.sid = c.sid AND s.us > c.ca
+      |      WHERE s.event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT stage, n_sessions FROM (
+      |  SELECT 'a_view' AS stage, COUNT(*) AS n_sessions FROM v
+      |  UNION ALL SELECT 'b_click', COUNT(*) FROM c
+      |  UNION ALL SELECT 'c_purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_session_funnel"   -> (q125SessionFunnel _),
     "q124_spike_detect"     -> (q124SpikeDetect _),
     "q123_cohort_retention" -> (q123CohortRetention _),
     "q121_weighted_median"  -> (q121WeightedMedian _),
@@ -796,6 +863,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q125_session_funnel"   -> q125Oracle,
     "q124_spike_detect"     -> q124Oracle,
     "q123_cohort_retention" -> q123Oracle,
     "q121_weighted_median"  -> q121Oracle,
