@@ -10,6 +10,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("chunking law: chunk count and lengths derive exactly from n_chars") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val chunks = SparkEntry.queries("q101_doc_chunking")(spark, sfDir)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_len")
+      .as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      // ceil(n / stride) chunks, ids dense from 0, each 120 chars except a
+      // shorter tail, starts on the 90-char stride grid
+      assert(cs.length === ((n - 1) / 90 + 1).toInt, s"doc $id")
+      assert(cs.map(_._2).sorted.toSeq === (0 until cs.length))
+      cs.foreach { case (_, cid, start, len) =>
+        assert(start === cid * 90)
+        assert(len === math.min(120L, n - start).toInt, s"doc $id chunk $cid")
+      }
+    }
+    assert(chunks.keySet === docs.keySet.filter(docs(_) > 0))
+  }
+
   test("PII redaction finds exactly the planted emails and phones") {
     val rows = SparkEntry.queries("q79_pii_redact")(spark, sfDir)
       .select("doc_id", "n_pii").as[(Long, Int)].collect()

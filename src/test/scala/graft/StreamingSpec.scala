@@ -218,6 +218,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "restart reprocessed an already-committed file")
   }
 
+  test("transformWithState accumulates across microbatches (update-mode trace shows growth)") {
+    // drain the 2-slice stream and read the RAW update-mode sink table:
+    // users whose events span both slices must appear twice, the second
+    // row strictly larger — proof the ValueState survived the batch
+    // boundary rather than each batch starting from zero
+    graft.streaming.StreamingOps.transformWithStateTotals(spark, sfDir, "spec_tws")
+      .collect() // drains the stream and registers the sink table
+    val trace = spark.table("spec_tws")
+      .select("user_id", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val multi = trace.filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "no user produced updates in both microbatches")
+    multi.foreach { case (u, ns) =>
+      assert(ns == ns.sorted && ns.distinct == ns,
+        s"user $u: running totals must strictly grow across batches, got $ns")
+    }
+    // and the final totals equal the batch ground truth
+    val totals = trace.view.mapValues(_.max).toMap
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(totals === expected)
+  }
+
   test("streamUpsertSink replay is idempotent (same final keyed state)") {
     def run() = graft.streaming.StreamingOps.streamUpsertSink(spark, sfDir)
       .orderBy("user_id").collect().toSeq
