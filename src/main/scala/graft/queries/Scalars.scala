@@ -199,7 +199,44 @@ object Scalars {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** B12 MULTISET set ops — intersectAll/exceptAll keep duplicate
+    * multiplicity (order keys appear once per qualifying order, and a
+    * customer with three big orders loses three copies, not one) where
+    * q20/q21's distinct forms collapse them. Same single-shuffle shapes:
+    * Spark plans both as a count-tagged aggregate + generate.
+    */
+  def q126SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    // per-order customer keys (dupes = multiple qualifying orders)
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 250000).select(col("o_custkey").as("ck"))
+    val auto = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("ck"))
+    big.intersectAll(auto).groupBy(col("ck")).agg(count(lit(1)).as("n_inter"))
+      .join(
+        big.exceptAll(auto).groupBy(col("ck")).agg(count(lit(1)).as("n_except")),
+        Seq("ck"), "full_outer")
+      .orderBy(col("ck"))
+  }
+
+  val q126Oracle: String =
+    """WITH big AS (
+      |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 250000),
+      |auto AS (
+      |  SELECT c_custkey AS ck FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'AUTOMOBILE'),
+      |i AS (SELECT ck, COUNT(*) AS n_inter FROM
+      |        (SELECT ck FROM big INTERSECT ALL SELECT ck FROM auto) GROUP BY ck),
+      |e AS (SELECT ck, COUNT(*) AS n_except FROM
+      |        (SELECT ck FROM big EXCEPT ALL SELECT ck FROM auto) GROUP BY ck)
+      |SELECT COALESCE(i.ck, e.ck) AS ck, i.n_inter, e.n_except
+      |FROM i FULL JOIN e ON i.ck = e.ck
+      |ORDER BY ck""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_set_ops_all" -> (q126SetOpsAll _),
     "q19_union"        -> (q19Union _),
     "q20_intersect"    -> (q20Intersect _),
     "q21_except"       -> (q21Except _),
@@ -210,6 +247,7 @@ object Scalars {
     "q26_conditional"  -> (q26Conditional _))
 
   val oracles: Map[String, String] = Map(
+    "q126_set_ops_all" -> q126Oracle,
     "q19_union"        -> q19Oracle,
     "q20_intersect"    -> q20Oracle,
     "q21_except"       -> q21Oracle,
