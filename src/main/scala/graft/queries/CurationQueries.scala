@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -348,7 +349,38 @@ object CurationQueries {
       |FROM documents JOIN stats USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  /** EXACT-K per-stratum sampling — "exactly 20 docs per language", the
+    * eval-set construction rule (q80's rate-based sampling can't pin the
+    * count; q91's weighted sample is global). Rank within each stratum by
+    * the md5 of the doc id — a deterministic, data-independent shuffle
+    * both engines replay — and keep the first k. The row_number ≤ k shape
+    * is exactly what [[graft.plans.TopKRewrite]] rewrites onto the
+    * GroupTopK operator: bounded per-stratum heaps, one exchange, no
+    * per-group sort.
+    */
+  def q127SamplePerStratum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast(StringType)).as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val q127Oracle: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_sample_per_stratum" -> (q127SamplePerStratum _),
     "q104_outlier_zscore"    -> (q104OutlierZscore _),
     "q101_doc_chunking"      -> (q101DocChunking _),
     "q90_cms_heavy_hitters"  -> (q90CmsHeavyHitters _),
@@ -359,6 +391,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q127_sample_per_stratum" -> q127Oracle,
     "q104_outlier_zscore"    -> q104Oracle,
     "q101_doc_chunking"      -> q101Oracle,
     "q90_cms_heavy_hitters"  -> q90Oracle,
