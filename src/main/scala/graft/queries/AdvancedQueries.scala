@@ -840,7 +840,59 @@ object AdvancedQueries {
       |  UNION ALL SELECT 'c_purchase', COUNT(*) FROM p)
       |ORDER BY stage""".stripMargin
 
+  /** PARETO / ABC contribution analysis — each customer's share of their
+    * segment's revenue plus the cumulative share in descending-revenue
+    * order, classified A (first 70% of revenue), B (to 90%), C (tail).
+    * The classification compares integers only: `cum·1 > total·0.7` is
+    * `10·cum > 7·total` in cents longs, so the A/B/C verdicts are exact
+    * in both engines; the reported shares divide identical exact longs.
+    * One customer-keyed aggregate + one window pass per segment.
+    */
+  def q128ParetoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    val ord = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy(col("c_mktsegment"))
+    perCust
+      .withColumn("cum", sum(col("cents")).over(ord))
+      .withColumn("total", sum(col("cents")).over(grp))
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        (col("cents").cast(DoubleType) / col("total")).as("share"),
+        (col("cum").cast(DoubleType) / col("total")).as("cum_share"),
+        when(col("cum") * 10 <= col("total") * 7, "A")
+          .when(col("cum") * 10 <= col("total") * 9, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("c_mktsegment"), col("cum_share"))
+  }
+
+  val q128Oracle: String =
+    """WITH per_cust AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, c_custkey),
+      |ranked AS (
+      |  SELECT *,
+      |    SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cents) OVER (PARTITION BY c_mktsegment) AS total
+      |  FROM per_cust)
+      |SELECT c_mktsegment, c_custkey,
+      |  CAST(cents AS DOUBLE) / total AS share,
+      |  CAST(cum AS DOUBLE) / total AS cum_share,
+      |  CASE WHEN cum * 10 <= total * 7 THEN 'A'
+      |       WHEN cum * 10 <= total * 9 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM ranked
+      |ORDER BY c_mktsegment, cum_share""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_pareto_abc"       -> (q128ParetoAbc _),
     "q125_session_funnel"   -> (q125SessionFunnel _),
     "q124_spike_detect"     -> (q124SpikeDetect _),
     "q123_cohort_retention" -> (q123CohortRetention _),
@@ -863,6 +915,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q128_pareto_abc"       -> q128Oracle,
     "q125_session_funnel"   -> q125Oracle,
     "q124_spike_detect"     -> q124Oracle,
     "q123_cohort_retention" -> q123Oracle,
