@@ -277,7 +277,45 @@ object EtlQueries {
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** CHANGE-FEED generation — the inverse of q70's changelog APPLY: two
+    * snapshots of the orders table (deterministic deletes/updates/inserts
+    * between them) diff into the I/U/D feed via one full-outer join on
+    * the key ([[graft.store.ChangeFeed]]). PropertySpec proves the
+    * algebra closes: applying the generated feed to the old snapshot
+    * reproduces the new one.
+    */
+  def q129ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"),
+        col("o_orderstatus").as("status"))
+    val newer = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("total",
+        when(col("o_orderkey") % 3 === 0, (col("total") + 5).cast(D2))
+          .otherwise(col("total")))
+      .unionByName(base.filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          col("total"), lit("N").as("status")))
+    graft.store.ChangeFeed(base, newer, Seq("o_orderkey"))
+      .withColumn("total", col("total").cast(DoubleType))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q129Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderstatus AS status
+      |  FROM orders)
+      |SELECT k AS o_orderkey, CAST(total AS DOUBLE) AS total, status, op FROM (
+      |  SELECT k, total, status, 'D' AS op FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, CAST(total + 5 AS DECIMAL(12,2)), status, 'U'
+      |  FROM base WHERE k % 3 = 0 AND k % 7 <> 0
+      |  UNION ALL
+      |  SELECT k + 10000000, total, 'N', 'I' FROM base WHERE k % 5 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_change_feed"  -> (q129ChangeFeed _),
     "q102_scd2_history" -> (q102Scd2History _),
     "q70_cdc_apply"     -> (q70CdcApply _),
     "q71_data_quality"  -> (q71DataQuality _),
@@ -289,6 +327,7 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q129_change_feed"  -> q129Oracle,
     "q102_scd2_history" -> q102Oracle,
     "q70_cdc_apply"     -> q70CdcOracle,
     "q71_data_quality"  -> q71Oracle,

@@ -61,6 +61,38 @@ object ApplyChangelog {
   }
 }
 
+/** CHANGE-FEED generation — the inverse of [[ApplyChangelog]]: diff two
+  * snapshots of a keyed table into an I/U/D changelog. Keys only in the
+  * new snapshot emit I with the new image, keys only in the old snapshot
+  * emit D, keys in both whose non-key columns differ (null-safe) emit U —
+  * unchanged rows emit nothing. One full-outer join on the key: the same
+  * single-shuffle posture as the apply side, so diffing two 100 TB
+  * snapshots is one co-partitioned pass. Law (PropertySpec):
+  * `ApplyChangelog(old, changeFeed(old, new)) == new`.
+  */
+object ChangeFeed {
+  import org.apache.spark.sql.functions._
+
+  def apply(old: DataFrame, newer: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = old.columns.toSeq
+    require(cols == newer.columns.toSeq, "snapshots must share a schema")
+    val attrs = cols.filterNot(keys.contains)
+    val o = old.select(cols.map(c => col(c).as(s"o_$c")): _*)
+    val n = newer.select(cols.map(c => col(c).as(s"n_$c")): _*)
+    val joinCond = keys.map(k => col(s"o_$k") <=> col(s"n_$k")).reduce(_ && _)
+    val changed = attrs.map(a => !(col(s"o_$a") <=> col(s"n_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col(s"o_${keys.head}").isNull, "I")
+      .when(col(s"n_${keys.head}").isNull, "D")
+      .when(changed, "U")
+    o.join(n, joinCond, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(cols.map(c =>
+        coalesce(col(s"n_$c"), col(s"o_$c")).as(c)) :+ col("op"): _*)
+  }
+}
+
 trait DataStore {
   /** ≙ abstract `DataStore.upsert_data` (`services/data_store.py:3-9`). */
   def upsert(staging: DataFrame): Unit

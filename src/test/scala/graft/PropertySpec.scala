@@ -117,6 +117,18 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(Transforms.dedupKeyed(empty, Seq("k"), Seq(col("t"))).count() === 0)
   }
 
+  test("CDC roundtrip law: ApplyChangelog(old, ChangeFeed(old, new)) == new") {
+    import graft.store.{ApplyChangelog, ChangeFeed}
+    samples(Gen.zip(kvRows, kvRows), 8).foreach { case (o, n) =>
+      val old = Transforms.dedupKeyed(o.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val newer = Transforms.dedupKeyed(n.toDF("id", "v"), Seq("id"), Seq(col("v")))
+      val feed = ChangeFeed(old, newer, Seq("id")).withColumn("seq", lit(1))
+      val recovered = ApplyChangelog(old, feed, Seq("id"), "seq")
+      assert(recovered.orderBy("id").collect().toSeq ===
+        newer.orderBy("id").collect().toSeq)
+    }
+  }
+
   test("BandJoinRewrite law: random bands equal the naive join (negatives included)") {
     val vals: Gen[List[Long]] = Gen.listOfN(60, Gen.choose(-500L, 500L))
     val band: Gen[(Long, Long)] =
