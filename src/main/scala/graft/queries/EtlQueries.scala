@@ -314,7 +314,50 @@ object EtlQueries {
       |  SELECT k + 10000000, total, 'N', 'I' FROM base WHERE k % 5 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Column PROFILING — the per-column ingest report (completeness,
+    * cardinality, range) every pipeline runs before trusting a feed: one
+    * aggregation pass computes null count, exact distinct count, and
+    * min/max (stringified for the uniform report schema) for each
+    * profiled column, unpivoted to a row per column. Count-distincts over
+    * several columns expand to a single multi-count aggregate — one scan,
+    * no per-column jobs.
+    */
+  def q130ProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    // money pre-cast to DECIMAL(12,2): double→string formatting is not
+    // portable across engines, decimal→string is
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_totalprice", dec2(col("o_totalprice")))
+    val agg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast(StringType).as(s"${c}_min"),
+        max(col(c)).cast(StringType).as(s"${c}_max"))): _*)
+    cols.map { c =>
+      agg.select(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  val q130Oracle: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM (SELECT o_custkey, o_orderstatus, o_orderpriority,
+         |        CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice FROM orders)""".stripMargin
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_profile_columns" -> (q130ProfileColumns _),
     "q129_change_feed"  -> (q129ChangeFeed _),
     "q102_scd2_history" -> (q102Scd2History _),
     "q70_cdc_apply"     -> (q70CdcApply _),
@@ -327,6 +370,7 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q130_profile_columns" -> q130Oracle,
     "q129_change_feed"  -> q129Oracle,
     "q102_scd2_history" -> q102Oracle,
     "q70_cdc_apply"     -> q70CdcOracle,
