@@ -143,4 +143,103 @@ object Percentiles {
     nAll.join(pivoted, Seq("g"), "left")
       .select((gDec(col("g")).as(groupCol) +: ps.map(pp => col(colName(pp)))) :+ col("n"): _*)
   }
+
+  /** EXACT per-group WEIGHTED quantiles over integral values — the
+    * distributed replacement for the "window-cumsum the whole corpus per
+    * group" shape, whose single hash exchange on the group key puts one
+    * task per group at any scale (a 3-value key ⇒ 3 tasks own 100 TB).
+    *
+    * Same posture as [[exactPercentiles]]: ONE range exchange on
+    * (group, value) spreads even a single giant group across the cluster;
+    * a spillable within-partition sort + an O(1)-state streaming pass
+    * produce per-(partition, group) weight cumsums; the tiny P·G count
+    * frame is windowed into prefix offsets; offsets and totals broadcast
+    * back onto the ranked corpus, and the quantile row is picked by a
+    * map-side-combined partial MIN — no second corpus shuffle anywhere.
+    *
+    * Fractions are exact rationals (num, den), compared in integer
+    * arithmetic: the f-quantile is the least v whose cumulative weight cw
+    * (over value-ascending order) satisfies cw·den ≥ tw·num. Tie order
+    * within equal values provably cannot change the result: the threshold
+    * crossing lands inside the same equal-value run under every
+    * value-consistent order, and only the VALUE is emitted. Weights must
+    * be positive; values/weights must keep cw·den and tw·num inside
+    * Long (|Σw|·den < 2⁶³ — at cents-scale weights that holds past 10¹⁶
+    * rows per group).
+    *
+    * @param fs (outputColumn, numerator, denominator) per fraction, e.g.
+    *           ("median_cents", 1, 2).
+    * @return one row per group: (groupCol as string, fs…, total_w).
+    */
+  def exactWeightedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      fs: Seq[(String, Long, Long)]): DataFrame = {
+    require(fs.nonEmpty && fs.forall { case (_, n, d) => d > 0 && n >= 0 && n <= d },
+      s"bad fractions: $fs")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // same non-null struct key trick as exactPercentiles: keeps null
+    // groups alive through the equi-joins and the rank pass
+    val gEnc = struct(
+      col(groupCol).isNull.as("is_null"),
+      coalesce(col(groupCol).cast(StringType), lit("")).as("s"))
+    def gDec(c: org.apache.spark.sql.Column) =
+      when(c.getField("is_null"), lit(null).cast(StringType))
+        .otherwise(c.getField("s"))
+
+    val vals = df
+      .select(gEnc.as("g"), col(valueCol).cast(LongType).as("v"),
+        col(weightCol).cast(LongType).as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranked = vals
+      .repartitionByRange(p, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[((Boolean, String), Long, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var first = true
+        var cur: (Boolean, String) = null
+        var cum = 0L
+        it.map { case (g, v, w) =>
+          if (first || g != cur) { cur = g; cum = 0L; first = false }
+          cum += w
+          (pid, g, v, w, cum)
+        }
+      }
+      .toDF("pid", "g", "v", "w", "local_cw")
+      .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
+
+    // P·G-row frame: per-(partition, group) weight sums → per-group prefix
+    // offsets (window over ≤P rows per group — range-partition order IS
+    // ascending pid order) and group totals
+    val counts = ranked.groupBy("pid", "g").agg(sum(col("w")).as("c"))
+    val wOff = Window.partitionBy("g").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col("g"), col("off"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("tw"))
+
+    // broadcast the tiny offset/total frames onto the corpus; the pick is
+    // a partial-aggregated MIN over the qualifying suffix — map-side
+    // combine leaves G rows on the final exchange
+    val cum = ranked
+      .join(broadcast(offsets), Seq("pid", "g"))
+      .withColumn("cw", col("off") + col("local_cw"))
+      .join(broadcast(totals.select(col("g"), col("tw"))), Seq("g"))
+    val aggs = fs.map { case (name, num, den) =>
+      min(when(col("cw") * den >= col("tw") * num, col("v"))).as(name)
+    }
+    val picked = cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+
+    totals.join(picked, Seq("g"))
+      .select((gDec(col("g")).as(groupCol) +: fs.map(f => col(f._1))) :+
+        col("tw").as("total_w"): _*)
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{Percentiles, TextFunctions}
 
 /** Advanced relational + text operators: as-of join, exact percentiles,
   * histogram binning, edit-distance similarity, tf-idf term weighting.
@@ -643,31 +643,25 @@ object AdvancedQueries {
 
   /** Exact WEIGHTED median — each value weighted by its quantity (the
     * "median price per unit sold" statistic plain medians get wrong).
-    * Pure cumulative-weight rank: one window cumsum per group ordered by
-    * (value, tie-break), then the first row whose doubled running weight
-    * reaches the group total is the weighted lower median. All integer
+    * Runs on [[Percentiles.exactWeightedQuantiles]]: a range exchange on
+    * (returnflag, price) spreads every group across the cluster, the
+    * cumulative weight comes from per-partition streaming sums + a
+    * prefix-offset window over the tiny P·G frame, and the median row is
+    * the map-side partial MIN of the qualifying suffix (cw·2 ≥ tw). The
+    * pre-round-6 shape — a window cumsum partitioned by the 3-value
+    * returnflag — put the whole corpus in 3 tasks at any scale; this one
+    * has no corpus-wide hash exchange on the group at all. All integer
     * arithmetic (cents × quantity-cents longs), so the threshold compare
-    * and the selected value are exact in both engines; the shuffle
-    * profile is one window exchange + a tiny per-group argmin — no
-    * per-group buffer, same posture as q57's distributed rank.
+    * and the selected value replay exactly in DuckDB.
     */
   def q121WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
       col("l_returnflag"),
       (dec2(col("l_extendedprice")) * 100).cast(LongType).as("v"),
-      (dec2(col("l_quantity")) * 100).cast(LongType).as("w"),
-      col("l_orderkey"), col("l_linenumber"))
-    val ord = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grp = Window.partitionBy(col("l_returnflag"))
-    li
-      .withColumn("cw", sum(col("w")).over(ord))
-      .withColumn("tw", sum(col("w")).over(grp))
-      .filter(col("cw") * 2 >= col("tw"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(struct(col("cw"), col("v"))).getField("v").as("median_cents"),
-        min(col("tw")).as("total_w"))
+      (dec2(col("l_quantity")) * 100).cast(LongType).as("w"))
+    Percentiles
+      .exactWeightedQuantiles(li, "l_returnflag", "v", "w",
+        Seq(("median_cents", 1L, 2L)))
       .select(col("l_returnflag"),
         (col("median_cents") / 100.0).as("weighted_median"),
         (col("total_w") / 100.0).as("total_weight"))

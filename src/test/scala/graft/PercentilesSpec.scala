@@ -53,4 +53,42 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
       assert(mine(g) === expected, s"group $g")
     }
   }
+
+  test("distributed weighted quantiles match the sequential cumulative-weight definition exactly") {
+    // duplicates, a 1-row group, threshold-on-boundary runs, a null group —
+    // and enough rows that the range exchange actually splits groups
+    val rows: Seq[(String, Long, Long)] =
+      (0 until 6000).map { i =>
+        (s"g${i % 5}", (i * 2654435761L) % 1000L, 1L + (i * 40503L) % 97L)
+      } ++ Seq(
+        ("solo", 7L, 3L),
+        ("dup", 5L, 2L), ("dup", 5L, 2L), ("dup", 9L, 4L), // cw hits tw/2 inside the 5-run
+        (null, 1L, 1L), (null, 2L, 1L))                    // null is an ordinary group
+    val df = rows.toDF("g", "v", "w")
+    val fs = Seq(("p0", 0L, 1L), ("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p75", 3L, 4L), ("p100", 1L, 1L))
+
+    val out = Percentiles.exactWeightedQuantiles(df, "g", "v", "w", fs)
+    val mine = out.collect().map { r =>
+      r.getString(0) -> ((1 to 5).map(r.getLong), r.getLong(6))
+    }.toMap
+
+    // independent oracle: per group, sort by value, scan the cumsum
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      val qs = fs.map { case (_, num, den) =>
+        var cw = 0L
+        sorted.find { case (_, w) => cw += w; cw * den >= tw * num }.get._1
+      }
+      g -> ((qs, tw))
+    }
+    assert(mine.keySet === expected.keySet)
+    expected.foreach { case (g, e) => assert(mine(g) === e, s"group $g") }
+
+    // the scale contract: the corpus is range-partitioned on (group, value);
+    // there is no corpus-wide hash exchange on the group key alone
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+  }
 }
