@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -266,11 +268,27 @@ object ScaleQueries {
       .filter(col("o_orderpriority") === "1-URGENT" &&
         year(col("o_orderdate")) === 1996)
       .select(col("o_orderkey"))
-    val bloom = dim.stat.bloomFilter("o_orderkey", 100000, 0.01)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    // the sketch lives in the PLAN, not the driver: BloomFilterAggregate
+    // (the aggregate behind Spark's own InjectRuntimeFilter) builds the
+    // filter distributed inside a scalar subquery, and the codegen'd
+    // might_contain probes it on the fact side — same wiring as the
+    // built-in runtime row filter, but explicit and oracle-gated. No
+    // df.stat collect-to-driver, no ScalaUDF in the hot path.
+    // (bloom_filter_agg/might_contain are not in the public function
+    // registry in Spark 4.1, hence the direct Catalyst construction.)
+    val bloomAgg = dim.agg(
+      GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("o_orderkey"))),
+          Literal(100000L), Literal(958506L) // n=100k keys at fpp 1%
+        ).toAggregateExpression()).as("bf"))
+    val probe = GraftColumnBridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(bloomAgg.queryExecution.analyzed),
+        GraftColumnBridge.expression(xxhash64(col("l_orderkey")))))
     val prunedFact = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(probe)
     (prunedFact, dim)
   }
 

@@ -59,6 +59,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(solo.findFirstIn(p).isEmpty, s"lang-only exchange found:\n$p")
   }
 
+  test("q93 bloom probe is a codegen'd built-in below the fact-side exchange") {
+    val p = plan("q93_bloom_pruned_join")
+    // the probe must be Spark's native might_contain (codegen'd), not a
+    // ScalaUDF black box
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF"), s"bloom probe still a UDF:\n$p")
+    // and it must run BEFORE the merge-join shuffle: the filter's plan
+    // line appears below the fact-side Exchange in the tree printout
+    // (children print under their parents), i.e. the shuffled volume is
+    // the pruned one
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val probeIdx = p.indexOf("might_contain")
+    assert(exchangeIdx >= 0 && probeIdx > exchangeIdx,
+      s"probe not below the fact exchange:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (name != "q46_stream_tumbling") { // streaming exec has no static plan
