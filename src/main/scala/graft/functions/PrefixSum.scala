@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** DISTRIBUTED running total — the scalable replacement for
+  * `sum(v).over(Window.partitionBy(lowCardKey).orderBy(...))`, whose hash
+  * exchange hands each partition-key value to ONE task (a 5-value key ⇒ 5
+  * tasks own the corpus at any scale).
+  *
+  * Classic two-pass parallel prefix sum, same scaffold as
+  * [[Percentiles.exactWeightedQuantiles]]: ONE range exchange on
+  * (partition keys, sort keys) — partition count grows with the data —
+  * then a spillable within-partition sort, an O(1)-state streaming local
+  * cumsum, per-(partition, group) sums windowed into prefix offsets over
+  * the tiny P·G frame, and a broadcast join to add offset + local. All
+  * payload columns ride through untouched (generic Row encoder).
+  *
+  * The value column must be integral (LongType after cast); a null value
+  * contributes 0 to the running total (where the window aggregate would
+  * emit null for an all-null prefix, this emits 0 — running TOTALS, not
+  * null-bookkeeping). Null partition keys form their own group, exactly
+  * like the window operator.
+  */
+object PrefixSum {
+
+  /** @param partCols window partition keys (possibly low-cardinality)
+    * @param sortCols within-group order, e.g. Seq(col("v").desc, col("id"))
+    * @param valueCol LongType column to accumulate
+    * @param outCol   name of the appended running-total column
+    */
+  def runningTotal(
+      df: DataFrame,
+      partCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(partCols.nonEmpty && sortCols.nonEmpty)
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+
+    // group key as a join-safe struct (null flag + string): raw null keys
+    // would fall out of the offsets equi-join below
+    val gkey = struct(partCols.map(c =>
+      struct(col(c).isNull.as("is_null"),
+        coalesce(col(c).cast(StringType), lit("")).as("s")).as(c)): _*)
+
+    val ordered = df
+      .withColumn("__gkey", gkey)
+      .repartitionByRange(p, partCols.map(col) ++ sortCols: _*)
+      .sortWithinPartitions(partCols.map(col) ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    val base = ordered.schema
+    require(base(valueCol).dataType == LongType,
+      s"$valueCol must be LongType, is ${base(valueCol).dataType}")
+    val vIdx = base.fieldIndex(valueCol)
+    val gIdx = base.fieldIndex("__gkey")
+    implicit val enc = Encoders.row(base.add("__lcum", LongType, nullable = false))
+    // streaming local pass: rows arrive (group, sort)-ordered, so group
+    // changes are contiguous — O(1) state, no buffering
+    val local = ordered.mapPartitions { it =>
+      var cur: Any = null
+      var first = true
+      var cum = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (first || g != cur) { cur = g; cum = 0L; first = false }
+        if (!r.isNullAt(vIdx)) cum += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+
+    // P·G-row frame: per-(partition, group) sums → per-group prefix
+    // offsets (range-partition order IS ascending pid order)
+    val counts = local.groupBy(col("__pid"), col("__gkey"))
+      .agg(sum(col(valueCol)).as("__c"))
+    val wOff = Window.partitionBy("__gkey").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__gkey"), col("__off"))
+
+    local.join(broadcast(offsets), Seq("__pid", "__gkey"))
+      .withColumn(outCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__gkey", "__lcum", "__off")
+  }
+}

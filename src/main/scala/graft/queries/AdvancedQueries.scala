@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.{Percentiles, TextFunctions}
+import graft.functions.{Percentiles, PrefixSum, TextFunctions}
 
 /** Advanced relational + text operators: as-of join, exact percentiles,
   * histogram binning, edit-distance similarity, tf-idf term weighting.
@@ -840,20 +840,24 @@ object AdvancedQueries {
     * The classification compares integers only: `cum·1 > total·0.7` is
     * `10·cum > 7·total` in cents longs, so the A/B/C verdicts are exact
     * in both engines; the reported shares divide identical exact longs.
-    * One customer-keyed aggregate + one window pass per segment.
+    * The running revenue comes from [[PrefixSum.runningTotal]] — a range
+    * exchange on (segment, revenue desc, custkey) plus two-pass offsets —
+    * NOT a window partitioned by the 5-value segment key, which would
+    * put the whole per-customer frame (∝ |customers|, hundreds of
+    * millions at 100 TB) on 5 tasks; segment totals come from a
+    * broadcast-joined aggregate for the same reason.
     */
   def q128ParetoAbc(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
-    val ord = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("cents").desc, col("c_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grp = Window.partitionBy(col("c_mktsegment"))
-    perCust
-      .withColumn("cum", sum(col("cents")).over(ord))
-      .withColumn("total", sum(col("cents")).over(grp))
+    val totals = perCust.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents")).as("total"))
+    PrefixSum
+      .runningTotal(perCust, Seq("c_mktsegment"),
+        Seq(col("cents").desc, col("c_custkey")), "cents", "cum")
+      .join(broadcast(totals), Seq("c_mktsegment"))
       .select(
         col("c_mktsegment"), col("c_custkey"),
         (col("cents").cast(DoubleType) / col("total")).as("share"),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PrefixSum
+
+/** The distributed two-pass prefix sum must equal the window cumsum it
+  * replaces — on duplicates in the sort key, descending order, null
+  * values (contribute 0), a null partition key, and extra payload
+  * columns riding through — while range-partitioning the corpus instead
+  * of hash-partitioning it on the (low-cardinality) group key.
+  */
+class PrefixSumSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("runningTotal equals the window cumulative sum exactly") {
+    val rows: Seq[(String, Long, java.lang.Long, String)] =
+      (0 until 5000).map { i =>
+        (s"g${i % 3}", (i * 2654435761L) % 500L,
+          java.lang.Long.valueOf(1L + (i * 40503L) % 97L), s"payload$i")
+      } ++ Seq(
+        ("g0", 7L, null, "nullval"),        // null value contributes 0
+        (null, 1L, java.lang.Long.valueOf(5L), "ng1"),
+        (null, 2L, java.lang.Long.valueOf(6L), "ng2"))
+    // unique sort tie-break (id) so the expected window is deterministic
+    val df = rows.zipWithIndex
+      .map { case ((g, s, w, pay), id) => (g, s, w, pay, id.toLong) }
+      .toDF("g", "s", "w", "payload", "id")
+
+    val mine = PrefixSum
+      .runningTotal(df, Seq("g"), Seq(col("s").desc, col("id")), "w", "cum")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getLong(r.fieldIndex("id"))) ->
+        (r.getLong(r.fieldIndex("cum")), r.getAs[String]("payload")))
+      .toMap
+
+    val win = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum", coalesce(sum(col("w")).over(win), lit(0L)))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getLong(r.fieldIndex("id"))) ->
+        (r.getLong(r.fieldIndex("cum")), r.getAs[String]("payload")))
+      .toMap
+
+    assert(mine === expected)
+  }
+
+  test("the corpus is range-partitioned, never hash-partitioned on the group key") {
+    val df = (0 until 1000)
+      .map(i => (s"g${i % 2}", i.toLong, 1L)).toDF("g", "s", "w")
+    val out = PrefixSum.runningTotal(df, Seq("g"), Seq(col("s")), "w", "cum")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    // the only hash exchange on the group key alone is the tiny P·G
+    // offsets frame (its subtree aggregates __pid/__gkey) — the CORPUS
+    // never hash-exchanges on g: no hashpartitioning(g#...)
+    assert("hashpartitioning\\(g#\\d+".r.findFirstIn(plan).isEmpty, plan.take(4000))
+  }
+}
