@@ -90,8 +90,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEqui = conjuncts.exists {
           case EqualTo(a, b) =>
-            a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) ||
-              a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)
+            // both sides must actually reference columns: a literal's empty
+            // reference set is a subset of EVERY outputSet, and `col = lit`
+            // is a filter, not an equi-join key
+            a.references.nonEmpty && b.references.nonEmpty &&
+              (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) ||
+                a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
           case _ => false
         }
         if (hasEqui) j

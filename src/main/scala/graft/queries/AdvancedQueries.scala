@@ -454,30 +454,39 @@ object AdvancedQueries {
     * the OLS slope between event value (cents) and hour-of-day, per event
     * type. Both engines' stock corr() aggregates disagree in the last ulp
     * (different accumulation orders), so the moments n, Σx, Σy, Σxy, Σx²,
-    * Σy² are computed as BIGINTs — one map-side-combined aggregate, exact
+    * Σy² are computed exactly — one map-side-combined aggregate, exact
     * and order-independent — and r/slope assemble from them with
     * identical IEEE ops (sqrt is correctly rounded; divisions see
     * identical operands). This is also the SCALABLE shape: moments
     * partial-aggregate; a rank-based or pairwise formulation would not.
+    * The second-order sums accumulate as DECIMAL(38,0): a BIGINT Σx²
+    * wraps silently in Spark (non-ANSI) once Σ cents² exceeds 2⁶³ —
+    * ≈10⁹ rows at 4-digit cent values — while DuckDB sums via HUGEINT,
+    * so the engines would diverge exactly at the scale this query is
+    * pitched for. The moment COMBINATIONS (n·Σxy − Σx·Σy etc.) stay in
+    * DECIMAL(38,0) too before the final double cast.
     */
   def q110CorrStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(
       col("event_type"),
       (dec2(col("value")) * 100).cast(LongType).as("x"),
       hour(col("ts")).cast(LongType).as("y"))
-    val n = col("n")
-    val cxy = n * col("sxy") - col("sx") * col("sy")
-    val vx = n * col("sx2") - col("sx") * col("sx")
-    val vy = n * col("sy2") - col("sy") * col("sy")
+    val d38 = DecimalType(38, 0)
+    val n = col("n").cast(d38)
+    val sx = col("sx").cast(d38)
+    val sy = col("sy").cast(d38)
+    val cxy = n * col("sxy") - sx * sy
+    val vx = n * col("sx2") - sx * sx
+    val vy = n * col("sy2") - sy * sy
     e.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sx2"),
-        sum(col("y") * col("y")).as("sy2"))
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sx2"),
+        sum(col("y").cast(d38) * col("y")).as("sy2"))
       .select(
-        col("event_type"), n,
+        col("event_type"), col("n"),
         when(vx > 0 && vy > 0,
           cxy.cast(DoubleType)
             / (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))))
@@ -487,7 +496,10 @@ object AdvancedQueries {
   }
 
   val q110Oracle: String =
-    """SELECT event_type, n,
+    // moments and their combinations stay HUGEINT (exact to 1.7e38, the
+    // mirror of the Spark side's DECIMAL(38,0)) — only the final ratio
+    // casts to double, so both engines divide identical exact operands
+    """SELECT event_type, CAST(n AS BIGINT) AS n,
       |  CASE WHEN n*sx2 - sx*sx > 0 AND n*sy2 - sy*sy > 0
       |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
       |      / (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) * sqrt(CAST(n*sy2 - sy*sy AS DOUBLE)))
@@ -496,10 +508,10 @@ object AdvancedQueries {
       |    THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)
       |  END AS ols_slope
       |FROM (
-      |  SELECT event_type, COUNT(*) AS n,
-      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
-      |    CAST(SUM(x*x) AS BIGINT) AS sx2, CAST(SUM(y*y) AS BIGINT) AS sy2
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT)*y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT)*x) AS sx2, SUM(CAST(y AS HUGEINT)*y) AS sy2
       |  FROM (SELECT event_type,
       |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
       |          CAST(hour(ts) AS BIGINT) AS y

@@ -254,6 +254,11 @@ class OdbcV2ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    // after a pushed aggregate the sort references the AGGREGATE OUTPUT
+    // (agg_i), but the compiled SELECT list emits raw un-aliased aggregate
+    // SQL — an ORDER BY on agg_i would name a column the database query
+    // doesn't have. Keep the topN in Spark in that case (always correct).
+    if (agg.isDefined) return false
     val compiled = orders.toSeq.map { o =>
       ref(o.expression()).map { c =>
         val dir = if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"

@@ -77,19 +77,30 @@ object ChangeFeed {
     val cols = old.columns.toSeq
     require(cols == newer.columns.toSeq, "snapshots must share a schema")
     val attrs = cols.filterNot(keys.contains)
-    val o = old.select(cols.map(c => col(c).as(s"o_$c")): _*)
-    val n = newer.select(cols.map(c => col(c).as(s"n_$c")): _*)
+    // per-side PRESENCE FLAGS, not key nullness: the join is null-safe
+    // (<=>), so a legitimately-NULL key value matches its counterpart —
+    // testing `o_key IS NULL` would mislabel that matched row as an
+    // insert. A flag column is null-after-full-outer exactly when the
+    // SIDE is absent, whatever the key values are.
+    val o = old.select(cols.map(c => col(c).as(s"o_$c")) :+
+      lit(true).as("o_present"): _*)
+    val n = newer.select(cols.map(c => col(c).as(s"n_$c")) :+
+      lit(true).as("n_present"): _*)
     val joinCond = keys.map(k => col(s"o_$k") <=> col(s"n_$k")).reduce(_ && _)
     val changed = attrs.map(a => !(col(s"o_$a") <=> col(s"n_$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val op = when(col(s"o_${keys.head}").isNull, "I")
-      .when(col(s"n_${keys.head}").isNull, "D")
+    val op = when(col("o_present").isNull, "I")
+      .when(col("n_present").isNull, "D")
       .when(changed, "U")
+    // emit the NEW image whenever the new side exists (coalesce would
+    // resurrect the old value for an update that legitimately sets a
+    // column to NULL); the old image only for deletes
     o.join(n, joinCond, "full_outer")
       .withColumn("op", op)
       .filter(col("op").isNotNull)
       .select(cols.map(c =>
-        coalesce(col(s"n_$c"), col(s"o_$c")).as(c)) :+ col("op"): _*)
+        when(col("n_present").isNotNull, col(s"n_$c"))
+          .otherwise(col(s"o_$c")).as(c)) :+ col("op"): _*)
   }
 }
 

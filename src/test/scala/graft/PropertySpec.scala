@@ -129,6 +129,26 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ChangeFeed classifies null keys and null-valued updates correctly") {
+    import graft.store.ChangeFeed
+    // a NULL key value matches itself across snapshots (the join is
+    // null-safe) — an unchanged null-key row must emit NOTHING, a changed
+    // one must emit U (not a spurious I); and an update that sets the
+    // attr to NULL must carry the NEW (null) image, not the old value
+    val old = Seq[(java.lang.Integer, java.lang.Integer)](
+      (null, 10), (1, 1), (2, 2), (3, 3)).toDF("id", "v")
+    val newer = Seq[(java.lang.Integer, java.lang.Integer)](
+      (null, 10), (1, null), (3, 3), (4, 4)).toDF("id", "v")
+    val feed = ChangeFeed(old, newer, Seq("id"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2)))
+      .toSet
+    assert(feed === Set(
+      (Some(1), None, "U"),     // null-valued update keeps the new image
+      (Some(2), Some(2), "D"),
+      (Some(4), Some(4), "I"))) // the unchanged (null,10) row emits nothing
+  }
+
   test("BandJoinRewrite law: random bands equal the naive join (negatives included)") {
     val vals: Gen[List[Long]] = Gen.listOfN(60, Gen.choose(-500L, 500L))
     val band: Gen[(Long, Long)] =

@@ -209,6 +209,18 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(topPlan.contains("PushedTopN: [ORDER BY") && topPlan.contains("DESC"),
       s"top-N must push into the source:\n$topPlan")
     assert(top.collect().map(_.getInt(0)).toSeq === Seq(59, 58, 57))
+
+    // top-N OVER A PUSHED AGGREGATE must stay in Spark: the compiled
+    // SELECT list has no agg_i aliases, so a pushed ORDER BY on the
+    // aggregate output would reference a column the database query
+    // doesn't have (SQLException at runtime before the fix)
+    val aggTop = reader.load().groupBy("grp")
+      .agg(sum("amount").as("s")).orderBy(col("s").desc).limit(2)
+    val aggTopPlan = aggTop.queryExecution.executedPlan.toString
+    assert(aggTopPlan.contains("PushedAggregates: ["), aggTopPlan)
+    assert(!aggTopPlan.contains("PushedTopN"),
+      s"topN must not push over a pushed aggregate:\n$aggTopPlan")
+    assert(aggTop.collect().map(_.getString(0)).toSeq === Seq("g2", "g1"))
   }
 
   test("graft-odbc V2 source: filter + aggregate compose in one pushed query; global agg works") {
