@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   * noisy-neighbor run can only inflate a single repeat, never the minimum
   * (round 2's harness recorded 17.3 s for a query that cleanly runs in
   * 0.57 s because something else held the box during the single repeat).
+  * Sub-second queries get one EXTRA repeat (min 3 total): their numbers
+  * are proportionally the most contention-sensitive — round 5 flagged two
+  * code-unchanged sub-second queries as >3× "regressions" that were pure
+  * scheduler noise — and the extra repeat costs seconds in total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,7 +54,9 @@ object Bench {
       var bestAny = Double.MaxValue
       var successes = 0
       var r = 0
-      while (r < repeats) {
+      // sub-second tier: noise dominates, so guarantee >=3 repeats
+      var target = repeats
+      while (r < target) {
         val t0 = System.nanoTime()
         val ok =
           try { run(fn(spark, sfDir)); true }
@@ -62,10 +68,12 @@ object Bench {
         if (secs < bestAny) bestAny = secs
         if (ok) { successes += 1; if (secs < bestOk) bestOk = secs }
         r += 1
+        if (r == target && successes > 0 && bestOk < 1.0 && target < 3.max(repeats))
+          target = 3.max(repeats)
       }
       if (successes == 0) failed += name
       val best = if (successes > 0) bestOk else bestAny
-      System.err.println(f"[bench] $name%-24s $best%8.2fs (min of $successes/$repeats ok)")
+      System.err.println(f"[bench] $name%-24s $best%8.2fs (min of $successes/$target ok)")
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -73,7 +81,7 @@ object Bench {
     val total = results.map(_._2).sum
     // failures are carried in the JSON itself
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"repeats_subsecond":${3.max(repeats)},"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types._
   * The AUDIO decode path is REAL too: [[wavMediaTable]] generates genuine
   * RIFF/WAVE PCM files and [[decodeWav]] walks the chunk list from the
   * bytes — magic + size validation, fmt/data chunk parse, s16le sample
-  * walk. Only VIDEO decode remains a clearly-marked deterministic STUB
-  * (`stubDecode`): this container has no video codecs; swapping in a real
-  * one changes only that function — schema, partitioning, and batch shape
-  * stay.
+  * walk. The VIDEO path is REAL at container AND pixel level:
+  * [[aviBytes]] generates genuine RIFF/AVI files whose movi chunks are
+  * uncompressed 24-bpp DIB bitmaps, and [[decodeAvi]] walks headers,
+  * frame chunks, and stride-aligned BGR pixels from the bytes (compressed
+  * codecs this container lacks report NaN channel means). The only stub
+  * left is [[stubDecode]] for payloads that are not a known container —
+  * schema, partitioning, and batch shape are identical either way.
   */
 object Multimodal {
 
@@ -264,26 +267,40 @@ object Multimodal {
   case class VideoFeatures(
       doc_id: Long, media_type: String,
       width: Int, height: Int, n_frames: Int,
-      fps: Double, duration_ms: Double, mean_frame_byte: Double)
+      fps: Double, duration_ms: Double, mean_frame_byte: Double,
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
   private val AviUsPerFrame = Array(66666, 41666, 33333) // ≈15 / 24 / 30 fps
 
-  /** A genuine RIFF/AVI file: RIFF('AVI ') → LIST('hdrl') carrying a real
-    * 56-byte 'avih' MainAVIHeader plus a LIST('strl') with 'strh'
-    * (fccType 'vids') and a BITMAPINFOHEADER 'strf', then LIST('movi')
-    * with one '00db' raw-frame chunk per frame (8 deterministic payload
-    * bytes each: frame f byte k = (id + 13f + k) % 256). Every size field
-    * is a real little-endian RIFF size, so a spec-conforming parser — not
-    * just ours — walks it. Dimensions, frame rate, and frame count derive
-    * from the doc id. (Frame PIXEL decode needs a codec this container
-    * lacks; the CONTAINER — headers, stream list, frame walk — is real.)
+  /** AVI geometry, shared by the generator, the oracle formulas, and the
+    * specs: width is ODD so the DIB stride actually pads (a stride bug
+    * cannot hide), channel constants are small enough that no pixel value
+    * ever wraps mod 256 (B = cb+x ≤ 145, G = cg+2y ≤ 107, R = cr+5f ≤ 54),
+    * keeping every mean an exact rational both engines replay.
+    */
+  private[graft] def aviGeom(docId: Long): (Int, Int, Int, Int) = {
+    val w = (7 + 4 * (docId % 11)).toInt  // 7..47, odd
+    val h = (6 + 4 * (docId % 7)).toInt   // 6..30
+    val nFrames = (3 + docId % 6).toInt   // 3..8
+    val stride = ((3 * w + 3) / 4) * 4
+    (w, h, nFrames, stride)
+  }
+
+  /** A genuine RIFF/AVI file with UNCOMPRESSED 24-bpp DIB frames:
+    * RIFF('AVI ') → LIST('hdrl') carrying a real 56-byte 'avih'
+    * MainAVIHeader plus a LIST('strl') with 'strh' (fccType 'vids',
+    * handler 'DIB ') and a BITMAPINFOHEADER 'strf' (24 bpp, BI_RGB), then
+    * LIST('movi') with one '00db' chunk per frame holding a real DIB
+    * bitmap — bottom-up rows, 4-byte-aligned stride, BGR pixel order,
+    * deterministic channels B = (id%100)+x, G = (id%50)+2y, R = (id%20)+5f.
+    * Every size field is a real little-endian RIFF size, so a
+    * spec-conforming parser — not just ours — walks it. Dimensions, frame
+    * rate, and frame count derive from the doc id.
     */
   def aviBytes(docId: Long): Array[Byte] = {
-    val w = (16 + 8 * (docId % 13)).toInt
-    val h = (16 + 8 * (docId % 9)).toInt
+    val (w, h, nFrames, stride) = aviGeom(docId)
     val usPerFrame = AviUsPerFrame((docId % 3).toInt)
-    val nFrames = (5 + docId % 20).toInt
-    val frameBytes = 8
+    val frameBytes = stride * h
     val moviList = 12 + (8 + frameBytes) * nFrames
     val hdrlList = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
     val fileSize = 12 + hdrlList + moviList
@@ -294,7 +311,7 @@ object Multimodal {
     fourcc("LIST"); buf.putInt(hdrlList - 8); fourcc("hdrl")
     fourcc("avih"); buf.putInt(56)
     buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
-      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
       .putInt(w).putInt(h)
       .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
     fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
@@ -307,15 +324,28 @@ object Multimodal {
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
     fourcc("strf"); buf.putInt(40)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(0)               // biCompression = BI_RGB
+      .putInt(frameBytes)      // biSizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
     fourcc("LIST"); buf.putInt(moviList - 8); fourcc("movi")
+    val cb = (docId % 100).toInt
+    val cg = (docId % 50).toInt
+    val cr = (docId % 20).toInt
     var f = 0
     while (f < nFrames) {
       fourcc("00db"); buf.putInt(frameBytes)
-      var k = 0
-      while (k < frameBytes) {
-        buf.put(((docId + 13L * f + k) % 256).toByte)
-        k += 1
+      var r = 0
+      while (r < h) {      // storage rows bottom-up: row r is image y = h-1-r
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          buf.put((cb + x).toByte).put((cg + 2 * y).toByte)
+            .put((cr + 5 * f).toByte)
+          x += 1
+        }
+        var pad = stride - 3 * w
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        r += 1
       }
       f += 1
     }
@@ -332,15 +362,20 @@ object Multimodal {
       java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4) == payload.length - 8
 
-  /** REAL AVI container decode: validates the RIFF/'AVI ' magic, walks the
-    * top-level chunk list, descends into LIST('hdrl') for the 'avih' main
-    * header (µs/frame, total frames, dimensions — read at their spec
-    * offsets) and into LIST('movi') counting '00db'/'00dc' raw-frame
-    * chunks and summing their payload bytes. Unknown chunks anywhere are
-    * skipped by size (word-aligned), so files with extra streams or index
-    * chunks parse identically. The header frame count must agree with the
-    * movi walk — a parser desync fails loudly rather than shipping wrong
-    * features.
+  /** REAL AVI decode — container AND frame pixels: validates the
+    * RIFF/'AVI ' magic, walks the top-level chunk list, descends into
+    * LIST('hdrl') for the 'avih' main header (µs/frame, total frames,
+    * dimensions — read at their spec offsets) and the 'strf'
+    * BITMAPINFOHEADER (bit depth, compression), then into LIST('movi')
+    * counting '00db'/'00dc' frame chunks. When the stream is uncompressed
+    * 24-bpp DIB (biBitCount 24, biCompression BI_RGB) each frame gets a
+    * real bitmap pixel walk — 4-byte-aligned stride, bottom-up rows, BGR
+    * channel order — accumulating exact per-channel sums; any other
+    * stream format reports NaN channel means (metadata stays real).
+    * Unknown chunks anywhere are skipped by size (word-aligned), so files
+    * with extra streams or index chunks parse identically. The header
+    * frame count must agree with the movi walk — a parser desync fails
+    * loudly rather than shipping wrong features.
     */
   def decodeAvi(m: MediaRow): VideoFeatures = {
     require(isAvi(m.payload), s"doc ${m.doc_id}: not a RIFF/AVI payload")
@@ -350,9 +385,15 @@ object Multimodal {
     var totalFrames = -1
     var width = 0
     var height = 0
+    var bitCount = 0
+    var compression = -1
     var moviFrames = 0
     var frameByteSum = 0L
     var frameByteCnt = 0L
+    var dibFrames = 0
+    var rSum = 0L
+    var gSum = 0L
+    var bSum = 0L
     def id4(off: Int) = new String(m.payload, off, 4, "US-ASCII")
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var off = start
@@ -371,6 +412,9 @@ object Multimodal {
             totalFrames = buf.getInt(off + 8 + 16)
             width = buf.getInt(off + 8 + 32)
             height = buf.getInt(off + 8 + 36)
+          case "strf" if size >= 40 => // BITMAPINFOHEADER at spec offsets
+            bitCount = buf.getShort(off + 8 + 14)
+            compression = buf.getInt(off + 8 + 16)
           case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
             moviFrames += 1
             var k = 0
@@ -379,6 +423,25 @@ object Multimodal {
               k += 1
             }
             frameByteCnt += size
+            // uncompressed 24-bpp DIB frame: stride-aware BGR pixel walk
+            val stride = ((3 * width + 3) / 4) * 4
+            if (bitCount == 24 && compression == 0 &&
+                width > 0 && height > 0 && size == stride * height) {
+              dibFrames += 1
+              var r = 0
+              while (r < height) {
+                val base = off + 8 + r * stride
+                var x = 0
+                while (x < width) {
+                  val p = base + 3 * x
+                  bSum += m.payload(p) & 0xff
+                  gSum += m.payload(p + 1) & 0xff
+                  rSum += m.payload(p + 2) & 0xff
+                  x += 1
+                }
+                r += 1
+              }
+            }
           case _ => // unknown chunk — skip by size
         }
         off += 8 + size + (size & 1) // word alignment
@@ -389,12 +452,20 @@ object Multimodal {
       s"doc ${m.doc_id}: missing avih header")
     require(moviFrames == totalFrames,
       s"doc ${m.doc_id}: header claims $totalFrames frames, movi has $moviFrames")
+    // channel means only when EVERY frame pixel-decoded (a half-covered
+    // stream must not report a silently-partial statistic)
+    val nPix =
+      if (dibFrames == moviFrames && moviFrames > 0) width.toLong * height * dibFrames
+      else 0L
     VideoFeatures(
       m.doc_id, m.media_type, width, height, moviFrames,
       fps = 1000000.0 / usPerFrame,
       duration_ms = totalFrames.toLong * usPerFrame / 1000.0,
       mean_frame_byte =
-        if (frameByteCnt == 0) 0.0 else frameByteSum.toDouble / frameByteCnt)
+        if (frameByteCnt == 0) 0.0 else frameByteSum.toDouble / frameByteCnt,
+      mean_r = if (nPix == 0) Double.NaN else rSum.toDouble / nPix,
+      mean_g = if (nPix == 0) Double.NaN else gSum.toDouble / nPix,
+      mean_b = if (nPix == 0) Double.NaN else bSum.toDouble / nPix)
   }
 
   /** Real-video media table: every document carries a genuine AVI payload. */
@@ -429,10 +500,11 @@ object Multimodal {
   /** Batch feature extraction via typed mapPartitions — executor-side,
     * streaming over rows, no driver involvement. Dispatches on the payload
     * container magic: real BMP parse for BMP payloads, real AVI container
-    * parse for AVI payloads (mean frame byte standing in for brightness —
-    * frame pixel decode needs a codec this container lacks), the stub for
-    * anything else. Audio goes through the typed [[extractAudioFeatures]]
-    * instead — its features don't fit the visual schema.
+    * + DIB pixel parse for AVI payloads (mean frame byte standing in for
+    * brightness in this shared visual schema; per-channel pixel means
+    * live on [[VideoFeatures]]), the stub for anything else. Audio goes
+    * through the typed [[extractAudioFeatures]] instead — its features
+    * don't fit the visual schema.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

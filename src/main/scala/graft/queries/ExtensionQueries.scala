@@ -169,17 +169,38 @@ object ExtensionQueries {
       |  FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** Multimodal VIDEO container decode — REAL at the container level:
+  /** Shared oracle CTE: replay of the AVI generator's geometry and the
+    * exact per-channel pixel sums of its deterministic DIB frames
+    * (B = cb+x, G = cg+2y, R = cr+5f — separable, wrap-free, so the sums
+    * close over arithmetic series; padding bytes are zero).
+    */
+  private val aviOracleSums: String =
+    """geom AS (
+      |  SELECT doc_id,
+      |    7 + 4 * (doc_id % 11) AS wv,
+      |    6 + 4 * (doc_id % 7) AS hv,
+      |    3 + doc_id % 6 AS nf,
+      |    ((3 * (7 + 4 * (doc_id % 11)) + 3) // 4) * 4 AS stridev,
+      |    doc_id % 100 AS cb, doc_id % 50 AS cg, doc_id % 20 AS cr,
+      |    [66666,41666,33333][CAST(doc_id % 3 AS INTEGER) + 1] AS uspf
+      |  FROM documents),
+      |sums AS (
+      |  SELECT *,
+      |    nf * hv * (wv * cb + wv * (wv - 1) // 2) AS sum_b,
+      |    nf * wv * (hv * cg + hv * (hv - 1)) AS sum_g,
+      |    wv * hv * (nf * cr + 5 * (nf * (nf - 1) // 2)) AS sum_r
+      |  FROM geom)""".stripMargin
+
+  /** Multimodal VIDEO decode — REAL at container AND pixel level:
     * payloads are genuine RIFF/AVI files (hdrl/avih/strl headers + movi
-    * raw-frame chunks) and every feature comes from walking their actual
-    * bytes (graft.multimodal.Multimodal.decodeAvi) — dimensions and
-    * µs/frame from the parsed avih, the frame count CROSS-CHECKED between
-    * the header and the movi chunk walk, mean frame byte from the frame
-    * payloads themselves. The oracle independently replays the
-    * generator's formulas, so a parser that misread an offset, skipped a
-    * LIST wrong, or miscounted frames hash-mismatches. (Frame PIXEL
-    * decode needs a codec this container lacks — that single step remains
-    * stubbed in extractFeatures's dispatch.)
+    * chunks of uncompressed 24-bpp DIB bitmaps) and every feature comes
+    * from walking their actual bytes (graft.multimodal.Multimodal
+    * .decodeAvi) — dimensions and µs/frame from the parsed avih, the
+    * frame count CROSS-CHECKED between the header and the movi walk,
+    * mean frame byte from the raw chunk bytes. The oracle independently
+    * replays the generator's formulas, so a parser that misread an
+    * offset, skipped a LIST wrong, or miscounted frames hash-mismatches.
+    * (Per-channel PIXEL means are q131's gate.)
     */
   def q113VideoMeta(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.aviMediaTable(Tables.documents(spark, dir))
@@ -193,21 +214,51 @@ object ExtensionQueries {
   }
 
   val q113Oracle: String =
-    """SELECT doc_id, 'video' AS media_type,
-      |  CAST(16 + 8 * (doc_id % 13) AS INTEGER) AS width,
-      |  CAST(16 + 8 * (doc_id % 9) AS INTEGER) AS height,
-      |  CAST(5 + doc_id % 20 AS INTEGER) AS n_frames,
-      |  ROUND(1000000.0 / [66666,41666,33333][CAST(doc_id % 3 AS INTEGER) + 1], 6) AS fps,
-      |  ROUND(((5 + doc_id % 20) * [66666,41666,33333][CAST(doc_id % 3 AS INTEGER) + 1]) / 1000.0, 6)
-      |    AS duration_ms,
-      |  ROUND(CAST(list_sum(list_transform(range(0, (5 + doc_id % 20) * 8),
-      |          j -> (doc_id + 13 * (j // 8) + (j % 8)) % 256)) AS DOUBLE)
-      |        / ((5 + doc_id % 20) * 8), 6) AS mean_frame_byte
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $aviOracleSums
+       |SELECT doc_id, 'video' AS media_type,
+       |  CAST(wv AS INTEGER) AS width,
+       |  CAST(hv AS INTEGER) AS height,
+       |  CAST(nf AS INTEGER) AS n_frames,
+       |  ROUND(1000000.0 / uspf, 6) AS fps,
+       |  ROUND(nf * uspf / 1000.0, 6) AS duration_ms,
+       |  ROUND(CAST(sum_b + sum_g + sum_r AS DOUBLE) / (stridev * hv * nf), 6)
+       |    AS mean_frame_byte
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin
+
+  /** VIDEO FRAME PIXEL decode — the round-5 "video pixel stub" is gone:
+    * decodeAvi walks each movi chunk as a real uncompressed 24-bpp DIB
+    * (4-byte-aligned stride, bottom-up rows, BGR order) and accumulates
+    * exact per-channel sums; this gate compares the resulting channel
+    * means against an oracle that replays the generated bitmaps'
+    * arithmetic in closed form. A decoder that mixed up channels, missed
+    * the stride padding, or walked partial frames hash-mismatches.
+    */
+  def q131VideoPixels(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.aviMediaTable(Tables.documents(spark, dir))
+    Multimodal.extractVideoFeatures(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q131Oracle: String =
+    s"""WITH $aviOracleSums
+       |SELECT doc_id,
+       |  CAST(wv AS INTEGER) AS width,
+       |  CAST(hv AS INTEGER) AS height,
+       |  CAST(nf AS INTEGER) AS n_frames,
+       |  ROUND(CAST(sum_r AS DOUBLE) / (wv * hv * nf), 6) AS mean_r,
+       |  ROUND(CAST(sum_g AS DOUBLE) / (wv * hv * nf), 6) AS mean_g,
+       |  ROUND(CAST(sum_b AS DOUBLE) / (wv * hv * nf), 6) AS mean_b
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_video_meta"        -> (q113VideoMeta _),
+    "q131_video_pixels"      -> (q131VideoPixels _),
     "q47_udf_source_id"      -> (q47UdfSourceId _),
     "q48_udaf_vecavg"        -> (q48UdafVecAvg _),
     "q49_multimodal_meta"    -> (q49MultimodalMeta _),
@@ -217,6 +268,7 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q113_video_meta"        -> q113Oracle,
+    "q131_video_pixels"      -> q131Oracle,
     "q47_udf_source_id"      -> q47Oracle,
     "q48_udaf_vecavg"        -> q48Oracle,
     "q49_multimodal_meta"    -> q49Oracle,

@@ -97,19 +97,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).width === 64 + "some opaque audio bytes".length % 1024)
   }
 
-  test("aviBytes → decodeAvi round-trips header fields and the movi frame walk") {
-    val id = 11L
-    val f = Multimodal.decodeAvi(MediaRow(id, "video", Multimodal.aviBytes(id)))
-    assert(f.width === (16 + 8 * (id % 13)).toInt)
-    assert(f.height === (16 + 8 * (id % 9)).toInt)
-    assert(f.n_frames === (5 + id % 20).toInt)
-    val usPer = Seq(66666, 41666, 33333)((id % 3).toInt)
-    assert(f.fps === 1000000.0 / usPer)
-    assert(f.duration_ms === f.n_frames.toLong * usPer / 1000.0)
-    // mean over frame payload bytes (id + 13f + k) % 256
-    val bytes = for (fr <- 0 until f.n_frames; k <- 0 until 8)
-      yield (id + 13L * fr + k) % 256
-    assert(f.mean_frame_byte === bytes.sum.toDouble / bytes.size)
+  test("aviBytes → decodeAvi round-trips header fields, frame walk, and DIB pixel means") {
+    for (id <- Seq(0L, 7L, 11L, 38L)) {
+      val f = Multimodal.decodeAvi(MediaRow(id, "video", Multimodal.aviBytes(id)))
+      val w = (7 + 4 * (id % 11)).toInt
+      val h = (6 + 4 * (id % 7)).toInt
+      val nf = (3 + id % 6).toInt
+      val stride = ((3 * w + 3) / 4) * 4
+      assert(stride > 3 * w, "width must force real stride padding")
+      assert(f.width === w && f.height === h && f.n_frames === nf)
+      val usPer = Seq(66666, 41666, 33333)((id % 3).toInt)
+      assert(f.fps === 1000000.0 / usPer)
+      assert(f.duration_ms === nf.toLong * usPer / 1000.0)
+      // independent reference: replay the generator's pixel formulas
+      // directly (not through the byte layout the decoder walks)
+      val cb = (id % 100).toInt; val cg = (id % 50).toInt; val cr = (id % 20).toInt
+      val px = for (fr <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield (cr + 5 * fr, cg + 2 * y, cb + x)
+      val n = px.size
+      assert(f.mean_r === px.map(_._1.toLong).sum.toDouble / n)
+      assert(f.mean_g === px.map(_._2.toLong).sum.toDouble / n)
+      assert(f.mean_b === px.map(_._3.toLong).sum.toDouble / n)
+      // mean over ALL chunk bytes includes the zero stride padding
+      val total = px.map(t => (t._1 + t._2 + t._3).toLong).sum
+      assert(f.mean_frame_byte === total.toDouble / (stride.toLong * h * nf))
+    }
+  }
+
+  test("decodeAvi reports NaN channel means for a non-DIB stream (metadata stays real)") {
+    val base = Multimodal.aviBytes(5L)
+    // flip biCompression (strf offset 16) to a non-BI_RGB codec tag: the
+    // pixel walk must disarm rather than misread compressed bytes
+    // RIFF(12) + LIST-hdrl hdr(12) + avih(64) + LIST-strl hdr(12) +
+    // strh(64) + strf hdr(8) = 172 = offset of the BITMAPINFOHEADER
+    val strfData = 12 + 12 + (8 + 56) + 12 + (8 + 56) + 8
+    java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfData + 16, 0x44495658) // 'XVID'
+    val f = Multimodal.decodeAvi(MediaRow(5L, "video", base))
+    assert(f.n_frames === (3 + 5 % 6) && f.width === (7 + 4 * (5 % 11)))
+    assert(f.mean_r.isNaN && f.mean_g.isNaN && f.mean_b.isNaN)
   }
 
   test("decodeAvi skips unknown chunks and rejects a header/movi frame-count desync") {
@@ -129,9 +155,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .putInt(4, payload.length - 8)
     val f = Multimodal.decodeAvi(MediaRow(7L, "video", payload))
     assert(f === Multimodal.decodeAvi(MediaRow(7L, "video", base)))
-    // truncate one movi frame (16 bytes) without fixing avih.dwTotalFrames:
-    // the header/movi cross-check must fail loudly
-    val truncated = base.dropRight(16)
+    // truncate one movi frame (8-byte chunk header + DIB payload) without
+    // fixing avih.dwTotalFrames: the header/movi cross-check must fail loudly
+    val w7 = 7 + 4 * (7 % 11); val h7 = 6 + 4 * (7 % 7)
+    val chunk = 8 + ((3 * w7 + 3) / 4) * 4 * h7
+    val truncated = base.dropRight(chunk)
     java.nio.ByteBuffer.wrap(truncated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(4, truncated.length - 8)
     // fix the movi LIST size so the walk itself is well-formed
@@ -139,7 +167,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     java.nio.ByteBuffer.wrap(truncated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(moviListOff + 4,
         java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          .getInt(moviListOff + 4) - 16)
+          .getInt(moviListOff + 4) - chunk)
     val e = intercept[IllegalArgumentException] {
       Multimodal.decodeAvi(MediaRow(7L, "video", truncated))
     }
