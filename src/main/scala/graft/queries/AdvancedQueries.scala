@@ -680,6 +680,50 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Weighted QUARTILES per event type — the multi-fraction face of
+    * [[Percentiles.exactWeightedQuantiles]] (q121 gates the median):
+    * event values weighted by their hour-of-day+1 (a deterministic
+    * positive integer weight), quartiles at exact rationals 1/4, 1/2,
+    * 3/4 picked by integer threshold compares (cw·4 ≥ tw·k). One range
+    * exchange; the oracle replays the sequential cumulative-weight
+    * definition with a window — equality proves the distributed
+    * decomposition, not just the median special case.
+    */
+  def q132WeightedQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      (dec2(col("value")) * 100).cast(LongType).as("v"),
+      (hour(col("ts")) + 1).cast(LongType).as("w"))
+    Percentiles
+      .exactWeightedQuantiles(ev, "event_type", "v", "w",
+        Seq(("q1_cents", 1L, 4L), ("q2_cents", 1L, 2L), ("q3_cents", 3L, 4L)))
+      .select(col("event_type"),
+        (col("q1_cents") / 100.0).as("wq1"),
+        (col("q2_cents") / 100.0).as("wq2"),
+        (col("q3_cents") / 100.0).as("wq3"),
+        col("total_w"))
+      .orderBy(col("event_type"))
+  }
+
+  val q132Oracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, v, w,
+      |    SUM(w) OVER (PARTITION BY event_type ORDER BY v, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM (SELECT event_type, event_id,
+      |          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |          CAST(hour(ts) + 1 AS BIGINT) AS w
+      |        FROM events))
+      |SELECT event_type,
+      |  MIN(CASE WHEN cw * 4 >= tw * 1 THEN v END) / 100.0 AS wq1,
+      |  MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) / 100.0 AS wq2,
+      |  MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) / 100.0 AS wq3,
+      |  CAST(MIN(tw) AS BIGINT) AS total_w
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q121Oracle: String =
     """WITH ranked AS (
       |  SELECT l_returnflag, v, w,
@@ -907,6 +951,7 @@ object AdvancedQueries {
     "q124_spike_detect"     -> (q124SpikeDetect _),
     "q123_cohort_retention" -> (q123CohortRetention _),
     "q121_weighted_median"  -> (q121WeightedMedian _),
+    "q132_weighted_quartiles" -> (q132WeightedQuartiles _),
     "q115_resample_interpolate" -> (q115ResampleInterpolate _),
     "q111_rolling_median"   -> (q111RollingMedian _),
     "q110_corr_stats"       -> (q110CorrStats _),
@@ -930,6 +975,7 @@ object AdvancedQueries {
     "q124_spike_detect"     -> q124Oracle,
     "q123_cohort_retention" -> q123Oracle,
     "q121_weighted_median"  -> q121Oracle,
+    "q132_weighted_quartiles" -> q132Oracle,
     "q115_resample_interpolate" -> q115Oracle,
     "q111_rolling_median"   -> q111Oracle,
     "q110_corr_stats"       -> q110Oracle,
