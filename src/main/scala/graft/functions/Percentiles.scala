@@ -216,30 +216,29 @@ object Percentiles {
       .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
 
     // P·G-row frame: per-(partition, group) weight sums → per-group prefix
-    // offsets (window over ≤P rows per group — range-partition order IS
-    // ascending pid order) and group totals
+    // offsets AND group totals on the SAME tiny rows (two windows over ≤P
+    // rows per group — range-partition order IS ascending pid order), so
+    // the corpus sees exactly ONE broadcast join
     val counts = ranked.groupBy("pid", "g").agg(sum(col("w")).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("g")
     val offsets = counts
       .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select(col("pid"), col("g"), col("off"))
-    val totals = counts.groupBy("g").agg(sum(col("c")).as("tw"))
+      .withColumn("tw", sum(col("c")).over(wAll))
+      .select(col("pid"), col("g"), col("off"), col("tw"))
 
-    // broadcast the tiny offset/total frames onto the corpus; the pick is
-    // a partial-aggregated MIN over the qualifying suffix — map-side
+    // broadcast the offset/total frame onto the corpus; the pick is a
+    // partial-aggregated MIN over the qualifying suffix — map-side
     // combine leaves G rows on the final exchange
     val cum = ranked
       .join(broadcast(offsets), Seq("pid", "g"))
       .withColumn("cw", col("off") + col("local_cw"))
-      .join(broadcast(totals.select(col("g"), col("tw"))), Seq("g"))
     val aggs = fs.map { case (name, num, den) =>
       min(when(col("cw") * den >= col("tw") * num, col("v"))).as(name)
-    }
-    val picked = cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
-
-    totals.join(picked, Seq("g"))
+    } :+ max(col("tw")).as("total_w")
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
       .select((gDec(col("g")).as(groupCol) +: fs.map(f => col(f._1))) :+
-        col("tw").as("total_w"): _*)
+        col("total_w"): _*)
   }
 }
