@@ -379,7 +379,56 @@ object CurationQueries {
       |WHERE rn <= 20
       |ORDER BY lang, rn""".stripMargin
 
+  /** BENCHMARK-CONTAMINATION detection — the pre-training hygiene pass
+    * every LLM pipeline runs (the GPT-3-style n-gram overlap rule):
+    * training documents sharing any word n-gram with a held-out eval set
+    * are flagged with their shared-gram count and the first contaminating
+    * eval doc. Here the "eval set" is the deterministic doc_id % 97 == 0
+    * slice, trigram overlap (specific enough to be meaningful on the
+    * synthetic corpus; production uses 8–13-grams, one constant).
+    *
+    * Scale shape: the eval side is BROADCAST — benchmark suites are
+    * thousands of documents against a 100 TB corpus, so the probe is a
+    * map-side hash join; the only shuffle is the final doc_id-keyed
+    * aggregate (high-cardinality, skew-free). The n-gram explode is
+    * generate-over-scan with per-doc first-occurrence dedup inside the
+    * codegen'd ShingleStrings expression — no distinct pass needed.
+    */
+  def q133ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.expressions.ShingleStrings.shingleStrings(
+        TextFunctions.tokens(col("text")), 3)).as("ng"))
+    val docs = Tables.documents(spark, dir)
+    val ev = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("eval_id"), col("ng"))
+    val tr = grams(docs.filter(col("doc_id") % 97 =!= 0))
+    tr.join(broadcast(ev), "ng")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
+        min(col("eval_id")).as("first_eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS ng
+      |  FROM d),
+      |ev AS (SELECT DISTINCT doc_id AS eval_id, ng FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 97 <> 0)
+      |SELECT t.doc_id, COUNT(DISTINCT t.ng) AS n_shared_ngrams,
+      |  MIN(e.eval_id) AS first_eval_doc
+      |FROM tr t JOIN ev e USING (ng)
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_contamination"     -> (q133ContaminationCheck _),
     "q127_sample_per_stratum" -> (q127SamplePerStratum _),
     "q104_outlier_zscore"    -> (q104OutlierZscore _),
     "q101_doc_chunking"      -> (q101DocChunking _),
@@ -391,6 +440,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q133_contamination"     -> q133Oracle,
     "q127_sample_per_stratum" -> q127Oracle,
     "q104_outlier_zscore"    -> q104Oracle,
     "q101_doc_chunking"      -> q101Oracle,
