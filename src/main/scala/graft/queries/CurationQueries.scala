@@ -427,7 +427,70 @@ object CurationQueries {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** CORPUS-MIXTURE rebalancing — downsample every source to the
+    * smallest source's size (the balanced-mixture special case of
+    * weighted data mixing): per-source keep-rates are DERIVED FROM THE
+    * DATA (rate_s = min_n / n_s, unlike q80's fixed thresholds), encoded
+    * as exact integer thresholds against a 32-bit md5 prefix, and the
+    * membership test is one deterministic string compare — rerunnable,
+    * engine-portable, no RNG state. The threshold arithmetic runs in
+    * DECIMAL(38,0)/HUGEINT (min_n·2³² would wrap a long at ≥2³¹ docs)
+    * and integral division, identical in both engines; the 9-wide
+    * zero-padded lower-hex compare equals the numeric compare (covers
+    * thr = 2³² for the smallest source itself, 9 hex chars).
+    *
+    * Scale shape: two scans of the corpus (count, then filter) with the
+    * tiny per-source rate frame broadcast onto the second — no
+    * low-cardinality shuffle of the corpus; the verdict per row is a
+    * codegen'd projection.
+    */
+  def q134CorpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val minN = counts.agg(min(col("n_orig")).as("min_n"))
+    val rates = counts.join(broadcast(minN))
+      .withColumn("thr",
+        expr("CAST(min_n AS DECIMAL(38,0)) * 4294967296 div n_orig"))
+      .withColumn("thr_hex", lpad(lower(hex(col("thr"))), 9, "0"))
+      .select(col("source"), col("n_orig"), col("thr_hex"))
+    val sampled = docs
+      .join(broadcast(rates), Seq("source"))
+      .filter(lpad(substring(md5(col("doc_id").cast(StringType)), 1, 8), 9, "0")
+        < col("thr_hex"))
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .join(broadcast(rates.select(col("source"), col("n_orig"))), Seq("source"))
+      .select(col("source"), col("n_orig"), col("n_sampled"),
+        (col("n_sampled").cast(DoubleType) / col("n_orig")).as("achieved_rate"),
+        col("min_id"), col("max_id"))
+      .orderBy(col("source"))
+  }
+
+  val q134Oracle: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n_orig,
+      |    lpad(lower(to_hex(CAST(
+      |      CAST((SELECT MIN(n_orig) FROM counts) AS HUGEINT) * 4294967296 // n_orig
+      |    AS BIGINT))), 9, '0') AS thr_hex
+      |  FROM counts),
+      |sampled AS (
+      |  SELECT d.source, d.doc_id
+      |  FROM documents d JOIN rates r USING (source)
+      |  WHERE lpad(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0') < r.thr_hex)
+      |SELECT r.source, r.n_orig, s.n_sampled,
+      |  CAST(s.n_sampled AS DOUBLE) / r.n_orig AS achieved_rate,
+      |  s.min_id, s.max_id
+      |FROM (SELECT source, COUNT(*) AS n_sampled,
+      |        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |      FROM sampled GROUP BY source) s
+      |JOIN rates r USING (source)
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_corpus_mixture"    -> (q134CorpusMixture _),
     "q133_contamination"     -> (q133ContaminationCheck _),
     "q127_sample_per_stratum" -> (q127SamplePerStratum _),
     "q104_outlier_zscore"    -> (q104OutlierZscore _),
@@ -440,6 +503,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q134_corpus_mixture"    -> q134Oracle,
     "q133_contamination"     -> q133Oracle,
     "q127_sample_per_stratum" -> q127Oracle,
     "q104_outlier_zscore"    -> q104Oracle,
