@@ -75,6 +75,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"probe not below the fact exchange:\n$p")
   }
 
+  test("q133/q134 probe the corpus via broadcast joins — no corpus shuffle for the tiny side") {
+    // contamination: the eval-gram set broadcasts onto the training scan
+    val p133 = plan("q133_contamination")
+    assert(p133.contains("BroadcastHashJoin"), p133)
+    assert(!p133.contains("SortMergeJoin"), s"eval side must broadcast:\n$p133")
+    // mixture: the per-source rate frame broadcasts onto the second scan
+    val p134 = plan("q134_corpus_mixture")
+    assert(p134.contains("BroadcastHashJoin"), p134)
+    assert(!p134.contains("SortMergeJoin"), s"rate frame must broadcast:\n$p134")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (name != "q46_stream_tumbling") { // streaming exec has no static plan
