@@ -92,7 +92,13 @@ object Percentiles {
       .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
 
     // P·G-row frame: counts per (partition, group) → per-group running
-    // offsets (window over ≤P rows per group) and non-null totals
+    // offsets (window over ≤P rows per group) and non-null totals.
+    // Counts MUST aggregate the mapPartitions output, not the bare
+    // exchange: the branches instantiate the exchange independently, and
+    // AQE may pick different shuffle reads for non-identical subtrees —
+    // partition ids then disagree between the offset frame and the probe
+    // side (verified failure mode). Identical subtrees get identical
+    // stage treatment (and usually a ReusedExchange).
     val counts = ranked.groupBy("pid", "g").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -218,7 +224,10 @@ object Percentiles {
     // P·G-row frame: per-(partition, group) weight sums → per-group prefix
     // offsets AND group totals on the SAME tiny rows (two windows over ≤P
     // rows per group — range-partition order IS ascending pid order), so
-    // the corpus sees exactly ONE broadcast join
+    // the corpus sees exactly ONE broadcast join. Summed over the
+    // mapPartitions output, NOT the bare exchange: asymmetric subtrees
+    // can get different AQE shuffle reads and disagree on partition ids
+    // (see the counts note in exactPercentiles)
     val counts = ranked.groupBy("pid", "g").agg(sum(col("w")).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

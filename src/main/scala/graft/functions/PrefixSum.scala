@@ -74,7 +74,11 @@ object PrefixSum {
     }
 
     // P·G-row frame: per-(partition, group) sums → per-group prefix
-    // offsets (range-partition order IS ascending pid order)
+    // offsets (range-partition order IS ascending pid order). Summed over
+    // the SAME local-pass subtree the probe side reads: asymmetric
+    // branches over one exchange can get different AQE shuffle reads and
+    // disagree on partition ids (verified failure mode — see the counts
+    // note in Percentiles.exactPercentiles)
     val counts = local.groupBy(col("__pid"), col("__gkey"))
       .agg(sum(col(valueCol)).as("__c"))
     val wOff = Window.partitionBy("__gkey").orderBy("__pid")
