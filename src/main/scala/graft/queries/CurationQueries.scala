@@ -489,7 +489,60 @@ object CurationQueries {
       |JOIN rates r USING (source)
       |ORDER BY source""".stripMargin
 
+  /** STATISTICAL-LM FLUENCY scoring — the corpus-frequency complement to
+    * q78's repetition rules: each document scores the mean corpus
+    * frequency of its bigram OCCURRENCES (duplicates included — this is
+    * an expectation over the doc's token stream, not a set statistic).
+    * Low scores mark documents whose word transitions are rare in the
+    * corpus — gibberish, boilerplate-stripped fragments, wrong-language
+    * slips — the unigram/bigram-LM proxy pipelines run before the
+    * expensive model-based quality pass. Kept integer-exact: the score is
+    * Σ count(bigram) / n_bigrams, one division of exact longs, so the
+    * gate hash-matches (a log-prob variant needs ln(), whose last ulp is
+    * engine-specific).
+    *
+    * Scale shape: one high-cardinality groupBy(bigram) builds the count
+    * table, one equi-join on bigram scores occurrences (both sides
+    * explode-over-scan), one doc_id-keyed aggregate — three skew-free
+    * shuffles, nothing driver-side, no low-cardinality key anywhere.
+    */
+  def q135DocFluency(spark: SparkSession, dir: String): DataFrame = {
+    // bigram occurrences WITH duplicates (ShingleStrings dedups, so build
+    // positionally; Spark [] subscripts are 0-based, DuckDB's are 1-based)
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // <2 tokens → no bigrams → no output row, matching DuckDB's empty
+      // range(); without the guard Spark's sequence(0, -1) runs DESCENDING
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
+          .as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("freq_sum").cast(DoubleType) / col("n_bigrams")).as("mean_bigram_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |c AS (SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(CAST(SUM(c.cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_bigram_freq
+      |FROM b JOIN c USING (bg)
+      |GROUP BY b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_doc_fluency"       -> (q135DocFluency _),
     "q134_corpus_mixture"    -> (q134CorpusMixture _),
     "q133_contamination"     -> (q133ContaminationCheck _),
     "q127_sample_per_stratum" -> (q127SamplePerStratum _),
@@ -503,6 +556,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q135_doc_fluency"       -> q135Oracle,
     "q134_corpus_mixture"    -> q134Oracle,
     "q133_contamination"     -> q133Oracle,
     "q127_sample_per_stratum" -> q127Oracle,
