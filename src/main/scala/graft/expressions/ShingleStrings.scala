@@ -9,13 +9,18 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct k-word shingle STRINGS from a token array — exactly
+/** k-word shingle STRINGS from a token array — exactly
   * [[graft.functions.Similarity.shingleSet]] semantics (space-joined
   * windows, whole text as one shingle when shorter than k, first-occurrence
   * dedup) as a single native pass. Oracle-safe: produces the identical
   * strings the DuckDB oracle builds with `toks[i] || ' ' || …`.
+  * With `distinct = false`, every window is emitted in order WITH
+  * duplicates — the occurrence stream frequency statistics need (the
+  * interpreted `transform(sequence(...))` alternative was a 10×
+  * hotspot, the same CodegenFallback wall MinHashSignature removes).
   */
-case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleStrings(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(k >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -39,7 +44,7 @@ case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
       var j = 0
       while (j < kk) { parts(j) = ts(w + j); j += 1 }
       val sh = UTF8String.concatWs(space, parts: _*)
-      if (seen.add(sh)) out += sh
+      if (!distinct || seen.add(sh)) out += sh
       w += 1
     }
     new GenericArrayData(out.result().asInstanceOf[Array[Any]])
@@ -62,4 +67,9 @@ case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
 object ShingleStrings {
   def shingleStrings(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(ShingleStrings(GraftColumnBridge.expression(tokens), k))
+
+  /** All windows in order, duplicates kept — the occurrence stream. */
+  def shingleOccurrences(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleStrings(GraftColumnBridge.expression(tokens), k, distinct = false))
 }

@@ -507,17 +507,17 @@ object CurationQueries {
     * shuffles, nothing driver-side, no low-cardinality key anywhere.
     */
   def q135DocFluency(spark: SparkSession, dir: String): DataFrame = {
-    // bigram occurrences WITH duplicates (ShingleStrings dedups, so build
-    // positionally; Spark [] subscripts are 0-based, DuckDB's are 1-based)
+    // bigram occurrences WITH duplicates, via the native expression — the
+    // interpreted transform(sequence(...)) alternative was the suite's
+    // slowest query at 5.8 s (CodegenFallback per element, twice)
     val bigrams = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       // <2 tokens → no bigrams → no output row, matching DuckDB's empty
-      // range(); without the guard Spark's sequence(0, -1) runs DESCENDING
+      // range() (ShingleStrings would emit the whole text as one window)
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
-        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
-          .as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        explode(graft.expressions.ShingleStrings.shingleOccurrences(col("toks"), 2))
+          .as("bg"))
     val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     bigrams.join(counts, "bg")
       .groupBy(col("doc_id"))

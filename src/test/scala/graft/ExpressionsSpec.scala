@@ -18,6 +18,24 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     .select(col("doc_id"),
       transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
 
+  test("ShingleStrings occurrence mode keeps duplicates in window order; distinct mode dedups") {
+    val docs = Seq(
+      (1L, "a b a b a"),    // duplicate bigrams
+      (2L, "x"),            // shorter than k → whole text as one window
+      (3L, "p q r")).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        graft.expressions.ShingleStrings
+          .shingleOccurrences(TextFunctions.tokens(col("text")), 2).as("occ"),
+        graft.expressions.ShingleStrings
+          .shingleStrings(TextFunctions.tokens(col("text")), 2).as("dis"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(both(1L)._1 === Seq("a b", "b a", "a b", "b a"))
+    assert(both(1L)._2 === Seq("a b", "b a"))
+    assert(both(2L)._1 === Seq("x") && both(2L)._2 === Seq("x"))
+    assert(both(3L)._1 === Seq("p q", "q r") && both(3L)._2 === Seq("p q", "q r"))
+  }
+
   test("InterleaveBits equals the reference Morton encoding (incl. negatives)") {
     def morton(x: Int, y: Int): Long = {
       var z = 0L
