@@ -17,10 +17,12 @@ import org.apache.spark.sql.SparkSession
   * noisy-neighbor run can only inflate a single repeat, never the minimum
   * (round 2's harness recorded 17.3 s for a query that cleanly runs in
   * 0.57 s because something else held the box during the single repeat).
-  * Sub-second queries get one EXTRA repeat (min 3 total): their numbers
-  * are proportionally the most contention-sensitive — round 5 flagged two
-  * code-unchanged sub-second queries as >3× "regressions" that were pure
-  * scheduler noise — and the extra repeat costs seconds in total.
+  * Short queries (best < 2.5 s) are extended to at least 3 repeats: their
+  * numbers are proportionally the most contention-sensitive — rounds 5 and
+  * 6 each flagged code-unchanged short queries as >2–3× "regressions" that
+  * were pure scheduler noise (all recovered on re-run) — and the extra
+  * repeats cost seconds in total. The cutoff sat at 1.0 s through round 6;
+  * q38/q11 flapped just above it, hence 2.5 s.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +56,7 @@ object Bench {
       var bestAny = Double.MaxValue
       var successes = 0
       var r = 0
-      // sub-second tier: noise dominates, so guarantee >=3 repeats
+      // short-query tier: noise dominates, so guarantee >=3 repeats
       var target = repeats
       while (r < target) {
         val t0 = System.nanoTime()
@@ -68,8 +70,8 @@ object Bench {
         if (secs < bestAny) bestAny = secs
         if (ok) { successes += 1; if (secs < bestOk) bestOk = secs }
         r += 1
-        if (r == target && successes > 0 && bestOk < 1.0 && target < 3.max(repeats))
-          target = 3.max(repeats)
+        if (r == target && successes > 0 && bestOk < 2.5 && target < 3)
+          target = 3
       }
       if (successes == 0) failed += name
       val best = if (successes > 0) bestOk else bestAny
@@ -81,7 +83,10 @@ object Bench {
     val total = results.map(_._2).sum
     // failures are carried in the JSON itself
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"repeats_subsecond":${3.max(repeats)},"sf":"$sfDir"}"""
+    // repeats_short only appears when the extension tier can actually fire
+    // (repeats < 3); with repeats >= 3 no query gets extra runs
+    val shortTier = if (repeats < 3) ""","repeats_short":3,"short_cutoff_sec":2.5""" else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.

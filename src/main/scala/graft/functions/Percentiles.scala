@@ -173,6 +173,14 @@ object Percentiles {
     * Long (|Σw|·den < 2⁶³ — at cents-scale weights that holds past 10¹⁶
     * rows per group).
     *
+    * NULL CONTRACT: rows whose value OR weight is null are dropped before
+    * ranking — they contribute to neither the cumulative weights nor the
+    * group total. This differs from the window-cumsum shape this operator
+    * replaces (where a null-valued row's weight still lands in
+    * `SUM(w) OVER (PARTITION BY g)` because nulls sort last): callers with
+    * nullable inputs must pre-filter or pre-coalesce to pick their
+    * semantics explicitly rather than inherit either default.
+    *
     * @param fs (outputColumn, numerator, denominator) per fraction, e.g.
     *           ("median_cents", 1, 2).
     * @return one row per group: (groupCol as string, fs…, total_w).
@@ -227,7 +235,12 @@ object Percentiles {
     // the corpus sees exactly ONE broadcast join. Summed over the
     // mapPartitions output, NOT the bare exchange: asymmetric subtrees
     // can get different AQE shuffle reads and disagree on partition ids
-    // (see the counts note in exactPercentiles)
+    // (see the counts note in exactPercentiles). The identical subtrees
+    // are NOT a 2× corpus cost: AQE's stage cache reuses the range
+    // exchange at runtime (ReusedExchange in the executed plan —
+    // PercentilesSpec asserts it), so the corpus is scanned and shuffled
+    // once; only the sort + streaming pass replay on the reused shuffle
+    // output for the tiny count branch.
     val counts = ranked.groupBy("pid", "g").agg(sum(col("w")).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

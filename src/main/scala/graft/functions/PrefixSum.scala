@@ -38,6 +38,12 @@ object PrefixSum {
       valueCol: String,
       outCol: String): DataFrame = {
     require(partCols.nonEmpty && sortCols.nonEmpty)
+    // the internal scratch columns are fixed names — an input that already
+    // carries one would be silently clobbered and then dropped
+    val reserved = Seq("__gkey", "__pid", "__lcum", "__off", "__c")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns $clash collide with runningTotal's internal names $reserved")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
 
@@ -78,7 +84,10 @@ object PrefixSum {
     // the SAME local-pass subtree the probe side reads: asymmetric
     // branches over one exchange can get different AQE shuffle reads and
     // disagree on partition ids (verified failure mode — see the counts
-    // note in Percentiles.exactPercentiles)
+    // note in Percentiles.exactPercentiles). Not a 2× corpus cost: AQE
+    // reuses the range-exchange stage at runtime (ReusedExchange in the
+    // executed plan — PrefixSumSpec asserts it), so one scan + one shuffle
+    // feed both branches.
     val counts = local.groupBy(col("__pid"), col("__gkey"))
       .agg(sum(col(valueCol)).as("__c"))
     val wOff = Window.partitionBy("__gkey").orderBy("__pid")

@@ -387,6 +387,12 @@ object Multimodal {
     var height = 0
     var bitCount = 0
     var compression = -1
+    // stream-format bookkeeping: strf chunks are typed by their enclosing
+    // strl's strh fccType — an audio stream's WAVEFORMATEX can be ≥40
+    // bytes and must not be misread as a BITMAPINFOHEADER (it would
+    // arm/disarm the pixel walk with garbage). First video strf wins.
+    var curStrlType = ""
+    var haveVideoFmt = false
     var moviFrames = 0
     var frameByteSum = 0L
     var frameByteCnt = 0L
@@ -405,6 +411,7 @@ object Multimodal {
         id match {
           case "LIST" =>
             val form = id4(off + 8)
+            if (form == "strl") curStrlType = "" // typed by the strh inside
             if (form == "hdrl" || form == "movi" || form == "strl")
               walk(off + 12, off + 8 + size, inMovi = form == "movi")
           case "avih" =>
@@ -412,7 +419,11 @@ object Multimodal {
             totalFrames = buf.getInt(off + 8 + 16)
             width = buf.getInt(off + 8 + 32)
             height = buf.getInt(off + 8 + 36)
-          case "strf" if size >= 40 => // BITMAPINFOHEADER at spec offsets
+          case "strh" if size >= 4 => // fccType leads the stream header
+            curStrlType = id4(off + 8)
+          case "strf" if size >= 40 && curStrlType == "vids" && !haveVideoFmt =>
+            // BITMAPINFOHEADER at spec offsets — video stream only
+            haveVideoFmt = true
             bitCount = buf.getShort(off + 8 + 14)
             compression = buf.getInt(off + 8 + 16)
           case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>

@@ -393,6 +393,14 @@ object CurationQueries {
     * aggregate (high-cardinality, skew-free). The n-gram explode is
     * generate-over-scan with per-doc first-occurrence dedup inside the
     * codegen'd ShingleStrings expression — no distinct pass needed.
+    *
+    * Broadcast bound: what ships is the EXPLODED eval gram set — roughly
+    * eval_docs × grams_per_doc rows, ~1 GB per ~5M distinct grams — so the
+    * hint holds to about 10⁴ benchmark docs of ordinary length, well past
+    * real benchmark suites but NOT unbounded. For an eval side beyond the
+    * driver/broadcast budget, drop the `broadcast()` hint and let the
+    * planner fall back to a shuffled hash join on `ng` (same results; the
+    * corpus side then shuffles once on the gram key).
     */
   def q133ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
     def grams(df: DataFrame) = df.select(col("doc_id"),
@@ -501,10 +509,18 @@ object CurationQueries {
     * gate hash-matches (a log-prob variant needs ln(), whose last ulp is
     * engine-specific).
     *
-    * Scale shape: one high-cardinality groupBy(bigram) builds the count
-    * table, one equi-join on bigram scores occurrences (both sides
-    * explode-over-scan), one doc_id-keyed aggregate — three skew-free
-    * shuffles, nothing driver-side, no low-cardinality key anywhere.
+    * Scale shape: the occurrence stream is FIRST collapsed to per-(doc,
+    * bigram) counts — one high-cardinality skew-free shuffle (hot bigrams
+    * spread across their doc_ids) whose exchange AQE reuses for both
+    * consumers — then the global count table is aggregated FROM that
+    * collapsed frame and joined back on the bigram. The join key is still
+    * Zipfian ("of the" is a genuine hot key in any corpus), but the
+    * pre-aggregation bounds the hot key's probe rows at one per DOCUMENT
+    * containing the bigram instead of one per OCCURRENCE (the score math
+    * moves to Σ occ·cnt, unchanged results), and the residual skew is the
+    * exact shape AQE's skew-join split handles at runtime (proven for
+    * this pattern in ScaleSpec's skew=true test). The final doc_id-keyed
+    * aggregate is high-cardinality and skew-free.
     */
   def q135DocFluency(spark: SparkSession, dir: String): DataFrame = {
     // bigram occurrences WITH duplicates, via the native expression — the
@@ -518,10 +534,15 @@ object CurationQueries {
       .select(col("doc_id"),
         explode(graft.expressions.ShingleStrings.shingleOccurrences(col("toks"), 2))
           .as("bg"))
-    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    bigrams.join(counts, "bg")
+    // collapse to one row per (doc, bigram) BEFORE any bigram-keyed work:
+    // Σ cnt over occurrences ≡ Σ occ·cnt over distinct (doc, bigram)
+    val perDoc = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("occ"))
+    val counts = perDoc.groupBy(col("bg")).agg(sum(col("occ")).as("cnt"))
+    perDoc.join(counts, "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("cnt")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("freq_sum").cast(DoubleType) / col("n_bigrams")).as("mean_bigram_freq"))
       .orderBy(col("doc_id"))

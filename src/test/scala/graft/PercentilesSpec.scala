@@ -91,4 +91,23 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
   }
+
+  test("runtime: the offset branch REUSES the corpus range-exchange stage (one shuffle, not two)") {
+    // the static plan shows the scan→range-exchange→sort→mapPartitions
+    // subtree twice (the offset frame deliberately aggregates the same
+    // subtree the probe reads — pid consistency under AQE); the executed
+    // adaptive plan must collapse that to ONE materialized shuffle via
+    // AQE's stage cache, or a 100 TB input would be scanned and shuffled
+    // twice per quantile pass
+    val q121 = SparkEntry.queries("q121_weighted_median")(spark, sfDir)
+    q121.collect()
+    val plan = q121.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(
+      "ReusedExchange \\[[^\\]]*\\], Exchange rangepartitioning".r
+        .findFirstIn(finalPlan).isDefined,
+      s"executed q121 plan must reuse the range-exchange stage:\n${finalPlan.take(6000)}")
+  }
 }

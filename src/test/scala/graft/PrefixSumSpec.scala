@@ -59,5 +59,30 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     // offsets frame (its subtree aggregates __pid/__gkey) — the CORPUS
     // never hash-exchanges on g: no hashpartitioning(g#...)
     assert("hashpartitioning\\(g#\\d+".r.findFirstIn(plan).isEmpty, plan.take(4000))
+    // and the offset branch must REUSE the corpus range-exchange stage at
+    // runtime (AQE stage cache) — the twice-materialized static subtree
+    // would otherwise double the corpus scan+shuffle cost
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(
+      "ReusedExchange \\[[^\\]]*\\], Exchange rangepartitioning".r
+        .findFirstIn(finalPlan).isDefined,
+      s"executed plan must reuse the range exchange:\n${finalPlan.take(6000)}")
+  }
+
+  test("q128's executed plan reuses the range-exchange stage end-to-end") {
+    // same assertion against the real registered query (the Pareto/ABC
+    // running revenue share), whose plan wraps runningTotal in joins and
+    // a final sort — reuse must survive the full query context
+    val df = SparkEntry.queries("q128_pareto_abc")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(
+      "ReusedExchange \\[[^\\]]*\\], Exchange rangepartitioning".r
+        .findFirstIn(finalPlan).isDefined,
+      s"executed q128 plan must reuse the range-exchange stage:\n${finalPlan.take(6000)}")
   }
 }
