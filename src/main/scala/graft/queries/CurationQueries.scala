@@ -562,7 +562,74 @@ object CurationQueries {
       |GROUP BY b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** QUALITY-CLASSIFIER scoring — the in-plan inference pass of a
+    * fasttext-style linear text classifier (the model-based quality gate
+    * LLM pipelines run after the cheap heuristics): hashed word n-gram
+    * features (unigrams + bigrams) → bucket-weight lookup → sum, scored by
+    * the codegen'd [[graft.expressions.LinearTextScore]] expression. The
+    * weight table here is a deterministic integer stand-in for trained
+    * weights (w(b) = (b·2654435761 + 12345) mod 201 − 100 over 1024
+    * buckets) so the gate is EXACT: the oracle replays the same md5
+    * feature hash and weight formula in SQL. The keep verdict thresholds
+    * the raw sum — σ is monotone, so this IS the sigmoid threshold without
+    * its engine-specific exp().
+    *
+    * Scale shape: scoring is PROJECTION-ONLY — no explode, no join, no
+    * aggregate; the model rides inside the expression (task-broadcast).
+    * The only exchange in the whole query is the output ORDER BY. A
+    * CurationSpec plan test pins that (and ExpressionsSpec proves the
+    * native expression ≡ the declarative explode+md5 form).
+    */
+  def q136QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // n tokens → n unigrams + (n−1) bigrams; tokens() never returns an
+      // empty array (whitespace-split of a trimmed string yields [""]), so
+      // 2n−1 needs no floor
+      .select(col("doc_id"),
+        (size(col("toks")) * 2 - 1).cast(LongType).as("n_feats"),
+        graft.expressions.LinearTextScore
+          .linearTextScore(col("toks"), ClassifierWeights, 2).as("score_sum"))
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        (col("score_sum").cast(DoubleType) / col("n_feats")).as("mean_w"),
+        when(col("score_sum") >= 0, 1).otherwise(0).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stand-in model: 1024 integer bucket weights in
+    * [−100, 100]. A trained model would load real ints here; the formula
+    * exists so the DuckDB oracle can replay the lookup exactly.
+    */
+  val ClassifierWeights: Seq[Int] =
+    (0 until 1024).map(b => ((b * 2654435761L + 12345L) % 201L - 100L).toInt)
+
+  val q136Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(toks) AS f FROM d
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS f
+      |  FROM d),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ((CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024)
+      |       * 2654435761 + 12345) % 201 - 100 AS w
+      |  FROM feats)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |  CAST(SUM(w) AS BIGINT) AS score_sum,
+      |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_w,
+      |  CASE WHEN CAST(SUM(w) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS keep_flag
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_quality_classifier" -> (q136QualityClassifier _),
     "q135_doc_fluency"       -> (q135DocFluency _),
     "q134_corpus_mixture"    -> (q134CorpusMixture _),
     "q133_contamination"     -> (q133ContaminationCheck _),
@@ -577,6 +644,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q136_quality_classifier" -> q136Oracle,
     "q135_doc_fluency"       -> q135Oracle,
     "q134_corpus_mixture"    -> q134Oracle,
     "q133_contamination"     -> q133Oracle,

@@ -30,6 +30,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(chunks.keySet === docs.keySet.filter(docs(_) > 0))
   }
 
+  test("q136 classifier scoring is projection-only: no join, no aggregate, no hash exchange") {
+    // the whole point of the native expression: model inference rides the
+    // scan as a map-only stage — the sole exchange is the output ORDER BY
+    val df = SparkEntry.queries("q136_quality_classifier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.toLowerCase.contains("hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000)) // no explode either
+  }
+
   test("PII redaction finds exactly the planted emails and phones") {
     val rows = SparkEntry.queries("q79_pii_redact")(spark, sfDir)
       .select("doc_id", "n_pii").as[(Long, Int)].collect()

@@ -172,6 +172,51 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getSeq[Int](0) === Seq(5, 2, 9))
   }
 
+  test("LinearTextScore equals the declarative explode+md5 scoring") {
+    import graft.queries.CurationQueries.ClassifierWeights
+    val docs = Tables.documents(spark, sfDir).limit(80)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val native = docs.select(col("doc_id"),
+        graft.expressions.LinearTextScore
+          .linearTextScore(col("toks"), ClassifierWeights, 2).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // declarative reference: explode unigrams+bigrams, hash via the
+    // composed built-ins (md5 → hex parse → mod), replay the weight formula
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("f"))
+    val bi = docs.select(col("doc_id"),
+      explode(graft.expressions.ShingleStrings.shingleOccurrences(col("toks"), 2)).as("f"))
+      .filter(size(split(col("f"), " ")) === 2) // drop the <2-token whole-text window
+    val declarative = uni.union(bi)
+      .withColumn("bucket",
+        conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % 1024)
+      .withColumn("w", (col("bucket") * 2654435761L + 12345L) % 201L - 100L)
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native.keySet === declarative.keySet)
+    declarative.foreach { case (id, s) => assert(native(id) === s, s"doc $id") }
+  }
+
+  test("LinearTextScore edge cases: single token has no bigrams; maxNgram=1 drops them") {
+    import graft.queries.CurationQueries.ClassifierWeights
+    def wOf(f: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      ClassifierWeights((v % 1024).toInt).toLong
+    }
+    val docs = Seq((1L, Seq("hello")), (2L, Seq("a", "b"))).toDF("doc_id", "toks")
+    val out = docs.select(col("doc_id"),
+        graft.expressions.LinearTextScore
+          .linearTextScore(col("toks"), ClassifierWeights, 2).as("s2"),
+        graft.expressions.LinearTextScore
+          .linearTextScore(col("toks"), ClassifierWeights, 1).as("s1"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((wOf("hello"), wOf("hello"))))
+    assert(out(2L) === ((wOf("a") + wOf("b") + wOf("a b"), wOf("a") + wOf("b"))))
+  }
+
   test("SignLshSignature yields 0 on ANY dimension mismatch (short or long)") {
     val proj = Similarity.hyperplanes(8, 3, seed = 1)
     val df = Seq(
