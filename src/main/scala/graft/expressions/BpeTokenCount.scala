@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SUBWORD TOKEN COUNT via greedy longest-match segmentation — the
+  * BPE/WordPiece-style tokenizer pass every training pipeline budgets
+  * sequence lengths with, as one codegen'd projection. Each whitespace
+  * word is segmented left-to-right by maximal munch against a vocabulary
+  * of subword pieces: at every position the longest matching piece is
+  * consumed (ties impossible — one longest length), and a position no
+  * piece matches consumes a single character as UNK. The expression
+  * returns the TOTAL subword count over the token array; an empty word
+  * contributes 0.
+  *
+  * The vocabulary ships with the expression (serialized plan →
+  * task-broadcast — the [[LinearTextScore]] posture; real BPE vocabs are
+  * ~50k pieces ≈ sub-MB, comfortably plan-shippable). Matching is over
+  * CODE POINTS (UTF8String semantics), identical to DuckDB's
+  * `substr`/`length`, so the oracle can replay the same greedy walk with
+  * a recursive CTE over the same vocab and hash-match exactly.
+  */
+case class BpeTokenCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "empty vocabulary")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  // pieces grouped by code-point length, longest first — the munch order
+  @transient private lazy val maxLen: Int =
+    vocab.map(UTF8String.fromString(_).numChars()).max
+  @transient private lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
+    vocab.foreach { p =>
+      val u = UTF8String.fromString(p)
+      a(u.numChars()).add(u)
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalCount(input.asInstanceOf[ArrayData])
+
+  def evalCount(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      val len = w.numChars()
+      var pos = 0
+      while (pos < len) {
+        var step = 1 // UNK fallback: consume one character
+        var k = math.min(maxLen, len - pos)
+        var matched = false
+        while (!matched && k >= 1) {
+          if (!byLen(k).isEmpty && byLen(k).contains(w.substring(pos, pos + k))) {
+            step = k
+            matched = true
+          }
+          k -= 1
+        }
+        total += 1
+        pos += step
+      }
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeCount", this, classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.evalCount($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+  /** Column entry point: bpe_token_count(array<string>, vocab) → bigint. */
+  def bpeTokenCount(tokens: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(
+      BpeTokenCount(GraftColumnBridge.expression(tokens), vocab))
+}

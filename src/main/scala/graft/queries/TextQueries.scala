@@ -173,7 +173,74 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** SUBWORD/BPE token counting — the sequence-length budget every
+    * training pipeline actually uses (whitespace counts, q34's statistic,
+    * underestimate rare words that fragment into many pieces): each word
+    * is segmented by greedy longest-match over a fixed subword vocabulary
+    * inside the codegen'd [[graft.expressions.BpeTokenCount]] expression,
+    * and the document reports word count, subword count, and fertility
+    * (subwords per word — the tokenizer-budget multiplier). The vocabulary
+    * here is a small fixed English-merge table so the DuckDB oracle can
+    * replay the exact greedy walk with a recursive CTE; a production vocab
+    * (50k pieces) drops into the same expression unchanged.
+    *
+    * Scale shape: PROJECTION-ONLY like q136 — no explode, no join; the
+    * vocab rides inside the expression (task-broadcast) and the only
+    * exchange is the output ORDER BY.
+    */
+  def q137BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_words"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(col("toks"), BpeVocab).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast(DoubleType) / col("n_words")).as("fertility"))
+      .orderBy(col("doc_id"))
+
+  /** Fixed merge vocabulary (2–4-char English subword pieces). Single
+    * characters need no entries: an unmatched position consumes one char
+    * as UNK, which counts identically.
+    */
+  val BpeVocab: Seq[String] = Seq(
+    "tion", "atio", "ther", "ight", "ough", "ment", "ing",
+    "the", "and", "ent", "ion", "ter", "est", "ers", "ate",
+    "all", "her", "his", "ver", "ith", "res", "con", "pro",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic")
+
+  val q137Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |done AS (SELECT doc_id, i, ntok FROM seg WHERE pos = length(word) + 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_subwords,
+       |  CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE) / COUNT(*) AS fertility
+       |FROM done
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_bpe_tokens"   -> (q137BpeTokens _),
     "q109_vocab_encode" -> (q109VocabEncode _),
     "q32_text_stats"   -> (q32TextStats _),
     "q33_lang_id"      -> (q33LangId _),
@@ -181,6 +248,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q137_bpe_tokens"   -> q137Oracle,
     "q109_vocab_encode" -> q109Oracle,
     "q32_text_stats"   -> q32Oracle,
     "q33_lang_id"      -> q33Oracle,

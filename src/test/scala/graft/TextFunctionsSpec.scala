@@ -44,4 +44,38 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .select(TextFunctions.langId(col("text"))).as[String].collect()
     assert(preds.forall(langs.contains))
   }
+
+  test("BpeTokenCount equals an independent greedy longest-match reference") {
+    import graft.queries.TextQueries.BpeVocab
+    // reference: per word, maximal munch with single-char UNK fallback
+    def refCount(word: String): Long = {
+      val maxLen = BpeVocab.map(_.length).max
+      val set = BpeVocab.toSet
+      var pos = 0
+      var n = 0L
+      while (pos < word.length) {
+        val k = (math.min(maxLen, word.length - pos) to 1 by -1)
+          .find(l => set.contains(word.substring(pos, pos + l)))
+          .getOrElse(1)
+        n += 1
+        pos += k
+      }
+      n
+    }
+    // hand cases pin the greedy law itself
+    assert(refCount("") === 0L)
+    assert(refCount("the") === 1L)     // longest match beats "th"
+    assert(refCount("theory") === 3L)  // the|or|y
+    assert(refCount("nation") === 3L)  // n|atio|n
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val native = docs.select(col("doc_id"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(col("toks"), BpeVocab).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.as[(Long, Seq[String])].collect()
+      .map { case (id, toks) => id -> toks.map(refCount).sum }.toMap
+    assert(native.keySet === expected.keySet)
+    expected.foreach { case (id, n) => assert(native(id) === n, s"doc $id") }
+  }
 }
