@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-import graft.model.JdbcConfig
+import graft.model.{JdbcConfig, SourceType}
 
 /** Sink layer (SURVEY.md §2.A A14–A16; §7 module 4).
   *
@@ -170,10 +170,9 @@ final class JdbcStore(
     // VARCHAR key in the delete's IN-subquery)
     stagingColumnTypes: Option[String] = None) extends DataStore {
   def upsert(staging: DataFrame): Unit = {
-    val stagingTable = s"${table}_staging"
     val writer = staging.write.format("jdbc")
       .option("url", cfg.url)
-      .option("dbtable", stagingTable)
+      .option("dbtable", JdbcStore.stagingTableFor(table))
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("driver", cfg.driver)
@@ -186,18 +185,10 @@ final class JdbcStore(
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        val qk = s"$quote$key$quote"
-        // enumerate columns by name: a positional SELECT * would silently
-        // swap same-typed fields whenever the DataFrame column order
-        // differs from the target table's DDL order
-        val colList = staging.columns
-          .map(c => s"$quote$c$quote").mkString(", ")
-        st.executeUpdate(
-          s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM $stagingTable)")
-        st.executeUpdate(
-          s"INSERT INTO $table ($colList) SELECT $colList FROM $stagingTable")
+        st.executeUpdate(JdbcStore.deleteMatchedSql(table, key, quote))
+        st.executeUpdate(JdbcStore.insertAllSql(table, staging.columns.toSeq, quote))
         conn.commit()
-        st.executeUpdate(s"DROP TABLE $stagingTable")
+        st.executeUpdate(JdbcStore.dropStagingSql(table))
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e
@@ -216,7 +207,7 @@ final class JdbcStore(
     * transactional dedup log in the target = exactly-once effects.
     */
   def upsertBatch(staging: DataFrame, batchId: Long): Unit = {
-    val commitTable = s"${table}_commits"
+    val commitTable = JdbcStore.commitTableFor(table)
     val conn0 = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
     try {
       val md = conn0.getMetaData.getTables(null, null, "%", Array("TABLE"))
@@ -227,19 +218,16 @@ final class JdbcStore(
       val st0 = conn0.createStatement()
       try {
         if (!hasLog)
-          st0.executeUpdate(
-            s"CREATE TABLE $commitTable (${quote}batch_id$quote BIGINT PRIMARY KEY)")
-        val rs = st0.executeQuery(
-          s"SELECT COUNT(*) FROM $commitTable WHERE ${quote}batch_id$quote = $batchId")
+          st0.executeUpdate(JdbcStore.createCommitLogSql(table, quote))
+        val rs = st0.executeQuery(JdbcStore.commitProbeSql(table, batchId, quote))
         rs.next()
         if (rs.getInt(1) > 0) return // replay of a committed batch — no-op
       } finally st0.close()
     } finally conn0.close()
     // stage the rows (executor-parallel write, its own table)
-    val stagingTable = s"${table}_staging"
     val writer = staging.write.format("jdbc")
       .option("url", cfg.url)
-      .option("dbtable", stagingTable)
+      .option("dbtable", JdbcStore.stagingTableFor(table))
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("driver", cfg.driver)
@@ -250,22 +238,65 @@ final class JdbcStore(
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        val qk = s"$quote$key$quote"
-        val colList = staging.columns.map(c => s"$quote$c$quote").mkString(", ")
-        st.executeUpdate(
-          s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM $stagingTable)")
-        st.executeUpdate(
-          s"INSERT INTO $table ($colList) SELECT $colList FROM $stagingTable")
+        st.executeUpdate(JdbcStore.deleteMatchedSql(table, key, quote))
+        st.executeUpdate(JdbcStore.insertAllSql(table, staging.columns.toSeq, quote))
         // the commit record rides in the SAME transaction as the promote
-        st.executeUpdate(s"INSERT INTO $commitTable VALUES ($batchId)")
+        st.executeUpdate(JdbcStore.commitRecordSql(table, batchId))
         conn.commit()
-        st.executeUpdate(s"DROP TABLE $stagingTable")
+        st.executeUpdate(JdbcStore.dropStagingSql(table))
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e
       } finally st.close()
     } finally conn.close()
   }
+}
+
+/** Pure SQL-text builders for [[JdbcStore]] — factored out so the per-
+  * dialect statement text is unit-testable against golden strings without
+  * a live database (DialectSpec): identifier quoting is the one thing the
+  * staged-upsert protocol varies by dialect, and a wrong quote fails
+  * SILENTLY on a case-folding database (the unquoted key resolves against
+  * the outer table and the delete wipes it — see the quote note on the
+  * class).
+  */
+object JdbcStore {
+  /** Identifier quote per dialect: MySQL defaults to backticks (ANSI_QUOTES
+    * off); Postgres/Oracle/MSSQL/Derby accept the ANSI double quote.
+    */
+  def quoteFor(tpe: SourceType): String =
+    if (tpe == SourceType.MySql) "`" else "\""
+
+  def stagingTableFor(table: String): String = s"${table}_staging"
+  def commitTableFor(table: String): String = s"${table}_commits"
+
+  /** Delete target rows whose key appears in staging (dialect-portable
+    * IN-subquery — Postgres `DELETE USING` is not).
+    */
+  def deleteMatchedSql(table: String, key: String, quote: String): String = {
+    val qk = s"$quote$key$quote"
+    s"DELETE FROM $table WHERE $qk IN (SELECT $qk FROM ${stagingTableFor(table)})"
+  }
+
+  /** Insert all staging rows, columns enumerated BY NAME (a positional
+    * SELECT * silently swaps same-typed fields when orders differ).
+    */
+  def insertAllSql(table: String, columns: Seq[String], quote: String): String = {
+    val colList = columns.map(c => s"$quote$c$quote").mkString(", ")
+    s"INSERT INTO $table ($colList) SELECT $colList FROM ${stagingTableFor(table)}"
+  }
+
+  def dropStagingSql(table: String): String =
+    s"DROP TABLE ${stagingTableFor(table)}"
+
+  def createCommitLogSql(table: String, quote: String): String =
+    s"CREATE TABLE ${commitTableFor(table)} (${quote}batch_id$quote BIGINT PRIMARY KEY)"
+
+  def commitProbeSql(table: String, batchId: Long, quote: String): String =
+    s"SELECT COUNT(*) FROM ${commitTableFor(table)} WHERE ${quote}batch_id$quote = $batchId"
+
+  def commitRecordSql(table: String, batchId: Long): String =
+    s"INSERT INTO ${commitTableFor(table)} VALUES ($batchId)"
 }
 
 /** Debug/display sink ≙ `df.show()` (`lambda_function.py:192`). */
