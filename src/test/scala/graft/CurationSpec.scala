@@ -41,6 +41,20 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Generate"), plan.take(3000)) // no explode either
   }
 
+  test("q135's per-(doc,bigram) pre-agg exchange is reused by both consumers at runtime") {
+    // the count table aggregates the SAME pre-agg frame the probe side
+    // joins — the executed adaptive plan must materialize that exchange
+    // once (ReusedExchange), or the corpus explode+shuffle would run twice
+    val df = SparkEntry.queries("q135_doc_fluency")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(finalPlan.contains("ReusedExchange"),
+      s"q135 executed plan must reuse the pre-agg exchange:\n${finalPlan.take(6000)}")
+  }
+
   test("PII redaction finds exactly the planted emails and phones") {
     val rows = SparkEntry.queries("q79_pii_redact")(spark, sfDir)
       .select("doc_id", "n_pii").as[(Long, Int)].collect()
