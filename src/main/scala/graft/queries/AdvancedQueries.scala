@@ -369,17 +369,22 @@ object AdvancedQueries {
 
   /** Sequence packing: stream documents (per language, in id order) into
     * ~2048-token training bins via a running token cumsum — the standard
-    * pre-tokenization packing pass, as one window + arithmetic (no state,
-    * no UDF).
+    * pre-tokenization packing pass. The cumsum rides
+    * [[graft.functions.PrefixSum.runningTotal]]: `lang` is a ~5-value key,
+    * so the window form (`Window.partitionBy(lang)`) would hand the whole
+    * corpus to 5 tasks at any scale — the exact anti-pattern the two-pass
+    * scaffold exists to cure (range exchange on (lang, doc_id), offsets
+    * over the tiny P·G frame; same shape as q128).
     */
   def q64SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens_l"))
+    PrefixSum
+      .runningTotal(scored, Seq("lang"), Seq(col("doc_id")), "n_tokens_l", "cum_tokens")
       .withColumn("bin", floor((col("cum_tokens") - 1) / 2048).cast(IntegerType))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
       .orderBy(col("lang"), col("doc_id"))
   }
 

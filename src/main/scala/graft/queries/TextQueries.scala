@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.PrefixSum
 import graft.functions.TextFunctions._
 
 /** Text-analysis queries over `documents` (north-star tier: B17 + language
@@ -239,7 +240,61 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence packing on the REAL token budget — q64's packing pass
+    * re-based from whitespace counts onto q137's greedy-BPE subword
+    * counts (whitespace underestimates exactly the rare fragmenting words
+    * a budget exists for): documents stream (per language, in id order)
+    * into 4096-subword training bins. The per-doc count is the codegen'd
+    * [[graft.expressions.BpeTokenCount]] projection; the running cumsum
+    * rides [[PrefixSum.runningTotal]] (lang is a ~5-value key — the
+    * window form would put the corpus in 5 tasks). Oracle: the q137
+    * recursive-CTE greedy replay feeding a window cumsum.
+    */
+  def q138BpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(tokens(col("text")), BpeVocab).as("n_subwords"))
+    PrefixSum
+      .runningTotal(scored, Seq("lang"), Seq(col("doc_id")), "n_subwords", "cum_subwords")
+      .withColumn("bin", floor((col("cum_subwords") - 1) / 4096).cast(IntegerType))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q138Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_subwords
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id)
+       |SELECT lang, doc_id, n_subwords, cum_subwords,
+       |  CAST(FLOOR((cum_subwords - 1) / 4096) AS INTEGER) AS bin
+       |FROM (
+       |  SELECT d.lang, c.doc_id, c.n_subwords,
+       |    CAST(SUM(c.n_subwords) OVER (PARTITION BY d.lang ORDER BY c.doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_subwords
+       |  FROM counts c JOIN d ON c.doc_id = d.doc_id)
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_bpe_packing"  -> (q138BpePacking _),
     "q137_bpe_tokens"   -> (q137BpeTokens _),
     "q109_vocab_encode" -> (q109VocabEncode _),
     "q32_text_stats"   -> (q32TextStats _),
@@ -248,6 +303,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q138_bpe_packing"  -> q138Oracle,
     "q137_bpe_tokens"   -> q137Oracle,
     "q109_vocab_encode" -> q109Oracle,
     "q32_text_stats"   -> q32Oracle,

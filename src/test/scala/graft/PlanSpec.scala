@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(solo.findFirstIn(p).isEmpty, s"lang-only exchange found:\n$p")
   }
 
+  test("q64/q138 packing cumsum range-partitions the corpus — no lang-window exchange") {
+    // the packing queries ride PrefixSum.runningTotal: the corpus must
+    // range-partition on (lang, doc_id); the only lang-keyed hash exchange
+    // allowed is the tiny P·G offsets frame (whose subtree aggregates
+    // __pid/__gkey), never the document stream itself
+    Seq("q64_sequence_packing", "q138_bpe_packing").foreach { q =>
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"), s"$q:\n${p.take(2000)}")
+      assert("hashpartitioning\\(lang#\\d+".r.findFirstIn(p).isEmpty,
+        s"$q has a lang-only corpus exchange:\n${p.take(4000)}")
+    }
+  }
+
   test("q93 bloom probe is a codegen'd built-in below the fact-side exchange") {
     val p = plan("q93_bloom_pruned_join")
     // the probe must be Spark's native might_contain (codegen'd), not a
