@@ -250,7 +250,13 @@ object TextQueries {
     * window form would put the corpus in 5 tasks). Oracle: the q137
     * recursive-CTE greedy replay feeding a window cumsum.
     */
-  def q138BpePacking(spark: SparkSession, dir: String): DataFrame = {
+  def q138BpePacking(spark: SparkSession, dir: String): DataFrame =
+    bpePackingFrame(spark, dir).orderBy(col("lang"), col("doc_id"))
+
+  /** The (lang, doc_id, n_subwords, cum_subwords, bin) assignment frame
+    * shared by q138 (per-doc view) and q139 (per-bin manifest).
+    */
+  private def bpePackingFrame(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         graft.expressions.BpeTokenCount
@@ -258,7 +264,67 @@ object TextQueries {
     PrefixSum
       .runningTotal(scored, Seq("lang"), Seq(col("doc_id")), "n_subwords", "cum_subwords")
       .withColumn("bin", floor((col("cum_subwords") - 1) / 4096).cast(IntegerType))
-      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** PACK MANIFEST — the per-bin view of q138's assignment: for every
+    * (lang, bin) training sequence, the documents that land in it (in
+    * stream order, content-addressed by md5 of the comma-joined ids — the
+    * q109/q82 recipe for array-valued gates), their count, the bin's
+    * subword total, and its fill ratio against the 4096 budget (interior
+    * bins sit near 1.0 by construction; each language's last bin is
+    * partial). This is the artifact a packing pass actually hands the
+    * trainer: which documents concatenate into which sequence.
+    *
+    * Scale shape: the q138 scaffold plus ONE further aggregate keyed by
+    * (lang, bin) — bin cardinality grows with the corpus (total subwords /
+    * 4096), so the added exchange is high-cardinality and skew-free.
+    */
+  def q139PackManifest(spark: SparkSession, dir: String): DataFrame =
+    bpePackingFrame(spark, dir)
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("bin_subwords"),
+        md5(array_join(
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast(StringType)), ",")).as("ids_md5"))
+      .withColumn("fill_ratio", col("bin_subwords").cast(DoubleType) / 4096.0)
+      .orderBy(col("lang"), col("bin"))
+
+  val q139Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_subwords
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id),
+       |assigned AS (
+       |  SELECT lang, doc_id, n_subwords,
+       |    CAST(FLOOR((CAST(SUM(n_subwords) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+       |      / 4096) AS INTEGER) AS bin
+       |  FROM counts JOIN d USING (doc_id))
+       |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_subwords) AS BIGINT) AS bin_subwords,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5,
+       |  CAST(CAST(SUM(n_subwords) AS BIGINT) AS DOUBLE) / 4096.0 AS fill_ratio
+       |FROM assigned
+       |GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
   }
 
   val q138Oracle: String = {
@@ -294,6 +360,7 @@ object TextQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_pack_manifest" -> (q139PackManifest _),
     "q138_bpe_packing"  -> (q138BpePacking _),
     "q137_bpe_tokens"   -> (q137BpeTokens _),
     "q109_vocab_encode" -> (q109VocabEncode _),
@@ -303,6 +370,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q139_pack_manifest" -> q139Oracle,
     "q138_bpe_packing"  -> q138Oracle,
     "q137_bpe_tokens"   -> q137Oracle,
     "q109_vocab_encode" -> q109Oracle,
