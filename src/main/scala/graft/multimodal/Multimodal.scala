@@ -143,6 +143,52 @@ object Multimodal {
       .map(id => MediaRow(id, "image", bmpBytes(id)))
   }
 
+  case class Thumb(
+      doc_id: Long, width: Int, height: Int,
+      thumb_csv: String, thumb_sum: Long)
+
+  /** REAL nearest-neighbor image RESIZE over the actual BMP bytes — the
+    * thumbnail/normalization pass a multimodal pipeline runs before
+    * feature extraction: parse the headers like [[decodeBmp]], then for
+    * every target pixel sample the source pixel at
+    * (⌊tx·w/outW⌋, ⌊ty·h/outH⌋) straight from the stride-aligned payload
+    * (bottom-up rows, BGR storage order), emitting the thumbnail as
+    * row-major top-down RGB bytes. Works as down- AND up-sampling (NN
+    * repeats pixels when the source is smaller than the target). The
+    * thumbnail travels as a comma-joined int string (the q82/q109 recipe:
+    * the driver compare cannot sort raw binary cells) plus its byte sum.
+    */
+  def resizeBmpNN(m: MediaRow, outW: Int, outH: Int): Thumb = {
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(isBmp(m.payload), s"doc ${m.doc_id}: not a BMP payload")
+    val pixelOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = math.abs(buf.getInt(22))
+    require(buf.getShort(28).toInt == 24 && buf.getInt(30) == 0,
+      s"doc ${m.doc_id}: unsupported BMP variant")
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Int](outW * outH * 3)
+    var k = 0
+    var ty = 0
+    while (ty < outH) {
+      val sy = ty * h / outH
+      val storedRow = h - 1 - sy // bottom-up: logical top row stored last
+      var tx = 0
+      while (tx < outW) {
+        val sx = tx * w / outW
+        val p = pixelOff + storedRow * stride + 3 * sx
+        out(k) = m.payload(p + 2) & 0xff     // R (stored BGR)
+        out(k + 1) = m.payload(p + 1) & 0xff // G
+        out(k + 2) = m.payload(p) & 0xff     // B
+        k += 3
+        tx += 1
+      }
+      ty += 1
+    }
+    Thumb(m.doc_id, w, h, out.mkString(","), out.map(_.toLong).sum)
+  }
+
   case class AudioFeatures(
       doc_id: Long, media_type: String,
       sample_rate: Int, n_channels: Int, bits_per_sample: Int,

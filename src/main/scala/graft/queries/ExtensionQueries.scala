@@ -145,6 +145,51 @@ object ExtensionQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Multimodal image RESIZE with a REAL pixel resample: every payload is
+    * a genuine BMP and [[Multimodal.resizeBmpNN]] nearest-neighbor-samples
+    * its actual stride-aligned bytes into an 8×8 RGB thumbnail — the
+    * normalization pass before any vision feature extractor. The oracle
+    * replays the full chain in SQL from the generator's formulas: target
+    * pixel k → source coordinates (⌊tx·w/8⌋, ⌊ty·h/8⌋) → bottom-up BGR
+    * byte index → (doc_id + j) mod 256 — so a resize that sampled the
+    * wrong row direction, channel order, or rounding would hash-mismatch
+    * on the thumbnail md5. thumb_mean is one exact division (Σ/192).
+    *
+    * Scale shape: typed map over the media table — projection-only like
+    * all decode paths; thumbnails are fixed 192-byte payloads regardless
+    * of source size, the property that makes downstream vision batches
+    * uniform.
+    */
+  def q140ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.bmpMediaTable(Tables.documents(spark, dir))
+    media.map(m => Multimodal.resizeBmpNN(m, 8, 8)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(col("thumb_csv")).as("thumb_md5"),
+        (col("thumb_sum").cast(DoubleType) / 192.0).as("thumb_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q140Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 32 AS INTEGER) AS w,
+      |    CAST(1 + doc_id % 24 AS INTEGER) AS h
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, 192), k ->
+      |      (doc_id
+      |        + (h - 1 - ((k // 24) * h // 8)) * 3 * w
+      |        + 3 * (((k % 24) // 3) * w // 8)
+      |        + (2 - k % 3)) % 256) AS vals
+      |  FROM geom)
+      |SELECT doc_id, w AS width, h AS height,
+      |  md5(array_to_string(vals, ',')) AS thumb_md5,
+      |  CAST(list_sum(vals) AS DOUBLE) / 192.0 AS thumb_mean
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: per-frame byte offsets via explode over a generated
     * index range.
     */
@@ -264,6 +309,7 @@ object ExtensionQueries {
     "q49_multimodal_meta"    -> (q49MultimodalMeta _),
     "q50_multimodal_features" -> (q50MultimodalFeatures _),
     "q51_frame_sample"       -> (q51FrameSample _),
+    "q140_image_resize"      -> (q140ImageResize _),
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
@@ -274,5 +320,6 @@ object ExtensionQueries {
     "q49_multimodal_meta"    -> q49Oracle,
     "q50_multimodal_features" -> q50Oracle,
     "q51_frame_sample"       -> q51Oracle,
+    "q140_image_resize"      -> q140Oracle,
     "q86_audio_features"     -> q86Oracle)
 }

@@ -24,6 +24,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("resizeBmpNN: 1x1 source repeats its pixel; 8x8 source is identity") {
+    // doc_id=0 → w=h=1: stored bytes (B,G,R) = 0,1,2 → every thumbnail
+    // pixel must be RGB (2,1,0)
+    val t1 = Multimodal.resizeBmpNN(
+      MediaRow(0L, "image", Multimodal.bmpBytes(0L)), 8, 8)
+    assert(t1.width === 1 && t1.height === 1)
+    assert(t1.thumb_csv === Seq.fill(64)("2,1,0").mkString(","))
+    // doc_id=7 → w=h=8: NN at equal size is the identity — thumbnail pixel
+    // (x, y) must be the source pixel (x, y) read top-down RGB
+    val id = 7L
+    val t8 = Multimodal.resizeBmpNN(
+      MediaRow(id, "image", Multimodal.bmpBytes(id)), 8, 8)
+    assert(t8.width === 8 && t8.height === 8)
+    val expected = (for {
+      y <- 0 until 8; x <- 0 until 8; c <- Seq(2, 1, 0) // stored BGR → RGB
+    } yield (id + (8 - 1 - y) * 24 + 3 * x + c) % 256).mkString(",")
+    assert(t8.thumb_csv === expected)
+    assert(t8.thumb_sum === t8.thumb_csv.split(",").map(_.toLong).sum)
+  }
+
   test("decodeBmp walks rows stride-aware (padding bytes never counted)") {
     // width 1 → rowBytes 3, stride 4: one padding byte per row. A decoder
     // that read stride-many bytes per row would dilute the mean with the
