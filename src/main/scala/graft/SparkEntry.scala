@@ -23,7 +23,7 @@ object SparkEntry {
       ExtensionQueries.registry ++ SurfaceQueries.registry ++
       AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
       ScaleQueries.registry ++ CurationQueries.registry ++
-      RelationalPlus.registry
+      RelationalPlus.registry ++ GraphQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
       AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
       ScaleQueries.oracles ++ CurationQueries.oracles ++
-      RelationalPlus.oracles
+      RelationalPlus.oracles ++ GraphQueries.oracles
 }

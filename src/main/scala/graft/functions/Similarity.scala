@@ -287,4 +287,93 @@ object Similarity {
           "raise maxIter (component diameter exceeds it)")
     labels
   }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (the two-phase
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the
+    * diameter-INDEPENDENT complement to [[connectedComponents]]: label
+    * propagation needs one round per hop of the deepest component, so a
+    * length-10⁶ chain (link graphs, citation chains, transitively-linked
+    * near-dup runs) needs 10⁶ shuffles; star contraction halves component
+    * height every alternation and converges in O(log n) rounds on ANY
+    * topology.
+    *
+    * Each round rewrites the edge set with two groupBy+join passes over
+    * edges keyed by one endpoint (per-key MIN — map-side combined, no
+    * neighbor lists are ever collected, so a 10⁸-degree hub node costs no
+    * more than a leaf):
+    *  - large-star: every node links its strictly-LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum.
+    * Both preserve connectivity exactly (no approximation); the fixpoint
+    * is a forest of stars — every edge (root, v) with root = component
+    * minimum. Convergence is an exact set comparison (count + anti-join),
+    * not a checksum. Lineage is truncated per round with
+    * localCheckpoint(eager) — same rationale as [[connectedComponents]]
+    * (reliable checkpoint to durable storage at cluster scale).
+    *
+    * @return one row per node appearing in `pairs`: (id, label) with
+    *         label = smallest id in the node's component. Matches
+    *         [[connectedComponents]] output exactly.
+    */
+  def connectedComponentsStar(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    // canonical undirected edge set: (u, v) with u < v, deduped
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    // isolated self-pairs (id_a == id_b) still name a node: keep them so
+    // the output space matches connectedComponents (node ∪ both sides)
+    val selfNodes = pairs
+      .filter(col("id_a") === col("id_b") && col("id_a").isNotNull)
+      .select(col("id_a").as("id")).distinct()
+
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // ---- large-star: for each node a, m = min(Γ(a) ∪ {a}); emit
+      // (m, b) for every neighbor b > a. groupBy and join share the key,
+      // so the aggregate's exchange is reused by the join (one shuffle).
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val minsL = nbrs.groupBy("a")
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val afterLarge = nbrs.join(minsL, "a")
+        .filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // ---- small-star: edges are (u, v) with u < v; for each v,
+      // m = min of its smaller neighbors; emit (m, lo) for every smaller
+      // neighbor lo ≠ m, plus (m, v) itself.
+      val minsS = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
+      val loEdges = afterLarge.join(minsS, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val next = loEdges
+        .unionByName(minsS.select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // exact convergence: same cardinality and no edge in next \ edges
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "O(log n) bound exceeded, which indicates a bug, not deep data")
+    // fixpoint is a star forest: every edge is (root, leaf)
+    edges.select(col("v").as("id"), col("u").as("label"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("label")))
+      .unionByName(selfNodes.withColumn("label", col("id")))
+      .distinct()
+  }
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Similarity
+
+/** Graph operators over data-derived edge lists: transitive near-dup
+  * clustering via alternating star contraction, and integer-exact PageRank
+  * over the customer↔supplier interaction graph.
+  *
+  * Both are the "iterative algorithms on a relational engine" tier of a
+  * 100 TB pipeline: CC materializes per-round (state is the edge set — it
+  * must contract), while PageRank with a FIXED iteration count stays fully
+  * declarative — the unrolled plan is a join tree Catalyst optimizes as
+  * one query, with the edge-scan exchanges deduplicated by reuse; no
+  * driver-side loop state, no checkpoint, no action until the sink.
+  */
+object GraphQueries {
+
+  /** Near-duplicate CLUSTERS by true transitive closure — the upgrade over
+    * bucket-keyed grouping: doc A∼B and B∼C must land in ONE cluster even
+    * when A and C share no band. Pairs come from the q36 MinHash+LSH
+    * confirm pipeline (exact Jaccard ≥ 0.8); components from
+    * [[Similarity.connectedComponentsStar]] — the large-star/small-star
+    * alternation whose round count is O(log n) regardless of component
+    * diameter, so a transitively-chained duplicate run (boilerplate
+    * families at corpus scale) cannot blow the iteration budget the way
+    * diameter-bound label propagation would.
+    *
+    * Output: every clustered doc with its component label (= min doc id in
+    * the cluster — the canonical survivor a keep-one dedup would retain)
+    * and the cluster size. The DuckDB oracle recomputes the closure with a
+    * recursive reachability CTE over the same exact-Jaccard pair set.
+    */
+  def q141NearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val labels = Similarity.connectedComponentsStar(pairs)
+    // cluster-size frame is one row per component — tiny vs the corpus —
+    // so the enrich join broadcasts
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q141Oracle: String =
+    s"""WITH RECURSIVE docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset}, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id,
+       |        list_distinct(CASE
+       |          WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+       |          THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+       |          ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+       |                 i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+       |                      regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+       |                      regexp_split_to_array(trim(text), '\\s+')[i+2]) END) AS sh
+       |      FROM docs_p),
+       |dl AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+       |p AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       |    FROM dl a JOIN dl b
+       |      ON b.doc_id > a.doc_id
+       |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
+       |  WHERE j >= 0.8),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM e)
+       |  UNION
+       |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+       |lab AS (SELECT node AS doc_id, MIN(r) AS component
+       |        FROM reach GROUP BY node),
+       |siz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |        FROM lab GROUP BY component)
+       |SELECT l.doc_id, l.component, s.n_members
+       |FROM lab l JOIN siz s USING (component)
+       |ORDER BY l.doc_id""".stripMargin
+
+  /** Integer-exact PageRank over the customer↔supplier graph (an edge per
+    * distinct customer–supplier order relationship from orders⋈lineitem,
+    * taken in both directions so the chain has no dangling mass). Ranks
+    * are scaled BIGINTs (initial 10⁹ per node, damping 85/100) and every
+    * step is floor division — identical arithmetic in Spark (`div`) and
+    * DuckDB (`//`) — so three iterations produce bit-identical ranks with
+    * no float drift.
+    *
+    * Scale shape: the iteration count is FIXED, so the whole computation
+    * is one declarative plan — contribution = edges ⋈ degrees ⋈ ranks,
+    * re-aggregated by destination, unrolled three times. Catalyst plans it
+    * as a single join tree; the edge relation's shuffle is planned once
+    * and reused across iterations (ReusedExchange), and nothing
+    * materializes on the driver. The joins/aggregates shuffle on the node
+    * key — high-cardinality, skew governed by AQE like every other keyed
+    * exchange in the library.
+    */
+  def q142PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val one = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast(LongType).as("src"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("dst"))
+      .distinct()
+    val edges = one.unionByName(
+      one.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val init = deg.select(col("src").as("node"),
+      lit(1000000000L).as("r"))
+    def step(ranks: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cin"))
+      deg.select(col("src").as("node"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("(85 * coalesce(cin, 0L)) div 100"))
+            .as("r"))
+    }
+    val r3 = step(step(step(init)))
+    r3.select(col("node"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("entity_key"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("node"))
+  }
+
+  val q142Oracle: String = {
+    def stepSql(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT d.src AS node,
+         |    CAST(150000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, SUM(r.r // g.outdeg) AS c
+         |    FROM e JOIN deg g ON e.src = g.src
+         |           JOIN $prev r ON r.node = e.src
+         |    GROUP BY e.dst) s ON s.dst = d.src)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+       |${stepSql("r0", "r1")},
+       |${stepSql("r1", "r2")},
+       |${stepSql("r2", "r3")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS entity_key,
+       |  r AS rank_scaled
+       |FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_neardup_components" -> (q141NearDupComponents _),
+    "q142_pagerank"           -> (q142PageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q141_neardup_components" -> q141Oracle,
+    "q142_pagerank"           -> q142Oracle)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GraphQueries
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q141: components are true transitive closures of the pair set") {
+    val comp = GraphQueries.q141NearDupComponents(spark, sfDir)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    // every confirmed pair must be co-labeled (single-hop soundness)
+    val pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a, $b) split across components")
+    }
+    // the label is the smallest member of its component
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
+  test("q142: fixed-iteration PageRank plans as ONE query with exchange reuse") {
+    val df = GraphQueries.q142PageRank(spark, sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    // the edge/degree relations feed all three unrolled iterations — the
+    // adaptive plan must materialize their exchanges once, not per round
+    assert(finalPlan.contains("ReusedExchange"),
+      s"unrolled PageRank must reuse exchanges:\n${finalPlan.take(6000)}")
+    // every node keeps at least the teleport mass, and total scaled mass
+    // stays within the floor-division leakage bound (each div drops < 1
+    // unit per edge/node)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rank_scaled") >= 150000000L))
+  }
+}
