@@ -23,7 +23,8 @@ object SparkEntry {
       ExtensionQueries.registry ++ SurfaceQueries.registry ++
       AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
       ScaleQueries.registry ++ CurationQueries.registry ++
-      RelationalPlus.registry ++ GraphQueries.registry
+      RelationalPlus.registry ++ GraphQueries.registry ++
+      RetrievalQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       ExtensionQueries.oracles ++ SurfaceQueries.oracles ++
       AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
       ScaleQueries.oracles ++ CurationQueries.oracles ++
-      RelationalPlus.oracles ++ GraphQueries.oracles
+      RelationalPlus.oracles ++ GraphQueries.oracles ++
+      RetrievalQueries.oracles
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Corpus retrieval primitives: inverted-index construction and ranked
+  * keyword search — the text-search tier a training-data platform runs
+  * beside its dedup/curation passes (find contaminated docs, audit a
+  * source, serve "which documents contain X" without a rescan).
+  */
+object RetrievalQueries {
+
+  /** INVERTED INDEX build, SEGMENTED — the posting list for a term is
+    * materialized per corpus segment (doc_id div 100), never whole: a
+    * stopword's full posting list at 100 TB is billions of entries, and
+    * any plan that `collect_list`s it into one aggregation buffer dies on
+    * the hot key. Segmenting bounds every buffer at the segment size
+    * (Lucene's shard design, relationally expressed), keeps the
+    * (term, segment) shuffle key high-cardinality/skew-free, and the
+    * per-segment digests then merge associatively into one term-level
+    * digest — exactly how segment indexes merge.
+    *
+    * Output per term: document frequency, total term frequency, and the
+    * md5-of-segment-md5s over "doc:tf" postings in (segment, doc) order —
+    * a content address for the whole posting structure, so the oracle
+    * verifies every posting of every term without shipping the lists.
+    */
+  def q143InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val seg = tf
+      .withColumn("segment", expr("doc_id div 100"))
+      .groupBy(col("term"), col("segment"))
+      .agg(
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s("doc_id"), lit(":"), s("tf"))))).as("sd"),
+        count(lit(1)).as("seg_df"),
+        sum(col("tf")).as("seg_tf"))
+    seg.groupBy(col("term"))
+      .agg(
+        sum(col("seg_df")).as("df"),
+        sum(col("seg_tf")).as("total_tf"),
+        md5(concat_ws("|",
+          transform(sort_array(collect_list(struct(col("segment"), col("sd")))),
+            s => s("sd")))).as("postings_md5"))
+      .orderBy(col("term"))
+  }
+
+  val q143Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY term, doc_id),
+      |seg AS (
+      |  SELECT term, doc_id // 100 AS segment,
+      |    md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS sd,
+      |    COUNT(*) AS seg_df, SUM(tf) AS seg_tf
+      |  FROM tf GROUP BY term, doc_id // 100)
+      |SELECT term,
+      |  CAST(SUM(seg_df) AS BIGINT) AS df,
+      |  CAST(SUM(seg_tf) AS BIGINT) AS total_tf,
+      |  md5(string_agg(sd, '|' ORDER BY segment)) AS postings_md5
+      |FROM seg GROUP BY term
+      |ORDER BY term""".stripMargin
+
+  /** BM25-RANKED keyword search, integer-exact: Okapi BM25 with k1 = 6/5
+    * and b = 3/4 — both rational, so with S = Σ dl (corpus token count)
+    * and N = doc count, the per-term score
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) clears to the
+    * integer ratio 22·tf·S / (10·tf·S + 3·S + 9·dl·N). idf uses the
+    * rational surrogate (N − df)·10⁶ div (df + 1) (the log variant's last
+    * ulp is engine-specific; the surrogate keeps the same df ordering and
+    * the gate exact). One DECIMAL(38,0) multiply-divide per (doc, term) —
+    * HUGEINT in the oracle — then an integer sum per doc: bit-identical
+    * ranking in both engines at any corpus size.
+    *
+    * The query is data-derived and deterministic: the 3 most
+    * mid-frequency terms (|2·df − N| minimal, ties by term) — the
+    * discriminative band, since df ≈ N terms carry no idf signal and
+    * df ≈ 1 terms match nothing.
+    *
+    * Scale shape: matched postings = |query| · df rows — the only corpus
+    * scans are the token explode (tf/dl) — and the matched side
+    * broadcasts onto the per-doc length table, so scoring is a map-side
+    * join; the final top-20 is a TakeOrdered, no global sort.
+    */
+  def q144Bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
+    val qterms = dfs.join(broadcast(tot))
+      .orderBy(abs(col("df") * 2 - col("nn")).asc, col("term").asc)
+      .limit(3)
+      .select(col("term"), col("df"))
+    val matched = tf.join(broadcast(qterms), "term")
+    matched.join(broadcast(tot))
+      .join(dl, "doc_id")
+      .withColumn("idf", expr("(nn - df) * 1000000L div (df + 1)"))
+      .withColumn("sc", expr(
+        "CAST(idf AS DECIMAL(38,0)) * (22 * tf * s) div (10 * tf * s + 3 * s + 9 * dl * nn)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("sc")).cast("long").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q144Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY term, doc_id),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS s
+      |        FROM dl),
+      |qterms AS (
+      |  SELECT term, df FROM dfs, tot
+      |  ORDER BY abs(2 * df - nn) ASC, term ASC LIMIT 3),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST((tot.nn - q.df) * 1000000 // (q.df + 1) AS HUGEINT)
+      |      * (22 * tf.tf * tot.s)
+      |      // (10 * tf.tf * tot.s + 3 * tot.s + 9 * dl.dl * tot.nn)
+      |    AS BIGINT) AS sc
+      |  FROM tf
+      |  JOIN qterms q USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN tot)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+      |  CAST(SUM(sc) AS BIGINT) AS score_scaled
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_scaled DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_inverted_index" -> (q143InvertedIndex _),
+    "q144_bm25_search"    -> (q144Bm25Search _))
+
+  val oracles: Map[String, String] = Map(
+    "q143_inverted_index" -> q143Oracle,
+    "q144_bm25_search"    -> q144Oracle)
+}
