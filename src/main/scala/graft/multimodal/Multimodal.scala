@@ -295,6 +295,64 @@ object Multimodal {
       mean_amp = if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
   }
 
+  case class Resampled(
+      doc_id: Long, src_rate: Int, n_channels: Int,
+      n_frames_src: Int, n_frames_out: Int,
+      samples_csv: String, sample_sum: Long)
+
+  /** REAL audio RESAMPLE over the actual WAV bytes — the rate-normalization
+    * pass an audio pipeline runs before feature extraction (all corpora to
+    * one rate): walk the chunk list like [[decodeWav]] to find fmt /data,
+    * then for every target frame t at `targetRate` take the source frame
+    * ⌊t·srcRate/targetRate⌋ straight from the s16le payload, all channels
+    * (nearest-neighbor / zero-order hold — works as down- AND up-sampling;
+    * output length ⌊nFrames·targetRate/srcRate⌋ keeps the duration).
+    * Samples travel as a comma-joined int string (the q140 recipe) plus
+    * their sum.
+    */
+  def resampleWavNN(m: MediaRow, targetRate: Int): Resampled = {
+    require(isWav(m.payload), s"doc ${m.doc_id}: not a RIFF/WAVE payload")
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var dataOff = -1
+    var dataSize = 0
+    while (off + 8 <= m.payload.length && (sampleRate == 0 || dataOff < 0)) {
+      val id = new String(m.payload, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(buf.getShort(off + 8) == 1 && buf.getShort(off + 22) == 16,
+            s"doc ${m.doc_id}: unsupported WAV variant")
+          channels = buf.getShort(off + 10).toInt
+          sampleRate = buf.getInt(off + 12)
+        case "data" => dataOff = off + 8; dataSize = size
+        case _ => // unknown chunk — skip by size
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(sampleRate > 0 && dataOff >= 0, s"doc ${m.doc_id}: missing chunk")
+    val nFrames = dataSize / (channels * 2)
+    val outFrames = (nFrames.toLong * targetRate / sampleRate).toInt
+    val out = new Array[Int](outFrames * channels)
+    var t = 0
+    var k = 0
+    while (t < outFrames) {
+      val f = (t.toLong * sampleRate / targetRate).toInt
+      var c = 0
+      while (c < channels) {
+        out(k) = buf.getShort(dataOff + 2 * (f * channels + c)).toInt
+        k += 1
+        c += 1
+      }
+      t += 1
+    }
+    Resampled(m.doc_id, sampleRate, channels, nFrames, outFrames,
+      out.mkString(","), out.map(_.toLong).sum)
+  }
+
   /** Real-audio media table: every document carries a genuine WAV payload. */
   def wavMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._

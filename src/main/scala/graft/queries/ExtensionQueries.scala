@@ -190,6 +190,54 @@ object ExtensionQueries {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio RESAMPLE with a REAL sample walk: every payload is a genuine
+    * s16le WAV and [[Multimodal.resampleWavNN]] zero-order-hold-resamples
+    * its actual data-chunk bytes to a uniform 8 kHz — the rate
+    * normalization before any audio feature extractor (the corpus carries
+    * 8/16/22.05/44.1 kHz files; downstream batches want ONE rate). The
+    * oracle replays the chain from the generator formulas: target frame
+    * t → source frame ⌊t·rate/8000⌋ → interleaved sample index → value
+    * (doc_id + 7k) mod 201 − 100 — so wrong rounding, channel
+    * interleaving, or frame-count arithmetic all hash-mismatch on the
+    * sample md5. Mean is one exact division.
+    *
+    * Scale shape: typed map over the media table, projection-only —
+    * output frames per row are bounded by duration × 8 kHz, uniform
+    * across the corpus regardless of source rate.
+    */
+  def q145AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.wavMediaTable(Tables.documents(spark, dir))
+    media.map(m => Multimodal.resampleWavNN(m, 8000)).toDF()
+      .select(col("doc_id"), col("src_rate"), col("n_channels"),
+        col("n_frames_src"), col("n_frames_out"),
+        md5(col("samples_csv")).as("samples_md5"),
+        (col("sample_sum").cast(DoubleType)
+          / (col("n_frames_out") * col("n_channels"))).as("sample_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q145Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |    CAST(100 + doc_id % 400 AS INTEGER) AS nf
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, rate, ch, nf,
+      |         CAST(nf * 8000 // rate AS INTEGER) AS t_out FROM geom),
+      |s AS (
+      |  SELECT doc_id, rate, ch, nf, t_out,
+      |    list_transform(range(0, t_out * ch), k ->
+      |      (doc_id + 7 * (((k // ch) * rate // 8000) * ch + k % ch)) % 201 - 100) AS vals
+      |  FROM g2)
+      |SELECT doc_id, rate AS src_rate, ch AS n_channels,
+      |  nf AS n_frames_src, t_out AS n_frames_out,
+      |  md5(array_to_string(vals, ',')) AS samples_md5,
+      |  CAST(list_sum(vals) AS DOUBLE) / (t_out * ch) AS sample_mean
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: per-frame byte offsets via explode over a generated
     * index range.
     */
@@ -310,6 +358,7 @@ object ExtensionQueries {
     "q50_multimodal_features" -> (q50MultimodalFeatures _),
     "q51_frame_sample"       -> (q51FrameSample _),
     "q140_image_resize"      -> (q140ImageResize _),
+    "q145_audio_resample"    -> (q145AudioResample _),
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
@@ -321,5 +370,6 @@ object ExtensionQueries {
     "q50_multimodal_features" -> q50Oracle,
     "q51_frame_sample"       -> q51Oracle,
     "q140_image_resize"      -> q140Oracle,
+    "q145_audio_resample"    -> q145Oracle,
     "q86_audio_features"     -> q86Oracle)
 }

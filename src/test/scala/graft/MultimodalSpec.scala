@@ -44,6 +44,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(t8.thumb_sum === t8.thumb_csv.split(",").map(_.toLong).sum)
   }
 
+  test("resampleWavNN: identity at source rate; 2:1 decimation keeps even frames") {
+    // doc_id=0 → 8000 Hz mono, 100 frames: resampling to 8000 is identity
+    val r0 = Multimodal.resampleWavNN(
+      MediaRow(0L, "audio", Multimodal.wavBytes(0L)), 8000)
+    assert(r0.n_frames_out === r0.n_frames_src)
+    assert(r0.samples_csv ===
+      (0 until 100).map(k => (7 * k) % 201 - 100).mkString(","))
+    // doc_id=5 → 16000 Hz stereo, 105 frames: target 8000 takes every
+    // second frame, both channels interleaved
+    val id = 5L
+    val r5 = Multimodal.resampleWavNN(
+      MediaRow(id, "audio", Multimodal.wavBytes(id)), 8000)
+    assert(r5.src_rate === 16000 && r5.n_channels === 2)
+    assert(r5.n_frames_out === r5.n_frames_src / 2)
+    val expected = (for {
+      t <- 0 until r5.n_frames_out; c <- 0 until 2
+    } yield ((id + 7 * (2 * t * 2 + c)) % 201 - 100)).mkString(",")
+    assert(r5.samples_csv === expected)
+  }
+
   test("decodeBmp walks rows stride-aware (padding bytes never counted)") {
     // width 1 → rowBytes 3, stride 4: one padding byte per row. A decoder
     // that read stride-many bytes per row would dilute the mean with the
