@@ -100,4 +100,83 @@ object PrefixSum {
       .withColumn(outCol, col("__off") + col("__lcum"))
       .drop("__pid", "__gkey", "__lcum", "__off")
   }
+
+  /** DISTRIBUTED EXCLUSIVE prefix-min — same two-pass scaffold as
+    * [[runningTotal]], different monoid: `outCol` is the minimum of
+    * `valueCol` over all STRICTLY PRECEDING rows of the group in sort
+    * order, and NULL when no preceding row carries a value (the window
+    * equivalent is `min(v).over(partitionBy(...).orderBy(...)
+    * .rowsBetween(unboundedPreceding, -1))`, whose low-cardinality-key
+    * exchange this replaces). The exclusive frame is what dominance-style
+    * operators (skyline, strictly-better-than-any-predecessor screens)
+    * need: a row must never suppress itself. Null values contribute
+    * nothing; min is associative, so per-partition mins compose into
+    * prefix offsets exactly like the sums do.
+    */
+  def runningMin(
+      df: DataFrame,
+      partCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(partCols.nonEmpty && sortCols.nonEmpty)
+    val reserved = Seq("__gkey", "__pid", "__lmin", "__off", "__c")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns $clash collide with runningMin's internal names $reserved")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+
+    val gkey = struct(partCols.map(c =>
+      struct(col(c).isNull.as("is_null"),
+        coalesce(col(c).cast(StringType), lit("")).as(c + "_s")).as(c)): _*)
+
+    val ordered = df
+      .withColumn("__gkey", gkey)
+      .repartitionByRange(p, partCols.map(col) ++ sortCols: _*)
+      .sortWithinPartitions(partCols.map(col) ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    val base = ordered.schema
+    require(base(valueCol).dataType == LongType,
+      s"$valueCol must be LongType, is ${base(valueCol).dataType}")
+    val vIdx = base.fieldIndex(valueCol)
+    val gIdx = base.fieldIndex("__gkey")
+    implicit val enc = Encoders.row(base.add("__lmin", LongType, nullable = true))
+    // streaming local pass, EXCLUSIVE: emit the pre-row state, then fold
+    // the row's value in — O(1) state like the cumsum pass
+    val local = ordered.mapPartitions { it =>
+      var cur: Any = null
+      var first = true
+      var m: java.lang.Long = null
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (first || g != cur) { cur = g; m = null; first = false }
+        val out = Row.fromSeq(r.toSeq :+ m)
+        if (!r.isNullAt(vIdx)) {
+          val v = r.getLong(vIdx)
+          m = if (m == null || v < m) v else m
+        }
+        out
+      }
+    }
+
+    // per-(partition, group) mins → exclusive per-group prefix offsets
+    // over the tiny P·G frame; aggregated from the SAME local subtree the
+    // probe reads (the AQE branch-symmetry rule — see runningTotal)
+    val counts = local.groupBy(col("__pid"), col("__gkey"))
+      .agg(min(col(valueCol)).as("__c"))
+    val wOff = Window.partitionBy("__gkey").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", min(col("__c")).over(wOff))
+      .select(col("__pid"), col("__gkey"), col("__off"))
+
+    local.join(broadcast(offsets), Seq("__pid", "__gkey"))
+      // least() skips nulls: null offset (first partition) or null local
+      // state (first row) degrade to the other side; both null = no
+      // predecessor at all
+      .withColumn(outCol, least(col("__off"), col("__lmin")))
+      .drop("__pid", "__gkey", "__lmin", "__off")
+  }
 }

@@ -950,7 +950,53 @@ object AdvancedQueries {
       |FROM ranked
       |ORDER BY c_mktsegment, cum_share""".stripMargin
 
+  /** 2D SKYLINE (Pareto frontier): the orders no other order beats on BOTH
+    * price and date (strict dominance over distinct (price, day) points —
+    * cheapest-earliest frontier). Sorted by (price, day), a point is
+    * dominated exactly when some strict predecessor has day ≤ its own —
+    * i.e. when `day ≥ exclusive-prefix-min(day)` — so the whole operator
+    * is one [[PrefixSum.runningMin]] pass: a RANGE exchange on the sort
+    * key whose partition count grows with the data, then a per-row
+    * integer compare. The window formulation
+    * (`min(day) over (order by price rows unbounded preceding..1
+    * preceding)`) has an EMPTY partition-by — one task would own the
+    * whole corpus; the scaffold is the cure, same as q128's cumsum.
+    * Prices compare in cents longs, dates as epoch days: integer-exact
+    * dominance in both engines.
+    */
+  def q146Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .select((dec2(col("o_totalprice")) * 100).cast(LongType).as("price_cents"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("order_day"))
+      .distinct()
+      .withColumn("all", lit(0L)) // single logical group: the scaffold
+                                  // range-partitions on the SORT keys, so
+                                  // cardinality-1 here costs nothing
+    PrefixSum.runningMin(pts, Seq("all"),
+        Seq(col("price_cents").asc, col("order_day").asc),
+        "order_day", "m")
+      .filter(col("m").isNull || col("order_day") < col("m"))
+      .select(col("price_cents"), col("order_day"))
+      .orderBy(col("price_cents"), col("order_day"))
+  }
+
+  val q146Oracle: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+      |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day
+      |  FROM orders),
+      |m AS (
+      |  SELECT price_cents, order_day,
+      |    MIN(order_day) OVER (ORDER BY price_cents, order_day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      |  FROM pts)
+      |SELECT price_cents, order_day FROM m
+      |WHERE m IS NULL OR order_day < m
+      |ORDER BY price_cents, order_day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_skyline"          -> (q146Skyline _),
     "q128_pareto_abc"       -> (q128ParetoAbc _),
     "q125_session_funnel"   -> (q125SessionFunnel _),
     "q124_spike_detect"     -> (q124SpikeDetect _),
@@ -975,6 +1021,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q146_skyline"          -> q146Oracle,
     "q128_pareto_abc"       -> q128Oracle,
     "q125_session_funnel"   -> q125Oracle,
     "q124_spike_detect"     -> q124Oracle,

@@ -70,6 +70,78 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
       s"executed plan must reuse the range exchange:\n${finalPlan.take(6000)}")
   }
 
+  test("runningMin equals the exclusive window cumulative min exactly") {
+    val rows: Seq[(String, Long, java.lang.Long, String)] =
+      (0 until 5000).map { i =>
+        (s"g${i % 3}", (i * 2654435761L) % 500L,
+          java.lang.Long.valueOf((i * 40503L) % 97L - 50L), s"payload$i")
+      } ++ Seq(
+        ("g0", 7L, null, "nullval"),        // null value contributes nothing
+        ("g9", 1L, null, "onlynull"),       // group whose first value is null
+        (null, 1L, java.lang.Long.valueOf(5L), "ng1"),
+        (null, 2L, java.lang.Long.valueOf(6L), "ng2"))
+    val df = rows.zipWithIndex
+      .map { case ((g, s, w, pay), id) => (g, s, w, pay, id.toLong) }
+      .toDF("g", "s", "w", "payload", "id")
+
+    val mine = PrefixSum
+      .runningMin(df, Seq("g"), Seq(col("s").desc, col("id")), "w", "m")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getLong(r.fieldIndex("id"))) ->
+        r.getAs[java.lang.Long]("m"))
+      .toMap
+
+    val win = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("m", min(col("w")).over(win))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getLong(r.fieldIndex("id"))) ->
+        r.getAs[java.lang.Long]("m"))
+      .toMap
+
+    assert(mine === expected)
+  }
+
+  test("runningMin range-partitions and reuses the exchange like runningTotal") {
+    val df = (0 until 1000)
+      .map(i => (s"g${i % 2}", i.toLong, (i * 7L) % 31L)).toDF("g", "s", "w")
+    val out = PrefixSum.runningMin(df, Seq("g"), Seq(col("s")), "w", "m")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert("hashpartitioning\\(g#\\d+".r.findFirstIn(plan).isEmpty, plan.take(4000))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(
+      "ReusedExchange \\[[^\\]]*\\], Exchange rangepartitioning".r
+        .findFirstIn(finalPlan).isDefined,
+      s"executed plan must reuse the range exchange:\n${finalPlan.take(6000)}")
+  }
+
+  test("q146 skyline: no point dominates another; dominated points are absent") {
+    val sky = SparkEntry.queries("q146_skyline")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    // frontier is strictly decreasing in day as price increases
+    sky.sliding(2).foreach {
+      case Array((p1, d1), (p2, d2)) =>
+        assert(p1 < p2 || (p1 == p2 && d1 < d2))
+        assert(d2 < d1, s"($p2,$d2) is dominated by ($p1,$d1) yet kept")
+      case _ =>
+    }
+    // brute-force check against the raw points
+    val pts = Tables.orders(spark, sfDir)
+      .select((graft.queries.Exact.dec2(col("o_totalprice")) * 100).cast("long"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val brute = pts.filter { case (p, d) =>
+      !pts.exists { case (p2, d2) =>
+        (p2 <= p && d2 <= d) && (p2 < p || d2 < d)
+      }
+    }.sorted
+    assert(sky.toSeq.sorted === brute.toSeq)
+  }
+
   test("q128's executed plan reuses the range-exchange stage end-to-end") {
     // same assertion against the real registered query (the Pareto/ABC
     // running revenue share), whose plan wraps runningTotal in joins and
