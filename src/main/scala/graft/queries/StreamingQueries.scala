@@ -102,6 +102,48 @@ object StreamingQueries {
       |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
       |ORDER BY p_event, c_event""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join through a real streaming
+    * execution: matched purchase–click rows emit as they join; a purchase
+    * with NO preceding click emits its null-extended row only when the
+    * watermark proves no matching click can still arrive — i.e. in the
+    * no-data batch after the final watermark advance, for purchases whose
+    * event time lies strictly below the final watermark
+    * min(max purchase ts, max click ts) − 1 h (the joint watermark is the
+    * MIN across both inputs' watermarks; purchases above it stay in join
+    * state, a late click could still match them). The oracle replays
+    * matched ∪ watermark-proven-unmatched in batch SQL, the watermark
+    * compare in the same floored-millisecond arithmetic as q84.
+    */
+  def q147StreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamStreamLeftOuterJoin(spark, dir, "graft_stream_lo")
+      .orderBy(col("p_event"), col("c_event").asc_nulls_first)
+
+  val q147Oracle: String =
+    """WITH wm AS (
+      |  SELECT least(
+      |    (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase'),
+      |    (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'))
+      |    - 3600000 AS w),
+      |matched AS (
+      |  SELECT p.user_id, p.event_id AS p_event, p.ts AS pts,
+      |    c.event_id AS c_event, c.ts AS cts
+      |  FROM events p JOIN events c ON p.user_id = c.user_id
+      |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |    AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts),
+      |unmatched AS (
+      |  SELECT p.user_id, p.event_id AS p_event, p.ts AS pts,
+      |    CAST(NULL AS BIGINT) AS c_event, CAST(NULL AS TIMESTAMP) AS cts
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase'
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events c
+      |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |        AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts)
+      |    AND epoch_ms(p.ts) < (SELECT w FROM wm))
+      |SELECT * FROM (
+      |  SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      |ORDER BY p_event, c_event NULLS FIRST""".stripMargin
+
   /** CUSTOM streaming state through a real streaming execution:
     * hand-built session windows via `flatMapGroupsWithState` (explicit
     * per-user merged-session-list state + event-time timeout — see
@@ -228,6 +270,7 @@ object StreamingQueries {
     "q46_stream_tumbling" -> (q46StreamTumbling _),
     "q73_stream_watermarked" -> (q73StreamWatermarked _),
     "q76_stream_stream_join" -> (q76StreamStreamJoin _),
+    "q147_stream_left_outer" -> (q147StreamLeftOuterJoin _),
     "q81_stream_dedup"    -> (q81StreamDedup _),
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
@@ -241,6 +284,7 @@ object StreamingQueries {
     "q46_stream_tumbling" -> q43Oracle,
     "q73_stream_watermarked" -> q73Oracle,
     "q76_stream_stream_join" -> q76Oracle,
+    "q147_stream_left_outer" -> q147Oracle,
     "q81_stream_dedup"    -> q81Oracle,
     "q84_stream_custom_state" -> q84Oracle)
 }

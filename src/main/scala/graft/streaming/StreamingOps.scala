@@ -447,4 +447,32 @@ object StreamingOps extends Serializable {
       .select(col("user_id"), col("p_event"), col("pts"), col("c_event"), col("cts"))
     drainToTable(spark, joined, queryName, "append")
   }
+
+  /** Stream-stream LEFT OUTER interval join — the null-extension
+    * semantics on top of [[streamStreamIntervalJoin]]'s shape: a purchase
+    * with no preceding click emits a null-extended row, but only once the
+    * watermark PROVES no matching click can still arrive (outer results
+    * are watermark-driven in append mode — Spark evicts the purchase from
+    * join state and emits the null row in the no-data batch that follows
+    * the final watermark advance). Matched rows emit as they join,
+    * exactly like the inner form.
+    */
+  def streamStreamLeftOuterJoin(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val purchases = eventsReadStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = eventsReadStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"),
+        "leftOuter")
+      .select(col("user_id"), col("p_event"), col("pts"), col("c_event"), col("cts"))
+    drainToTable(spark, joined, queryName, "append")
+  }
 }

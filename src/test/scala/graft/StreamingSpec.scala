@@ -143,6 +143,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("left-outer stream join: matched rows + watermark-proven unmatched only") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingOps
+      .streamStreamLeftOuterJoin(spark, sfDir, "spec_ss_lo")
+    val matched = out.filter(col("c_event").isNotNull)
+    val inner = graft.streaming.StreamingOps
+      .streamStreamIntervalJoin(spark, sfDir, "spec_ss_lo_inner")
+    // the matched part is exactly the inner join
+    assert(matched.count() === inner.count())
+    assert(matched.select("p_event", "c_event")
+      .exceptAll(inner.select("p_event", "c_event")).isEmpty)
+    // every null-extended purchase lies strictly below the final joint
+    // watermark (min of both inputs' max event time, minus the delay)
+    val ev = Tables.events(spark, sfDir)
+    val maxes = ev.filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type").agg(max("ts").as("m"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    val wmMs = math.min(maxes("purchase").getTime, maxes("click").getTime) - 3600000L
+    val aboveWm = out.filter(col("c_event").isNull)
+      .filter((col("pts").cast("double") * 1000).cast("long") >= wmMs).count()
+    assert(aboveWm === 0, "null-extended rows must be watermark-proven")
+  }
+
   test("watermarked append-mode aggregation emits only finalized windows") {
     // MemoryStream lets us advance the watermark explicitly: first batch has
     // early events, second batch a late-arriving straggler + a far-future
