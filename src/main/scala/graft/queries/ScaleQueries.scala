@@ -429,7 +429,94 @@ object ScaleQueries {
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
       |ORDER BY ida, idb""".stripMargin
 
+  /** APPROX-PERCENTILE audit (the q90 recipe for the quantile sketch):
+    * `percentile_approx` is the mergeable fixed-size sketch a 100 TB
+    * percentile query actually runs (the exact distributed-rank path in
+    * q57/q69 costs a corpus shuffle; the sketch is one map-side-combined
+    * aggregate). Its guarantee — rank error ≤ n/accuracy, under ANY
+    * partitioning/merge order — is checked IN-QUERY against exact
+    * per-group ranks and emitted as oracle-expected booleans: for each
+    * fraction p/q the sketch's value v must satisfy
+    * q·acc·|{x < v}| ≤ acc·p·n + q·n and q·acc·|{x ≤ v}| ≥ acc·p·n − q·n
+    * (integer cross-multiplication, no floats). The verdict is robust to
+    * the sketch's merge-order nondeterminism — the BOUND holds on every
+    * run even when the estimate itself wobbles.
+    */
+  def q148ApproxPercentileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 100L
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(cents, array(0.25D, 0.5D, 0.75D), 100)").as("ap"))
+      .select(col("l_returnflag"), col("ap")(0).as("v1"),
+        col("ap")(1).as("v2"), col("ap")(2).as("v3"))
+    def ok(v: org.apache.spark.sql.Column, p: Long, q: Long) = {
+      val lt = sum(when(col("cents") < v, 1L).otherwise(0L))
+      val le = sum(when(col("cents") <= v, 1L).otherwise(0L))
+      val n = count(lit(1))
+      (lt * q * acc <= n * (acc * p + q)) && (le * q * acc >= n * (acc * p - q))
+    }
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        ok(col("v1"), 1, 4).as("q25_ok"),
+        ok(col("v2"), 1, 2).as("q50_ok"),
+        ok(col("v3"), 3, 4).as("q75_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q148Oracle: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** EQUI-DEPTH binning — the decile histogram build that feeds range
+    * partitioners, data skipping, and drift monitors: every (group, bin)
+    * holds n/10 rows by construction, boundaries fall where the DATA
+    * says. Bin = ((rank−1)·10) div n with the rank from
+    * [[graft.functions.PrefixSum.runningTotal]] over a unit column —
+    * range exchange on (group, price, tiebreak), NOT a window partitioned
+    * by the 3-value returnflag key (the anti-pattern; at 100 TB that puts
+    * the corpus on 3 tasks). Bin stats are integer-exact cents.
+    */
+  def q149EquiDepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        lit(1L).as("one"))
+    val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    graft.functions.PrefixSum
+      .runningTotal(li, Seq("l_returnflag"),
+        Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        "one", "rk")
+      .join(broadcast(totals), "l_returnflag")
+      .withColumn("bin", expr("((rk - 1) * 10) div n"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("l_returnflag"), col("bin"))
+  }
+
+  val q149Oracle: String =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+      |               l_orderkey, l_linenumber) AS rk,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, (rk - 1) * 10 // n AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM r GROUP BY l_returnflag, (rk - 1) * 10 // n
+      |ORDER BY l_returnflag, bin""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_approx_percentile_audit" -> (q148ApproxPercentileAudit _),
+    "q149_equidepth_bins" -> (q149EquiDepthBins _),
     "q122_band_join"    -> (q122BandJoin _),
     "q116_dynamic_partition_overwrite" -> (q116DynamicPartitionOverwrite _),
     "q95_compaction"      -> (q95Compaction _),
@@ -440,6 +527,8 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q148_approx_percentile_audit" -> q148Oracle,
+    "q149_equidepth_bins" -> q149Oracle,
     "q122_band_join"    -> q122Oracle,
     "q116_dynamic_partition_overwrite" -> q116Oracle,
     "q95_compaction"      -> q95Oracle,
