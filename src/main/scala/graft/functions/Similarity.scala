@@ -370,10 +370,15 @@ object Similarity {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds — " +
           "O(log n) bound exceeded, which indicates a bug, not deep data")
-    // fixpoint is a star forest: every edge is (root, leaf)
-    edges.select(col("v").as("id"), col("u").as("label"))
+    // fixpoint is a star forest: every edge is (root, leaf). A self-pair
+    // node that ALSO carries real edges is labeled by them — only
+    // genuinely isolated self-pair nodes label themselves (anti-join, or
+    // the node would surface twice under two labels)
+    val fromEdges = edges.select(col("v").as("id"), col("u").as("label"))
       .unionByName(edges.select(col("u").as("id"), col("u").as("label")))
-      .unionByName(selfNodes.withColumn("label", col("id")))
       .distinct()
+    fromEdges.unionByName(
+      selfNodes.join(fromEdges.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("label", col("id")))
   }
 }

@@ -628,7 +628,47 @@ object CurationQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** UNICODE NORMALIZATION over the corpus (q151): NFC makes byte
+    * equality mean character equality (composed vs decomposed accents);
+    * NFKC additionally folds compatibility forms (ligatures,
+    * superscripts) the way tokenizer pipelines expect. The ASCII corpus
+    * is a passthrough by definition, so each row carries a PLANTED
+    * suffix exercising every interesting case — composed é, decomposed
+    * e+U+0301, ligature ﬁ, superscript ², zero-width space — and the
+    * oracle pins the exact transform: ASCII text concatenated with the
+    * normalized suffix written literally (NFC composes the accent,
+    * 13→12 chars; NFKC also expands ﬁ→fi and ²→2, back to 13; ZWSP
+    * survives both — normalization is NOT invisible-char stripping).
+    * The md5 gate covers every byte of every normalized row.
+    *
+    * Scale shape: [[graft.expressions.UnicodeNormalize]] is a codegen'd
+    * projection — no UDF, no shuffle; the plan is scan → project → sort.
+    */
+  def q151UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.UnicodeNormalize.unicodeNormalize
+    val suffix = " caf\u00e9 e\u0301 \ufb01n\u00b2\u200b"
+    val planted = concat(col("text"), lit(suffix))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(planted).as("n_in"),
+        length(unicodeNormalize(planted, "NFC")).as("n_nfc"),
+        length(unicodeNormalize(planted, "NFKC")).as("n_nfkc"),
+        md5(unicodeNormalize(planted, "NFC")).as("md5_nfc"),
+        md5(unicodeNormalize(planted, "NFKC")).as("md5_nfkc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Oracle: String =
+    "SELECT doc_id,\n" +
+    "  length(text || ' caf\u00e9 e\u0301 \ufb01n\u00b2\u200b') AS n_in,\n" +
+    "  length(text || ' caf\u00e9 \u00e9 \ufb01n\u00b2\u200b') AS n_nfc,\n" +
+    "  length(text || ' caf\u00e9 \u00e9 fin2\u200b') AS n_nfkc,\n" +
+    "  md5(text || ' caf\u00e9 \u00e9 \ufb01n\u00b2\u200b') AS md5_nfc,\n" +
+    "  md5(text || ' caf\u00e9 \u00e9 fin2\u200b') AS md5_nfkc\n" +
+    "FROM documents ORDER BY doc_id"
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_unicode_normalize" -> (q151UnicodeNormalize _),
     "q136_quality_classifier" -> (q136QualityClassifier _),
     "q135_doc_fluency"       -> (q135DocFluency _),
     "q134_corpus_mixture"    -> (q134CorpusMixture _),
@@ -644,6 +684,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q151_unicode_normalize" -> q151Oracle,
     "q136_quality_classifier" -> q136Oracle,
     "q135_doc_fluency"       -> q135Oracle,
     "q134_corpus_mixture"    -> q134Oracle,

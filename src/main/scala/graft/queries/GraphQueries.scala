@@ -166,11 +166,44 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** INCREMENTAL component maintenance — the streaming-graph form of
+    * q141: yesterday's component INDEX (one (root, member) star edge per
+    * clustered doc — what a persisted dedup index stores) merges with
+    * today's batch of new pairs, and the star contraction reruns over
+    * `index ∪ delta` ONLY. The star forest is a lossless connectivity
+    * summary, so the merge provably equals a full recompute (the gate:
+    * this query's oracle is the SAME full-closure SQL as q141's), while
+    * the per-batch cost scales with |index| + |delta| — the pair
+    * GENERATION (shingling, banding, Jaccard confirm) never reruns for
+    * old docs, and contraction rounds start from depth-1 stars, not raw
+    * pair chains. Same posture as the q120 incremental MinHash-index
+    * dedup, extended to transitive clusters.
+    */
+  def q150IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    // deterministic batch split standing in for "yesterday / today"
+    val base = pairs.filter(col("id_a") % 2 === 0)
+    val delta = pairs.filter(col("id_a") % 2 =!= 0)
+    val index = Similarity.connectedComponentsStar(base)
+      .select(col("label").as("id_a"), col("id").as("id_b"))
+    val labels = Similarity.connectedComponentsStar(index.unionByName(delta))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_neardup_components" -> (q141NearDupComponents _),
-    "q142_pagerank"           -> (q142PageRank _))
+    "q142_pagerank"           -> (q142PageRank _),
+    "q150_incremental_components" -> (q150IncrementalComponents _))
 
   val oracles: Map[String, String] = Map(
     "q141_neardup_components" -> q141Oracle,
-    "q142_pagerank"           -> q142Oracle)
+    "q142_pagerank"           -> q142Oracle,
+    // identical full-closure oracle by design: incremental merge must
+    // equal the from-scratch clustering
+    "q150_incremental_components" -> q141Oracle)
 }

@@ -23,6 +23,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q150: incremental component merge equals the full recompute") {
+    val full = GraphQueries.q141NearDupComponents(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val incr = GraphQueries.q150IncrementalComponents(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incr === full)
+  }
+
   test("q142: fixed-iteration PageRank plans as ONE query with exchange reuse") {
     val df = GraphQueries.q142PageRank(spark, sfDir)
     val rows = df.collect()
