@@ -667,7 +667,97 @@ object CurationQueries {
     "  md5(text || ' caf\u00e9 \u00e9 fin2\u200b') AS md5_nfkc\n" +
     "FROM documents ORDER BY doc_id"
 
+  /** Leftmost-greedy single-pass pair merge (Sennrich's BPE merge rule):
+    * fold the symbol stream, joining the current symbol onto the
+    * accumulator top exactly when they form the chosen pair — "a a a"
+    * merges to [aa, a], "a b a b" to [ab, ab]. The DuckDB oracle runs the
+    * SAME fold via list_reduce.
+    */
+  private[graft] def bpeMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { s =>
+      if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toSeq
+  }
+
+  /** BPE TOKENIZER TRAINING (q152) — the learning half of q137's
+    * fixed-vocabulary subword counting: discover the merge table FROM the
+    * corpus. Classic Sennrich BPE, three unrolled merge rounds: count
+    * adjacent symbol pairs over the word vocabulary (weighted by word
+    * frequency), adopt the most frequent pair (ties: lexicographically
+    * smallest), apply it with the leftmost-greedy fold, repeat. Output is
+    * the learned merge table — (step, sym_l, sym_r, pair_n) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: training runs over the WORD VOCABULARY (word, count) —
+    * Zipf makes that orders of magnitude smaller than the corpus, and the
+    * one corpus-sized stage is the initial word count (high-cardinality
+    * key, map-side combined). Each round is a vocab-sized explode +
+    * aggregate + a 1-row broadcast join; the rounds compose lazily into
+    * one plan — no driver-side loop state, same posture as q142's
+    * unrolled PageRank.
+    */
+  def q152BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var vocab = words.select(split(col("word"), "").as("syms"), col("n"))
+    val tops = (1 to 3).map { step =>
+      val pairs = vocab
+        .select(col("n"), col("syms"),
+          explode(when(size(col("syms")) >= 2,
+            sequence(lit(1), size(col("syms")) - 1)).otherwise(array()))
+            .as("i"))
+        .select(element_at(col("syms"), col("i")).as("sym_l"),
+          element_at(col("syms"), col("i") + 1).as("sym_r"), col("n"))
+        .groupBy(col("sym_l"), col("sym_r")).agg(sum(col("n")).as("pair_n"))
+      val top = pairs.orderBy(col("pair_n").desc, col("sym_l"), col("sym_r"))
+        .limit(1)
+      vocab = vocab.join(broadcast(top))
+        .as[(Seq[String], Long, String, String, Long)]
+        .map { case (syms, n, l, r, _) => (bpeMerge(syms, l, r), n) }
+        .toDF("syms", "n")
+      top.withColumn("step", lit(step))
+    }
+    tops.reduce(_ unionByName _)
+      .select(col("step"), col("sym_l"), col("sym_r"), col("pair_n"))
+      .orderBy(col("step"))
+  }
+
+  val q152Oracle: String = {
+    def step(prev: String, merged: String, top: String): String =
+      s"""$top AS (
+         |  SELECT sym_l, sym_r, CAST(SUM(n) AS BIGINT) AS pair_n FROM (
+         |    SELECT syms[i] AS sym_l, syms[i+1] AS sym_r, n
+         |    FROM $prev, UNNEST(range(1, len(syms))) AS t(i))
+         |  GROUP BY sym_l, sym_r
+         |  ORDER BY pair_n DESC, sym_l, sym_r LIMIT 1),
+         |$merged AS (
+         |  SELECT list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[-1] = $top.sym_l AND x[1] = $top.sym_r
+         |                THEN list_concat(acc[:-2], [acc[-1] || x[1]])
+         |                ELSE list_concat(acc, x) END) AS syms, n
+         |  FROM $prev, $top)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |v0 AS (SELECT string_split(word, '') AS syms, n FROM words),
+       |${step("v0", "v1", "t1")},
+       |${step("v1", "v2", "t2")},
+       |${step("v2", "v3", "t3")}
+       |SELECT 1 AS step, * FROM t1
+       |UNION ALL SELECT 2, * FROM t2
+       |UNION ALL SELECT 3, * FROM t3
+       |ORDER BY step""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_bpe_train"         -> (q152BpeTrain _),
     "q151_unicode_normalize" -> (q151UnicodeNormalize _),
     "q136_quality_classifier" -> (q136QualityClassifier _),
     "q135_doc_fluency"       -> (q135DocFluency _),
@@ -684,6 +774,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q152_bpe_train"         -> q152Oracle,
     "q151_unicode_normalize" -> q151Oracle,
     "q136_quality_classifier" -> q136Oracle,
     "q135_doc_fluency"       -> q135Oracle,

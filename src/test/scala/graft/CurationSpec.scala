@@ -30,6 +30,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(chunks.keySet === docs.keySet.filter(docs(_) > 0))
   }
 
+  test("bpeMerge follows the leftmost-greedy single-pass rule") {
+    import graft.queries.CurationQueries.bpeMerge
+    assert(bpeMerge(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(bpeMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(bpeMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(bpeMerge(Seq("x"), "a", "b") === Seq("x"))
+    assert(bpeMerge(Seq("b", "a", "a", "a"), "a", "a") === Seq("b", "aa", "a"))
+    // a pre-merged symbol equal to l+r never re-merges with a lone r
+    assert(bpeMerge(Seq("ab", "b"), "a", "b") === Seq("ab", "b"))
+  }
+
   test("q136 classifier scoring is projection-only: no join, no aggregate, no hash exchange") {
     // the whole point of the native expression: model inference rides the
     // scan as a map-only stage — the sole exchange is the output ORDER BY
