@@ -150,11 +150,75 @@ object RetrievalQueries {
       |ORDER BY score_scaled DESC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** SPARSE SIMILARITY JOIN (q154): top document PAIRS by tf-idf
+    * dot-product, mined through the inverted index — the all-pairs
+    * complement to q144's query-time ranking and the term-space analogue
+    * of the embedding similarity joins (q39/q40). Score is the integer
+    * Σ_t tf₁·tf₂·idf(t)² with the rational idf surrogate
+    * (N−df)·1000 div (df+1) — DECIMAL(38,0)/HUGEINT accumulation, exact
+    * at any corpus size.
+    *
+    * Scale shape: the pair fan-out of a posting self-join is df² per
+    * term, so STOPWORDS ARE PRUNED FIRST (df·2 > N drops them) — the
+    * principled cut, since df ≈ N terms carry ~zero idf weight: the
+    * self-join's per-term cost is bounded and the (d1, d2) aggregate key
+    * is high-cardinality/skew-free. TakeOrdered top-20, no global sort.
+    */
+  def q154SparseSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val nn = Tables.documents(spark, dir).agg(count(lit(1)).as("nn"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nn))
+      .filter(col("df") * 2 <= col("nn")) // stopword cut: bounds df² fan-out
+      .withColumn("idf", expr("(nn - df) * 1000L div (df + 1)"))
+      .select(col("term"), col("idf"))
+    val p = tf.join(dfs, "term")
+    val p2 = p.select(col("term"), col("doc_id").as("d2"), col("tf").as("tf2"))
+    p.join(p2, Seq("term"))
+      .filter(col("doc_id") < col("d2"))
+      .select(col("doc_id").as("d1"), col("d2"),
+        expr("CAST(tf * tf2 AS DECIMAL(38,0)) * idf * idf").as("c"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("c")).cast("decimal(38,0)").cast("long").as("score"))
+      .orderBy(col("score").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  val q154Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY term, doc_id),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      |dfs AS (
+      |  SELECT term, CAST((nn.nn - df) * 1000 // (df + 1) AS BIGINT) AS idf
+      |  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), nn
+      |  WHERE df * 2 <= nn.nn),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(a.tf * b.tf AS HUGEINT) * d.idf * d.idf AS c
+      |  FROM tf a
+      |  JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  JOIN dfs d ON d.term = a.term)
+      |SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+      |  CAST(SUM(c) AS BIGINT) AS score
+      |FROM pairs GROUP BY d1, d2
+      |ORDER BY score DESC, d1, d2
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_inverted_index" -> (q143InvertedIndex _),
-    "q144_bm25_search"    -> (q144Bm25Search _))
+    "q144_bm25_search"    -> (q144Bm25Search _),
+    "q154_sparse_simjoin" -> (q154SparseSimJoin _))
 
   val oracles: Map[String, String] = Map(
     "q143_inverted_index" -> q143Oracle,
-    "q144_bm25_search"    -> q144Oracle)
+    "q144_bm25_search"    -> q144Oracle,
+    "q154_sparse_simjoin" -> q154Oracle)
 }

@@ -429,6 +429,45 @@ object ScaleQueries {
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
       |ORDER BY ida, idb""".stripMargin
 
+  /** SORTED LAKE LAYOUT (q153) — the range-clustered write that makes
+    * min/max data skipping WORK: `repartitionByRange` + within-partition
+    * sort on the cluster key yields files whose key ranges are PAIRWISE
+    * DISJOINT, so a point/range predicate prunes to the one file that can
+    * contain it (the 1-D complement to q92's Z-order, and the layout a
+    * 100 TB fact table ships to the lake). The disjointness is verified
+    * IN-QUERY from the `_metadata.file_name` virtual column: per-file
+    * (min, max) ranges, sorted by min, must never overlap their
+    * predecessor (window lag over the FILE frame — tiny, one row per
+    * file). Roundtrip row count and value sum pin losslessness.
+    */
+  def q153SortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Staging.dir("graft_sorted", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(out.toString)
+    val files = spark.read.parquet(out.toString)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
+        count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lo"), col("f")) // file frame: one row per FILE, not per row
+    files
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        (sum(when(col("prev_hi").isNotNull && col("prev_hi") > col("lo"), 1)
+          .otherwise(0)) === 0).as("ranges_disjoint"),
+        min(col("lo")).as("min_shipdate"), max(col("hi")).as("max_shipdate"))
+  }
+
+  val q153Oracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS ranges_disjoint,
+      |  MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+      |FROM lineitem""".stripMargin
+
   /** APPROX-PERCENTILE audit (the q90 recipe for the quantile sketch):
     * `percentile_approx` is the mergeable fixed-size sketch a 100 TB
     * percentile query actually runs (the exact distributed-rank path in
@@ -515,6 +554,7 @@ object ScaleQueries {
       |ORDER BY l_returnflag, bin""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_sorted_layout" -> (q153SortedLayout _),
     "q148_approx_percentile_audit" -> (q148ApproxPercentileAudit _),
     "q149_equidepth_bins" -> (q149EquiDepthBins _),
     "q122_band_join"    -> (q122BandJoin _),
@@ -527,6 +567,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q153_sorted_layout" -> q153Oracle,
     "q148_approx_percentile_audit" -> q148Oracle,
     "q149_equidepth_bins" -> q149Oracle,
     "q122_band_join"    -> q122Oracle,
