@@ -995,7 +995,79 @@ object AdvancedQueries {
       |WHERE m IS NULL OR order_day < m
       |ORDER BY price_cents, order_day""".stripMargin
 
+  /** ROBUST outlier screen via MAD (median absolute deviation) — the
+    * med/MAD rule survives the contamination that wrecks q104's
+    * mean/stddev z-score (one huge value shifts a mean; it cannot move a
+    * median). COMPOSITION of the distributed quantile operator: pass 1
+    * computes each group's exact median (cents longs, the least-v
+    * crossing rule), pass 2 re-runs the SAME
+    * [[Percentiles.exactWeightedQuantiles]] over the derived deviations
+    * |v − med|, and the verdict counts rows with |v − med| > 3·mad —
+    * integers end-to-end, so both medians, the MAD, and every verdict are
+    * exact. The per-group median/MAD frames are tiny and broadcast back;
+    * the corpus-sized work is two range-exchange quantile passes plus one
+    * aggregate.
+    */
+  def q155RobustMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      (dec2(col("value")) * 100).cast(LongType).as("v"),
+      lit(1L).as("w"))
+    val med = Percentiles
+      .exactWeightedQuantiles(ev, "event_type", "v", "w",
+        Seq(("med_cents", 1L, 2L)))
+      .select(col("event_type"), col("med_cents"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = Percentiles
+      .exactWeightedQuantiles(
+        withMed.select(col("event_type"),
+          abs(col("v") - col("med_cents")).as("d"), col("w")),
+        "event_type", "d", "w", Seq(("mad_cents", 1L, 2L)))
+      .select(col("event_type"), col("mad_cents"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(abs(col("v") - col("med_cents")) > col("mad_cents") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q155Oracle: String =
+    """WITH base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |r1 AS (
+      |  SELECT event_type, v,
+      |    SUM(1) OVER (PARTITION BY event_type ORDER BY v, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM base),
+      |med AS (
+      |  SELECT event_type, MIN(CASE WHEN cw * 2 >= n THEN v END) AS med_cents
+      |  FROM r1 GROUP BY event_type),
+      |r2 AS (
+      |  SELECT b.event_type, abs(b.v - m.med_cents) AS d,
+      |    SUM(1) OVER (PARTITION BY b.event_type
+      |                 ORDER BY abs(b.v - m.med_cents), b.event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    COUNT(*) OVER (PARTITION BY b.event_type) AS n
+      |  FROM base b JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, MIN(CASE WHEN cw * 2 >= n THEN d END) AS mad_cents
+      |  FROM r2 GROUP BY event_type)
+      |SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(m.med_cents) AS med_cents, MIN(a.mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN abs(b.v - m.med_cents) > a.mad_cents * 3
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM base b JOIN med m USING (event_type) JOIN mad a USING (event_type)
+      |GROUP BY b.event_type
+      |ORDER BY b.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_robust_mad"       -> (q155RobustMad _),
     "q146_skyline"          -> (q146Skyline _),
     "q128_pareto_abc"       -> (q128ParetoAbc _),
     "q125_session_funnel"   -> (q125SessionFunnel _),
@@ -1021,6 +1093,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q155_robust_mad"       -> q155Oracle,
     "q146_skyline"          -> q146Oracle,
     "q128_pareto_abc"       -> q128Oracle,
     "q125_session_funnel"   -> q125Oracle,
