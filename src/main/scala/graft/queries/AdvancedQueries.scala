@@ -1066,7 +1066,65 @@ object AdvancedQueries {
       |GROUP BY b.event_type
       |ORDER BY b.event_type""".stripMargin
 
+  /** FORWARD as-of join WITH TOLERANCE — q56's mirror: for each click,
+    * the EARLIEST strictly-later purchase of the same user, but only if
+    * it lands within 2 hours (attribution windows expire). Same
+    * no-join shape: one window over (user, time), running MIN of the
+    * purchase (ts, event_id, value) struct over FOLLOWING rows —
+    * purchases sort before clicks at equal ts, so the strictly-after rule
+    * costs nothing — then the tolerance turns an out-of-window match into
+    * null. One shuffle on user_id, no row multiplication.
+    */
+  def q156AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "click").as("is_click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click")) // purchase(false) first at ties
+      .rowsBetween(1, Window.unboundedFollowing)
+    tagged
+      .withColumn("np",
+        min(when(!col("is_click"),
+          struct(col("ts").as("pts"), col("event_id").as("peid"),
+            col("value").as("pval")))).over(w))
+      .filter(col("is_click"))
+      .withColumn("hit",
+        when(col("np.pts") <= col("ts") + expr("INTERVAL 2 HOURS"), col("np")))
+      .select(col("event_id"), col("user_id"),
+        col("hit.pts").as("purchase_ts"),
+        col("hit.peid").as("purchase_event"),
+        col("hit.pval").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q156Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts, value, event_type = 'click' AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN NOT is_click THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, is_click
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npts
+      |  FROM t),
+      |p AS (SELECT user_id, ts, event_id, value FROM t WHERE NOT is_click),
+      |pmin AS (
+      |  SELECT p.user_id, p.ts, p.event_id, p.value FROM p
+      |  JOIN (SELECT user_id, ts, MIN(event_id) AS peid
+      |        FROM p GROUP BY user_id, ts) m
+      |    ON p.user_id = m.user_id AND p.ts = m.ts AND p.event_id = m.peid)
+      |SELECT w.event_id, w.user_id,
+      |  CASE WHEN w.npts <= w.ts + INTERVAL '2 hours' THEN pm.ts END AS purchase_ts,
+      |  CASE WHEN w.npts <= w.ts + INTERVAL '2 hours' THEN pm.event_id END AS purchase_event,
+      |  CASE WHEN w.npts <= w.ts + INTERVAL '2 hours' THEN pm.value END AS purchase_value
+      |FROM w LEFT JOIN pmin pm
+      |  ON pm.user_id = w.user_id AND pm.ts = w.npts
+      |WHERE w.is_click
+      |ORDER BY w.event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_asof_forward"     -> (q156AsofForward _),
     "q155_robust_mad"       -> (q155RobustMad _),
     "q146_skyline"          -> (q146Skyline _),
     "q128_pareto_abc"       -> (q128ParetoAbc _),
@@ -1093,6 +1151,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q156_asof_forward"     -> q156Oracle,
     "q155_robust_mad"       -> q155Oracle,
     "q146_skyline"          -> q146Oracle,
     "q128_pareto_abc"       -> q128Oracle,
