@@ -1123,7 +1123,87 @@ object AdvancedQueries {
       |WHERE w.is_click
       |ORDER BY w.event_id""".stripMargin
 
+  /** DISTRIBUTION DRIFT screen between two ingest batches (q157) — the
+    * monitor a pipeline runs before accepting a new slice: bin boundaries
+    * are the REFERENCE batch's exact deciles (data-derived, via the
+    * distributed quantile operator — no fixed grid to go stale), both
+    * batches are histogrammed on those boundaries, and each bin's share
+    * shift is tested integer-exactly: |o_a·n_b − o_b·n_a|·10 > n_a·n_b
+    * flags a >10-percentage-point share move with zero float arithmetic
+    * (the PSI/χ² alternatives need logs/divisions whose last ulp is
+    * engine-specific). Batches here are the order-key parity split — the
+    * deterministic stand-in for "yesterday's load vs today's".
+    *
+    * Scale shape: one quantile pass over the reference batch (range
+    * exchange), then the 9-value boundary array broadcasts into a
+    * codegen'd bin projection over both scans; the histogram aggregate
+    * keys on (bin) after per-partition partials — tiny result, map-side
+    * combined.
+    */
+  def q157DriftScreen(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+      (col("o_orderkey") % 2 === 0).as("is_ref"),
+      lit("all").as("g"), lit(1L).as("w"))
+    val deciles = Percentiles.exactWeightedQuantiles(
+      o.filter(col("is_ref")), "g", "cents", "w",
+      (1 to 9).map(k => (s"d$k", k.toLong, 10L)))
+    val bnds = deciles.select(array((1 to 9).map(k => col(s"d$k")): _*).as("bnds"))
+    val binned = o.join(broadcast(bnds))
+      .withColumn("bin", size(filter(col("bnds"), b => b <= col("cents"))))
+    val hist = binned.groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new"))
+    val tot = hist.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_new")).as("t_new"))
+    hist.join(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_new"),
+        (abs(col("n_ref") * col("t_new") - col("n_new") * col("t_ref")) * 10
+          > col("t_ref") * col("t_new")).as("shifted"))
+      .orderBy(col("bin"))
+  }
+
+  val q157Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey % 2 = 0 AS is_ref
+      |  FROM orders),
+      |r AS (
+      |  SELECT cents,
+      |    SUM(1) OVER (ORDER BY cents, o_orderkey
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    COUNT(*) OVER () AS n
+      |  FROM o WHERE is_ref),
+      |b AS (
+      |  SELECT [MIN(CASE WHEN cw * 10 >= n * 1 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 2 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 3 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 4 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 5 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 6 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 7 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 8 THEN cents END),
+      |          MIN(CASE WHEN cw * 10 >= n * 9 THEN cents END)] AS bnds
+      |  FROM r),
+      |binned AS (
+      |  SELECT CAST(len(list_filter(b.bnds, x -> x <= o.cents)) AS INTEGER) AS bin,
+      |    is_ref
+      |  FROM o, b),
+      |hist AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |               CAST(SUM(n_new) AS BIGINT) AS t_new FROM hist)
+      |SELECT bin, n_ref, n_new,
+      |  abs(n_ref * t_new - n_new * t_ref) * 10 > t_ref * t_new AS shifted
+      |FROM hist, tot
+      |ORDER BY bin""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_drift_screen"     -> (q157DriftScreen _),
     "q156_asof_forward"     -> (q156AsofForward _),
     "q155_robust_mad"       -> (q155RobustMad _),
     "q146_skyline"          -> (q146Skyline _),
@@ -1151,6 +1231,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q157_drift_screen"     -> q157Oracle,
     "q156_asof_forward"     -> q156Oracle,
     "q155_robust_mad"       -> q155Oracle,
     "q146_skyline"          -> q146Oracle,
