@@ -583,6 +583,99 @@ object Multimodal {
       mean_b = if (nPix == 0) Double.NaN else bSum.toDouble / nPix)
   }
 
+  case class VideoResample(
+      doc_id: Long, us_per_frame: Int, n_frames_src: Int, n_frames_out: Int,
+      frames_csv: String)
+
+  /** REAL video TEMPORAL resample over the actual AVI bytes — the
+    * frame-rate normalization before any vision-on-video feature pass
+    * (the corpus mixes ~15/24/30 fps; training batches want ONE rate):
+    * walk the container like [[decodeAvi]] (avih timing, vids-typed strf,
+    * movi frame chunks in stream order), then for each target frame t at
+    * `targetUs` µs/frame select the source frame ACTIVE at that instant —
+    * ⌊t·targetUs/usPerFrame⌋ — and pixel-walk it (stride, bottom-up, BGR)
+    * into exact per-channel sums. Output length ⌊duration/targetUs⌋
+    * preserves the clip duration. Frames travel as
+    * "srcIdx:sumB:sumG:sumR" CSV — integer-exact, md5-gated downstream.
+    */
+  def resampleAviNN(m: MediaRow, targetUs: Int): VideoResample = {
+    require(isAvi(m.payload), s"doc ${m.doc_id}: not a RIFF/AVI payload")
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var usPerFrame = 0
+    var nFrames = -1
+    var width = 0
+    var height = 0
+    var bitCount = 0
+    var compression = -1
+    var curStrlType = ""
+    var haveVideoFmt = false
+    val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def id4(off: Int) = new String(m.payload, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = id4(off)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"doc ${m.doc_id}: chunk $id overruns its list")
+        id match {
+          case "LIST" =>
+            val form = id4(off + 8)
+            if (form == "strl") curStrlType = ""
+            if (form == "hdrl" || form == "movi" || form == "strl")
+              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+          case "avih" =>
+            usPerFrame = buf.getInt(off + 8)
+            nFrames = buf.getInt(off + 8 + 16)
+            width = buf.getInt(off + 8 + 32)
+            height = buf.getInt(off + 8 + 36)
+          case "strh" if size >= 4 =>
+            curStrlType = id4(off + 8)
+          case "strf" if size >= 40 && curStrlType == "vids" && !haveVideoFmt =>
+            haveVideoFmt = true
+            bitCount = buf.getShort(off + 8 + 14)
+            compression = buf.getInt(off + 8 + 16)
+          case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
+            frameOffs += off + 8
+          case _ => // unknown chunk — skip by size
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, m.payload.length, inMovi = false)
+    require(usPerFrame > 0 && frameOffs.length == nFrames,
+      s"doc ${m.doc_id}: header/movi frame mismatch")
+    require(bitCount == 24 && compression == 0,
+      s"doc ${m.doc_id}: not an uncompressed 24-bpp DIB stream")
+    val stride = ((3 * width + 3) / 4) * 4
+    val outFrames = (nFrames.toLong * usPerFrame / targetUs).toInt
+    val parts = new Array[String](outFrames)
+    var t = 0
+    while (t < outFrames) {
+      val f = (t.toLong * targetUs / usPerFrame).toInt
+      val base = frameOffs(f)
+      var bS = 0L; var gS = 0L; var rS = 0L
+      var r = 0
+      while (r < height) {
+        val rowBase = base + r * stride
+        var x = 0
+        while (x < width) {
+          val p = rowBase + 3 * x
+          bS += m.payload(p) & 0xff
+          gS += m.payload(p + 1) & 0xff
+          rS += m.payload(p + 2) & 0xff
+          x += 1
+        }
+        r += 1
+      }
+      parts(t) = s"$f:$bS:$gS:$rS"
+      t += 1
+    }
+    VideoResample(m.doc_id, usPerFrame, nFrames, outFrames,
+      parts.mkString(","))
+  }
+
   /** Real-video media table: every document carries a genuine AVI payload. */
   def aviMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._

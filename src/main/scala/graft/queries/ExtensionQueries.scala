@@ -238,6 +238,52 @@ object ExtensionQueries {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Video TEMPORAL resample with a REAL frame walk (q158): every payload
+    * is a genuine AVI and [[Multimodal.resampleAviNN]] selects, for each
+    * 10 fps target instant, the source frame active at that time —
+    * ⌊t·100000/usPerFrame⌋ — and pixel-walks its actual DIB bytes into
+    * exact per-channel sums. Completes the multimodal resample trio
+    * (q140 image, q145 audio): all three normalization passes are
+    * projection-only typed maps over the media scan. The oracle replays
+    * frame selection AND the channel sums in closed form from the
+    * generator formulas (pixel (x, y, f) = (cb+x, cg+2y, cr+5f) — no
+    * byte wraps at these magnitudes), so wrong timing arithmetic, frame
+    * indexing, stride walk, or channel order all hash-mismatch.
+    */
+  def q158VideoResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.aviMediaTable(Tables.documents(spark, dir))
+    media.map(m => Multimodal.resampleAviNN(m, 100000)).toDF()
+      .select(col("doc_id"), col("us_per_frame"),
+        col("n_frames_src"), col("n_frames_out"),
+        md5(col("frames_csv")).as("frames_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q158Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    CAST(7 + 4 * (doc_id % 11) AS INTEGER) AS w,
+      |    CAST(6 + 4 * (doc_id % 7) AS INTEGER) AS h,
+      |    CAST(3 + doc_id % 6 AS INTEGER) AS nf,
+      |    [66666, 41666, 33333][CAST(doc_id % 3 AS INTEGER) + 1] AS us,
+      |    doc_id % 100 AS cb, doc_id % 50 AS cg, doc_id % 20 AS cr
+      |  FROM documents),
+      |g2 AS (SELECT *, CAST(nf * us // 100000 AS INTEGER) AS t_out FROM geom),
+      |s AS (
+      |  SELECT doc_id, us, nf, t_out,
+      |    list_transform(range(0, t_out), t ->
+      |      (t * 100000 // us) || ':' ||
+      |      (h * (w * cb + w * (w - 1) // 2)) || ':' ||
+      |      (w * (h * cg + h * (h - 1))) || ':' ||
+      |      (w * h * (cr + 5 * (t * 100000 // us)))) AS parts
+      |  FROM g2)
+      |SELECT doc_id, us AS us_per_frame, nf AS n_frames_src,
+      |  t_out AS n_frames_out,
+      |  md5(array_to_string(parts, ',')) AS frames_md5
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: per-frame byte offsets via explode over a generated
     * index range.
     */
@@ -359,6 +405,7 @@ object ExtensionQueries {
     "q51_frame_sample"       -> (q51FrameSample _),
     "q140_image_resize"      -> (q140ImageResize _),
     "q145_audio_resample"    -> (q145AudioResample _),
+    "q158_video_resample"    -> (q158VideoResample _),
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
@@ -371,5 +418,6 @@ object ExtensionQueries {
     "q51_frame_sample"       -> q51Oracle,
     "q140_image_resize"      -> q140Oracle,
     "q145_audio_resample"    -> q145Oracle,
+    "q158_video_resample"    -> q158Oracle,
     "q86_audio_features"     -> q86Oracle)
 }

@@ -64,6 +64,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(r5.samples_csv === expected)
   }
 
+  test("resampleAviNN: frame timing, channel sums, and duration preservation") {
+    // doc_id=4 → w=23, h=22, nf=7, us=41666 (24 fps), cb=4, cg=4, cr=4
+    val id = 4L
+    val r = Multimodal.resampleAviNN(
+      MediaRow(id, "video", Multimodal.aviBytes(id)), 100000)
+    val (w, h, nf, _) = Multimodal.aviGeom(id)
+    assert(r.us_per_frame === 41666 && r.n_frames_src === nf)
+    assert(r.n_frames_out === (nf.toLong * 41666 / 100000).toInt)
+    val expected = (0 until r.n_frames_out).map { t =>
+      val f = (t.toLong * 100000 / 41666).toInt
+      val sb = h.toLong * (w.toLong * 4 + w.toLong * (w - 1) / 2)
+      val sg = w.toLong * (h.toLong * 4 + h.toLong * (h - 1))
+      val sr = w.toLong * h * (4 + 5L * f)
+      s"$f:$sb:$sg:$sr"
+    }.mkString(",")
+    assert(r.frames_csv === expected)
+  }
+
   test("decodeBmp walks rows stride-aware (padding bytes never counted)") {
     // width 1 → rowBytes 3, stride 4: one padding byte per row. A decoder
     // that read stride-many bytes per row would dilute the mean with the
