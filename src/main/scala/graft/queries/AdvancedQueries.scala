@@ -1202,7 +1202,54 @@ object AdvancedQueries {
       |FROM hist, tot
       |ORDER BY bin""".stripMargin
 
+  /** FREQUENT-PHRASE mining per language (q159) — the boilerplate-
+    * detection pass: the top-10 trigram phrases of each language by
+    * occurrence count (headers, licenses, navigation chrome surface here
+    * long before any model sees them). Occurrence stream from the
+    * codegen'd ShingleStrings expression (duplicates kept — counts are
+    * occurrences, not document frequencies); the (lang, phrase) count
+    * keys on a high-cardinality composite; and the per-lang top-10 is
+    * written as the plain `row_number().over(...)` window that
+    * [[graft.plans.TopKRewrite]] rewrites into the no-sort GroupTopK
+    * operator automatically — the optimizer-rule path proving itself on
+    * a production query shape.
+    */
+  def q159PhraseMining(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("lang"), explode(graft.expressions.ShingleStrings
+        .shingleOccurrences(TextFunctions.tokens(col("text")), 3)).as("phrase"))
+    val counts = grams.groupBy(col("lang"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_occ").desc, col("phrase"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("phrase"), col("n_occ"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q159Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+       |g AS (
+       |  SELECT lang, unnest(
+       |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_transform(range(1, len(tk) - 1),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS phrase
+       |  FROM t),
+       |c AS (SELECT lang, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |      FROM g GROUP BY lang, phrase),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY lang ORDER BY n_occ DESC, phrase) AS rk
+       |      FROM c)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, phrase, n_occ
+       |FROM r WHERE rk <= 10
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_phrase_mining"    -> (q159PhraseMining _),
     "q157_drift_screen"     -> (q157DriftScreen _),
     "q156_asof_forward"     -> (q156AsofForward _),
     "q155_robust_mad"       -> (q155RobustMad _),
@@ -1231,6 +1278,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q159_phrase_mining"    -> q159Oracle,
     "q157_drift_screen"     -> q157Oracle,
     "q156_asof_forward"     -> q156Oracle,
     "q155_robust_mad"       -> q155Oracle,

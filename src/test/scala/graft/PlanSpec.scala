@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite")
   }
 
+  test("q159 phrase mining: top-10-per-lang rides GroupTopK, not a sorted window") {
+    val p = plan("q159_phrase_mining")
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("WindowExec") && !"\\bWindow \\[".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q57 exact percentiles use distributed rank, not a per-group percentile buffer") {
     val p = plan("q57_percentiles")
     // the percentile() aggregate buffers and sorts every group inside ≤5
