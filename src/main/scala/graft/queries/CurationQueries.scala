@@ -397,20 +397,35 @@ object CurationQueries {
     * Broadcast bound: what ships is the EXPLODED eval gram set — roughly
     * eval_docs × grams_per_doc rows, ~1 GB per ~5M distinct grams — so the
     * hint holds to about 10⁴ benchmark docs of ordinary length, well past
-    * real benchmark suites but NOT unbounded. For an eval side beyond the
-    * driver/broadcast budget, drop the `broadcast()` hint and let the
-    * planner fall back to a shuffled hash join on `ng` (same results; the
-    * corpus side then shuffles once on the gram key).
+    * real benchmark suites but NOT unbounded. The bound is ENFORCED: when
+    * the eval doc count exceeds
+    * `spark.graft.contamination.broadcastDocLimit` (default 100 000), the
+    * hint is dropped automatically and the planner falls back to a
+    * shuffled join on `ng` — same results, one corpus shuffle on the gram
+    * key instead of a driver-sized broadcast (CurationSpec proves the
+    * fallback result-identical).
     */
   def q133ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
     def grams(df: DataFrame) = df.select(col("doc_id"),
       explode(graft.expressions.ShingleStrings.shingleStrings(
         TextFunctions.tokens(col("text")), 3)).as("ng"))
     val docs = Tables.documents(spark, dir)
-    val ev = grams(docs.filter(col("doc_id") % 97 === 0))
+    val evDocs = docs.filter(col("doc_id") % 97 === 0)
+    val ev = grams(evDocs)
       .select(col("doc_id").as("eval_id"), col("ng"))
     val tr = grams(docs.filter(col("doc_id") % 97 =!= 0))
-    tr.join(broadcast(ev), "ng")
+    // The broadcast-size bound is enforced, not just documented: the hint
+    // holds while the eval DOC count stays under the configured budget
+    // (exploded grams ∝ docs × grams/doc; the doc count is the cheap,
+    // pre-explode proxy). Past it, the hint is dropped and the planner
+    // falls back to a shuffled hash/merge join on `ng` — IDENTICAL
+    // results, one corpus shuffle on the gram key instead of a
+    // driver-sized broadcast.
+    val limit = spark.conf
+      .getOption("spark.graft.contamination.broadcastDocLimit")
+      .map(_.toLong).getOrElse(100000L)
+    val evSide = if (evDocs.count() <= limit) broadcast(ev) else ev
+    tr.join(evSide, "ng")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
         min(col("eval_id")).as("first_eval_doc"))
