@@ -14,8 +14,24 @@ import org.apache.spark.sql.types.LongType
   * naming contract.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema-inference cache. A bare `spark.read.parquet` launches a
+    * footer-reading Spark JOB per call to infer the schema — harmless
+    * once, but it made every query CONSTRUCTION launch a job, and q133's
+    * laziness contract (building a DataFrame runs nothing) is the
+    * contract the whole registry should honor. Inference runs once per
+    * (dir, table) per JVM; afterwards the schema is passed explicitly
+    * and construction is job-free. Testdata is immutable per process
+    * (driver contract), so the cache never goes stale.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -313,9 +313,12 @@ object Similarity {
     * localCheckpoint(eager) — same rationale as [[connectedComponents]]
     * (reliable checkpoint to durable storage at cluster scale).
     *
-    * @return one row per node appearing in `pairs`: (id, label) with
-    *         label = smallest id in the node's component. Matches
-    *         [[connectedComponents]] output exactly.
+    * @return one row per non-null node appearing in `pairs`: (id, label)
+    *         with label = smallest id in the node's component. Matches
+    *         [[connectedComponents]] output exactly on null-free input;
+    *         a pair with exactly one null endpoint keeps its non-null id
+    *         as an isolated node (as label propagation does), and null
+    *         ids themselves are never emitted as nodes.
     */
   def connectedComponentsStar(
       pairs: org.apache.spark.sql.DataFrame,
@@ -328,10 +331,18 @@ object Similarity {
       .distinct()
       .localCheckpoint(true)
     // isolated self-pairs (id_a == id_b) still name a node: keep them so
-    // the output space matches connectedComponents (node ∪ both sides)
+    // the output space matches connectedComponents (node ∪ both sides).
+    // A ONE-SIDED-null pair also names its non-null endpoint: least/
+    // greatest above skip nulls, so (5, null) canonicalizes to u = v = 5
+    // and is dropped as a self-loop — without this row the node would
+    // vanish, where the label-propagation operator keeps it. Null ids
+    // themselves are never nodes (coalesce + isNotNull).
     val selfNodes = pairs
-      .filter(col("id_a") === col("id_b") && col("id_a").isNotNull)
-      .select(col("id_a").as("id")).distinct()
+      .filter(col("id_a") === col("id_b") ||
+        col("id_a").isNull || col("id_b").isNull)
+      .select(coalesce(col("id_a"), col("id_b")).as("id"))
+      .filter(col("id").isNotNull)
+      .distinct()
 
     var i = 0
     var converged = false

@@ -398,12 +398,14 @@ object CurationQueries {
     * eval_docs × grams_per_doc rows, ~1 GB per ~5M distinct grams — so the
     * hint holds to about 10⁴ benchmark docs of ordinary length, well past
     * real benchmark suites but NOT unbounded. The bound is ENFORCED: when
-    * the eval doc count exceeds
+    * the eval doc count — estimated LAZILY from parquet file statistics,
+    * never from a count() action (building the DataFrame launches no
+    * Spark job) — exceeds
     * `spark.graft.contamination.broadcastDocLimit` (default 100 000), the
     * hint is dropped automatically and the planner falls back to a
     * shuffled join on `ng` — same results, one corpus shuffle on the gram
     * key instead of a driver-sized broadcast (CurationSpec proves the
-    * fallback result-identical).
+    * fallback result-identical and that construction runs no job).
     */
   def q133ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
     def grams(df: DataFrame) = df.select(col("doc_id"),
@@ -415,16 +417,33 @@ object CurationQueries {
       .select(col("doc_id").as("eval_id"), col("ng"))
     val tr = grams(docs.filter(col("doc_id") % 97 =!= 0))
     // The broadcast-size bound is enforced, not just documented: the hint
-    // holds while the eval DOC count stays under the configured budget
-    // (exploded grams ∝ docs × grams/doc; the doc count is the cheap,
-    // pre-explode proxy). Past it, the hint is dropped and the planner
-    // falls back to a shuffled hash/merge join on `ng` — IDENTICAL
-    // results, one corpus shuffle on the gram key instead of a
+    // holds while the ESTIMATED eval doc count stays under the configured
+    // budget (exploded grams ∝ docs × grams/doc; the doc count is the
+    // cheap, pre-explode proxy). Past it, the hint is dropped and the
+    // planner falls back to a shuffled hash/merge join on `ng` —
+    // IDENTICAL results, one corpus shuffle on the gram key instead of a
     // driver-sized broadcast.
+    //
+    // The estimate is LAZY — derived on the driver from parquet file
+    // statistics (optimizedPlan.stats.sizeInBytes = Σ file sizes), never
+    // from a count() action: building this DataFrame must not launch a
+    // Spark job, let alone a corpus-sized one. The eval slice is a
+    // deterministic 1/97 of the corpus, so
+    //   est_docs = corpus_bytes / 97 / bytes_per_doc
+    // with bytes_per_doc conf'd (`…bytesPerDocEstimate`, default 4096 —
+    // deliberately small: underestimating doc size OVERestimates the doc
+    // count, which errs toward the safe shuffled fallback).
     val limit = spark.conf
       .getOption("spark.graft.contamination.broadcastDocLimit")
       .map(_.toLong).getOrElse(100000L)
-    val evSide = if (evDocs.count() <= limit) broadcast(ev) else ev
+    val bytesPerDoc = spark.conf
+      .getOption("spark.graft.contamination.bytesPerDocEstimate")
+      .map(_.toLong).getOrElse(4096L)
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // floor at 1: a non-empty corpus always has ≥1 estimated eval doc, so
+    // a zero budget deterministically selects the fallback
+    val evalDocsEst = (corpusBytes / 97 / bytesPerDoc).max(BigInt(1))
+    val evSide = if (evalDocsEst <= BigInt(limit)) broadcast(ev) else ev
     tr.join(evSide, "ng")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
@@ -771,7 +790,105 @@ object CurationQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** QUALITY-CLASSIFIER TRAINING (q160) — the learning half of q136's
+    * inference pass: logistic regression over hashed unigram features,
+    * trained IN-ENGINE by three unrolled gradient steps. Each step is
+    *   z_d = Σ_b x_{d,b}·w_b   (a broadcast join of the 64-row weight
+    *                            table onto the feature frame + doc agg),
+    *   r_d = σ̂(z_d) − y_d     (hard-sigmoid residual),
+    *   g_b = Σ_d r_d·x_{d,b}  (a bucket-keyed aggregate),
+    *   w_b ← w_b − g_b/(4N)   (a 64-row update),
+    * composed LAZILY into one plan — no driver loop state, the q142
+    * PageRank / q152 BPE posture. The label is lang = 'en' (learn to
+    * recognize English from hashed unigrams); the feature hash is
+    * LinearTextScore's (first 4 md5 bytes mod B, B = 64), so the trained
+    * vector drops straight into q136's codegen'd scorer — CurationSpec
+    * proves expression scoring with these weights ≡ declarative
+    * join scoring.
+    *
+    * Exactness: σ is transcendental, so the HARD sigmoid
+    * σ̂(z) = clamp(½ + z/4, 0, 1) (its first-order Taylor clamp, the
+    * standard quantized-training surrogate) replaces it; weights,
+    * margins and gradients are scaled BIGINTs (S = 10⁶) with trunc-
+    * division — both engines compute bit-identical integers at every
+    * step (DuckDB's `//` and Spark's `div` both truncate toward zero).
+    * Long-overflow bound: |z| ≤ doc_tokens·max|w| ≲ 10¹² and
+    * |g| ≤ N·S·doc_tokens ≲ 10¹⁷ at N = 10⁹ — inside 2⁶³; past ~10¹⁰
+    * docs the g aggregate needs the DECIMAL(38,0) promotion q144 uses.
+    *
+    * Scale shape: ONE corpus-sized stage (the tokenize + (doc, bucket)
+    * count, map-side combined); every step then touches only that frame
+    * (its exchange is REUSED across steps — CurationSpec asserts the
+    * executed plan) plus 64-row broadcast weight tables and a per-doc
+    * residual join. The isnotnull pre-filters keep all consumer
+    * subtrees identical (the q144 lesson).
+    */
+  def q160ClassifierTraining(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1000000L
+    val B = 64
+    val x = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        explode(TextFunctions.tokens(col("text"))).as("f"))
+      .select(col("doc_id"), col("y"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast(LongType) % B).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+    val nDocs = x.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+    val w0 = spark.range(B).select(col("id").as("b"), lit(0L).as("w"))
+    val trained = (1 to 3).foldLeft(w0) { (w, _) =>
+      val z = x.join(broadcast(w), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * col("w")).as("z"))
+      val r = z.select(col("doc_id"),
+        (greatest(least(lit(S / 2) + expr("z div 4"), lit(S)), lit(0L))
+          - col("y") * S).as("r"))
+      val g = x.join(r, "doc_id")
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("g"))
+      w.join(g, Seq("b"), "left").join(broadcast(nDocs))
+        .select(col("b"),
+          (col("w") - expr("coalesce(g, CAST(0 AS BIGINT)) div (4 * n)")).as("w"))
+    }
+    trained.orderBy(col("b"))
+  }
+
+  val q160Oracle: String = {
+    def step(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""z$i AS (
+         |  SELECT x.doc_id, x.y, SUM(x.x * w.w) AS z
+         |  FROM x JOIN $prev w USING (b) GROUP BY x.doc_id, x.y),
+         |r$i AS (
+         |  SELECT doc_id,
+         |    CAST(LEAST(GREATEST(500000 + z // 4, 0), 1000000) - y * 1000000
+         |      AS BIGINT) AS r
+         |  FROM z$i),
+         |g$i AS (
+         |  SELECT b, SUM(r.r * x.x) AS g FROM x JOIN r$i r USING (doc_id)
+         |  GROUP BY b),
+         |w$i AS (
+         |  SELECT w.b, CAST(w.w - COALESCE(g.g, 0) // (4 * nn.n) AS BIGINT) AS w
+         |  FROM $prev w LEFT JOIN g$i g USING (b) CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |        FROM documents)),
+       |x AS (SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS x
+       |      FROM f GROUP BY doc_id, y, b),
+       |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM x),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       |       FROM range(64)),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT b, w FROM w3 ORDER BY b""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_classifier_training" -> (q160ClassifierTraining _),
     "q152_bpe_train"         -> (q152BpeTrain _),
     "q151_unicode_normalize" -> (q151UnicodeNormalize _),
     "q136_quality_classifier" -> (q136QualityClassifier _),
@@ -789,6 +906,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q160_classifier_training" -> q160Oracle,
     "q152_bpe_train"         -> q152Oracle,
     "q151_unicode_normalize" -> q151Oracle,
     "q136_quality_classifier" -> q136Oracle,

@@ -87,17 +87,33 @@ object RetrievalQueries {
     * discriminative band, since df ≈ N terms carry no idf signal and
     * df ≈ 1 terms match nothing.
     *
-    * Scale shape: matched postings = |query| · df rows — the only corpus
-    * scans are the token explode (tf/dl) — and the matched side
-    * broadcasts onto the per-doc length table, so scoring is a map-side
-    * join; the final top-20 is a TakeOrdered, no global sort.
+    * Scale shape: ONE corpus scan — the tokenize-explode feeds a single
+    * (term, doc_id) aggregate, and every other statistic re-aggregates
+    * that frame: dl = Σ tf per doc, dfs = count per term, (N, S) from dl.
+    * All consumers of `tf` share one exchange subtree, so the physical
+    * plan materializes the explode ONCE (ReusedExchange — PlanSpec
+    * asserts the executed plan reads documents.parquet exactly once; the
+    * r7 shape tokenized the corpus 3×). Matched postings = |query| · df
+    * rows broadcast onto the per-doc length table, so scoring is a
+    * map-side join; the final top-20 is a TakeOrdered, no global sort.
+    *
+    * Arithmetic: every product is promoted into DECIMAL(38,0) (HUGEINT in
+    * the oracle) BEFORE multiplying — tf·S alone can pass 2⁶³ at corpus
+    * scale, where a Long multiply would wrap silently (non-ANSI) while
+    * DuckDB errors: promotion keeps the two engines bit-identical at any
+    * size, not just below the wrap point.
     */
   def q144Bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit isnotnull(doc_id) matters for the PLAN, not the data:
+    // the dl join would infer it on its branch only, splitting the scan
+    // subtrees and defeating exchange reuse — filtered at the source,
+    // every consumer shares ONE identical scan+explode+aggregate subtree
     val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
     val qterms = dfs.join(broadcast(tot))
@@ -109,7 +125,9 @@ object RetrievalQueries {
       .join(dl, "doc_id")
       .withColumn("idf", expr("(nn - df) * 1000000L div (df + 1)"))
       .withColumn("sc", expr(
-        "CAST(idf AS DECIMAL(38,0)) * (22 * tf * s) div (10 * tf * s + 3 * s + 9 * dl * nn)"))
+        "CAST(idf AS DECIMAL(38,0)) * 22 * tf * s div " +
+          "(10 * CAST(tf AS DECIMAL(38,0)) * s + 3 * CAST(s AS DECIMAL(38,0)) " +
+          "+ 9 * CAST(dl AS DECIMAL(38,0)) * nn)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("sc")).cast("long").as("score_scaled"))
@@ -124,8 +142,8 @@ object RetrievalQueries {
       |tf AS (
       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
       |  FROM toks GROUP BY term, doc_id),
-      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-      |       FROM toks GROUP BY doc_id),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
       |        FROM tf GROUP BY term),
       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS s
@@ -136,8 +154,9 @@ object RetrievalQueries {
       |scored AS (
       |  SELECT tf.doc_id,
       |    CAST(CAST((tot.nn - q.df) * 1000000 // (q.df + 1) AS HUGEINT)
-      |      * (22 * tf.tf * tot.s)
-      |      // (10 * tf.tf * tot.s + 3 * tot.s + 9 * dl.dl * tot.nn)
+      |      * 22 * tf.tf * tot.s
+      |      // (10 * CAST(tf.tf AS HUGEINT) * tot.s + 3 * CAST(tot.s AS HUGEINT)
+      |         + 9 * CAST(dl.dl AS HUGEINT) * tot.nn)
       |    AS BIGINT) AS sc
       |  FROM tf
       |  JOIN qterms q USING (term)
@@ -155,35 +174,76 @@ object RetrievalQueries {
     * complement to q144's query-time ranking and the term-space analogue
     * of the embedding similarity joins (q39/q40). Score is the integer
     * Σ_t tf₁·tf₂·idf(t)² with the rational idf surrogate
-    * (N−df)·1000 div (df+1) — DECIMAL(38,0)/HUGEINT accumulation, exact
-    * at any corpus size.
+    * (N−df)·1000 div (df+1) — DECIMAL(38,0)/HUGEINT accumulation with
+    * every product promoted BEFORE multiplying, and a loud overflow
+    * guard on the pair sum (a wrapped-to-null score would silently
+    * reorder the ranking; DuckDB's HUGEINT errors, so must we).
     *
-    * Scale shape: the pair fan-out of a posting self-join is df² per
-    * term, so STOPWORDS ARE PRUNED FIRST (df·2 > N drops them) — the
-    * principled cut, since df ≈ N terms carry ~zero idf weight: the
-    * self-join's per-term cost is bounded and the (d1, d2) aggregate key
-    * is high-cardinality/skew-free. TakeOrdered top-20, no global sort.
+    * Scale shape — CANDIDATE generation and CONFIRMATION are separate
+    * term sets, the q107 rare-anchor discipline applied to tf-idf:
+    *  - PAIRING terms: df ≤ `spark.graft.simjoin.maxPairingDf` (default
+    *    1000). The posting self-join runs ONLY on these, so the per-term
+    *    pair fan-out is ≤ cap²/2 — a constant independent of corpus
+    *    size, NOT the unbounded df²/2 a stopword cut alone permits (a
+    *    df = N/3 content word would emit ~10¹⁷ pairs at N = 10⁹).
+    *  - SCORING terms: the stopword cut (df·2 ≤ N). Every surfaced
+    *    pair's score is confirmed EXACTLY over this full set via two
+    *    linear joins back to the postings — |cands|·avg-doc-terms rows,
+    *    no quadratic term.
+    * Recall contract: a pair surfaces iff it shares ≥ 1 term with
+    * df ≤ cap. Pairs sharing only mid-frequency terms (cap < df ≤ N/2)
+    * are missed by design — their idf² weights are the smallest in the
+    * scored set, so they are precisely the low-score pairs a top-k mine
+    * is not looking for; surfaced pairs' scores are exact, never
+    * approximated. The oracle replays the DEFAULT cap (1000); the conf
+    * is a scale-tuning knob, not oracle-replayed. RetrievalSpec pins the
+    * bound behaviorally: a term past the cap generates no pairs even
+    * when it still contributes to surviving pairs' scores.
     */
   def q154SparseSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    // source-level isnotnull(doc_id): keeps every tf-consumer subtree
+    // identical so the tokenize exchange is planned once (see q144)
     val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val nn = Tables.documents(spark, dir).agg(count(lit(1)).as("nn"))
+    val cap = spark.conf.getOption("spark.graft.simjoin.maxPairingDf")
+      .map(_.toLong).getOrElse(1000L)
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(nn))
-      .filter(col("df") * 2 <= col("nn")) // stopword cut: bounds df² fan-out
+    // scoring set: stopword cut — df ≈ N terms carry ~zero idf weight
+    val weights = dfs.filter(col("df") * 2 <= col("nn"))
       .withColumn("idf", expr("(nn - df) * 1000L div (df + 1)"))
       .select(col("term"), col("idf"))
-    val p = tf.join(dfs, "term")
-    val p2 = p.select(col("term"), col("doc_id").as("d2"), col("tf").as("tf2"))
-    p.join(p2, Seq("term"))
+    // pairing set ⊆ scoring set: the anchors whose self-join is bounded
+    val anchors = dfs
+      .filter(col("df") <= cap && col("df") * 2 <= col("nn"))
+      .select(col("term"))
+    val aposts = tf.join(anchors, "term").select(col("term"), col("doc_id"))
+    val cands = aposts
+      .join(aposts.select(col("term"), col("doc_id").as("d2")), Seq("term"))
       .filter(col("doc_id") < col("d2"))
-      .select(col("doc_id").as("d1"), col("d2"),
-        expr("CAST(tf * tf2 AS DECIMAL(38,0)) * idf * idf").as("c"))
+      .select(col("doc_id").as("d1"), col("d2"))
+      .distinct()
+    // confirm: exact score over the FULL scoring set — two linear joins
+    val p = tf.join(weights, "term")
+    val s1 = p.select(col("term"), col("doc_id").as("d1"),
+      col("tf").as("tf1"), col("idf"))
+    val s2 = p.select(col("term"), col("doc_id").as("d2"), col("tf").as("tf2"))
+    cands.join(s1, "d1").join(s2, Seq("term", "d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(tf1 AS DECIMAL(38,0)) * tf2 * idf * idf").as("c"))
       .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared_terms"),
-        sum(col("c")).cast("decimal(38,0)").cast("long").as("score"))
+      .agg(count(lit(1)).as("n_shared_terms"), sum(col("c")).as("sd"))
+      .select(col("d1"), col("d2"), col("n_shared_terms"),
+        // non-ANSI decimal-sum overflow yields NULL silently; surface it
+        // as an error (DuckDB's HUGEINT sum would error) instead of
+        // letting a null-scored pair silently fall out of the ranking
+        when(col("sd").isNull,
+          expr("raise_error('q154 pair score overflowed DECIMAL(38,0)')"))
+          .otherwise(col("sd")).cast("long").as("score"))
       .orderBy(col("score").desc, col("d1"), col("d2"))
       .limit(20)
   }
@@ -196,16 +256,23 @@ object RetrievalQueries {
       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
       |  FROM toks GROUP BY term, doc_id),
       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
-      |dfs AS (
+      |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |weights AS (
       |  SELECT term, CAST((nn.nn - df) * 1000 // (df + 1) AS BIGINT) AS idf
-      |  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), nn
-      |  WHERE df * 2 <= nn.nn),
-      |pairs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |    CAST(a.tf * b.tf AS HUGEINT) * d.idf * d.idf AS c
+      |  FROM dfs, nn WHERE df * 2 <= nn.nn),
+      |anchors AS (
+      |  SELECT term FROM dfs, nn WHERE df <= 1000 AND df * 2 <= nn.nn),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM tf a
       |  JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
-      |  JOIN dfs d ON d.term = a.term)
+      |  JOIN anchors r ON r.term = a.term),
+      |pairs AS (
+      |  SELECT cd.d1, cd.d2, CAST(a.tf AS HUGEINT) * b.tf * w.idf * w.idf AS c
+      |  FROM cands cd
+      |  JOIN tf a ON a.doc_id = cd.d1
+      |  JOIN weights w ON w.term = a.term
+      |  JOIN tf b ON b.term = a.term AND b.doc_id = cd.d2)
       |SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
       |  CAST(SUM(c) AS BIGINT) AS score
       |FROM pairs GROUP BY d1, d2

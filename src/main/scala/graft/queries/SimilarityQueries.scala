@@ -463,28 +463,35 @@ object SimilarityQueries {
     * per-dimension SUM/COUNT mean snapped to the grid, with empty clusters
     * carrying the previous centroid via the LEFT JOIN coalesce.
     */
+  /** One integer-grid Lloyd's round as DuckDB CTEs over a `v(vec_id, v)`
+    * relation and previous centroids `c{i-1}` — shared by the q85 and
+    * q162 oracles (argmin assignment with ties to the lower cid, grid-
+    * snapped mean, empty-cluster carry via LEFT JOIN coalesce).
+    */
+  private def gridKmeansIteration(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT v.vec_id, v.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+       |    FROM v, $prev c) WHERE arn = 1),
+       |m$i AS (
+       |  SELECT cid, list(val ORDER BY pos) AS cv FROM (
+       |    SELECT cid, pos, FLOOR(SUM(x) / COUNT(*) + 0.5) AS val
+       |    FROM (SELECT cid, unnest(v) AS x,
+       |            unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+       |    GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |c$i AS (
+       |  SELECT p.cid, COALESCE(m$i.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN m$i USING (cid))""".stripMargin
+  }
+
   val q85Oracle: String = {
     val k = 8
     val iters = 3
-    def iteration(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""a$i AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT v.vec_id, v.v, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
-         |    FROM v, $prev c) WHERE arn = 1),
-         |m$i AS (
-         |  SELECT cid, list(val ORDER BY pos) AS cv FROM (
-         |    SELECT cid, pos, FLOOR(SUM(x) / COUNT(*) + 0.5) AS val
-         |    FROM (SELECT cid, unnest(v) AS x,
-         |            unnest(range(1, len(v) + 1)) AS pos FROM a$i)
-         |    GROUP BY cid, pos)
-         |  GROUP BY cid),
-         |c$i AS (
-         |  SELECT p.cid, COALESCE(m$i.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN m$i USING (cid))""".stripMargin
-    }
+    def iteration(i: Int): String = gridKmeansIteration(i)
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 16 + 0.5)) AS v
@@ -911,7 +918,153 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** EXACT long-n-gram substring dedup (q161) — the C4/GPT-3-style
+    * cleanup rule the Jaccard tier (q36) does not cover: a document is
+    * flagged when it shares ANY exact 50-token gram with an
+    * earlier-id document. No LSH, no probability: the gram index is
+    * exact, so this is the "remove any document containing a duplicated
+    * 50-gram" pass from the GPT-3/C4 dataset papers, expressed as one
+    * gram-keyed aggregate.
+    *
+    * Gram-index size bound: a doc of n tokens contributes ≤ n − 49
+    * distinct grams, each keyed by its 32-hex-char md5 (16 bytes of
+    * entropy) rather than the ~300-byte gram string — the index is
+    * ≤ corpus-token-count rows of fixed-width keys, ~5 % of corpus
+    * bytes at 100 TB, uniformly hash-distributed (md5), so the
+    * (gram-hash)-keyed min-doc aggregate is one skew-free shuffle; a
+    * boilerplate gram shared by millions of docs is ONE hot aggregate
+    * key with a 16-byte value — map-side combine absorbs it (min is
+    * associative), unlike a posting-list design. Docs shorter than 50
+    * tokens collapse to a whole-text gram (ShingleStrings semantics), so
+    * short exact duplicates are caught too.
+    */
+  def q161ExactSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 50)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val firsts = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(firsts, "gh")
+      .filter(col("doc_id") > col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        min(col("first_doc")).as("earliest_source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q161Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, md5(gram) AS gh FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      CASE WHEN len(t) < 50 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(range(1, len(t) - 48),
+      |                  i -> array_to_string(t[i:i+49], ' ')) END)) AS gram
+      |    FROM d)),
+      |firsts AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+      |  MIN(f.first_doc) AS earliest_source
+      |FROM g JOIN firsts f USING (gh)
+      |WHERE g.doc_id > f.first_doc
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** SEMANTIC DEDUP (q162) — SemDeDup (Abbas et al. 2023) relationally:
+    * cluster the embedding space with k-means, then keep ONE document per
+    * near-duplicate set WITHIN each cluster (cosine ≥ τ), never comparing
+    * across clusters — the clustering is what makes semantic dedup
+    * sub-quadratic at corpus scale. Here the embedding-space analogue of
+    * q141's text clusters, built entirely from pieces the suite already
+    * proves: the planted corpus (every 7th vector's nudged twin must be
+    * re-discovered and dropped), q82's integer-grid quantization as the
+    * coordinate system, and q85's grid-rounded Lloyd's so DuckDB replays
+    * the full training → assignment → pair → verdict pipeline exactly.
+    *
+    * Exactness: all vectors and centroids are integer-valued doubles, so
+    * dots/norms are exact (< 2⁵³); the cosine threshold τ = 0.95 is the
+    * cross-multiplied integer predicate dot > 0 ∧ 400·dot² ≥ 361·n²ₐ·n²ᵦ —
+    * no sqrt, no float division, bit-identical in both engines. (On real
+    * float embeddings the same plan runs with float cosine; the grid is
+    * what buys the exact oracle, as in q85 vs q74.)
+    *
+    * Scale shape: assignment is a codegen'd projection (NearestCentroids,
+    * zero exchange); the pair join is an EQUI-join on cid — within-bucket
+    * pairs only, the SemDeDup contract (SimilaritySpec asserts no
+    * cross-cluster pair survives and the executed plan has no
+    * BNLJ/cartesian). Per-cluster fan-out is (n/k)² with k sized to the
+    * corpus (k ≈ √n makes it linear-ish; production SemDeDup uses
+    * k ~ 10⁵ on 10⁹ docs). Verdict: earliest same-cluster neighbor wins;
+    * `keep_flag` marks the survivors.
+    */
+  def q162SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vq = vecsWithPlants(spark, dir)
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x * 16 + lit(0.5)).cast(DoubleType)).as("v"))
+    val centroids = kmeansCentroids(vq, k = 8, iters = 3, gridRound = true)
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val n2 = vq
+      .withColumn("cid", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1), 1))
+      .withColumn("n2", dot("v", "v"))
+    val other = n2.select(col("cid"), col("vec_id").as("v2"),
+      col("v").as("vb"), col("n2").as("n2b"))
+    val dups = n2.join(other, Seq("cid"))
+      .filter(col("vec_id") < col("v2"))
+      .withColumn("dot", dot("v", "vb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400 >= col("n2") * col("n2b") * 361)
+      .select(col("v2"), col("vec_id").as("v1"))
+      .groupBy(col("v2")).agg(min(col("v1")).as("dup_of"))
+      .withColumnRenamed("v2", "vec_id")
+    n2.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep_flag"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q162Oracle: String = {
+    val iters = 3
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |plants AS (
+       |  SELECT vec_id + $PlantOffset AS vec_id,
+       |    list_transform(v0, (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS v0
+       |  FROM base WHERE vec_id % 7 = 0),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM plants),
+       |v AS (SELECT vec_id, list_transform(v0, x -> FLOOR(x * 16 + 0.5)) AS v FROM allv),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+       |${(1 to iters).map(gridKmeansIteration).mkString(",\n")},
+       |n2 AS (
+       |  SELECT vec_id, v, cid, list_dot_product(v, v) AS n2 FROM (
+       |    SELECT v.vec_id, v.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+       |    FROM v, c$iters c) WHERE arn = 1),
+       |dups AS (
+       |  SELECT v2 AS vec_id, MIN(v1) AS dup_of FROM (
+       |    SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |      list_dot_product(a.v, b.v) AS dot, a.n2 AS n2a, b.n2 AS n2b
+       |    FROM n2 a JOIN n2 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |  WHERE dot > 0 AND 400 * dot * dot >= 361 * n2a * n2b
+       |  GROUP BY v2)
+       |SELECT n.vec_id, n.cid, d.dup_of,
+       |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep_flag
+       |FROM n2 n LEFT JOIN dups d USING (vec_id)
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_exact_substring_dedup" -> (q161ExactSubstringDedup _),
+    "q162_semantic_dedup" -> (q162SemanticDedup _),
     "q120_dedup_incremental" -> (q120DedupIncremental _),
     "q119_dedup_best_of_cluster" -> (q119DedupBestOfCluster _),
     "q112_ann_pq"            -> (q112AnnPq _),
@@ -928,6 +1081,8 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q161_exact_substring_dedup" -> q161Oracle,
+    "q162_semantic_dedup" -> q162Oracle,
     "q120_dedup_incremental" -> q120Oracle,
     "q119_dedup_best_of_cluster" -> q119Oracle,
     "q112_ann_pq"            -> q112Oracle,

@@ -41,6 +41,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(bpeMerge(Seq("ab", "b"), "a", "b") === Seq("ab", "b"))
   }
 
+  test("q133 construction launches no Spark job (budget decision is lazy)") {
+    // the r7 shape ran evDocs.count() inside query construction — an
+    // extra corpus-sized action per invocation. The decision now reads
+    // parquet file statistics on the driver; building the DataFrame must
+    // be job-free. Listener events are async, so first prove the listener
+    // sees jobs at all (positive control), then assert none arrive.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(5).count() // positive control
+      // warm the one legitimate job: Tables' once-per-JVM parquet
+      // schema-inference for the documents table
+      Tables.documents(spark, sfDir)
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs > 0, "listener must observe the control job")
+      // let any in-flight async job-start events drain before snapshotting
+      var before = -1
+      while (jobs != before) { before = jobs; Thread.sleep(700) }
+      SparkEntry.queries("q133_contamination")(spark, sfDir) // build only
+      Thread.sleep(1500) // grace for any async job-start event
+      assert(jobs === before,
+        s"q133 construction launched ${jobs - before} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q133 falls back to a shuffled join past the broadcast budget, same results") {
     val broad = SparkEntry.queries("q133_contamination")(spark, sfDir)
     val broadRows = broad.collect().toSeq
@@ -92,6 +123,56 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val finalPlan = if (cut >= 0) plan.take(cut) else plan
     assert(finalPlan.contains("ReusedExchange"),
       s"q135 executed plan must reuse the pre-agg exchange:\n${finalPlan.take(6000)}")
+  }
+
+  test("q160 trained weights drop into LinearTextScore: expression ≡ declarative scoring") {
+    // the training hash IS the scorer's hash (first 4 md5 bytes mod 64),
+    // so the learned vector is directly consumable by q136's codegen'd
+    // expression — score every doc both ways and compare exactly
+    val w = SparkEntry.queries("q160_classifier_training")(spark, sfDir)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(w.length === 64)
+    assert(w.map(_._1).toSeq === (0L until 64L))
+    assert(w.exists(_._2 != 0L), "training must move some weight")
+    val weights = w.map(_._2.toInt).toSeq // |w| << Int.MaxValue at this sf
+    val viaExpr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.expressions.LinearTextScore
+        .linearTextScore(graft.functions.TextFunctions.tokens(col("text")),
+          weights, maxNgram = 1).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val wdf = weights.zipWithIndex.map { case (wt, b) => (b.toLong, wt.toLong) }
+      .toDF("b", "wt")
+    val viaJoin = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("f"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % 64).as("b"))
+      .join(wdf, "b")
+      .groupBy("doc_id").agg(sum("wt").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaJoin)
+    // and the learned model carries signal: English docs should score
+    // higher on average than non-English (the training label)
+    val langs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val (en, other) = viaExpr.toSeq.partition { case (id, _) => langs(id) == "en" }
+    assert(en.map(_._2.toDouble).sum / en.size >
+      other.map(_._2.toDouble).sum / other.size,
+      "trained scores must separate the training classes on average")
+  }
+
+  test("q160 gradient steps reuse the feature-frame exchange at runtime") {
+    // the (doc, y, bucket) count is the ONE corpus-sized frame; all three
+    // unrolled steps re-aggregate it, so the executed adaptive plan must
+    // materialize its exchange once and ReusedExchange the rest
+    val df = SparkEntry.queries("q160_classifier_training")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    assert(finalPlan.contains("ReusedExchange"),
+      s"q160 executed plan must reuse the feature exchange:\n${finalPlan.take(6000)}")
   }
 
   test("PII redaction finds exactly the planted emails and phones") {

@@ -88,6 +88,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"probe not below the fact exchange:\n$p")
   }
 
+  test("q144 reads the corpus ONCE: every BM25 statistic re-aggregates one tokenize pass") {
+    // the r7 shape tokenized documents 3× (tf / dl / tot each owned a
+    // scan+explode); dl and tot now derive from tf, and the source-level
+    // isnotnull(doc_id) keeps all consumer subtrees identical, so the
+    // EXECUTED plan must collapse them to a single documents FileScan
+    // with the explode's exchange reused everywhere else
+    val df = SparkEntry.queries("q144_bm25_search")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) p.take(cut) else p
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans === 1,
+      s"q144 must read documents.parquet exactly once, found $scans scans:\n${finalPlan.take(6000)}")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(6000))
+  }
+
   test("q133/q134 probe the corpus via broadcast joins — no corpus shuffle for the tiny side") {
     // contamination: the eval-gram set broadcasts onto the training scan
     val p133 = plan("q133_contamination")

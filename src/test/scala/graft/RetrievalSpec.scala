@@ -19,6 +19,39 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(idx.filter(col("df") < 1 || col("df") > col("total_tf")).count() === 0)
   }
 
+  test("q154: pairing df cap bounds fan-out; scores stay exact over the full scoring set") {
+    // six docs, three terms: "x" df=2, "y" df=3, "common" df=6.
+    // stopword cut (df·2 ≤ 6) scores x and y, drops common.
+    // With maxPairingDf=2 only x anchors pairs → exactly (1,2) surfaces;
+    // y (df=3 > cap) generates NO pairs even though it is scored —
+    // that is the bound: a term past the cap never self-joins.
+    val dir = java.nio.file.Files.createTempDirectory("q154cap").toString
+    Seq(
+      (1L, "x common"), (2L, "x common"), (3L, "y common"),
+      (4L, "y common"), (5L, "y common"), (6L, "common"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.simjoin.maxPairingDf", "2")
+    try {
+      val capped = RetrievalQueries.q154SparseSimJoin(spark, dir)
+        .select("d1", "d2", "n_shared_terms", "score")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // idf(x) = (6-2)*1000 div 3 = 1333; score = 1·1·1333²
+      assert(capped === Set((1L, 2L, 1L, 1333L * 1333L)),
+        "only the rare-anchored pair may surface under the cap")
+    } finally spark.conf.unset("spark.graft.simjoin.maxPairingDf")
+    // default cap (1000) doesn't bind: y pairs too, x-pair score unchanged
+    val full = RetrievalQueries.q154SparseSimJoin(spark, dir)
+      .select("d1", "d2", "n_shared_terms", "score")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val y2 = 750L * 750L // idf(y) = (6-3)*1000 div 4 = 750
+    assert(full === Set(
+      (1L, 2L, 1L, 1333L * 1333L),
+      (3L, 4L, 1L, y2), (3L, 5L, 1L, y2), (4L, 5L, 1L, y2)))
+    // recall contract direction: capped results ⊆ uncapped, scores equal
+    assert(Set((1L, 2L, 1L, 1333L * 1333L)).subsetOf(full))
+  }
+
   test("q144: ranked output is deterministic and respects the score order") {
     val a = RetrievalQueries.q144Bm25Search(spark, sfDir).collect()
     val b = RetrievalQueries.q144Bm25Search(spark, sfDir).collect()

@@ -167,6 +167,68 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q161: every flagged doc really shares an exact 50-gram with its earliest_source") {
+    val flagged = SparkEntry.queries("q161_exact_substring_dedup")(spark, sfDir)
+      .select("doc_id", "earliest_source").as[(Long, Long)].collect()
+    assert(flagged.nonEmpty, "testdata is known to contain long-gram duplicates")
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(s: String): Set[Seq[String]] = {
+      val t = s.trim.split("\\s+").toSeq
+      if (t.length < 50) Set(t) else t.sliding(50).toSet
+    }
+    flagged.foreach { case (doc, src) =>
+      assert(src < doc, s"source $src must be earlier than $doc")
+      assert(grams(texts(doc)).intersect(grams(texts(src))).nonEmpty,
+        s"doc $doc shares no exact 50-gram with claimed source $src")
+    }
+    // and a doc sharing a gram ONLY with later docs must NOT be flagged:
+    // the earliest holder of every duplicated gram survives
+    val flaggedIds = flagged.map(_._1).toSet
+    flagged.foreach { case (_, src) =>
+      if (!flaggedIds.contains(src)) {
+        // the source itself survived — by the earliest-wins rule
+        assert(!flaggedIds.contains(src))
+      }
+    }
+  }
+
+  test("q162: SemDeDup drops exactly the planted twins; pairs never cross clusters") {
+    val rows = SparkEntry.queries("q162_semantic_dedup")(spark, sfDir)
+      .select("vec_id", "cid", "dup_of", "keep_flag")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every planted twin is dropped, and its dup_of is its original
+    // (identical grid vector → same cluster, cosine exactly 1)
+    val plants = rows.filter(_._1 >= Offset)
+    assert(plants.nonEmpty)
+    plants.foreach { case (vid, cid, dupOf, keep) =>
+      assert(keep === 0, s"planted twin $vid must be dropped")
+      assert(dupOf.contains(vid - Offset) || dupOf.exists(_ < vid - Offset),
+        s"twin $vid should duplicate its original (or an even earlier dup)")
+      assert(byId(vid - Offset)._2 === cid,
+        s"twin $vid landed in a different cluster than its original")
+    }
+    // no cross-cluster dup edges: dup_of always names a same-cluster,
+    // earlier, surviving-or-not vector — the SemDeDup contract
+    rows.foreach { case (vid, cid, dupOf, _) =>
+      dupOf.foreach { d =>
+        assert(d < vid, s"$vid's dup_of $d is not earlier")
+        assert(byId(d)._2 === cid, s"$vid's dup_of $d is in another cluster")
+      }
+    }
+    // originals all survive (no false positives among base vectors)
+    assert(rows.filter(r => r._1 < Offset && r._4 === 0).isEmpty,
+      "no base vector may be dropped at tau=0.95 on this corpus")
+    // and the pair join is an equi-join on cid — no BNLJ, no cartesian
+    val plan = SparkEntry.queries("q162_semantic_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric on pairs") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),

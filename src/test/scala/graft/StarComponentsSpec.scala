@@ -70,4 +70,17 @@ class StarComponentsSpec extends AnyFunSuite with SparkSpec {
     val pairs = Seq((5L, 5L), (7L, 8L))
     assert(cc(pairs) === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("one-sided-null pairs keep their non-null endpoint as an isolated node") {
+    // least/greatest skip nulls, so (5, null) canonicalizes to u = v = 5
+    // — before the fix the node vanished entirely. It must surface as an
+    // isolated self-labeled node; null ids are never nodes; a node that
+    // ALSO has real edges is labeled by them, not by the null pair.
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (5L, null), (null, 9L), (null, null), (7L, 8L), (8L, null))
+      .toDF("id_a", "id_b")
+    val got = Similarity.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L, 9L -> 9L, 7L -> 7L, 8L -> 7L))
+  }
 }
