@@ -27,25 +27,31 @@ object CurationQueries {
     * share (most frequent token / token count), plus the keep/drop verdict
     * of the combined rule. Documents that loop or keyword-stuff score high
     * on both and get dropped before training.
+    *
+    * Scale shape: PROJECTION-ONLY (round-8 rewrite) — both statistics are
+    * per-document, so they ride two codegen'd expressions
+    * ([[graft.expressions.ShingleStrings]] occurrences,
+    * [[graft.expressions.MaxTokenCount]]) in one pass over the scan; the
+    * only exchange is the output sort. The previous shape exploded the
+    * token stream, aggregated it twice and joined it back — three
+    * corpus-sized stages for per-row numbers.
     */
   def q78QualityRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    val docs = Tables.documents(spark, dir)
+    // every statistic here is PER-DOCUMENT, so the whole filter is one
+    // codegen'd projection — no explode, no (doc, token) shuffle, no join
+    // back (the r7 shape ran three corpus-sized stages for numbers each
+    // row can produce alone): ShingleStrings for the trigram occurrence
+    // stream, MaxTokenCount for the top-token multiplicity. The only
+    // exchange is the output sort.
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(toks).cast(IntegerType).as("n_tokens"),
-        Similarity.wordShingles(toks, 3).as("tris"),
-        toks.as("toks"))
-    val base = docs.withColumn("dup_trigram_ratio",
-      round(lit(1.0) -
-        size(array_distinct(col("tris"))).cast(DoubleType) / size(col("tris")), 6))
-    // top token count per doc: explode + (doc_id, token) aggregate — a
-    // composite high-cardinality key, so the shuffle stays skew-free at
-    // any corpus size (same posture as q38's composite join keys)
-    val topTok = docs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
-    base.join(topTok, "doc_id")
+        graft.expressions.ShingleStrings.shingleOccurrences(toks, 3).as("tris"),
+        graft.expressions.MaxTokenCount.maxTokenCount(toks).as("max_tok"))
+      .withColumn("dup_trigram_ratio",
+        round(lit(1.0) -
+          size(array_distinct(col("tris"))).cast(DoubleType) / size(col("tris")), 6))
       .select(
         col("doc_id"), col("n_tokens"), col("dup_trigram_ratio"),
         round(col("max_tok").cast(DoubleType) / col("n_tokens"), 6).as("top_token_share"),

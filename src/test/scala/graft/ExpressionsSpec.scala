@@ -36,6 +36,32 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(both(3L)._1 === Seq("p q", "q r") && both(3L)._2 === Seq("p q", "q r"))
   }
 
+  test("MaxTokenCount equals the declarative explode+count+max, incl. edge rows") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // max multiplicity 3
+      (2L, "x"),           // single token → 1
+      (3L, ""),            // tokens('') = [''] → 1
+      (4L, "p p p p"),     // all same → 4
+      (5L, "u v w")        // all distinct → 1
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val native = docs.select(col("doc_id"),
+      graft.expressions.MaxTokenCount.maxTokenCount(col("toks")).as("m"))
+      .as[(Long, Int)].collect().toMap
+    assert(native === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 4, 5L -> 1))
+    // and on real corpus rows, ≡ the relational formulation
+    val corpus = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val viaExpr = corpus.select(col("doc_id"),
+      graft.expressions.MaxTokenCount.maxTokenCount(col("toks")).as("m"))
+      .as[(Long, Int)].collect().toMap
+    val viaAgg = corpus.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+      .as[(Long, Long)].collect().map { case (k, v) => k -> v.toInt }.toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("InterleaveBits equals the reference Morton encoding (incl. negatives)") {
     def morton(x: Int, y: Int): Long = {
       var z = 0L

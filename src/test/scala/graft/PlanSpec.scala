@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"probe not below the fact exchange:\n$p")
   }
 
+  test("q78 is projection-only: no explode, no join, no hash exchange") {
+    // both repetition statistics are per-document and ride codegen'd
+    // expressions — the corpus must not be exploded, aggregated or joined
+    val p = plan("q78_quality_repetition")
+    assert(!p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.toLowerCase.contains("hashpartitioning"), p.take(3000))
+    assert("FileScan parquet".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size === 1, p.take(3000))
+  }
+
   test("q144 reads the corpus ONCE: every BM25 statistic re-aggregates one tokenize pass") {
     // the r7 shape tokenized documents 3× (tf / dl / tot each owned a
     // scan+explode); dl and tot now derive from tf, and the source-level
