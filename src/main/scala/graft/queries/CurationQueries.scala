@@ -893,7 +893,186 @@ object CurationQueries {
        |SELECT b, w FROM w3 ORDER BY b""".stripMargin
   }
 
+  /** Spark SQL fragment: the Luhn weighted digit sum of a 16-char digit
+    * string `c` — odd left-positions doubled (9-folded), the mod-10
+    * checksum rule every payment-card number satisfies. Shared by the
+    * plant construction (15-digit body: same formula, the check digit
+    * position contributes 0) and the validator.
+    */
+  private def luhnSumSql(c: String, n: Int): String =
+    s"""aggregate(transform(sequence(1, $n), i ->
+       |  CASE WHEN i % 2 = 1 THEN
+       |    IF(2 * CAST(substring($c, i, 1) AS INT) > 9,
+       |       2 * CAST(substring($c, i, 1) AS INT) - 9,
+       |       2 * CAST(substring($c, i, 1) AS INT))
+       |  ELSE CAST(substring($c, i, 1) AS INT) END), 0, (a, x) -> a + x)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** CHECKSUM-VALIDATED PII detection (q163) — the payment-card tier of
+    * the PII pass: q79's regex classes (emails, phones) accept anything
+    * shaped right, but card numbers carry a CHECKSUM (Luhn mod-10), and a
+    * redactor that ignores it floods the output with false positives
+    * (order ids, timestamps, EANs are 16-digit too). Docs plant both a
+    * VALID card (doc_id % 13 = 0: deterministic 15-digit body + computed
+    * Luhn check digit) and an INVALID one (doc_id % 13 = 5: check digit
+    * shifted +5, guaranteed to fail) — the gate proves the validator
+    * redacts exactly the valid numbers and leaves the invalid ones
+    * untouched, md5 over every redacted byte.
+    *
+    * Scale shape: candidate extraction (regexp_extract_all), Luhn
+    * filtering (16-element integer fold per candidate) and replacement
+    * all run INSIDE one projection over the scan — no explode, no join;
+    * the only exchange is the output sort. The Luhn fold is a
+    * higher-order expression over a 16-element sequence — constant work
+    * per candidate, no UDF.
+    */
+  def q163CreditCardRedact(spark: SparkSession, dir: String): DataFrame = {
+    val body = "concat('4', lpad(CAST((doc_id * doc_id + 7) % 99999999999999 AS STRING), 14, '0'))"
+    val check = s"CAST((10 - ${luhnSumSql(body, 15)} % 10) % 10 AS STRING)"
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN doc_id % 13 = 0 THEN concat(text, ' ', $body, $check)
+           |     WHEN doc_id % 13 = 5 THEN concat(text, ' ', $body,
+           |       CAST((CAST($check AS INT) + 5) % 10 AS STRING))
+           |     ELSE text END""".stripMargin).as("text"))
+    planted
+      .withColumn("valid", expr(
+        s"filter(regexp_extract_all(text, '\\\\b\\\\d{16}\\\\b', 0), " +
+          s"c -> ${luhnSumSql("c", 16)} % 10 = 0)"))
+      .select(col("doc_id"),
+        size(col("valid")).as("n_cc"),
+        md5(expr("aggregate(valid, text, (acc, c) -> replace(acc, c, '[CC]'))"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q163Oracle: String = {
+    def luhn(c: String, n: Int): String =
+      s"""list_sum(list_transform(range(1, ${n + 1}), i ->
+         |  CASE WHEN i % 2 = 1 THEN
+         |    CASE WHEN 2 * CAST($c[i] AS INT) > 9
+         |         THEN 2 * CAST($c[i] AS INT) - 9
+         |         ELSE 2 * CAST($c[i] AS INT) END
+         |  ELSE CAST($c[i] AS INT) END))""".stripMargin.replaceAll("\n", " ")
+    val body = "'4' || lpad(CAST((doc_id * doc_id + 7) % 99999999999999 AS VARCHAR), 14, '0')"
+    s"""WITH b AS (SELECT doc_id, text, $body AS body FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN
+       |           text || ' ' || body ||
+       |           CAST((10 - ${luhn("body", 15)} % 10) % 10 AS VARCHAR)
+       |         WHEN doc_id % 13 = 5 THEN
+       |           text || ' ' || body ||
+       |           CAST(((10 - ${luhn("body", 15)} % 10) % 10 + 5) % 10 AS VARCHAR)
+       |         ELSE text END AS text
+       |  FROM b),
+       |v AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_extract_all(text, '\\b\\d{16}\\b'),
+       |      c -> ${luhn("c", 16)} % 10 = 0) AS valid
+       |  FROM p)
+       |SELECT doc_id, CAST(len(valid) AS INTEGER) AS n_cc,
+       |  md5(CASE WHEN len(valid) = 0 THEN text
+       |           ELSE list_reduce(list_prepend(text, valid),
+       |                  (acc, c) -> replace(acc, c, '[CC]')) END) AS redacted_md5
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SPAN-LEVEL DECONTAMINATION (q164) — the removal half of q133's
+    * detection: GPT-3's cleanup EXCISED a window around each benchmark
+    * collision rather than dropping whole documents (dropping loses the
+    * uncontaminated 99 % of a long doc). Token-level version: every
+    * training-doc position whose trigram appears in the eval set is a
+    * hit; hits expand to a ±2-token context window (7 tokens per hit,
+    * GPT-3 used 200 chars); covered tokens are removed and the survivors
+    * re-join into the cleaned text — overlapping windows merge via
+    * position-set union, no interval algebra needed. Output per
+    * contaminated doc: tokens removed + md5 over every cleaned byte.
+    *
+    * Scale shape: the eval gram set BROADCASTS (same bound/budget story
+    * as q133); the hit fan-out is a CONSTANT 7 rows per collision; all
+    * joins are keyed on (doc_id, pos) — high-cardinality, skew-free.
+    * Document reassembly (sort_array over collected (pos, tok) structs)
+    * runs ONLY for contaminated docs and each buffer is bounded by that
+    * doc's own length — row-sized state, the same bound the decode
+    * operators live with. Clean docs never leave the anti-join.
+    */
+  def q164SpanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val evG = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.expressions.ShingleStrings
+        .shingleStrings(col("toks"), 3)).as("ng"))
+      .distinct()
+    val tr = docs.filter(col("doc_id") % 97 =!= 0)
+    val hits = tr
+      .select(col("doc_id"), posexplode(graft.expressions.ShingleStrings
+        .shingleOccurrences(col("toks"), 3)).as(Seq("pos", "ng")))
+      .join(broadcast(evG), "ng")
+    val covered = hits
+      .select(col("doc_id"),
+        explode(expr("sequence(greatest(pos - 2, 0), pos + 4)")).as("pos"))
+      .distinct()
+    val toksPos = tr.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = toksPos
+      .join(covered.select(col("doc_id")).distinct(), "doc_id")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"))
+        .as("cleaned"))
+    // n_removed counts REAL token positions (context windows may run past
+    // the doc end; phantom positions match no token)
+    val removed = covered.join(toksPos, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    removed.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q164Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END AS ng
+      |  FROM d, UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS t(i)),
+      |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT DISTINCT g.doc_id, g.pos FROM g JOIN ev USING (ng)
+      |  WHERE g.doc_id % 97 <> 0),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      |  FROM hits, UNNEST(range(GREATEST(pos - 2, 0), pos + 5)) AS t(p)),
+      |tp AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |  FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)
+      |  WHERE doc_id % 97 <> 0),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.pos, tp.tok
+      |  FROM tp
+      |  JOIN (SELECT DISTINCT doc_id FROM covered) cd USING (doc_id)
+      |  ANTI JOIN covered USING (doc_id, pos)),
+      |cleaned AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id),
+      |removed AS (
+      |  SELECT cv.doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+      |  FROM covered cv JOIN tp USING (doc_id, pos) GROUP BY cv.doc_id)
+      |SELECT r.doc_id, r.n_removed,
+      |  md5(COALESCE(c.cleaned, '')) AS cleaned_md5
+      |FROM removed r LEFT JOIN cleaned c USING (doc_id)
+      |ORDER BY r.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_span_decontaminate" -> (q164SpanDecontaminate _),
+    "q163_creditcard_redact" -> (q163CreditCardRedact _),
     "q160_classifier_training" -> (q160ClassifierTraining _),
     "q152_bpe_train"         -> (q152BpeTrain _),
     "q151_unicode_normalize" -> (q151UnicodeNormalize _),
@@ -912,6 +1091,8 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q164_span_decontaminate" -> q164Oracle,
+    "q163_creditcard_redact" -> q163Oracle,
     "q160_classifier_training" -> q160Oracle,
     "q152_bpe_train"         -> q152Oracle,
     "q151_unicode_normalize" -> q151Oracle,

@@ -125,6 +125,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"q135 executed plan must reuse the pre-agg exchange:\n${finalPlan.take(6000)}")
   }
 
+  test("q164 excises exactly the ±2-token windows around eval-gram hits (reference replay)") {
+    // independent in-memory implementation of the whole rule, compared
+    // md5-for-md5 — and the contaminated-doc set must equal q133's
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    def grams(ts: Seq[String]): Seq[String] =
+      if (ts.length < 3) Seq(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSeq
+    val ev = docs.filter(_._1 % 97 == 0).flatMap(d => grams(toks(d._1))).toSet
+    val expect = docs.filter(_._1 % 97 != 0).flatMap { case (id, _) =>
+      val ts = toks(id)
+      val hitPos = grams(ts).zipWithIndex.collect { case (g, i) if ev(g) => i }
+      if (hitPos.isEmpty) None
+      else {
+        val covered = hitPos.flatMap(p => math.max(p - 2, 0) to p + 4).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        Some((id, (ts.indices.count(covered).toLong,
+          md5hex(kept.mkString(" ")))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q164_span_decontaminate")(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, m) => id -> (n, m) }.toMap
+    assert(got === expect)
+    val q133Docs = SparkEntry.queries("q133_contamination")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.keySet === q133Docs,
+      "decontamination must touch exactly the docs q133 detects")
+  }
+
+  test("q163 redacts exactly the Luhn-valid planted cards, leaves invalid ones") {
+    val rows = SparkEntry.queries("q163_creditcard_redact")(spark, sfDir)
+      .select("doc_id", "n_cc").as[(Long, Long)].collect()
+    rows.foreach { case (id, n) =>
+      assert(n === (if (id % 13 == 0) 1L else 0L), s"doc $id")
+    }
+  }
+
   test("q160 trained weights drop into LinearTextScore: expression ≡ declarative scoring") {
     // the training hash IS the scorer's hash (first 4 md5 bytes mod 64),
     // so the learned vector is directly consumable by q136's codegen'd
