@@ -553,7 +553,68 @@ object ScaleQueries {
       |FROM r GROUP BY l_returnflag, (rk - 1) * 10 // n
       |ORDER BY l_returnflag, bin""".stripMargin
 
+  /** LENGTH-BUCKETED training-batch assembly (q165) — the padding-
+    * efficiency trick every seq2seq/LLM training loader applies: fixed
+    * 32-doc batches padded to their longest member waste
+    * Σ(B·max − Σlen) tokens, and batching SIMILAR lengths together
+    * (sort by length, then cut batches) collapses that waste versus
+    * arrival-order batching. Both strategies run in one query over the
+    * same corpus with per-batch padding accounting, so the saving is
+    * measured, not asserted — ScaleSpec pins bucketed ≪ arrival.
+    *
+    * Scale shape: each strategy is ONE distributed rank
+    * ([[graft.functions.PrefixSum.runningTotal]] with a unit value — the
+    * q149 recipe) over a range exchange on the sort key: no
+    * empty-partition-by window, no corpus collect; batch stats are a
+    * high-cardinality (strategy, batch_id) aggregate. Assigning
+    * batch_id = (rank−1) div B keeps batches contiguous in the sorted
+    * order — exactly what a loader shards to workers.
+    */
+  def q165LengthBucketedBatching(spark: SparkSession, dir: String): DataFrame = {
+    val b = 32
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"),
+        lit(1L).as("one"), lit("all").as("g"))
+    def assemble(sortCols: Seq[org.apache.spark.sql.Column], strategy: String) =
+      graft.functions.PrefixSum
+        .runningTotal(docs, Seq("g"), sortCols, "one", "rk")
+        .withColumn("batch_id", expr(s"(rk - 1) div $b"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_len"))
+        .select(lit(strategy).as("strategy"), col("batch_id"),
+          col("n_docs"), col("max_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("padding"))
+    assemble(Seq(col("doc_id").asc), "arrival")
+      .unionByName(assemble(Seq(col("n_tokens").asc, col("doc_id").asc), "bucketed"))
+      .orderBy(col("strategy"), col("batch_id"))
+  }
+
+  val q165Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |u AS (
+      |  SELECT 'arrival' AS strategy,
+      |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id, n_tokens
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'bucketed',
+      |    (ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 32, n_tokens
+      |  FROM d)
+      |SELECT strategy, batch_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(n_tokens) AS max_len,
+      |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+      |FROM u GROUP BY strategy, batch_id
+      |ORDER BY strategy, batch_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_length_bucketed_batching" -> (q165LengthBucketedBatching _),
     "q153_sorted_layout" -> (q153SortedLayout _),
     "q148_approx_percentile_audit" -> (q148ApproxPercentileAudit _),
     "q149_equidepth_bins" -> (q149EquiDepthBins _),
@@ -567,6 +628,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q165_length_bucketed_batching" -> q165Oracle,
     "q153_sorted_layout" -> q153Oracle,
     "q148_approx_percentile_audit" -> q148Oracle,
     "q149_equidepth_bins" -> q149Oracle,

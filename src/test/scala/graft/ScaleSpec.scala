@@ -73,6 +73,25 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(viaBloom === plain)
   }
 
+  test("q165 length bucketing: every batch full (but the tail), padding far below arrival order") {
+    val rows = SparkEntry.queries("q165_length_bucketed_batching")(spark, sfDir)
+      .select("strategy", "batch_id", "n_docs", "max_len", "padding")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byStrat = rows.groupBy(_._1)
+    assert(byStrat.keySet === Set("arrival", "bucketed"))
+    byStrat.foreach { case (s, bs) =>
+      // contiguous batch ids; all full except at most the last
+      assert(bs.map(_._2).sorted.toSeq === (0L until bs.length))
+      assert(bs.sortBy(_._2).dropRight(1).forall(_._3 === 32L), s)
+      bs.foreach { case (_, _, n, mx, pad) =>
+        assert(pad >= 0 && pad <= n * mx, s"padding out of bounds in $s")
+      }
+    }
+    val pad = byStrat.map { case (s, bs) => s -> bs.map(_._5).sum }
+    assert(pad("bucketed") * 2 < pad("arrival"),
+      s"bucketing must at least halve padding waste, got $pad")
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
