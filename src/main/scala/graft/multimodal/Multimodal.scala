@@ -159,6 +159,13 @@ object Multimodal {
     * the driver compare cannot sort raw binary cells) plus its byte sum.
     */
   def resizeBmpNN(m: MediaRow, outW: Int, outH: Int): Thumb = {
+    val (w, h, out) = thumbPixels(m, outW, outH)
+    Thumb(m.doc_id, w, h, out.mkString(","), out.map(_.toLong).sum)
+  }
+
+  /** Shared NN-resample core: (source width, source height, row-major
+    * top-down RGB pixel ints of the outW×outH thumbnail). */
+  private def thumbPixels(m: MediaRow, outW: Int, outH: Int): (Int, Int, Array[Int]) = {
     val buf = java.nio.ByteBuffer.wrap(m.payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(isBmp(m.payload), s"doc ${m.doc_id}: not a BMP payload")
@@ -186,7 +193,25 @@ object Multimodal {
       }
       ty += 1
     }
-    Thumb(m.doc_id, w, h, out.mkString(","), out.map(_.toLong).sum)
+    (w, h, out)
+  }
+
+  case class AHash(doc_id: Long, width: Int, height: Int, bits: String)
+
+  /** PERCEPTUAL AVERAGE-HASH of a BMP payload — the classic aHash: decode,
+    * NN-resample to 8×8, collapse each pixel to integer gray
+    * ((r+g+b) div 3), threshold every gray against the integer mean, and
+    * emit the 64 bits as a '0'/'1' string (row-major top-down — the
+    * engine-portable form: no 64-bit signed shift pitfalls, direct
+    * substring banding). Brightness-shift tolerant by construction (a
+    * uniform shift moves grays and mean together), which is what makes it
+    * a near-DUPLICATE signature rather than an exact checksum.
+    */
+  def aHashBmp(m: MediaRow): AHash = {
+    val (w, h, px) = thumbPixels(m, 8, 8)
+    val g = Array.tabulate(64)(k => (px(3 * k) + px(3 * k + 1) + px(3 * k + 2)) / 3)
+    val mean = g.sum / 64
+    AHash(m.doc_id, w, h, g.map(x => if (x > mean) '1' else '0').mkString)
   }
 
   case class AudioFeatures(

@@ -395,7 +395,101 @@ object ExtensionQueries {
        |FROM sums
        |ORDER BY doc_id""".stripMargin
 
+  /** IMAGE NEAR-DUPLICATE detection (q166) — perceptual average-hash over
+    * the REAL decoded pixels: every BMP payload decodes → 8×8 NN
+    * thumbnail → integer-gray mean-threshold → 64-bit aHash
+    * ([[Multimodal.aHashBmp]]), and near-duplicate image pairs are mined
+    * with the SimHash discipline (q37) applied to pixels: 4 bands × 16
+    * bits generate candidates via band-key equi-joins, a 64-position fold
+    * confirms exact Hamming ≤ 3. Banding is LOSSLESS at this threshold —
+    * ≤ 3 differing bits cannot touch all 4 bands (pigeonhole), so the
+    * output EQUALS brute-force all-pairs (MultimodalSpec proves set
+    * equality) while the join volume stays bucket-bounded.
+    *
+    * Images with a side < 8 px are excluded: below the thumbnail size the
+    * hash degenerates to a flat signature and every tiny image "matches"
+    * every other — the min-resolution gate any production perceptual-hash
+    * pipeline applies.
+    *
+    * Scale shape: hashing is a projection-only typed map (the multimodal
+    * decode posture); candidates come only from (band, key) equi-joins —
+    * never all-pairs; the confirm joins are keyed on doc id. The oracle
+    * replays pixel formula → thumbnail → gray → bits → bands → Hamming
+    * entirely in SQL.
+    */
+  def q166ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Multimodal.bmpMediaTable(Tables.documents(spark, dir))
+      .map(Multimodal.aHashBmp).toDF()
+      .filter(col("width") >= 8 && col("height") >= 8)
+      .select(col("doc_id"), col("bits"))
+    val banded = hashes
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), j -> struct(j AS band, substring(bits, j*16 + 1, 16) AS key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("bits").as("ba")), "id_a")
+      .join(hashes.select(col("doc_id").as("id_b"), col("bits").as("bb")), "id_b")
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> " +
+          "acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q166Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 32 AS INTEGER) AS w,
+      |    CAST(1 + doc_id % 24 AS INTEGER) AS h
+      |  FROM documents
+      |  WHERE doc_id % 32 >= 7 AND doc_id % 24 >= 7),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 192), k ->
+      |      (doc_id
+      |        + (h - 1 - ((k // 24) * h // 8)) * 3 * w
+      |        + 3 * (((k % 24) // 3) * w // 8)
+      |        + (2 - k % 3)) % 256) AS vals
+      |  FROM geom),
+      |g AS (
+      |  SELECT doc_id, list_transform(range(0, 64), k ->
+      |    (vals[3*k + 1] + vals[3*k + 2] + vals[3*k + 3]) // 3) AS gr
+      |  FROM t),
+      |bits AS (
+      |  SELECT doc_id, array_to_string(list_transform(gr, x ->
+      |    CASE WHEN x > list_sum(gr) // 64 THEN 1 ELSE 0 END), '') AS b
+      |  FROM g),
+      |banded AS (
+      |  SELECT doc_id, band, substr(b, band * 16 + 1, 16) AS key
+      |  FROM bits, UNNEST([0, 1, 2, 3]) AS u(band)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x
+      |  JOIN banded y ON x.band = y.band AND x.key = y.key
+      |    AND x.doc_id < y.doc_id),
+      |hm AS (
+      |  SELECT id_a, id_b,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CASE WHEN substr(a.b, i, 1) = substr(c.b, i, 1)
+      |           THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+      |  FROM cand
+      |  JOIN bits a ON a.doc_id = id_a
+      |  JOIN bits c ON c.doc_id = id_b)
+      |SELECT id_a, id_b, hamming FROM hm
+      |WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_image_neardup"     -> (q166ImageNearDup _),
     "q113_video_meta"        -> (q113VideoMeta _),
     "q131_video_pixels"      -> (q131VideoPixels _),
     "q47_udf_source_id"      -> (q47UdfSourceId _),
@@ -409,6 +503,7 @@ object ExtensionQueries {
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q166_image_neardup"     -> q166Oracle,
     "q113_video_meta"        -> q113Oracle,
     "q131_video_pixels"      -> q131Oracle,
     "q47_udf_source_id"      -> q47Oracle,

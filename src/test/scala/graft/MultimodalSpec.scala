@@ -82,6 +82,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(r.frames_csv === expected)
   }
 
+  test("q166 banding is lossless at Hamming ≤ 3: output equals brute-force all-pairs") {
+    // pigeonhole: ≤3 differing bits cannot touch all 4 bands of 16, so
+    // the band-bucketed candidate join must recover EVERY qualifying
+    // pair — compare against exhaustive all-pairs over the same hashes
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val hashes = Multimodal.bmpMediaTable(Tables.documents(spark, sfDir))
+      .map(Multimodal.aHashBmp).collect()
+      .filter(a => a.width >= 8 && a.height >= 8)
+      .map(a => a.doc_id -> a.bits).sortBy(_._1)
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      d = hashes(i)._2.zip(hashes(j)._2).count { case (x, y) => x != y }
+      if d <= 3
+    } yield (hashes(i)._1, hashes(j)._1, d)).toSet
+    val got = SparkEntry.queries("q166_image_neardup")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus is known to contain near-dup images")
+  }
+
+  test("aHash is invariant under a uniform brightness shift (no wrap)") {
+    // shift every pixel byte of a real generated BMP by +1 where no 255
+    // wrap occurs: grays and mean move together, bits must not change
+    val base = Multimodal.bmpMediaTable(Tables.documents(spark, sfDir))
+      .collect().find { m =>
+        val h = Multimodal.aHashBmp(m)
+        h.width >= 8 && h.height >= 8 &&
+          !m.payload.drop(54).exists(b => (b & 0xff) >= 255)
+      }.get
+    val shifted = {
+      val p = base.payload.clone()
+      var i = 54 // canonical header size used by the generator
+      while (i < p.length) { p(i) = ((p(i) & 0xff) + 1).toByte; i += 1 }
+      MediaRow(base.doc_id, base.media_type, p)
+    }
+    assert(Multimodal.aHashBmp(shifted).bits === Multimodal.aHashBmp(base).bits)
+  }
+
   test("decodeBmp walks rows stride-aware (padding bytes never counted)") {
     // width 1 → rowBytes 3, stride 4: one padding byte per row. A decoder
     // that read stride-many bytes per row would dilute the mean with the
