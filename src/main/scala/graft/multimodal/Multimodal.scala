@@ -336,6 +336,14 @@ object Multimodal {
     * their sum.
     */
   def resampleWavNN(m: MediaRow, targetRate: Int): Resampled = {
+    val (sampleRate, channels, nFrames, outFrames, out) = resampledPcm(m, targetRate)
+    Resampled(m.doc_id, sampleRate, channels, nFrames, outFrames,
+      out.mkString(","), out.map(_.toLong).sum)
+  }
+
+  /** Shared ZOH-resample core: (source rate, channels, source frames,
+    * output frames, interleaved resampled samples). */
+  private def resampledPcm(m: MediaRow, targetRate: Int): (Int, Int, Int, Int, Array[Int]) = {
     require(isWav(m.payload), s"doc ${m.doc_id}: not a RIFF/WAVE payload")
     val buf = java.nio.ByteBuffer.wrap(m.payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -374,8 +382,41 @@ object Multimodal {
       }
       t += 1
     }
-    Resampled(m.doc_id, sampleRate, channels, nFrames, outFrames,
-      out.mkString(","), out.map(_.toLong).sum)
+    (sampleRate, channels, nFrames, outFrames, out)
+  }
+
+  case class AudioHash(doc_id: Long, n_frames_out: Int, bits: String)
+
+  /** ENERGY-ENVELOPE fingerprint of a WAV payload — the audio analogue of
+    * [[aHashBmp]]: resample to the canonical 8 kHz (rate-invariance: the
+    * same audio at 8/44.1 kHz must fingerprint alike), collapse channels
+    * into a per-frame |amplitude| energy, split the timeline into 64
+    * equal windows, and emit bit w = (window mean energy > overall mean)
+    * — compared CROSS-MULTIPLIED (eₖ·n > E·nₖ) so unequal window sizes
+    * need no division and the bits are integer-exact. Loudness structure
+    * over time, not waveform identity: a volume-scaled or re-encoded
+    * copy keeps its envelope shape. Overflow: |amp| ≤ 2¹⁵, so e·n fits a
+    * Long to ~2⁴³ frames — thousands of hours of audio per row.
+    */
+  def aHashWav(m: MediaRow): AudioHash = {
+    val (_, ch, _, outFrames, s) = resampledPcm(m, 8000)
+    val fe = Array.tabulate(outFrames) { f =>
+      var e = 0L
+      var c = 0
+      while (c < ch) { e += math.abs(s(f * ch + c)); c += 1 }
+      e
+    }
+    val total = fe.sum
+    val n = outFrames
+    val bits = Array.tabulate(64) { w =>
+      val lo = w * n / 64
+      val hi = (w + 1) * n / 64
+      var ew = 0L
+      var f = lo
+      while (f < hi) { ew += fe(f); f += 1 }
+      if (ew * n > total * (hi - lo)) '1' else '0'
+    }
+    AudioHash(m.doc_id, n, new String(bits))
   }
 
   /** Real-audio media table: every document carries a genuine WAV payload. */

@@ -488,7 +488,96 @@ object ExtensionQueries {
       |WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** AUDIO NEAR-DUPLICATE detection (q167) — energy-envelope fingerprints
+    * over the REAL resampled samples, completing the cross-modality
+    * near-dup trio (text q36/q161, image q166, audio here): every WAV
+    * payload resamples to 8 kHz and hashes its loudness envelope into 64
+    * mean-threshold bits ([[Multimodal.aHashWav]] — rate-invariant by
+    * construction, cross-multiplied so unequal window sizes stay
+    * integer-exact); pairs are mined with the same 4×16 banding (lossless
+    * for the Hamming ≤ 2 confirm — ≤ 2 flipped bits cannot touch all 4
+    * bands) and a 64-position fold confirms the exact distance.
+    *
+    * Scale shape: identical to q166 — projection-only typed-map hashing,
+    * (band, key) equi-join candidates, id-keyed confirm joins. The
+    * oracle replays resample → per-frame energy → window bits → bands →
+    * Hamming from the generator formulas entirely in SQL.
+    */
+  def q167AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Multimodal.wavMediaTable(Tables.documents(spark, dir))
+      .map(Multimodal.aHashWav).toDF()
+      .select(col("doc_id"), col("bits"))
+    val banded = hashes
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), j -> struct(j AS band, substring(bits, j*16 + 1, 16) AS key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("bits").as("ba")), "id_a")
+      .join(hashes.select(col("doc_id").as("id_b"), col("bits").as("bb")), "id_b")
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> " +
+          "acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q167Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |    CAST(100 + doc_id % 400 AS INTEGER) AS nf
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, rate, ch,
+      |         CAST(nf * 8000 // rate AS INTEGER) AS n FROM geom),
+      |s AS (
+      |  SELECT doc_id, ch, n,
+      |    list_transform(range(0, n * ch), k ->
+      |      (doc_id + 7 * (((k // ch) * rate // 8000) * ch + k % ch)) % 201 - 100) AS vals
+      |  FROM g2),
+      |fe AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, n), f ->
+      |      list_sum(list_transform(range(0, ch), c ->
+      |        abs(vals[f * ch + c + 1])))) AS fe
+      |  FROM s),
+      |bits AS (
+      |  SELECT doc_id, array_to_string(list_transform(range(0, 64), w ->
+      |    CASE WHEN COALESCE(list_sum(fe[w * n // 64 + 1 : (w + 1) * n // 64]), 0)
+      |              * n > list_sum(fe) * ((w + 1) * n // 64 - w * n // 64)
+      |         THEN 1 ELSE 0 END), '') AS b
+      |  FROM fe),
+      |banded AS (
+      |  SELECT doc_id, band, substr(b, band * 16 + 1, 16) AS key
+      |  FROM bits, UNNEST([0, 1, 2, 3]) AS u(band)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x
+      |  JOIN banded y ON x.band = y.band AND x.key = y.key
+      |    AND x.doc_id < y.doc_id),
+      |hm AS (
+      |  SELECT id_a, id_b,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      CASE WHEN substr(a.b, i, 1) = substr(c.b, i, 1)
+      |           THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+      |  FROM cand
+      |  JOIN bits a ON a.doc_id = id_a
+      |  JOIN bits c ON c.doc_id = id_b)
+      |SELECT id_a, id_b, hamming FROM hm
+      |WHERE hamming <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_audio_neardup"     -> (q167AudioNearDup _),
     "q166_image_neardup"     -> (q166ImageNearDup _),
     "q113_video_meta"        -> (q113VideoMeta _),
     "q131_video_pixels"      -> (q131VideoPixels _),
@@ -503,6 +592,7 @@ object ExtensionQueries {
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q167_audio_neardup"     -> q167Oracle,
     "q166_image_neardup"     -> q166Oracle,
     "q113_video_meta"        -> q113Oracle,
     "q131_video_pixels"      -> q131Oracle,

@@ -104,6 +104,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "corpus is known to contain near-dup images")
   }
 
+  test("q167 audio banding is lossless at Hamming ≤ 2: output equals brute-force all-pairs") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val hashes = Multimodal.wavMediaTable(Tables.documents(spark, sfDir))
+      .map(Multimodal.aHashWav).collect()
+      .map(a => a.doc_id -> a.bits).sortBy(_._1)
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      d = hashes(i)._2.zip(hashes(j)._2).count { case (x, y) => x != y }
+      if d <= 2
+    } yield (hashes(i)._1, hashes(j)._1, d)).toSet
+    val got = SparkEntry.queries("q167_audio_neardup")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus is known to contain near-dup audio")
+  }
+
+  test("aHashWav is rate-invariant: the same signal at two rates fingerprints alike") {
+    // resampling to the canonical 8 kHz is what buys rate invariance —
+    // docs 0 and 4 differ ONLY in doc_id phase; instead test directly:
+    // a doc's fingerprint equals the fingerprint of its own 8 kHz
+    // resample re-wrapped as a WAV (identity under canonicalization)
+    val m = Multimodal.wavMediaTable(Tables.documents(spark, sfDir))
+      .collect().find(_.doc_id % 4 == 3).get // a 44.1 kHz doc
+    val r = Multimodal.resampleWavNN(m, 8000)
+    val samples = r.samples_csv.split(",").map(_.toInt)
+    // rebuild a canonical 8 kHz WAV holding exactly those samples
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(r.n_channels.toShort)
+      .putInt(8000).putInt(8000 * r.n_channels * 2)
+      .putShort((r.n_channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val canon = MediaRow(m.doc_id, "audio", bb.array())
+    assert(Multimodal.aHashWav(canon).bits === Multimodal.aHashWav(m).bits)
+  }
+
   test("aHash is invariant under a uniform brightness shift (no wrap)") {
     // shift every pixel byte of a real generated BMP by +1 where no 255
     // wrap occurs: grays and mean move together, bits must not change
