@@ -1070,7 +1070,103 @@ object CurationQueries {
       |FROM removed r LEFT JOIN cleaned c USING (doc_id)
       |ORDER BY r.doc_id""".stripMargin
 
+  /** END-TO-END CURATION PIPELINE verdict (q168) — the capstone
+    * composition: every document gets ONE verdict by applying the
+    * suite's curation rules in the order a production pre-training
+    * pipeline does (first matching rule wins):
+    *   1. `holdout`       — the doc_id % 97 eval slice (never trained on)
+    *   2. `substring_dup` — shares an exact 50-token gram with an
+    *                        earlier doc (q161's rule)
+    *   3. `contaminated`  — shares a trigram with the held-out eval set
+    *                        (q133's rule)
+    *   4. `low_quality`   — fails the Gopher repetition gate (q78's rule)
+    *   5. `keep`
+    * Built by COMPOSING the existing query DataFrames — the same lazy
+    * composition contract the EtlPipeline tier proves, here at query
+    * level: each rule's own gate proves its semantics and scale shape;
+    * composition adds only doc_id-keyed left joins (high-cardinality,
+    * skew-free) and a codegen'd CASE projection. One frame in, one
+    * labeled frame out — what a dataset builder actually ships.
+    */
+  def q168CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val sub = SimilarityQueries.q161ExactSubstringDedup(spark, dir)
+      .select(col("doc_id"), lit(true).as("sub_dup"))
+    val cont = q133ContaminationCheck(spark, dir)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val qual = q78QualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    docs
+      .join(sub, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, "holdout")
+          .when(col("sub_dup"), "substring_dup")
+          .when(col("contam"), "contaminated")
+          .when(!col("keep"), "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q168Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g50 AS (
+      |  SELECT doc_id, md5(gram) AS gh FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      CASE WHEN len(toks) < 50 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(range(1, len(toks) - 48),
+      |                  i -> array_to_string(toks[i:i+49], ' ')) END)) AS gram
+      |    FROM d)),
+      |sub AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM g50 g JOIN (SELECT gh, MIN(doc_id) AS fd FROM g50 GROUP BY gh) f
+      |    USING (gh)
+      |  WHERE g.doc_id > f.fd),
+      |g3 AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS ng
+      |  FROM d),
+      |ev AS (SELECT DISTINCT ng FROM g3 WHERE doc_id % 97 = 0),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM g3 JOIN ev USING (ng)
+      |  WHERE doc_id % 97 <> 0),
+      |tri AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+      |  FROM d),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |qual AS (
+      |  SELECT tri.doc_id,
+      |    (len(tri.toks) >= 20
+      |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+      |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+      |  FROM tri JOIN top ON tri.doc_id = top.doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 97 = 0 THEN 'holdout'
+      |       WHEN sub.doc_id IS NOT NULL THEN 'substring_dup'
+      |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+      |       WHEN NOT qual.keep THEN 'low_quality'
+      |       ELSE 'keep' END AS verdict
+      |FROM d
+      |LEFT JOIN sub ON sub.doc_id = d.doc_id
+      |LEFT JOIN cont ON cont.doc_id = d.doc_id
+      |LEFT JOIN qual ON qual.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_curation_pipeline" -> (q168CurationPipeline _),
     "q164_span_decontaminate" -> (q164SpanDecontaminate _),
     "q163_creditcard_redact" -> (q163CreditCardRedact _),
     "q160_classifier_training" -> (q160ClassifierTraining _),
@@ -1091,6 +1187,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q168_curation_pipeline" -> q168Oracle,
     "q164_span_decontaminate" -> q164Oracle,
     "q163_creditcard_redact" -> q163Oracle,
     "q160_classifier_training" -> q160Oracle,
