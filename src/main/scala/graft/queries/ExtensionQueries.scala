@@ -413,16 +413,22 @@ object ExtensionQueries {
     *
     * Scale shape: hashing is a projection-only typed map (the multimodal
     * decode posture); candidates come only from (band, key) equi-joins —
-    * never all-pairs; the confirm joins are keyed on doc id. The oracle
-    * replays pixel formula → thumbnail → gray → bits → bands → Hamming
-    * entirely in SQL.
+    * never all-pairs; the confirm joins are keyed on doc id and compute
+    * Hamming as codegen'd `bit_count(xor)` over two 32-bit halves of the
+    * signature (`conv(bits, 2, 10)` per half) — NOT a 64-iteration
+    * higher-order fold, which is interpreted per candidate row and
+    * dominated this query's wall-clock at half a million candidates. The
+    * oracle replays pixel formula → thumbnail → gray → bits → bands →
+    * Hamming entirely in SQL.
     */
   def q166ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashes = Multimodal.bmpMediaTable(Tables.documents(spark, dir))
       .map(Multimodal.aHashBmp).toDF()
       .filter(col("width") >= 8 && col("height") >= 8)
-      .select(col("doc_id"), col("bits"))
+      .select(col("doc_id"), col("bits"),
+        expr("CAST(conv(substring(bits, 1, 32), 2, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(bits, 33, 32), 2, 10) AS BIGINT)").as("h2"))
     val banded = hashes
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), j -> struct(j AS band, substring(bits, j*16 + 1, 16) AS key))"))
@@ -435,11 +441,12 @@ object ExtensionQueries {
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
     cand
-      .join(hashes.select(col("doc_id").as("id_a"), col("bits").as("ba")), "id_a")
-      .join(hashes.select(col("doc_id").as("id_b"), col("bits").as("bb")), "id_b")
-      .withColumn("hamming", expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> " +
-          "acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1))"))
+      .join(hashes.select(col("doc_id").as("id_a"),
+        col("h1").as("a1"), col("h2").as("a2")), "id_a")
+      .join(hashes.select(col("doc_id").as("id_b"),
+        col("h1").as("b1"), col("h2").as("b2")), "id_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -499,15 +506,19 @@ object ExtensionQueries {
     * bands) and a 64-position fold confirms the exact distance.
     *
     * Scale shape: identical to q166 — projection-only typed-map hashing,
-    * (band, key) equi-join candidates, id-keyed confirm joins. The
-    * oracle replays resample → per-frame energy → window bits → bands →
-    * Hamming from the generator formulas entirely in SQL.
+    * (band, key) equi-join candidates, id-keyed confirm joins with the
+    * same codegen'd two-half `bit_count(xor)` Hamming (no interpreted
+    * fold in the hot path). The oracle replays resample → per-frame
+    * energy → window bits → bands → Hamming from the generator formulas
+    * entirely in SQL.
     */
   def q167AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashes = Multimodal.wavMediaTable(Tables.documents(spark, dir))
       .map(Multimodal.aHashWav).toDF()
-      .select(col("doc_id"), col("bits"))
+      .select(col("doc_id"), col("bits"),
+        expr("CAST(conv(substring(bits, 1, 32), 2, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(bits, 33, 32), 2, 10) AS BIGINT)").as("h2"))
     val banded = hashes
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), j -> struct(j AS band, substring(bits, j*16 + 1, 16) AS key))"))
@@ -520,11 +531,12 @@ object ExtensionQueries {
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
     cand
-      .join(hashes.select(col("doc_id").as("id_a"), col("bits").as("ba")), "id_a")
-      .join(hashes.select(col("doc_id").as("id_b"), col("bits").as("bb")), "id_b")
-      .withColumn("hamming", expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> " +
-          "acc + IF(substring(ba, i, 1) = substring(bb, i, 1), 0, 1))"))
+      .join(hashes.select(col("doc_id").as("id_a"),
+        col("h1").as("a1"), col("h2").as("a2")), "id_a")
+      .join(hashes.select(col("doc_id").as("id_b"),
+        col("h1").as("b1"), col("h2").as("b2")), "id_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
       .filter(col("hamming") <= 2)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
