@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-mining / data-integration operators over the TPC-H-ish tables:
+  * entity resolution, association mining, incremental view maintenance,
+  * cross-source normalization — the curation-adjacent workloads a
+  * production lakehouse runs beside the LLM-corpus pipeline.
+  *
+  * Reference scope: the reference engine (`etl_pipeline.py`) moves tables
+  * between JDBC stores and never mines them; everything here is northstar
+  * surface built Spark-first, gated by DuckDB oracles like the rest of the
+  * suite.
+  */
+object MiningQueries {
+
+  /** BLOCKED FUZZY ENTITY RESOLUTION (q169) — the record-linkage core of
+    * every data-integration pipeline: resolve free-text mentions against a
+    * canonical entity catalog without an all-pairs distance scan.
+    *
+    * Catalog = the distinct part names (entity id = min part key bearing
+    * the name — the canonical-row convention of q119). Mentions = every
+    * 10th part's name with one deterministic vowel class removed (the
+    * replayable stand-in for typo'd upstream feeds). Resolution:
+    *   1. BLOCK on the consonant skeleton (`translate(name,'aeiou','')`) —
+    *      vowel-dropping corruption cannot change the skeleton, so the
+    *      true entity is always in the mention's block (exact recall for
+    *      this corruption family), and block sizes are bounded by the
+    *      entity-name vocabulary, not the corpus.
+    *   2. SCORE candidates with codegen'd `levenshtein` inside the block.
+    *   3. PICK the best match per mention as one hash aggregate over the
+    *      integer composite distance·10⁶ + entity_id (min = lexicographic
+    *      (distance, entity_id); 10⁶ must exceed the max entity id — holds
+    *      for every test SF; a production run widens the base or swaps in
+    *      a struct-min).
+    *
+    * Scale shape: the catalog is small by construction (entity vocabularies
+    * are; here ≤64 names) and BROADCAST, so resolving 100 TB of mentions is
+    * a map-side join + one mention-keyed aggregate — no shuffle of the
+    * mention stream beyond the final groupBy, never all-pairs.
+    */
+  def q169EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_partkey").isNotNull && col("p_name").isNotNull)
+    val catalog = parts
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+      .withColumn("skeleton", translate(col("p_name"), "aeiou", ""))
+    val mentions = parts
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("mention_id"),
+        expr("replace(p_name, substr('aeo', CAST(p_partkey % 3 AS INT) + 1, 1), '')")
+          .as("mention"))
+      .withColumn("skeleton", translate(col("mention"), "aeiou", ""))
+    mentions
+      .join(broadcast(catalog), "skeleton")
+      .withColumn("d", levenshtein(col("mention"), col("p_name")))
+      .groupBy(col("mention_id"), col("mention"))
+      .agg(min(col("d") * 1000000L + col("entity_id")).as("m"))
+      .select(col("mention_id"), col("mention"),
+        expr("m % 1000000").as("entity_id"),
+        expr("m div 1000000").as("distance"))
+      .orderBy(col("mention_id"))
+  }
+
+  val q169Oracle: String =
+    """WITH catalog AS (
+      |  SELECT p_name, MIN(p_partkey) AS entity_id,
+      |    translate(p_name, 'aeiou', '') AS skeleton
+      |  FROM part GROUP BY p_name),
+      |mentions AS (
+      |  SELECT p_partkey AS mention_id,
+      |    replace(p_name, substr('aeo', CAST(p_partkey % 3 AS INT) + 1, 1), '')
+      |      AS mention
+      |  FROM part WHERE p_partkey % 10 = 0),
+      |m2 AS (
+      |  SELECT mention_id, mention, translate(mention, 'aeiou', '') AS skeleton
+      |  FROM mentions),
+      |best AS (
+      |  SELECT mention_id, mention,
+      |    MIN(levenshtein(mention, p_name) * 1000000 + entity_id) AS m
+      |  FROM m2 JOIN catalog USING (skeleton)
+      |  GROUP BY mention_id, mention)
+      |SELECT mention_id, mention,
+      |  CAST(m % 1000000 AS BIGINT) AS entity_id,
+      |  CAST(m // 1000000 AS BIGINT) AS distance
+      |FROM best ORDER BY mention_id""".stripMargin
+
+  /** MARKET-BASKET PAIR MINING (q170) — association-rule co-occurrence
+    * over order baskets: which part pairs sell together, with exact
+    * integer support, confidence, and a lift>1 verdict.
+    *
+    * Pair generation explodes WITHIN baskets only (self-join on the order
+    * key with part_a < part_b): the fan-out per basket is C(basket,2),
+    * bounded by the order's line count — a data-model constant (≤13 here,
+    * ≤7 in classic TPC-H) independent of corpus size, the same hard
+    * fan-out discipline as q166's bands and q154's df cap. Support
+    * filtering (≥2 baskets) happens straight after the pair aggregate, so
+    * the wide tail never reaches the stats joins.
+    *
+    * Lift > 1 (P(ab) > P(a)·P(b)) is decided by integer cross-
+    * multiplication n·c_ab > c_a·c_b — no division, no floats; confidence
+    * is reported as an exact floored percent. Item counts and the 1-row
+    * basket total ride BROADCAST hash joins (keyed on lit(1) for the
+    * scalar — a broadcast equi-join, not a cartesian).
+    */
+  def q170BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val totals = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets")).withColumn("k", lit(1))
+    val itemCounts = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("item_baskets"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+      .filter(col("pair_baskets") >= 2)
+    pairs
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_a"),
+        col("item_baskets").as("a_baskets"))), "part_a")
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_b"),
+        col("item_baskets").as("b_baskets"))), "part_b")
+      .withColumn("k", lit(1))
+      .join(broadcast(totals), "k")
+      .select(col("part_a"), col("part_b"), col("pair_baskets"),
+        expr("100 * pair_baskets div a_baskets").as("conf_a_pct"),
+        (col("n_baskets") * col("pair_baskets") >
+          col("a_baskets") * col("b_baskets")).as("lift_up"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q170Oracle: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+      |items AS (
+      |  SELECT l_partkey, COUNT(*) AS item_baskets FROM li GROUP BY l_partkey),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS pair_baskets
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, pair_baskets,
+      |  CAST(100 * pair_baskets // ia.item_baskets AS BIGINT) AS conf_a_pct,
+      |  t.n_baskets * pair_baskets > ia.item_baskets * ib.item_baskets
+      |    AS lift_up
+      |FROM pairs
+      |JOIN items ia ON ia.l_partkey = part_a
+      |JOIN items ib ON ib.l_partkey = part_b
+      |CROSS JOIN totals t
+      |ORDER BY part_a, part_b""".stripMargin
+
+  /** INCREMENTAL MATERIALIZED-AGGREGATE MAINTENANCE (q171) — the mergeable
+    * partial-state discipline behind every incremental view at scale: the
+    * per-(year·100+month) order stats are computed as TWO independent
+    * partial states (base = orders before 1999, delta = the rest — the
+    * deterministic stand-in for "yesterday's materialized state + today's
+    * batch") and MERGED by state algebra alone: counts add, sums add, mins
+    * min, maxes max. The query's output is the merged state; the oracle is
+    * a from-scratch aggregate over the whole table — so any non-mergeable
+    * leak (an avg carried as a float, a count lost in the union) breaks
+    * the hash gate. The derived mean is reconstructed from merged sums at
+    * the end (integer cents div), never carried in the state.
+    *
+    * Scale shape: at 100 TB the base state is a tiny persisted frame (one
+    * row per group) and only the delta scans — this query executes the
+    * merge exactly as that pipeline would, with the base partial riding a
+    * union + re-aggregate (no join, no window). Money stays integer cents
+    * ([[graft.queries.ScaleQueries]] dec2 recipe) end-to-end.
+    */
+  def q171IncrementalAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"), cents.as("cents"), col("o_orderdate"))
+    def partialState(df: DataFrame): DataFrame = df
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val split = lit("1999-01-01").cast("timestamp")
+    val base = partialState(orders.filter(col("o_orderdate") < split))
+    val delta = partialState(orders.filter(col("o_orderdate") >= split))
+    base.unionByName(delta)
+      .groupBy(col("ym"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sum_cents"),
+        min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+      .select(col("ym"), col("n_orders"), col("sum_cents"),
+        col("min_cents"), col("max_cents"),
+        expr("sum_cents div n_orders").as("avg_cents"))
+      .orderBy(col("ym"))
+  }
+
+  val q171Oracle: String =
+    """WITH o AS (
+      |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL)
+      |SELECT CAST(ym AS BIGINT) AS ym,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+      |FROM o GROUP BY ym ORDER BY ym""".stripMargin
+
+  /** CROSS-SOURCE QUANTILE NORMALIZATION (q172) — the distribution-
+    * alignment step a multi-source corpus needs before per-doc features
+    * are comparable: each document's feature (n_chars) is replaced by the
+    * POOLED corpus value at the same within-source quantile, so every
+    * source ends up with the pooled distribution and cross-source
+    * thresholds mean the same thing everywhere (the microarray
+    * quantile-normalization recipe, rank-exact).
+    *
+    * Rank machinery is the suite's two-pass scaffold, composed twice off
+    * ONE corpus scan: [[graft.functions.PrefixSum.runningTotal]] gives the
+    * pooled rank (range exchange on (n_chars, doc_id) — no
+    * empty-partition-by window), and the per-source rank is a second
+    * runningTotal over the ALREADY-RANKED frame ordered by pooled rank
+    * (same value order within source, zero extra corpus scans). The
+    * normalized value joins back by integer index
+    * idx = ⌈srk·N/n_s⌉ = (srk·N + n_s − 1) div n_s — a corpus-keyed
+    * equi-join on the pooled rank; counts ride broadcast.
+    */
+  def q172QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        lit(1L).as("one"), lit("all").as("g"))
+    val pooled = graft.functions.PrefixSum.runningTotal(
+      docs, Seq("g"), Seq(col("n_chars").asc, col("doc_id").asc), "one", "prk")
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      pooled.withColumn("one2", lit(1L)),
+      Seq("source"), Seq(col("prk").asc), "one2", "srk")
+    val perSource = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+    val total = ranked.agg(count(lit(1)).as("n")).withColumn("k", lit(1))
+    val target = ranked
+      .join(broadcast(perSource), "source")
+      .withColumn("k", lit(1))
+      .join(broadcast(total), "k")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(srk * n + ns - 1) div ns").as("idx"))
+    target
+      .join(pooled.select(col("prk").as("idx"), col("n_chars").as("norm_chars")),
+        "idx")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q172Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |    AND n_chars IS NOT NULL),
+      |p AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS prk
+      |  FROM d),
+      |s AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY prk) AS srk,
+      |    COUNT(*) OVER (PARTITION BY source) AS ns,
+      |    COUNT(*) OVER () AS n
+      |  FROM p),
+      |m AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (srk * n + ns - 1) // ns AS idx
+      |  FROM s)
+      |SELECT m.doc_id, m.source, m.n_chars, p.n_chars AS norm_chars
+      |FROM m JOIN p ON p.prk = m.idx
+      |ORDER BY m.doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_entity_resolution" -> (q169EntityResolution _),
+    "q170_basket_pairs"      -> (q170BasketPairs _),
+    "q171_incremental_agg"   -> (q171IncrementalAggMaintenance _),
+    "q172_quantile_normalize" -> (q172QuantileNormalize _))
+
+  val oracles: Map[String, String] = Map(
+    "q169_entity_resolution" -> q169Oracle,
+    "q170_basket_pairs"      -> q170Oracle,
+    "q171_incremental_agg"   -> q171Oracle,
+    "q172_quantile_normalize" -> q172Oracle)
+}
