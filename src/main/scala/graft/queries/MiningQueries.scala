@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -280,15 +281,267 @@ object MiningQueries {
       |FROM m JOIN p ON p.prk = m.idx
       |ORDER BY m.doc_id""".stripMargin
 
+  /** CLICKSTREAM TRANSITION MATRIX (q173) — the Markov-chain view of user
+    * navigation: for every consecutive event pair within a user's
+    * timeline, count (from_type → to_type) transitions and report each
+    * row's exact integer share of its from-type's outgoing edges.
+    *
+    * The successor comes from `lead` over a window partitioned by
+    * user_id — the HIGH-cardinality window the suite sanctions (q125/q84
+    * precedent: per-user rows are bounded by user activity, partitions
+    * grow with users, not corpus). Ties on ts break by event_id, so the
+    * sequence is total and both engines replay it identically. The
+    * transition aggregate collapses to |types|² rows; from-type totals
+    * ride a broadcast join; the share is a floored integer percent.
+    */
+  def q173TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val fromTotals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("from_total"))
+    trans.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr("100 * n_transitions div from_total").as("share_pct"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q173Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |t AS (
+      |  SELECT event_type AS from_type, to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |ft AS (
+      |  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+      |  FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n_transitions,
+      |  CAST(100 * t.n_transitions // ft.from_total AS BIGINT) AS share_pct
+      |FROM t JOIN ft ON t.from_type = ft.from_type
+      |ORDER BY t.from_type, t.to_type""".stripMargin
+
+  /** JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (q174) — the dimensionality
+    * reduction that makes 100 TB of embeddings cheap to index: project the
+    * 64-dim vectors onto 16 ±1 random directions (the Achlioptas
+    * sign-matrix construction — distance-preserving in expectation, and
+    * multiplication-free in spirit: every output is a signed SUM of input
+    * coordinates).
+    *
+    * The sign matrix is derived from md5("jl_j_k") (the suite's portable-
+    * hash discipline: md5 is bit-identical in Spark and DuckDB), computed
+    * DRIVER-side once and unrolled into the plan as 16 STATIC signed-sum
+    * expressions over `element_at` — pure whole-stage-codegen arithmetic,
+    * no interpreted higher-order fold (the q166 lesson), no shuffle: the
+    * operator is projection-only and embarrassingly parallel. Inputs ride
+    * the q85 integer grid (floor(x·16+0.5)), so every sum is integer-exact
+    * and the oracle replays the identical matrix from the same md5.
+    */
+  def q174RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, k: Int): Int = {
+      val h = md.digest(s"jl_${j}_$k".getBytes("UTF-8"))
+      // first hex digit < '8'  ⇔  high nibble of byte 0 is 0..7
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+    val grid = transform(graft.functions.Similarity.toDouble(col("embedding")),
+      x => floor(x * 16 + lit(0.5)).cast("long")).as("g")
+    val projCols = (0 until 16).map { k =>
+      (0 until 64).map { j =>
+        val term = element_at(col("g"), j + 1)
+        if (sign(j, k) > 0) term else -term
+      }.reduce(_ + _).as(s"p$k")
+    }
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id") +: grid +: Nil: _*)
+      .select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until 16).map(k => col(s"p$k")): _*)))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("proj"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val q174Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS g
+      |  FROM embeddings WHERE vec_id IS NOT NULL),
+      |proj AS (
+      |  SELECT vec_id, k.k AS dim,
+      |    CAST(list_sum(list_transform(range(0, 64), j ->
+      |      CASE WHEN substr(md5('jl_' || j || '_' || k.k), 1, 1) <= '7'
+      |           THEN g[j + 1] ELSE -g[j + 1] END)) AS BIGINT) AS proj
+      |  FROM v, (SELECT UNNEST(range(0, 16)) AS k) k)
+      |SELECT vec_id, CAST(dim AS INTEGER) AS dim, proj
+      |FROM proj ORDER BY vec_id, dim""".stripMargin
+
+  /** CROSS-DOCUMENT BOILERPLATE REMOVAL (q175) — the C4-style line-level
+    * dedup every web-scale corpus cleanup runs: a text span repeated
+    * across documents is boilerplate (headers, footers, navigation), and
+    * is stripped from EVERY document while each doc's remaining spans keep
+    * their order. Spans here are the deterministic 8-token chunks of
+    * q101's chunking discipline (corpus text carries no newlines; the
+    * operator shape — hash spans, count DISTINCT docs per span, strip
+    * frequent spans, reassemble — is exactly the line-dedup pipeline).
+    *
+    * Scale shape: span doc-frequency is a high-cardinality hash aggregate
+    * on the span key; the strip is a LEFT ANTI join on that same key (no
+    * broadcast assumption — at corpus scale the boilerplate set itself can
+    * be large); reassembly is a doc-keyed sort_array(collect_list) whose
+    * per-doc element count is bounded by document length. Docs that lose
+    * every span (or had none) survive via the left join from the doc base.
+    */
+  def q175BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) div 8 AS BIGINT)").as("n_chunks"),
+        expr("transform(sequence(0, CAST(size(toks) div 8 AS INT) - 1), " +
+          "k -> array_join(slice(toks, k * 8 + 1, 8), ' '))").as("chunks"))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
+    val boiler = exploded
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("chunk"))
+    val kept = exploded
+      .join(boiler, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        array_join(expr("transform(sort_array(collect_list(struct(idx, chunk)))," +
+          " x -> x.chunk)"), " ").as("cleaned_text"))
+    docs.select(col("doc_id"), col("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
+          .as("removed_chunks"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q175Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) // 8 AS BIGINT) AS n_chunks, t FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, k AS idx,
+      |    array_to_string(t[k * 8 + 1 : k * 8 + 8], ' ') AS chunk
+      |  FROM base, UNNEST(range(0, CAST(n_chunks AS INT))) AS u(k)),
+      |boiler AS (
+      |  SELECT chunk FROM chunks GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |kept AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |    array_to_string(list(chunk ORDER BY idx), ' ') AS cleaned_text
+      |  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_chunks,
+      |  COALESCE(k.kept_chunks, 0) AS kept_chunks,
+      |  b.n_chunks - COALESCE(k.kept_chunks, 0) AS removed_chunks,
+      |  COALESCE(k.cleaned_text, '') AS cleaned_text
+      |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** EVENT DEBOUNCE (q176) — the duplicate-notification throttle: within
+    * each (user, event_type) stream, an event arriving within 6 hours of
+    * its predecessor belongs to the same burst, and only the FIRST event
+    * of each burst is kept (gaps-and-islands, batch form of the
+    * stream-side q81 dedup). Burst membership extends through dropped
+    * events — an event 5 h after a dropped one that was 5 h after the
+    * kept one is still suppressed — which is exactly the lag-gap island
+    * rule, NOT a fixed window around the kept event.
+    *
+    * Windows partition by (user_id, event_type) — high-cardinality keys
+    * (q173's sanctioned shape); the island test compares integer
+    * microseconds (unix_micros / epoch_us — identical floors in both
+    * engines). Output is the kept stream plus each burst's size, so the
+    * suppression is auditable.
+    */
+  def q176EventDebounce(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    ev
+      .withColumn("new_burst",
+        when(col("us") - lag(col("us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("burst", sum(col("new_burst")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("burst"))
+      .agg(min(struct(col("us"), col("event_id"))).as("first"),
+        count(lit(1)).as("burst_size"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("first.us").as("kept_us"),
+        col("burst_size"))
+      .orderBy(col("event_id"))
+  }
+
+  val q176Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+      |      <= CAST(6 AS BIGINT) * 3600 * 1000000 THEN 0 ELSE 1 END AS new_burst
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |b AS (
+      |  SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS burst
+      |  FROM e),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
+      |      ORDER BY us, event_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, burst)
+      |      AS BIGINT) AS burst_size
+      |  FROM b)
+      |SELECT event_id, user_id, event_type, us AS kept_us, burst_size
+      |FROM r WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
     "q171_incremental_agg"   -> (q171IncrementalAggMaintenance _),
-    "q172_quantile_normalize" -> (q172QuantileNormalize _))
+    "q172_quantile_normalize" -> (q172QuantileNormalize _),
+    "q173_transition_matrix" -> (q173TransitionMatrix _),
+    "q174_random_projection" -> (q174RandomProjection _),
+    "q175_boilerplate_removal" -> (q175BoilerplateRemoval _),
+    "q176_event_debounce"    -> (q176EventDebounce _))
 
   val oracles: Map[String, String] = Map(
     "q169_entity_resolution" -> q169Oracle,
     "q170_basket_pairs"      -> q170Oracle,
     "q171_incremental_agg"   -> q171Oracle,
-    "q172_quantile_normalize" -> q172Oracle)
+    "q172_quantile_normalize" -> q172Oracle,
+    "q173_transition_matrix" -> q173Oracle,
+    "q174_random_projection" -> q174Oracle,
+    "q175_boilerplate_removal" -> q175Oracle,
+    "q176_event_debounce"    -> q176Oracle)
 }
