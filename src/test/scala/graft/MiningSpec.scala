@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.MiningQueries
+
+/** Invariant + plan-shape tests for the mining/integration operators
+  * (q169–q176). The DuckDB oracle gates exactness; these pin the
+  * semantic laws and the scale-relevant plan choices.
+  */
+class MiningSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q169: every mention resolves once, never worse than its source name") {
+    val out = MiningQueries.q169EntityResolution(spark, sfDir)
+    val rows = out.collect()
+    val parts = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name").as[(Long, String)].collect().toMap
+    val nMentions = parts.keys.count(_ % 10 == 0)
+    assert(rows.length === nMentions)
+    assert(rows.map(_.getAs[Long]("mention_id")).distinct.length === nMentions)
+    // the resolved distance can never exceed the distance to the mention's
+    // own source name (the source is always inside the skeleton block)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val src = parts(r.getAs[Long]("mention_id"))
+      assert(r.getAs[Long]("distance") <= lev(r.getAs[String]("mention"), src))
+    }
+    // scale shape: the catalog rides a broadcast join
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q170: pair supports match a brute-force basket recount; lift is exact") {
+    val out = MiningQueries.q170BasketPairs(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairCounts = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val itemCounts = li.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = baskets.size.toLong
+    assert(out.length === pairCounts.count(_._2 >= 2))
+    out.foreach { r =>
+      val key = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("pair_baskets") === pairCounts(key).toLong)
+      val expectLift = n * pairCounts(key) >
+        itemCounts(key._1).toLong * itemCounts(key._2)
+      assert(r.getAs[Boolean]("lift_up") === expectLift)
+    }
+  }
+
+  test("q171: merged base+delta state equals a direct one-pass aggregate") {
+    val merged = MiningQueries.q171IncrementalAggMaintenance(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("ym") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+      .collect().map(r => r.getAs[Long]("ym") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(merged === direct)
+  }
+
+  test("q172: normalized values come from the pooled distribution; " +
+    "each source's top doc maps to the pooled max") {
+    val rows = MiningQueries.q172QuantileNormalize(spark, sfDir).collect()
+    val pooled = rows.map(_.getAs[Long]("n_chars")).toSet
+    assert(rows.forall(r => pooled.contains(r.getAs[Long]("norm_chars"))))
+    val globalMax = rows.map(_.getAs[Long]("n_chars")).max
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val top = rs.maxBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      assert(top.getAs[Long]("norm_chars") === globalMax)
+    }
+  }
+
+  test("q174: projection matches an independent driver-side recompute; " +
+    "the operator itself is shuffle-free") {
+    val out = MiningQueries.q174RandomProjection(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length === 500 * 16)
+    // independent recompute for one vector
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, k: Int): Int = {
+      val h = md.digest(s"jl_${j}_$k".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+    val vec = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    val g = vec.map(x => math.floor(x * 16 + 0.5).toLong)
+    val expected = (0 until 16).map(k =>
+      (0 until 64).map(j => sign(j, k) * g(j)).sum)
+    val got = rows.filter(_.getAs[Long]("vec_id") == 0L)
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("proj")).toSeq
+    assert(got === expected)
+    // scale shape: the only exchange is the presentation sort's range
+    // partitioning — the projection itself never shuffles
+    val plan = out.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.take(cut) else plan
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(finalPlan).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")), finalPlan.take(3000))
+  }
+
+  test("q175: kept spans are corpus-unique; removed+kept counts reconcile") {
+    val rows = MiningQueries.q175BoilerplateRemoval(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") ===
+        r.getAs[Long]("kept_chunks") + r.getAs[Long]("removed_chunks"))
+    }
+    // re-chunk every cleaned text (all spans are exactly 8 tokens) and
+    // assert no surviving span appears in two documents
+    val keptChunks = rows.flatMap { r =>
+      val txt = r.getAs[String]("cleaned_text")
+      if (txt.isEmpty) Seq.empty
+      else txt.split(" ").grouped(8).map(c =>
+        (r.getAs[Long]("doc_id"), c.mkString(" "))).toSeq
+    }
+    keptChunks.groupBy(_._2).foreach { case (chunk, occ) =>
+      assert(occ.map(_._1).distinct.length === 1,
+        s"boilerplate span survived in ${occ.length} docs: $chunk")
+    }
+  }
+
+  test("q176: kept events within a key are always > 6h apart; " +
+    "burst sizes account for every event") {
+    val rows = MiningQueries.q176EventDebounce(spark, sfDir).collect()
+    val gapUs = 6L * 3600 * 1000000
+    rows.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .foreach { case (_, rs) =>
+        val times = rs.map(_.getAs[Long]("kept_us")).sorted
+        times.sliding(2).foreach {
+          case Array(a, b) => assert(b - a > gapUs)
+          case _ =>
+        }
+      }
+    val total = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("burst_size")).sum === total)
+  }
+}
