@@ -43,7 +43,10 @@ object PlanDump {
     "q149_equidepth_bins" -> "equi-depth bins from the distributed rank: range-partitioned corpus, no 3-value-key window exchange",
     "q154_sparse_simjoin" -> "sparse tf-idf pair join: df-capped anchor pairing (bounded fan-out) + full-score confirm joins, high-cardinality (d1,d2) aggregate",
     "q78_quality_repetition" -> "repetition filter as a pure projection: codegen'd ShingleStrings + MaxTokenCount, no explode/join/exchange but the output sort",
-    "q164_span_decontaminate" -> "span decontamination: broadcast eval grams, constant 7-row hit fan-out, (doc_id,pos) anti-join, bounded per-doc reassembly")
+    "q164_span_decontaminate" -> "span decontamination: broadcast eval grams, constant 7-row hit fan-out, (doc_id,pos) anti-join, bounded per-doc reassembly",
+    "q166_image_neardup" -> "image near-dup: band-bucketed candidates, codegen'd bit_count(xor) Hamming confirm (no interpreted fold)",
+    "q169_entity_resolution" -> "entity resolution: broadcast skeleton-blocked catalog, levenshtein scoring, mention-keyed min aggregate",
+    "q174_random_projection" -> "JL projection: 16 static signed sums in one codegen'd projection — no shuffle before the presentation sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -525,6 +525,292 @@ object MiningQueries {
       |FROM r WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** JOIN-KEY SKEW DIAGNOSIS (q177) — the observability pass you run
+    * BEFORE choosing a skew mitigation (q77's salting, AQE skew-join):
+    * profile a prospective join key's distribution and surface the top
+    * keys with their exact share and their multiple of the uniform
+    * expectation (count·D/N — how many times hotter than a perfectly
+    * uniform key). Integer ppm arithmetic keeps the report oracle-exact.
+    *
+    * Scale shape: one high-cardinality count aggregate over the key, a
+    * two-value totals frame on a broadcast lit-key join, and a global
+    * top-20 that plans as TakeOrdered (no full sort). Ties at the cut
+    * break deterministically by (count desc, key asc).
+    */
+  def q177SkewDiagnosis(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey").isNotNull)
+      .select(col("l_partkey"))
+    val counts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+      .withColumn("k", lit(1))
+    counts.withColumn("k", lit(1))
+      .join(broadcast(totals), "k")
+      .select(col("l_partkey"), col("cnt"),
+        expr("cnt * 1000000 div n_rows").as("share_ppm"),
+        expr("cnt * n_keys * 1000000 div n_rows").as("uniform_x_ppm"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+
+  val q177Oracle: String =
+    """WITH c AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+      |t AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+      |SELECT l_partkey, cnt,
+      |  CAST(cnt * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
+      |  CAST(cnt * t.n_keys * 1000000 // t.n_rows AS BIGINT) AS uniform_x_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, l_partkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** ANN RECALL@K EVALUATION (q178) — the retrieval-quality harness every
+    * ANN deployment needs: score the LSH index (q41) against brute-force
+    * ground truth (q40) and report exact per-query recall@5. Both sides
+    * are deterministic registered queries, so the evaluation itself is
+    * oracle-gated — the oracle recomputes BOTH pipelines in SQL and takes
+    * the same intersection (an eval harness you can trust is one whose
+    * own arithmetic is verified).
+    *
+    * Scale shape: both inputs end top-k-per-query (tiny frames at any
+    * corpus size — k·|queries| rows); the intersection is a left join on
+    * (qid, vid) and a per-qid count. Queries with zero retrieved overlap
+    * still report (left join, not inner).
+    */
+  def q178AnnRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val gt = SimilarityQueries.q40CosineTopK(spark, dir)
+      .select(col("qid"), col("vid"))
+    val cand = SimilarityQueries.q41AnnLsh(spark, dir)
+      .select(col("qid"), col("vid"), lit(1L).as("hit"))
+    gt.join(cand, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("k"), col("hits"),
+        expr("100 * hits div k").as("recall_pct"))
+      .orderBy(col("qid"))
+  }
+
+  val q178Oracle: String =
+    s"""WITH gt AS (SELECT qid, vid FROM (${SimilarityQueries.q40Oracle})),
+       |cand AS (SELECT qid, vid FROM (${SimilarityQueries.q41Oracle}))
+       |SELECT gt.qid, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN cand.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits,
+       |  CAST(100 * SUM(CASE WHEN cand.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM gt LEFT JOIN cand ON gt.qid = cand.qid AND gt.vid = cand.vid
+       |GROUP BY gt.qid ORDER BY gt.qid""".stripMargin
+
+  /** SNAPSHOT RECONCILIATION DIFF (q179) — the table-diff operator behind
+    * data validation and CDC backfills: given two snapshot versions of a
+    * keyed table, emit per key whether it was ADDED, REMOVED, or CHANGED —
+    * and for changed rows, WHICH columns differ (the audit detail a
+    * reconciliation report needs). The two versions derive
+    * deterministically from `customer` (v1 drops key%13=0, v2 drops
+    * key%11=0 and mutates name/nationkey on key%5=0 / key%7=0), so both
+    * engines rebuild identical snapshots.
+    *
+    * Scale shape: ONE full-outer join on the snapshot key (both sides
+    * shuffle once on the key — the minimal movement any diff needs),
+    * null-safe column compares (`<=>`) so real nulls diff correctly, and
+    * unchanged rows are filtered out before presentation. At 100 TB this
+    * is the shape you want: no collect, no window, per-key work O(cols).
+    */
+  def q179SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_custkey").isNotNull)
+    val v1 = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("*")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 7 === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        col("c_mktsegment"))
+    val joined = v1.select(col("c_custkey"), struct(col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).as("a"))
+      .join(v2.select(col("c_custkey"), struct(col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).as("b")),
+        Seq("c_custkey"), "full_outer")
+    joined
+      .withColumn("status",
+        when(col("a").isNull, lit("added"))
+          .when(col("b").isNull, lit("removed"))
+          .when(!(col("a") <=> col("b")), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .withColumn("changed_cols", when(col("status") === "changed",
+        concat_ws(",",
+          when(!(col("a.c_name") <=> col("b.c_name")), lit("c_name")),
+          when(!(col("a.c_nationkey") <=> col("b.c_nationkey")),
+            lit("c_nationkey")),
+          when(!(col("a.c_mktsegment") <=> col("b.c_mktsegment")),
+            lit("c_mktsegment")))).otherwise(lit("")))
+      .select(col("c_custkey"), col("status"), col("changed_cols"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q179Oracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+      |  WHERE c_custkey IS NOT NULL AND c_custkey % 13 <> 0),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN c_name || '*' ELSE c_name END
+      |      AS c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1 ELSE c_nationkey
+      |      END AS c_nationkey,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 11 <> 0),
+      |j AS (
+      |  SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+      |    v1.c_custkey IS NOT NULL AS in1, v2.c_custkey IS NOT NULL AS in2,
+      |    v1.c_name AS n1, v2.c_name AS n2,
+      |    v1.c_nationkey AS k1, v2.c_nationkey AS k2,
+      |    v1.c_mktsegment AS s1, v2.c_mktsegment AS s2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey),
+      |d AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN NOT in1 THEN 'added'
+      |         WHEN NOT in2 THEN 'removed'
+      |         WHEN n1 IS DISTINCT FROM n2 OR k1 IS DISTINCT FROM k2
+      |              OR s1 IS DISTINCT FROM s2 THEN 'changed'
+      |         ELSE 'same' END AS status,
+      |    n1 IS DISTINCT FROM n2 AS dn, k1 IS DISTINCT FROM k2 AS dk,
+      |    s1 IS DISTINCT FROM s2 AS ds
+      |  FROM j)
+      |SELECT c_custkey, status,
+      |  CASE WHEN status = 'changed' THEN
+      |    array_to_string(list_filter(
+      |      [CASE WHEN dn THEN 'c_name' END,
+      |       CASE WHEN dk THEN 'c_nationkey' END,
+      |       CASE WHEN ds THEN 'c_mktsegment' END], x -> x IS NOT NULL), ',')
+      |  ELSE '' END AS changed_cols
+      |FROM d WHERE status <> 'same'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** PERCENTILE WINSORIZATION (q180) — the outlier-robust feature clamp
+    * (finance/ML preprocessing staple): clip each group's values into
+    * [p05, p95] and report the clip census plus the winsorized sum/mean.
+    * Bounds come from [[graft.functions.Percentiles.exactPercentiles]] —
+    * the distributed-rank operator (one range exchange; NO per-group
+    * buffer-and-sort) whose interpolation is bit-equal to quantile_cont —
+    * then snap to integer cents via floor(x+0.5) (the engine-portable
+    * rounding) so every downstream sum stays integer-exact.
+    *
+    * Scale shape: quantile pass + broadcast of the G-row bounds frame +
+    * one codegen'd clamp projection + one aggregate. The clamp never
+    * shuffles the corpus a second time.
+    */
+  def q180Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val bounds = graft.functions.Percentiles
+      .exactPercentiles(li, "l_returnflag", "cents", Seq(0.05, 0.95))
+      .select(col("l_returnflag"),
+        expr("CAST(floor(p5 + 0.5) AS BIGINT)").as("lo"),
+        expr("CAST(floor(p95 + 0.5) AS BIGINT)").as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("w", expr("least(greatest(cents, lo), hi)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo_cents"), min(col("hi")).as("hi_cents"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("w")).as("winsorized_sum_cents"))
+      .select(col("l_returnflag"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clip_lo"), col("n_clip_hi"), col("winsorized_sum_cents"),
+        expr("winsorized_sum_cents div n").as("winsorized_mean_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q180Oracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |b AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(quantile_cont(cents, 0.05) + 0.5) AS BIGINT) AS lo,
+      |    CAST(FLOOR(quantile_cont(cents, 0.95) + 0.5) AS BIGINT) AS hi
+      |  FROM li GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(lo) AS lo_cents, MIN(hi) AS hi_cents,
+      |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT)
+      |    AS winsorized_sum_cents,
+      |  CAST(SUM(LEAST(GREATEST(cents, lo), hi)) // COUNT(*) AS BIGINT)
+      |    AS winsorized_mean_cents
+      |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
+      |GROUP BY li.l_returnflag
+      |ORDER BY li.l_returnflag""".stripMargin
+
+  /** PER-SEGMENT OLS TREND (q181) — closed-form least-squares slope of the
+    * daily event volume per event type: the segment-trend screen a
+    * monitoring pipeline runs over activity series. Days are integer epoch
+    * days CENTERED on the global minimum (1-row broadcast) so every moment
+    * (Σx, Σy, Σxy, Σx²) stays far from BIGINT range at any horizon, and
+    * the slope ships as an exact parts-per-million integer
+    * (10⁶·(n·Σxy − Σx·Σy) div (n·Σx² − Σx²) — both engines truncate
+    * division toward zero identically, negative slopes included).
+    *
+    * Scale shape: two hash aggregates ((type, day) then type) and a 1-row
+    * broadcast — trend detection at 100 TB without a single window or
+    * collect. The moments ride along in the output for auditability.
+    */
+  def q181TrendPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val minDay = ev.agg(min(col("day")).as("d0")).withColumn("k", lit(1))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("k", lit(1))
+      .join(broadcast(minDay), "k")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"),
+        expr("(1000000 * (n_days * sxy - sx * sy)) div " +
+          "(n_days * sxx - sx * sx)").as("slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q181Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |m AS (SELECT MIN(day) AS d0 FROM e),
+      |daily AS (
+      |  SELECT event_type, day - m.d0 AS x, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM e CROSS JOIN m GROUP BY event_type, day - m.d0),
+      |mom AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days, sx, sy, sxy, sxx,
+      |  CAST((1000000 * (n_days * sxy - sx * sy)) //
+      |    (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm
+      |FROM mom ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
@@ -533,7 +819,12 @@ object MiningQueries {
     "q173_transition_matrix" -> (q173TransitionMatrix _),
     "q174_random_projection" -> (q174RandomProjection _),
     "q175_boilerplate_removal" -> (q175BoilerplateRemoval _),
-    "q176_event_debounce"    -> (q176EventDebounce _))
+    "q176_event_debounce"    -> (q176EventDebounce _),
+    "q177_skew_diagnosis"    -> (q177SkewDiagnosis _),
+    "q178_ann_recall_eval"   -> (q178AnnRecallEval _),
+    "q179_snapshot_diff"     -> (q179SnapshotDiff _),
+    "q180_winsorize"         -> (q180Winsorize _),
+    "q181_trend_per_segment" -> (q181TrendPerSegment _))
 
   val oracles: Map[String, String] = Map(
     "q169_entity_resolution" -> q169Oracle,
@@ -543,5 +834,10 @@ object MiningQueries {
     "q173_transition_matrix" -> q173Oracle,
     "q174_random_projection" -> q174Oracle,
     "q175_boilerplate_removal" -> q175Oracle,
-    "q176_event_debounce"    -> q176Oracle)
+    "q176_event_debounce"    -> q176Oracle,
+    "q177_skew_diagnosis"    -> q177Oracle,
+    "q178_ann_recall_eval"   -> q178Oracle,
+    "q179_snapshot_diff"     -> q179Oracle,
+    "q180_winsorize"         -> q180Oracle,
+    "q181_trend_per_segment" -> q181Oracle)
 }
