@@ -140,6 +140,92 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q177: shares reconcile and the report is the true global top-20") {
+    val rows = MiningQueries.q177SkewDiagnosis(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val counts = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey").isNotNull)
+      .groupBy("l_partkey").count()
+      .as[(Long, Long)].collect()
+    val top = counts.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(rows.map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("cnt")))
+      .toSeq === top.toSeq)
+    val n = counts.map(_._2).sum
+    rows.foreach(r =>
+      assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("cnt") * 1000000L / n))
+  }
+
+  test("q178: recall is the true ground-truth overlap and never exceeds 100") {
+    val rows = MiningQueries.q178AnnRecallEval(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val gt = queries.SimilarityQueries.q40CosineTopK(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val cand = queries.SimilarityQueries.q41AnnLsh(spark, sfDir)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val expect = gt.count(p => p._1 == qid && cand.contains(p))
+      assert(r.getAs[Long]("hits") === expect.toLong)
+      assert(r.getAs[Long]("recall_pct") <= 100L)
+    }
+  }
+
+  test("q179: diff statuses reconstruct the two snapshots exactly") {
+    val rows = MiningQueries.q179SnapshotDiff(spark, sfDir).collect()
+    val keys = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey").isNotNull)
+      .select("c_custkey").as[Long].collect()
+    val added = keys.filter(k => k % 13 == 0 && k % 11 != 0).toSet
+    val removed = keys.filter(k => k % 13 != 0 && k % 11 == 0).toSet
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("c_custkey")).toSet).toMap
+    assert(byStatus.getOrElse("added", Set.empty) === added)
+    assert(byStatus.getOrElse("removed", Set.empty) === removed)
+    // changed rows: exactly the surviving keys hit by a mutation rule,
+    // and the changed-column list matches the rule that fired
+    byStatus.getOrElse("changed", Set.empty).foreach { k =>
+      assert(k % 13 != 0 && k % 11 != 0 && (k % 5 == 0 || k % 7 == 0))
+    }
+    rows.filter(_.getAs[String]("status") == "changed").foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      val expect = Seq(
+        if (k % 5 == 0) Some("c_name") else None,
+        if (k % 7 == 0) Some("c_nationkey") else None).flatten.mkString(",")
+      assert(r.getAs[String]("changed_cols") === expect)
+    }
+  }
+
+  test("q180: winsorized sum equals a brute-force clamp at the same bounds") {
+    val rows = MiningQueries.q180Winsorize(spark, sfDir).collect()
+    val cents = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val vs = cents(r.getAs[String]("l_returnflag")).map(_._2)
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(lo <= hi)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(r.getAs[Long]("n_clip_lo") === vs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clip_hi") === vs.count(_ > hi).toLong)
+      assert(r.getAs[Long]("winsorized_sum_cents") ===
+        vs.map(v => math.min(math.max(v, lo), hi)).sum)
+    }
+  }
+
+  test("q181: slope sign and value match a driver-side least-squares fit") {
+    val rows = MiningQueries.q181TrendPerSegment(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n_days"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"))
+      val num = 1000000L * (n * sxy - sx * sy)
+      val den = n * sxx - sx * sx
+      assert(den > 0)
+      assert(r.getAs[Long]("slope_ppm") === num / den)
+    }
+  }
+
   test("q176: kept events within a key are always > 6h apart; " +
     "burst sizes account for every event") {
     val rows = MiningQueries.q176EventDebounce(spark, sfDir).collect()
