@@ -811,6 +811,210 @@ object MiningQueries {
       |    (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm
       |FROM mom ORDER BY event_type""".stripMargin
 
+  /** CONTRASTIVE TRAINING-PAIR CONSTRUCTION (q182) — the labeled-pair
+    * builder for embedding-model training: POSITIVES are the suite's
+    * confirmed near-duplicate pairs ([[SimilarityQueries]] q36 relation —
+    * banded-LSH candidates, exact-Jaccard confirm), NEGATIVES are three
+    * deterministic md5-sampled corpus documents per anchor (the standard
+    * filtered random negative: a sampled id that collides with a true
+    * positive of the anchor — either orientation — or with the anchor
+    * itself is dropped rather than mislabeled; df-style hash sampling
+    * keeps re-runs and re-orderings reproducible).
+    *
+    * Scale shape: negatives are a projection per anchor (constant k=3
+    * fan-out) + one anti-join against the positive pair set on the
+    * normalized (lo, hi) key — no corpus self-join anywhere; the corpus
+    * size rides a 1-row broadcast.
+    */
+  def q182ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pos = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n")).withColumn("k", lit(1))
+    val negRaw = pos.select(col("id_a")).distinct()
+      .withColumn("k", lit(1))
+      .join(broadcast(nDocs), "k")
+      .select(col("id_a"), explode(expr(
+        "transform(sequence(0, 2), j -> " +
+          "CAST(conv(substring(md5(concat(CAST(id_a AS STRING), '_', " +
+          "CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % n)")).as("id_b"))
+      .filter(col("id_b") =!= col("id_a"))
+      .distinct()
+    val posKeys = pos.select(
+      least(col("id_a"), col("id_b")).as("lo"),
+      greatest(col("id_a"), col("id_b")).as("hi"))
+    val neg = negRaw
+      .withColumn("lo", least(col("id_a"), col("id_b")))
+      .withColumn("hi", greatest(col("id_a"), col("id_b")))
+      .join(posKeys, Seq("lo", "hi"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    pos.withColumn("label", lit(1L))
+      .unionByName(neg.withColumn("label", lit(0L)))
+      .orderBy(col("id_a"), col("id_b"), col("label"))
+  }
+
+  val q182Oracle: String =
+    s"""WITH pos AS (
+       |  SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |negraw AS (
+       |  SELECT DISTINCT a.id_a,
+       |    CAST('0x' || substr(md5(CAST(a.id_a AS VARCHAR) || '_' || j), 1, 8)
+       |      AS BIGINT) % n1.n AS id_b
+       |  FROM (SELECT DISTINCT id_a FROM pos) a
+       |  CROSS JOIN n1, UNNEST([0, 1, 2]) AS u(j)),
+       |neg AS (
+       |  SELECT nr.id_a, nr.id_b FROM negraw nr
+       |  WHERE nr.id_b <> nr.id_a
+       |    AND NOT EXISTS (SELECT 1 FROM pos p
+       |      WHERE LEAST(p.id_a, p.id_b) = LEAST(nr.id_a, nr.id_b)
+       |        AND GREATEST(p.id_a, p.id_b) = GREATEST(nr.id_a, nr.id_b)))
+       |SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+       |UNION ALL
+       |SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg
+       |ORDER BY id_a, id_b, label""".stripMargin
+
+  /** POSTING-LIST DELTA-GAP ENCODING (q183) — the index-compression pass
+    * behind every search engine's storage layer: per (term, segment) the
+    * sorted posting list becomes first-id + gaps, the varint byte cost is
+    * computed exactly (1 byte per 7 significant bits), and the encoding is
+    * proven LOSSLESS in-query by re-accumulating the gaps back into the
+    * original ids (the roundtrip verdict is part of the gated output).
+    *
+    * Scale shape: q143's segment discipline bounds every posting buffer —
+    * lists group by (term, doc_id div 256), so the per-row array work
+    * (gap transform, byte census, roundtrip re-sum) is bounded by the
+    * segment size no matter how common the term; the grouping key is
+    * high-cardinality and skew-free. Raw cost assumes 8-byte ids, the
+    * honest uncompressed baseline.
+    */
+  def q183DeltaGapEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    pairs
+      .withColumn("segment", expr("doc_id div 256"))
+      .groupBy(col("term"), col("segment"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("df"))
+      .withColumn("gaps", expr(
+        "transform(ids, (v, i) -> IF(i = 0, v, v - element_at(ids, i)))"))
+      .withColumn("gap_bytes", expr(
+        "aggregate(gaps, 0L, (a, g) -> a + 1 + CAST(g >= 128 AS INT) " +
+          "+ CAST(g >= 16384 AS INT) + CAST(g >= 2097152 AS INT) " +
+          "+ CAST(g >= 268435456 AS INT))"))
+      .withColumn("roundtrip_ok", expr(
+        "transform(sequence(1, CAST(size(gaps) AS INT)), " +
+          "i -> aggregate(slice(gaps, 1, i), 0L, (a, x) -> a + x)) = ids"))
+      .select(col("term"), col("segment"), col("df"),
+        element_at(col("ids"), 1).as("min_id"),
+        element_at(col("ids"), -1).as("max_id"),
+        (col("df") * 8).as("raw_bytes"),
+        col("gap_bytes"), col("roundtrip_ok"))
+      .orderBy(col("term"), col("segment"))
+  }
+
+  val q183Oracle: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, t.term
+      |  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+'))
+      |    AS t(term)
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |lists AS (
+      |  SELECT term, doc_id // 256 AS segment,
+      |    list(doc_id ORDER BY doc_id) AS ids,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM pairs GROUP BY term, doc_id // 256),
+      |enc AS (
+      |  SELECT term, segment, df, ids,
+      |    list_transform(ids, (v, i) ->
+      |      CASE WHEN i = 1 THEN v ELSE v - ids[i - 1] END) AS gaps
+      |  FROM lists)
+      |SELECT term, CAST(segment AS BIGINT) AS segment, df,
+      |  ids[1] AS min_id, ids[-1] AS max_id,
+      |  CAST(df * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(list_sum(list_transform(gaps, g -> 1
+      |    + CASE WHEN g >= 128 THEN 1 ELSE 0 END
+      |    + CASE WHEN g >= 16384 THEN 1 ELSE 0 END
+      |    + CASE WHEN g >= 2097152 THEN 1 ELSE 0 END
+      |    + CASE WHEN g >= 268435456 THEN 1 ELSE 0 END)) AS BIGINT)
+      |    AS gap_bytes,
+      |  list_transform(range(1, CAST(len(gaps) AS INT) + 1),
+      |    i -> list_sum(gaps[1:i])) = ids AS roundtrip_ok
+      |FROM enc ORDER BY term, segment""".stripMargin
+
+  /** N-GRAM DIVERSITY SCREEN (q185) — the corpus-health metric that
+    * catches template farms and mode collapse before training: per
+    * source, the type-token ratio (distinct/total unigrams) and trigram
+    * diversity, both as exact ppm integers. Low diversity = boilerplate
+    * or generation loops; the per-source view localizes the problem the
+    * way a curation triage needs.
+    *
+    * Scale shape: token totals are projection-side (`size(tokens)`); the
+    * distinct counts aggregate (source, gram) — a high-cardinality key —
+    * then collapse per source. No windows, no collect.
+    */
+  def q185DiversityScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        sum(greatest(size(col("toks")).cast("long") - 2, lit(0L)))
+          .as("total_trigrams"))
+    val uni = docs.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy(col("source")).agg(countDistinct(col("g")).as("distinct_tokens"))
+    val tri = docs
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(CAST(size(toks) AS INT) - 2, 0)), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))")).as("g"))
+      .groupBy(col("source")).agg(countDistinct(col("g")).as("distinct_trigrams"))
+    base.join(uni, "source").join(tri, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        expr("distinct_tokens * 1000000 div total_tokens").as("ttr_ppm"),
+        col("total_trigrams"), col("distinct_trigrams"),
+        expr("distinct_trigrams * 1000000 div total_trigrams").as("tri_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q185Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+      |base AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(GREATEST(len(toks) - 2, 0)) AS BIGINT) AS total_trigrams
+      |  FROM docs GROUP BY source),
+      |uni AS (
+      |  SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_tokens
+      |  FROM docs, UNNEST(toks) AS u(g) GROUP BY source),
+      |tri AS (
+      |  SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_trigrams
+      |  FROM (
+      |    SELECT source,
+      |      toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+      |    FROM docs, UNNEST(range(1, GREATEST(CAST(len(toks) AS INT) - 1, 1)))
+      |      AS r(i)) t
+      |  GROUP BY source)
+      |SELECT b.source, b.n_docs, b.total_tokens, u.distinct_tokens,
+      |  CAST(u.distinct_tokens * 1000000 // b.total_tokens AS BIGINT)
+      |    AS ttr_ppm,
+      |  b.total_trigrams, t.distinct_trigrams,
+      |  CAST(t.distinct_trigrams * 1000000 // b.total_trigrams AS BIGINT)
+      |    AS tri_ppm
+      |FROM base b JOIN uni u ON b.source = u.source
+      |JOIN tri t ON b.source = t.source
+      |ORDER BY b.source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
@@ -824,7 +1028,10 @@ object MiningQueries {
     "q178_ann_recall_eval"   -> (q178AnnRecallEval _),
     "q179_snapshot_diff"     -> (q179SnapshotDiff _),
     "q180_winsorize"         -> (q180Winsorize _),
-    "q181_trend_per_segment" -> (q181TrendPerSegment _))
+    "q181_trend_per_segment" -> (q181TrendPerSegment _),
+    "q182_contrastive_pairs" -> (q182ContrastivePairs _),
+    "q183_delta_gap_encoding" -> (q183DeltaGapEncoding _),
+    "q185_diversity_screen"  -> (q185DiversityScreen _))
 
   val oracles: Map[String, String] = Map(
     "q169_entity_resolution" -> q169Oracle,
@@ -839,5 +1046,8 @@ object MiningQueries {
     "q178_ann_recall_eval"   -> q178Oracle,
     "q179_snapshot_diff"     -> q179Oracle,
     "q180_winsorize"         -> q180Oracle,
-    "q181_trend_per_segment" -> q181Oracle)
+    "q181_trend_per_segment" -> q181Oracle,
+    "q182_contrastive_pairs" -> q182Oracle,
+    "q183_delta_gap_encoding" -> q183Oracle,
+    "q185_diversity_screen"  -> q185Oracle)
 }
