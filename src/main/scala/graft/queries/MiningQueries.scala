@@ -1015,6 +1015,170 @@ object MiningQueries {
       |JOIN tri t ON b.source = t.source
       |ORDER BY b.source""".stripMargin
 
+  /** DEDUP-AWARE FOLD ASSIGNMENT (q184) — the subtle train/test-leakage
+    * bug this operator prevents: hash-splitting DOCUMENTS scatters
+    * near-duplicate pairs across folds, and the model "generalizes" to
+    * its own training data. The cure is splitting by CLUSTER: every doc
+    * adopts its transitive near-dup component (q141's star-contraction
+    * labels; singletons are their own cluster), the fold is an md5 hash
+    * of the CLUSTER id, and the leakage audit — the count of confirmed
+    * near-dup pairs straddling folds — is computed IN-QUERY and gated at
+    * its structural value (0 for clustered splitting; the audit measures,
+    * it does not assume).
+    *
+    * Scale shape: components from the O(log n)-round contraction, one
+    * left join to adopt labels, a fold projection, and two aggregates;
+    * the leakage check joins the pair set (tiny relative to the corpus)
+    * against the fold map on doc id.
+    */
+  def q184DedupAwareFolds(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull).select(col("doc_id"))
+    val plants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + SimilarityQueries.PlantOffset).as("doc_id"))
+    val allDocs = base.unionByName(plants)
+    val comps = GraphQueries.q141NearDupComponents(spark, dir)
+      .select(col("doc_id"), col("component"))
+    val folded = allDocs.join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("fold", expr(
+        "CAST(conv(substring(md5(CAST(cluster AS STRING)), 1, 2), 16, 10) " +
+          "AS BIGINT) % 5"))
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val leak = pairs
+      .join(folded.select(col("doc_id").as("id_a"), col("fold").as("fold_a")),
+        "id_a")
+      .join(folded.select(col("doc_id").as("id_b"), col("fold").as("fold_b")),
+        "id_b")
+      .filter(col("fold_a") =!= col("fold_b"))
+      .groupBy(col("fold_a").as("fold"))
+      .agg(count(lit(1)).as("leakage_pairs"))
+    folded.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .join(leak, Seq("fold"), "left")
+      .select(col("fold"), col("n_docs"), col("n_clusters"),
+        coalesce(col("leakage_pairs"), lit(0L)).as("leakage_pairs"))
+      .orderBy(col("fold"))
+  }
+
+  val q184Oracle: String =
+    s"""WITH comp AS (
+       |  SELECT doc_id, component FROM (${GraphQueries.q141Oracle})),
+       |docs_pl AS (
+       |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset} FROM documents
+       |  WHERE doc_id IS NOT NULL AND doc_id % 5 = 0),
+       |f AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+       |    CAST('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id)
+       |      AS VARCHAR)), 1, 2) AS BIGINT) % 5 AS fold
+       |  FROM docs_pl d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |p AS (SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |leak AS (
+       |  SELECT fa.fold AS fold, CAST(COUNT(*) AS BIGINT) AS leakage_pairs
+       |  FROM p JOIN f fa ON fa.doc_id = p.id_a
+       |         JOIN f fb ON fb.doc_id = p.id_b
+       |  WHERE fa.fold <> fb.fold GROUP BY fa.fold),
+       |agg AS (
+       |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+       |  FROM f GROUP BY fold)
+       |SELECT agg.fold, agg.n_docs, agg.n_clusters,
+       |  CAST(COALESCE(leak.leakage_pairs, 0) AS BIGINT) AS leakage_pairs
+       |FROM agg LEFT JOIN leak ON agg.fold = leak.fold
+       |ORDER BY agg.fold""".stripMargin
+
+  /** CONTENT-DEFINED CHUNKING (q186) — the rolling-hash boundary rule
+    * behind dedup storage (LBFS/rsync/restic lineage): a chunk boundary
+    * falls after token i wherever md5 of the 4-gram ending at i hits
+    * 0 mod 16, so boundaries depend on CONTENT, not position. The
+    * property that justifies CDC over fixed-width chunking (q101/q175) is
+    * measured in-query: each planted twin (one token PREPENDED — the edit
+    * that derails every fixed-width chunker) re-synchronizes after at
+    * most one 4-gram window, so almost all chunks still match its
+    * original and chunk-level dedup keeps working under shifts. The
+    * per-pair shared-chunk census is the gated output.
+    *
+    * Scale shape: boundary detection, chunk assembly, and the chunk-set
+    * intersection are per-row array passes bounded by document length;
+    * the only join is original↔twin on the derived id — constant
+    * fan-out, never all-pairs.
+    */
+  def q186ContentDefinedChunking(spark: SparkSession, dir: String): DataFrame = {
+    val bound = "filter(sequence(1, CAST(size(toks) AS INT)), i -> " +
+      "i >= 4 AND i < size(toks) AND " +
+      "CAST(conv(substring(md5(concat_ws(' ', element_at(toks, i - 3), " +
+      "element_at(toks, i - 2), element_at(toks, i - 1), " +
+      "element_at(toks, i))), 1, 8), 16, 10) AS BIGINT) % 16 = 0)"
+    val chunksOf = (df: DataFrame) => df
+      .withColumn("b", expr(
+        s"concat(array(0), $bound, array(CAST(size(toks) AS INT)))"))
+      .withColumn("chunks", expr(
+        "transform(sequence(1, CAST(size(b) AS INT) - 1), j -> " +
+          "array_join(slice(toks, element_at(b, j) + 1, " +
+          "element_at(b, j + 1) - element_at(b, j)), ' '))"))
+      .select(col("doc_id"), array_distinct(col("chunks")).as("cs"),
+        size(col("chunks")).cast("long").as("n_chunks"))
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val orig = chunksOf(base.filter(col("doc_id") % 10 === 0))
+    val twin = chunksOf(base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        expr("concat(array('zz0pre'), toks)").as("toks")))
+    orig.select(col("doc_id"), col("cs").as("cs_o"),
+        col("n_chunks").as("n_chunks_orig"))
+      .join(twin.select(col("doc_id"), col("cs").as("cs_t"),
+        col("n_chunks").as("n_chunks_twin")), "doc_id")
+      .select(col("doc_id"), col("n_chunks_orig"), col("n_chunks_twin"),
+        size(array_intersect(col("cs_o"), col("cs_t"))).cast("long")
+          .as("shared_chunks"))
+      .withColumn("shared_pct",
+        expr("100 * shared_chunks div n_chunks_twin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q186Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 10 = 0),
+      |both_v AS (
+      |  SELECT doc_id, toks, 'o' AS side FROM base
+      |  UNION ALL
+      |  SELECT doc_id, list_concat(['zz0pre'], toks), 't' FROM base),
+      |cut AS (
+      |  SELECT doc_id, side, toks,
+      |    list_concat(list_concat([0], list_filter(
+      |      range(1, CAST(len(toks) AS INT) + 1), i ->
+      |        i >= 4 AND i < len(toks) AND
+      |        CAST('0x' || substr(md5(toks[i - 3] || ' ' || toks[i - 2]
+      |          || ' ' || toks[i - 1] || ' ' || toks[i]), 1, 8) AS BIGINT)
+      |          % 16 = 0)),
+      |      [CAST(len(toks) AS INT)]) AS b
+      |  FROM both_v),
+      |ch AS (
+      |  SELECT doc_id, side,
+      |    list_transform(range(1, CAST(len(b) AS INT)), j ->
+      |      array_to_string(toks[b[j] + 1 : b[j + 1]], ' ')) AS chunks
+      |  FROM cut),
+      |sets AS (
+      |  SELECT doc_id, side, list_distinct(chunks) AS cs,
+      |    CAST(len(chunks) AS BIGINT) AS n_chunks
+      |  FROM ch)
+      |SELECT o.doc_id, o.n_chunks AS n_chunks_orig,
+      |  t.n_chunks AS n_chunks_twin,
+      |  CAST(len(list_intersect(o.cs, t.cs)) AS BIGINT) AS shared_chunks,
+      |  CAST(100 * len(list_intersect(o.cs, t.cs)) // t.n_chunks AS BIGINT)
+      |    AS shared_pct
+      |FROM sets o JOIN sets t ON o.doc_id = t.doc_id
+      |WHERE o.side = 'o' AND t.side = 't'
+      |ORDER BY o.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
@@ -1031,7 +1195,9 @@ object MiningQueries {
     "q181_trend_per_segment" -> (q181TrendPerSegment _),
     "q182_contrastive_pairs" -> (q182ContrastivePairs _),
     "q183_delta_gap_encoding" -> (q183DeltaGapEncoding _),
-    "q185_diversity_screen"  -> (q185DiversityScreen _))
+    "q184_dedup_aware_folds" -> (q184DedupAwareFolds _),
+    "q185_diversity_screen"  -> (q185DiversityScreen _),
+    "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
     "q169_entity_resolution" -> q169Oracle,
@@ -1049,5 +1215,7 @@ object MiningQueries {
     "q181_trend_per_segment" -> q181Oracle,
     "q182_contrastive_pairs" -> q182Oracle,
     "q183_delta_gap_encoding" -> q183Oracle,
-    "q185_diversity_screen"  -> q185Oracle)
+    "q184_dedup_aware_folds" -> q184Oracle,
+    "q185_diversity_screen"  -> q185Oracle,
+    "q186_cdc_chunking"      -> q186Oracle)
 }

@@ -226,6 +226,90 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q182: labels are trustworthy - no negative is a confirmed positive, " +
+    "every anchor gets negatives") {
+    val rows = MiningQueries.q182ContrastivePairs(spark, sfDir).collect()
+    val pos = rows.filter(_.getAs[Long]("label") == 1L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val neg = rows.filter(_.getAs[Long]("label") == 0L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val posNorm = pos.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    neg.foreach { case (a, b) =>
+      assert(a != b)
+      assert(!posNorm.contains((math.min(a, b), math.max(a, b))),
+        s"negative ($a, $b) is a confirmed positive")
+    }
+    // every positive anchor has at least one surviving negative (k=3
+    // samples; all three colliding is possible in principle but not on
+    // this corpus)
+    val anchors = pos.map(_._1)
+    val negAnchors = neg.map(_._1).toSet
+    assert(anchors.subsetOf(negAnchors))
+  }
+
+  test("q183: encoding is lossless everywhere and never above raw cost") {
+    val rows = MiningQueries.q183DeltaGapEncoding(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"),
+        s"lossy encoding for term ${r.getAs[String]("term")}")
+      assert(r.getAs[Long]("gap_bytes") <= r.getAs[Long]("raw_bytes"))
+      assert(r.getAs[Long]("min_id") <= r.getAs[Long]("max_id"))
+      // segment discipline: ids stay inside the segment's id range
+      val seg = r.getAs[Long]("segment")
+      assert(r.getAs[Long]("min_id") / 256 === seg)
+      assert(r.getAs[Long]("max_id") / 256 === seg)
+    }
+  }
+
+  test("q184: zero leakage by construction, folds partition the corpus, " +
+    "clusters never straddle folds") {
+    val rows = MiningQueries.q184DedupAwareFolds(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("leakage_pairs")).sum === 0L)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nPlants = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs + nPlants)
+    // a doc-level hash split (q63 style) WOULD leak on this corpus —
+    // the operator's reason to exist
+    val pairs = queries.SimilarityQueries
+      .q36DedupMinhash(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    def docFold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      (((h(0) & 0xff).toLong << 0) % 5 + 5) % 5
+    }
+    assert(pairs.exists { case (a, b) => docFold(a) != docFold(b) },
+      "corpus has no straddling pairs under doc-level hashing — test is vacuous")
+  }
+
+  test("q186: chunking is content-defined - a prepended token still " +
+    "shares most chunks; fixed-width chunking would share none") {
+    val rows = MiningQueries.q186ContentDefinedChunking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalShared = rows.map(_.getAs[Long]("shared_chunks")).sum
+    val totalTwin = rows.map(_.getAs[Long]("n_chunks_twin")).sum
+    // CDC's promise: the majority of chunk mass survives a 1-token shift
+    assert(totalShared * 2 > totalTwin,
+      s"CDC resync failed: $totalShared shared of $totalTwin")
+    // contrast: FIXED 8-token chunking on the same shifted pairs shares
+    // (near) nothing — every boundary moves by one token
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+    val fixedShared = docs.map { case (_, t) =>
+      val o = t.grouped(8).map(_.mkString(" ")).toSet
+      val s = ("zz0pre" +: t).grouped(8).map(_.mkString(" ")).toSet
+      o.intersect(s).size
+    }.sum
+    assert(fixedShared * 10 < totalShared,
+      s"fixed chunking shared $fixedShared vs CDC $totalShared")
+  }
+
   test("q176: kept events within a key are always > 6h apart; " +
     "burst sizes account for every event") {
     val rows = MiningQueries.q176EventDebounce(spark, sfDir).collect()
