@@ -260,7 +260,34 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE (q187) — mergeable partial
+    * aggregates (count/sum/min/max cents per event_type) folded into a
+    * versioned parquet state across a genuinely multi-batch bounded
+    * stream ([[StreamingOps.streamAggMaintenance]]): batch b reads state
+    * v(b−1) and writes v(b), so replays are idempotent and reads never
+    * overlap writes. The gate: the final streamed state must equal the
+    * oracle's ONE-PASS batch aggregate over the same events — any
+    * non-mergeable leak across the batch boundary breaks the hash.
+    */
+  def q187StreamViewMaintenance(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamAggMaintenance(spark, dir)
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        col("min_cents"), col("max_cents"),
+        expr("sum_cents div n").as("avg_cents"))
+      .orderBy(col("event_type"))
+
+  val q187Oracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+      |FROM (SELECT event_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_stream_view_maintenance" -> (q187StreamViewMaintenance _),
     "q118_stream_transform_state" -> (q118StreamTransformState _),
     "q108_stream_upsert" -> (q108StreamUpsert _),
     "q106_stream_static_join" -> (q106StreamStaticJoin _),
@@ -275,6 +302,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q187_stream_view_maintenance" -> q187Oracle,
     "q118_stream_transform_state" -> q118Oracle,
     "q108_stream_upsert" -> q108Oracle,
     "q106_stream_static_join" -> q106Oracle,

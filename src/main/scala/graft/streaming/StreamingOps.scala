@@ -288,6 +288,79 @@ object StreamingOps extends Serializable {
     * sequence column (the [[graft.store.ApplyChangelog]] recipe).
     * Returns the final target state after draining the bounded stream.
     */
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE — the streaming twin of the
+    * batch base+delta merge (q171): each microbatch reduces to its
+    * MERGEABLE partial state (count/sum/min/max cents per event_type) and
+    * foreachBatch folds it into a VERSIONED parquet state — batch `b`
+    * reads `state/v{b-1}` and writes `state/v{b}`, so a retried batch
+    * rewrites its own version with identical content (idempotent merge =
+    * exactly-once effect, the suite's replay-no-op sink discipline) and
+    * the read side never overlaps the write side (no self-overwrite).
+    * The bounded stream arrives as 3 file slices (`maxFilesPerTrigger=1`)
+    * so the merge genuinely runs across multiple batches; the final state
+    * must equal a one-pass batch aggregate — which is exactly what the
+    * q187 oracle computes.
+    *
+    * At 100 TB the state frame is one row per group (tiny), each batch
+    * touches only its delta, and the versioned-directory swap is the
+    * poor-engine's transactional commit (a table format would do this
+    * with a metadata pointer — same shape).
+    */
+  def streamAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val root = graft.util.Staging.dir("graft_stream_viewmaint", dir)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val stateRoot = root.resolve("state")
+    Files.createDirectories(stateRoot)
+    // typed slices: (event_id, event_type, cents) split by id residue
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    val sliceDir = root.resolve("slices")
+    Files.createDirectories(sliceDir)
+    (0 until 3).foreach { s =>
+      val tmp = Files.createTempDirectory("graft_vm_slice")
+      ev.filter(col("event_id") % 3 === s).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, sliceDir.resolve(s"slice$s.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    @volatile var lastBatch = -1L
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(sliceDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val delta = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        val prevDir = stateRoot.resolve(s"v${batchId - 1}")
+        val prev =
+          if (Files.exists(prevDir)) s2.read.parquet(prevDir.toString)
+          else delta.limit(0)
+        val merged = prev.unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+            min(col("min_cents")).as("min_cents"),
+            max(col("max_cents")).as("max_cents"))
+        merged.write.mode("overwrite")
+          .parquet(stateRoot.resolve(s"v$batchId").toString)
+        lastBatch = math.max(lastBatch, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(lastBatch >= 0, "stream produced no batches")
+    spark.read.parquet(stateRoot.resolve(s"v$lastBatch").toString)
+  }
+
   def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.util.Staging.dir("graft_stream_upsert", dir)
     if (java.nio.file.Files.exists(root)) {
