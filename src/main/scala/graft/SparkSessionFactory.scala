@@ -28,6 +28,10 @@ object SparkSessionFactory {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet carries tz-naive timestamp[us]; read it as the
+      // session-tz TIMESTAMP (the DuckDB oracle's reading), not NTZ —
+      // NTZ breaks unix_micros() and streaming watermarks
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     val withJars = if (jars.nonEmpty) b.config("spark.jars", jars.mkString(",")) else b
     configOptions.foldLeft(withJars) { case (bb, (k, v)) => bb.config(k, v) }

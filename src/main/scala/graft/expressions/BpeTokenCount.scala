@@ -88,3 +88,83 @@ object BpeTokenCount {
     GraftColumnBridge.column(
       BpeTokenCount(GraftColumnBridge.expression(tokens), vocab))
 }
+
+/** The SEGMENTATION itself — same greedy longest-match walk as
+  * [[BpeTokenCount]], but returning the flat subword-piece SEQUENCE over
+  * the whole token array (each word's pieces in order, words concatenated
+  * left-to-right, no word-boundary markers). This is what subword-level
+  * n-gram passes (q188's decontamination) shingle over: two texts that
+  * whitespace-tokenize differently (hyphenation, joined words) still
+  * produce identical piece runs wherever the underlying characters agree
+  * within words. Counting invariant: `size(bpeSegment(t, v)) ==
+  * bpeTokenCount(t, v)` for every input (the count expression is the fold
+  * of this one — ExpressionsSpec pins it).
+  */
+case class BpeSegment(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "empty vocabulary")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val maxLen: Int =
+    vocab.map(UTF8String.fromString(_).numChars()).max
+  @transient private lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
+    vocab.foreach { p =>
+      val u = UTF8String.fromString(p)
+      a(u.numChars()).add(u)
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalSegment(input.asInstanceOf[ArrayData])
+
+  def evalSegment(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      val len = w.numChars()
+      var pos = 0
+      while (pos < len) {
+        var piece: UTF8String = null
+        var k = math.min(maxLen, len - pos)
+        while (piece == null && k >= 1) {
+          if (!byLen(k).isEmpty) {
+            val cand = w.substring(pos, pos + k)
+            if (byLen(k).contains(cand)) piece = cand
+          }
+          k -= 1
+        }
+        if (piece == null) piece = w.substring(pos, pos + 1) // UNK char
+        out.add(piece)
+        pos += piece.numChars()
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeSeg", this, classOf[BpeSegment].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $self.evalSegment($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
+object BpeSegment {
+  /** Column entry point: bpe_segment(array<string>, vocab) → array<string>. */
+  def bpeSegment(tokens: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(
+      BpeSegment(GraftColumnBridge.expression(tokens), vocab))
+}

@@ -1070,6 +1070,239 @@ object CurationQueries {
       |FROM removed r LEFT JOIN cleaned c USING (doc_id)
       |ORDER BY r.doc_id""".stripMargin
 
+  /** SUBWORD-LEVEL DECONTAMINATION (q188) — q133's n-gram contamination
+    * rule re-based from whitespace tokens onto q137's greedy-BPE subword
+    * segmentation ([[graft.expressions.BpeSegment]]). Why it matters: a
+    * contaminated rewrite that re-tokenizes the same characters —
+    * hyphenation, joined words, punctuation variants of an eval item —
+    * shares NO whitespace n-gram with the eval set (every surface token
+    * differs), but the subword piece stream realigns INSIDE words, so
+    * piece-level n-grams still collide. The query flags training docs by
+    * shared subword 6-grams and carries a `word_gram_hit` bit computed
+    * under q133's whitespace-trigram rule, so the gap is visible in the
+    * output itself.
+    *
+    * Plant (the proof): every eval doc (doc_id % 97 = 0) containing the
+    * token `customer` gets a training-side twin at doc_id + 10⁷ whose text
+    * is ALL tokens hyphen-joined into ONE token. One token → its only
+    * word-gram is the whole hyphenated string, which no eval doc contains
+    * → word grams MISS by construction. But no vocab piece contains `-`,
+    * so the munch never crosses a hyphen and the twin's piece stream is
+    * p(w₁) ⧺ [-] ⧺ p(w₂) ⧺ …: the pieces of `customer` (c u st o me r —
+    * six pieces, one full 6-gram window) survive intact and collide with
+    * the original's stream → subword grams CATCH, deterministically.
+    * CurationSpec pins both directions.
+    *
+    * Scale shape: q133's exactly — the eval side BROADCASTS under the
+    * same `spark.graft.contamination.broadcastDocLimit` budget (estimated
+    * lazily from parquet statistics, no driver job; past the budget the
+    * hint drops and the join shuffles on the gram key), the piece explode
+    * is a constant ~3× token fan-out inside codegen'd expressions, and
+    * both aggregates key on doc_id — high-cardinality, skew-free.
+    */
+  def q188SubwordDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val tk = TextFunctions.tokens(col("text"))
+    val plants = base
+      .filter(col("doc_id") % 97 === 0 && array_contains(tk, "customer"))
+      .select((col("doc_id") + SimilarityQueries.PlantOffset).as("doc_id"),
+        array_join(tk, "-").as("text"))
+    val docs = base.unionByName(plants)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        graft.expressions.BpeSegment
+          .bpeSegment(col("toks"), TextQueries.BpeVocab).as("ps"))
+    val evDocs = docs.filter(col("doc_id") % 97 === 0)
+    val trDocs = docs.filter(col("doc_id") % 97 =!= 0)
+    // q133's enforced broadcast budget, same conf, same lazy estimate
+    val limit = spark.conf
+      .getOption("spark.graft.contamination.broadcastDocLimit")
+      .map(_.toLong).getOrElse(100000L)
+    val bytesPerDoc = spark.conf
+      .getOption("spark.graft.contamination.bytesPerDocEstimate")
+      .map(_.toLong).getOrElse(4096L)
+    val corpusBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val evalDocsEst = (corpusBytes / 97 / bytesPerDoc).max(BigInt(1))
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (evalDocsEst <= BigInt(limit)) broadcast(df) else df
+    val evSub = evDocs.select(col("doc_id").as("eval_id"),
+      explode(graft.expressions.ShingleStrings.shingleStrings(col("ps"), 6)).as("sg"))
+    val subHits = trDocs
+      .select(col("doc_id"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(col("ps"), 6)).as("sg"))
+      .join(maybeBroadcast(evSub), "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("n_shared_subword_grams"),
+        min(col("eval_id")).as("first_eval_doc"))
+    val evWord = evDocs.select(
+      explode(graft.expressions.ShingleStrings.shingleStrings(col("toks"), 3)).as("wg"))
+      .distinct()
+    val wordHits = trDocs
+      .select(col("doc_id"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(col("toks"), 3)).as("wg"))
+      .join(maybeBroadcast(evWord), Seq("wg"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    subHits.join(wordHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared_subword_grams"), col("first_eval_doc"),
+        coalesce(col("hit"), lit(0)).as("word_gram_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q188Oracle: String = {
+    val vocabRows = TextQueries.BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+'), '-')
+       |  FROM documents
+       |  WHERE doc_id % 97 = 0
+       |    AND list_contains(regexp_split_to_array(trim(text), '\\s+'), 'customer')),
+       |d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM base),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS piece FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word, pos + length(np), ord + 1, np FROM (
+       |    SELECT doc_id, i, word, pos, ord,
+       |      COALESCE((SELECT piece FROM vocab
+       |                WHERE piece = substr(word, pos, length(piece))
+       |                ORDER BY length(piece) DESC LIMIT 1),
+       |               substr(word, pos, 1)) AS np
+       |    FROM seg WHERE pos <= length(word))),
+       |ps AS (
+       |  SELECT doc_id, list(piece ORDER BY i, ord) AS ps
+       |  FROM seg WHERE piece IS NOT NULL GROUP BY doc_id),
+       |sg AS (
+       |  SELECT DISTINCT doc_id, sg FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(ps) < 6 THEN [array_to_string(ps, ' ')]
+       |      ELSE list_transform(range(1, len(ps) - 4),
+       |             j -> array_to_string(ps[j:j+5], ' ')) END) AS sg
+       |    FROM ps)),
+       |evs AS (SELECT DISTINCT doc_id AS eval_id, sg FROM sg WHERE doc_id % 97 = 0),
+       |trs AS (SELECT doc_id, sg FROM sg WHERE doc_id % 97 <> 0),
+       |subhits AS (
+       |  SELECT t.doc_id, CAST(COUNT(DISTINCT t.sg) AS BIGINT) AS n_shared_subword_grams,
+       |    MIN(e.eval_id) AS first_eval_doc
+       |  FROM trs t JOIN evs e USING (sg) GROUP BY t.doc_id),
+       |wg AS (
+       |  SELECT DISTINCT doc_id, wg FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS wg
+       |    FROM d)),
+       |evw AS (SELECT DISTINCT wg FROM wg WHERE doc_id % 97 = 0),
+       |wordhit AS (
+       |  SELECT DISTINCT w2.doc_id FROM wg w2 JOIN evw USING (wg)
+       |  WHERE w2.doc_id % 97 <> 0)
+       |SELECT s.doc_id, s.n_shared_subword_grams, s.first_eval_doc,
+       |  CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS word_gram_hit
+       |FROM subhits s LEFT JOIN wordhit h ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** DOMAIN-LEVEL CURATION (q191) — the per-domain kill rule every
+    * web-corpus pipeline runs (C4/RefinedWeb/FineWeb all gate on
+    * registrable domain): extract the host with Spark's BUILT-IN
+    * `parse_url` expression (NOT a UDF — q47 stays the deliberate
+    * UDF-surface exhibit; PlanSpec asserts this plan is UDF-free), strip
+    * the subdomain with a public-suffix-lite rule (www/cdn), roll up
+    * per-domain quality from q78's Gopher-style keep flag, and anti-join
+    * a blocklist. The corpus carries no URLs, so each doc gets a
+    * DETERMINISTIC synthetic URL (subdomain by doc_id % 3, tld by
+    * (doc_id div 20) % 2, path + query real) — the parse/strip/rollup/
+    * blocklist plumbing is exactly what runs on real crawl URLs.
+    *
+    * Scale shape: URL synthesis + parse + domain strip are one codegen'd
+    * projection over the corpus scan; q78's signals are projection-only
+    * on the same rows (doc_id-keyed join, high-cardinality, skew-free);
+    * the rollup keys on domain (web corpora: ~10⁷ domains — a healthy
+    * shuffle key; a mega-domain is just a big group, no per-row state);
+    * the blocklist is a BROADCAST anti-join (blocklists are KBs).
+    */
+  def q191DomainCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("cdn."))
+        .otherwise(lit("")),
+      col("source"), lit("."),
+      when(expr("(doc_id div 20) % 2") === 0, lit("com"))
+        .otherwise(lit("org")),
+      lit("/d/"), col("doc_id").cast(StringType), lit("?lang="), col("lang"))
+    val withDomain = docs
+      .withColumn("url", url)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("domain", regexp_replace(col("host"), "^(www|cdn)\\.", ""))
+    val qual = q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep"))
+    val blocklist = Seq("src3.org", "src7.org", "src13.com").toDF("domain")
+    withDomain.join(qual, "doc_id")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .select(col("domain"), col("n_docs"), col("n_docs_kept"),
+        (col("n_docs_kept").cast(DoubleType) / col("n_docs")).as("keep_rate"),
+        col("n_langs"))
+      .orderBy(col("domain"))
+  }
+
+  val q191Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, source,
+      |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |                        WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+      |      || source || '.'
+      |      || (CASE WHEN (doc_id // 20) % 2 = 0 THEN 'com' ELSE 'org' END)
+      |      || '/d/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+      |      '^(www|cdn)\.', '') AS domain
+      |  FROM d),
+      |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM h),
+      |tri AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+      |  FROM t),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |qual AS (
+      |  SELECT tri.doc_id,
+      |    (len(tri.toks) >= 20
+      |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+      |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+      |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+      |agg AS (
+      |  SELECT h.domain,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |    CAST(COUNT(DISTINCT h.lang) AS BIGINT) AS n_langs
+      |  FROM h JOIN qual q ON h.doc_id = q.doc_id
+      |  GROUP BY h.domain)
+      |SELECT domain, n_docs, n_docs_kept,
+      |  CAST(n_docs_kept AS DOUBLE) / n_docs AS keep_rate, n_langs
+      |FROM agg
+      |WHERE domain NOT IN ('src3.org', 'src7.org', 'src13.com')
+      |ORDER BY domain""".stripMargin
+
   /** END-TO-END CURATION PIPELINE verdict (q168) — the capstone
     * composition: every document gets ONE verdict by applying the
     * suite's curation rules in the order a production pre-training
@@ -1166,6 +1399,8 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_domain_curation" -> (q191DomainCuration _),
+    "q188_subword_decontaminate" -> (q188SubwordDecontaminate _),
     "q168_curation_pipeline" -> (q168CurationPipeline _),
     "q164_span_decontaminate" -> (q164SpanDecontaminate _),
     "q163_creditcard_redact" -> (q163CreditCardRedact _),
@@ -1187,6 +1422,8 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q191_domain_curation" -> q191Oracle,
+    "q188_subword_decontaminate" -> q188Oracle,
     "q168_curation_pipeline" -> q168Oracle,
     "q164_span_decontaminate" -> q164Oracle,
     "q163_creditcard_redact" -> q163Oracle,

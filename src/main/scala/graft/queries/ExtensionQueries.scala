@@ -160,6 +160,113 @@ object ExtensionQueries {
     * of source size, the property that makes downstream vision batches
     * uniform.
     */
+  /** CROSS-MODAL caption–image alignment (q190) — the LAION-style filter:
+    * ONE plan decodes every document's image AND tokenizes its caption,
+    * embeds both sides, and gates on their cosine. No other query in the
+    * suite crosses modalities; this is the join every image–text corpus
+    * builder runs before training.
+    *
+    * Image embedding: the REAL decode path (q140's [[Multimodal
+    * .resizeBmpNN]] over genuine BMP bytes) → 8×8 thumbnail → integer
+    * gray per pixel ((r+g+b) div 3, the aHash collapse) → 8-dim vector of
+    * per-ROW gray sums. Text embedding: 8-dim letter-count vector over
+    * the raw caption (counts of e t a o i n s r via length-difference —
+    * a projection, no explode). Production swaps both embedders for CLIP
+    * towers; every join, threshold, and aggregate stays as built (the
+    * multimodal stub contract: plumbing real and gated, embedder
+    * replaceable).
+    *
+    * Exactness: both vectors are integers, so dot/norms are exact BIGINTs
+    * and the τ = 0.95 gate is the cross-multiplied integer predicate
+    * 400·dot² ≥ 361·‖a‖²·‖b‖² (the q162 discipline — no float boundary);
+    * the reported cosine is rounded to 6 for display only.
+    *
+    * Scale shape: decode is a typed map (projection-only, no exchange);
+    * the text side is a projection on the same scan; the modality join is
+    * doc_id-keyed — high-cardinality, skew-free; output sort is the only
+    * other exchange. 100 TB of images stream through without any
+    * shuffle proportional to pixel bytes.
+    */
+  def q190CrossModalAlignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val img = Multimodal.bmpMediaTable(docs)
+      .map(m => Multimodal.resizeBmpNN(m, 8, 8)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("transform(split(thumb_csv, ','), x -> CAST(x AS INT))").as("px"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("transform(sequence(0, 7), r -> aggregate(sequence(0, 7), 0L, " +
+          "(a, c) -> a + (element_at(px, (r*8+c)*3 + 1) " +
+          "+ element_at(px, (r*8+c)*3 + 2) " +
+          "+ element_at(px, (r*8+c)*3 + 3)) div 3))").as("iv"))
+    val letters = Seq("e", "t", "a", "o", "i", "n", "s", "r")
+    val txt = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast(IntegerType).as("n_tokens"),
+      array(letters.map(ch =>
+        (length(col("text")) -
+          length(regexp_replace(col("text"), ch, ""))).cast(LongType)): _*)
+        .as("tv"))
+    img.join(txt, "doc_id")
+      .withColumn("dot",
+        expr("aggregate(zip_with(iv, tv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("na",
+        expr("aggregate(iv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nb",
+        expr("aggregate(tv, 0L, (a, x) -> a + x * x)"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_tokens"),
+        col("dot"), col("na"), col("nb"),
+        round(when(col("na") * col("nb") === 0, lit(0.0))
+          .otherwise(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))), 6)
+          .as("cos_r6"),
+        (col("n_tokens") >= 10 && col("dot") > 0 &&
+          col("dot") * col("dot") * 400 >= col("na") * col("nb") * 361)
+          .cast(IntegerType).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q190Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id, text, CAST(1 + doc_id % 32 AS INTEGER) AS w,
+      |    CAST(1 + doc_id % 24 AS INTEGER) AS h
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, text, w, h,
+      |    list_transform(range(0, 192), k ->
+      |      (doc_id
+      |        + (h - 1 - ((k // 24) * h // 8)) * 3 * w
+      |        + 3 * (((k % 24) // 3) * w // 8)
+      |        + (2 - k % 3)) % 256) AS px
+      |  FROM geom),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    list_transform(range(0, 8), r -> list_sum(list_transform(range(0, 8),
+      |      c -> (px[(r*8+c)*3 + 1] + px[(r*8+c)*3 + 2] + px[(r*8+c)*3 + 3]) // 3))) AS iv,
+      |    [length(text) - length(replace(text, 'e', '')),
+      |     length(text) - length(replace(text, 't', '')),
+      |     length(text) - length(replace(text, 'a', '')),
+      |     length(text) - length(replace(text, 'o', '')),
+      |     length(text) - length(replace(text, 'i', '')),
+      |     length(text) - length(replace(text, 'n', '')),
+      |     length(text) - length(replace(text, 's', '')),
+      |     length(text) - length(replace(text, 'r', ''))] AS tv
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, w, h, n_tokens,
+      |    CAST(list_sum(list_transform(range(1, 9), i -> iv[i] * tv[i])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(range(1, 9), i -> iv[i] * iv[i])) AS BIGINT) AS na,
+      |    CAST(list_sum(list_transform(range(1, 9), i -> tv[i] * tv[i])) AS BIGINT) AS nb
+      |  FROM v)
+      |SELECT doc_id, w AS width, h AS height, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  dot, na, nb,
+      |  ROUND(CASE WHEN na * nb = 0 THEN 0.0
+      |        ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) AS cos_r6,
+      |  CAST(CASE WHEN n_tokens >= 10 AND dot > 0
+      |         AND 400 * dot * dot >= 361 * na * nb THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def q140ImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Multimodal.bmpMediaTable(Tables.documents(spark, dir))
@@ -598,6 +705,7 @@ object ExtensionQueries {
     "q49_multimodal_meta"    -> (q49MultimodalMeta _),
     "q50_multimodal_features" -> (q50MultimodalFeatures _),
     "q51_frame_sample"       -> (q51FrameSample _),
+    "q190_crossmodal_alignment" -> (q190CrossModalAlignment _),
     "q140_image_resize"      -> (q140ImageResize _),
     "q145_audio_resample"    -> (q145AudioResample _),
     "q158_video_resample"    -> (q158VideoResample _),
@@ -613,6 +721,7 @@ object ExtensionQueries {
     "q49_multimodal_meta"    -> q49Oracle,
     "q50_multimodal_features" -> q50Oracle,
     "q51_frame_sample"       -> q51Oracle,
+    "q190_crossmodal_alignment" -> q190Oracle,
     "q140_image_resize"      -> q140Oracle,
     "q145_audio_resample"    -> q145Oracle,
     "q158_video_resample"    -> q158Oracle,

@@ -32,11 +32,11 @@ object MiningQueries {
     *      this corruption family), and block sizes are bounded by the
     *      entity-name vocabulary, not the corpus.
     *   2. SCORE candidates with codegen'd `levenshtein` inside the block.
-    *   3. PICK the best match per mention as one hash aggregate over the
-    *      integer composite distance·10⁶ + entity_id (min = lexicographic
-    *      (distance, entity_id); 10⁶ must exceed the max entity id — holds
-    *      for every test SF; a production run widens the base or swaps in
-    *      a struct-min).
+    *   3. PICK the best match per mention as one hash aggregate:
+    *      `min(struct(distance, entity_id))` — a lexicographic
+    *      (distance, entity_id) argmin with no encoding bound, correct at
+    *      any entity-id range (the q176 struct-min discipline; an earlier
+    *      packed distance·10⁶+id form silently mis-decoded past 10⁶ ids).
     *
     * Scale shape: the catalog is small by construction (entity vocabularies
     * are; here ≤64 names) and BROADCAST, so resolving 100 TB of mentions is
@@ -60,10 +60,10 @@ object MiningQueries {
       .join(broadcast(catalog), "skeleton")
       .withColumn("d", levenshtein(col("mention"), col("p_name")))
       .groupBy(col("mention_id"), col("mention"))
-      .agg(min(col("d") * 1000000L + col("entity_id")).as("m"))
+      .agg(min(struct(col("d"), col("entity_id"))).as("m"))
       .select(col("mention_id"), col("mention"),
-        expr("m % 1000000").as("entity_id"),
-        expr("m div 1000000").as("distance"))
+        col("m.entity_id").cast("long").as("entity_id"),
+        col("m.d").cast("long").as("distance"))
       .orderBy(col("mention_id"))
   }
 
@@ -81,13 +81,15 @@ object MiningQueries {
       |  SELECT mention_id, mention, translate(mention, 'aeiou', '') AS skeleton
       |  FROM mentions),
       |best AS (
-      |  SELECT mention_id, mention,
-      |    MIN(levenshtein(mention, p_name) * 1000000 + entity_id) AS m
-      |  FROM m2 JOIN catalog USING (skeleton)
-      |  GROUP BY mention_id, mention)
+      |  SELECT mention_id, mention, entity_id, distance FROM (
+      |    SELECT m2.mention_id, m2.mention, c.entity_id,
+      |      levenshtein(m2.mention, c.p_name) AS distance,
+      |      ROW_NUMBER() OVER (PARTITION BY m2.mention_id, m2.mention
+      |        ORDER BY levenshtein(m2.mention, c.p_name), c.entity_id) AS rn
+      |    FROM m2 JOIN catalog c USING (skeleton)) WHERE rn = 1)
       |SELECT mention_id, mention,
-      |  CAST(m % 1000000 AS BIGINT) AS entity_id,
-      |  CAST(m // 1000000 AS BIGINT) AS distance
+      |  CAST(entity_id AS BIGINT) AS entity_id,
+      |  CAST(distance AS BIGINT) AS distance
       |FROM best ORDER BY mention_id""".stripMargin
 
   /** MARKET-BASKET PAIR MINING (q170) — association-rule co-occurrence
@@ -905,9 +907,14 @@ object MiningQueries {
         "aggregate(gaps, 0L, (a, g) -> a + 1 + CAST(g >= 128 AS INT) " +
           "+ CAST(g >= 16384 AS INT) + CAST(g >= 2097152 AS INT) " +
           "+ CAST(g >= 268435456 AS INT))"))
+      // decode proof as ONE linear fold: walk the gaps once, carrying the
+      // running prefix sum and an index, and check each decoded id against
+      // the original in place (the earlier slice-re-aggregate form was
+      // O(seg²) per list — bounded by the 256-id segment, but needless)
       .withColumn("roundtrip_ok", expr(
-        "transform(sequence(1, CAST(size(gaps) AS INT)), " +
-          "i -> aggregate(slice(gaps, 1, i), 0L, (a, x) -> a + x)) = ids"))
+        "aggregate(gaps, named_struct('s', 0L, 'i', 1, 'ok', true), " +
+          "(a, g) -> named_struct('s', a.s + g, 'i', a.i + 1, " +
+          "'ok', a.ok AND a.s + g = element_at(ids, a.i)), a -> a.ok)"))
       .select(col("term"), col("segment"), col("df"),
         element_at(col("ids"), 1).as("min_id"),
         element_at(col("ids"), -1).as("max_id"),
@@ -970,8 +977,12 @@ object MiningQueries {
     val uni = docs.select(col("source"), explode(col("toks")).as("g"))
       .groupBy(col("source")).agg(countDistinct(col("g")).as("distinct_tokens"))
     val tri = docs
+      // window guard mirrors the oracle's GREATEST: a doc with <3 tokens
+      // yields NO trigram positions (sequence(1,0) would expand DESCENDING
+      // to [1,0] and index element_at(toks, 0) — a runtime error)
       .select(col("source"), explode(expr(
-        "transform(sequence(1, greatest(CAST(size(toks) AS INT) - 2, 0)), " +
+        "transform(filter(sequence(1, CAST(size(toks) AS INT)), " +
+          "i -> i <= CAST(size(toks) AS INT) - 2), " +
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
           "element_at(toks, i + 2)))")).as("g"))
       .groupBy(col("source")).agg(countDistinct(col("g")).as("distinct_trigrams"))
@@ -1037,8 +1048,20 @@ object MiningQueries {
     val plants = base.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + SimilarityQueries.PlantOffset).as("doc_id"))
     val allDocs = base.unionByName(plants)
-    val comps = GraphQueries.q141NearDupComponents(spark, dir)
-      .select(col("doc_id"), col("component"))
+    // Component reuse knob: q141, q150 and this query each rebuild the
+    // same star contraction when run side by side (gate composition — the
+    // oracle must replay everything from the raw corpus). A production
+    // run persists the component table once (q141 output) and points this
+    // conf at it; the fold split and leakage audit then read the index
+    // instead of re-contracting — q150's persisted-index posture. The
+    // driver gate never sets it, so the oracle replays the default path.
+    val comps = spark.conf.getOption("spark.graft.folds.componentTable") match {
+      case Some(path) =>
+        spark.read.parquet(path).select(col("doc_id"), col("component"))
+      case None =>
+        GraphQueries.q141NearDupComponents(spark, dir)
+          .select(col("doc_id"), col("component"))
+    }
     val folded = allDocs.join(comps, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
       .withColumn("fold", expr(

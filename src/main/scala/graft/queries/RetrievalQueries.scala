@@ -100,8 +100,11 @@ object RetrievalQueries {
     * Arithmetic: every product is promoted into DECIMAL(38,0) (HUGEINT in
     * the oracle) BEFORE multiplying — tf·S alone can pass 2⁶³ at corpus
     * scale, where a Long multiply would wrap silently (non-ANSI) while
-    * DuckDB errors: promotion keeps the two engines bit-identical at any
-    * size, not just below the wrap point.
+    * DuckDB errors: promotion keeps the two engines bit-identical far past
+    * the Long wrap point, and the residual DECIMAL(38,0)-vs-HUGEINT gap
+    * (10³⁸ vs 2¹²⁷) is guarded LOUDLY — an overflowed (null) score raises
+    * via raise_error instead of silently dropping out of the ranking (the
+    * q154 discipline).
     */
   def q144Bm25Search(spark: SparkSession, dir: String): DataFrame = {
     // the explicit isnotnull(doc_id) matters for the PLAN, not the data:
@@ -128,9 +131,18 @@ object RetrievalQueries {
         "CAST(idf AS DECIMAL(38,0)) * 22 * tf * s div " +
           "(10 * CAST(tf AS DECIMAL(38,0)) * s + 3 * CAST(s AS DECIMAL(38,0)) " +
           "+ 9 * CAST(dl AS DECIMAL(38,0)) * nn)"))
+      // non-ANSI decimal overflow yields NULL silently, and sum() would
+      // then skip the row — surface it loudly (the q154 discipline; DuckDB
+      // HUGEINT would error here too), both per-term and on the sum
+      .withColumn("sc", when(col("sc").isNull,
+        expr("raise_error('q144 BM25 term score overflowed DECIMAL(38,0)')"))
+        .otherwise(col("sc")))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_matched"),
-        sum(col("sc")).cast("long").as("score_scaled"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("sc")).as("ssum"))
+      .select(col("doc_id"), col("n_terms_matched"),
+        when(col("ssum").isNull,
+          expr("raise_error('q144 BM25 doc score overflowed DECIMAL(38,0)')"))
+          .otherwise(col("ssum")).cast("long").as("score_scaled"))
       .orderBy(col("score_scaled").desc, col("doc_id").asc)
       .limit(20)
   }

@@ -996,15 +996,24 @@ object SimilarityQueries {
     * pairs only, the SemDeDup contract (SimilaritySpec asserts no
     * cross-cluster pair survives and the executed plan has no
     * BNLJ/cartesian). Per-cluster fan-out is (n/k)² with k sized to the
-    * corpus (k ≈ √n makes it linear-ish; production SemDeDup uses
-    * k ~ 10⁵ on 10⁹ docs). Verdict: earliest same-cluster neighbor wins;
-    * `keep_flag` marks the survivors.
+    * corpus via `spark.graft.semdedup.k` (default 8, which the oracle
+    * replays; k ≈ √n makes total candidates ~n, production SemDeDup uses
+    * k ~ 10⁵ on 10⁹ docs — SimilaritySpec proves raising k shrinks the
+    * per-cluster candidate bound). Verdict: earliest same-cluster
+    * neighbor wins; `keep_flag` marks the survivors.
     */
   def q162SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val vq = vecsWithPlants(spark, dir)
       .select(col("vec_id"),
         transform(col("v"), x => floor(x * 16 + lit(0.5)).cast(DoubleType)).as("v"))
-    val centroids = kmeansCentroids(vq, k = 8, iters = 3, gridRound = true)
+    // k is THE scale knob: per-cluster pair fan-out is (n/k)², so k must
+    // grow with the corpus (k ≈ √n keeps total candidates ~n; production
+    // SemDeDup runs k ~ 10⁵ at 10⁹ docs). Surfaced as conf so a caller at
+    // scale is never stuck with the oracle default — the DuckDB oracle
+    // replays exactly k = 8, so the driver gate always runs the default.
+    val k = spark.conf.get("spark.graft.semdedup.k", "8").toInt
+    require(k >= 1, s"spark.graft.semdedup.k must be >= 1, got $k")
+    val centroids = kmeansCentroids(vq, k = k, iters = 3, gridRound = true)
     val cents: Array[(Int, Array[Double])] = centroids
       .select(col("cid"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
@@ -1062,7 +1071,149 @@ object SimilarityQueries {
        |ORDER BY n.vec_id""".stripMargin
   }
 
+  /** PARAGRAPH-LEVEL FUZZY DEDUP (q189) — the RefinedWeb/Gopher middle
+    * tier between q175 (exact 8-token spans) and q36 (whole-document
+    * Jaccard): documents are chunked into fixed 20-token "paragraphs"
+    * (the corpus has no newline structure, so windows stand in for real
+    * paragraph splits — the operator is identical either way), each
+    * paragraph gets its own MinHash signature, banded LSH proposes
+    * paragraph pairs, exact Jaccard ≥ 0.8 confirms them, and the DOC
+    * verdict is the duplicated-paragraph MASS SHARE: a doc whose later
+    * paragraphs duplicate earlier ones ("earlier" = (doc_id, pid)
+    * lexicographic) is dropped when ≥ half its mass is duplicated — the
+    * partial-duplication case both neighbors miss (a shared paragraph
+    * inside an otherwise-unique doc sinks whole-doc Jaccard far below
+    * any threshold; a fuzzy paragraph has no exact 8-token span).
+    *
+    * Plants: every 11th doc (≥ 20 tokens) gets a twin at +10⁷ made of its
+    * FIRST PARAGRAPH verbatim plus 20 junk tokens (doc-level J ≪ 0.8 —
+    * whole-doc dedup misses; paragraph-level J = 1 — identical signature,
+    * every band collides, caught deterministically). Every 13th doc gets
+    * a FUZZY twin at +2·10⁷ with the paragraph's last token substituted
+    * (paragraph J ≈ 0.9: one trigram window of 18 changes) — the
+    * probabilistic path, 16 bands × 2 rows (miss ~ (1−J²)¹⁶ ≈ 10⁻⁹ at
+    * J = 0.9; banding is fixed-seed, so recall on the gate corpus is a
+    * fixed replayed fact, the q36 discipline).
+    *
+    * Scale shape: paragraphs multiply rows by a bounded constant
+    * (doc_len/20); candidates come ONLY from band-bucket equi-joins (the
+    * q36 contract — nothing all-pairs); confirm joins are keyed on
+    * (doc_id, pid); verdict aggregates key on doc_id — high-cardinality,
+    * skew-free. At 100 TB the paragraph frame shards exactly like the
+    * doc frame, and banding keeps candidate mass linear-ish in corpus
+    * size (hot buckets are capped by band-key entropy, 32-bit hash).
+    */
+  def q189ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    def junk = transform(sequence(lit(1), lit(20)),
+      i => concat(lit("zqj"), col("doc_id").cast(StringType), lit("x"),
+        i.cast(StringType)))
+    // two-step select: the junk lambda must see the ORIGINAL doc_id (a
+    // one-step select would let the transform lambda's outer reference
+    // resolve against the `doc_id` alias — the offset id — unlike plain
+    // column expressions, which resolve against the child)
+    val plantsA = base.filter(col("doc_id") % 11 === 0 && size(tk) >= 20)
+      .select(col("doc_id"),
+        array_join(concat(slice(tk, 1, 20), junk), " ").as("text"))
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    val plantsB = base.filter(col("doc_id") % 13 === 0 && size(tk) >= 20)
+      .select(col("doc_id"),
+        array_join(concat(slice(tk, 1, 19), array(lit("zz9sub")), junk), " ")
+          .as("text"))
+      .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text"))
+    val par = base.unionByName(plantsA).unionByName(plantsB)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / 20).cast(IntegerType)),
+          b => slice(col("toks"), b * 20 + 1, lit(20))))
+        .as(Seq("pid", "ptoks")))
+      .withColumn("sh", graft.expressions.ShingleHashes.shingleHashes(col("ptoks"), 3))
+    val sigs = par.withColumn("sig",
+      graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
+    val bandedA = sigs.select(col("doc_id"), col("pid"),
+      explode(minhashBandKeys(col("sig"), 16, 2)).as("bk"))
+    val bandedB = bandedA.select(col("doc_id").as("doc_id_b"),
+      col("pid").as("pid_b"), col("bk").as("bk_b"))
+    val cand = bandedA.join(bandedB,
+        col("bk") === col("bk_b") &&
+          (col("doc_id") < col("doc_id_b") ||
+            (col("doc_id") === col("doc_id_b") && col("pid") < col("pid_b"))))
+      .select(col("doc_id").as("id_a"), col("pid").as("pid_a"),
+        col("doc_id_b").as("id_b"), col("pid_b"))
+      .distinct()
+    val sets = par.select(col("doc_id"), col("pid"), col("sh"))
+    val dupPars = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("pid").as("pid_a"),
+        col("sh").as("sh_a")), Seq("id_a", "pid_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("pid").as("pid_b"),
+        col("sh").as("sh_b")), Seq("id_b", "pid_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("id_b").as("doc_id"), col("pid_b").as("pid"))
+      .distinct()
+    val nPar = par.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paragraphs"))
+    dupPars.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_paragraphs"))
+      .join(nPar, "doc_id")
+      .select(col("doc_id"), col("n_paragraphs"), col("n_dup_paragraphs"),
+        (col("n_dup_paragraphs").cast(DoubleType) / col("n_paragraphs"))
+          .as("dup_share"))
+      .withColumn("drop_flag",
+        (col("dup_share") >= 0.5).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val q189Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+       |docs_p AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    list_concat(toks[1:20],
+       |      list_transform(range(1, 21),
+       |        i -> 'zqj' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)))
+       |  FROM base WHERE doc_id % 11 = 0 AND len(toks) >= 20
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * PlantOffset},
+       |    list_concat(list_concat(toks[1:19], ['zz9sub']),
+       |      list_transform(range(1, 21),
+       |        i -> 'zqj' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)))
+       |  FROM base WHERE doc_id % 13 = 0 AND len(toks) >= 20),
+       |par AS (
+       |  SELECT doc_id, CAST(b AS INTEGER) AS pid,
+       |    toks[b * 20 + 1 : b * 20 + 20] AS ptoks
+       |  FROM docs_p,
+       |    UNNEST(range(0, CAST(FLOOR((len(toks) - 1) / 20) AS INTEGER) + 1)) AS t(b)),
+       |sh AS (
+       |  SELECT doc_id, pid,
+       |    list_distinct(CASE WHEN len(ptoks) < 3 THEN [array_to_string(ptoks, ' ')]
+       |      ELSE list_transform(range(1, len(ptoks) - 1),
+       |             i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2]) END) AS sh
+       |  FROM par),
+       |shl AS (SELECT doc_id, pid, sh, len(sh) AS n FROM sh),
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id, b.pid
+       |  FROM shl a JOIN shl b
+       |    ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pid < b.pid))
+       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs
+       |       FROM par GROUP BY doc_id),
+       |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_paragraphs
+       |       FROM dup GROUP BY doc_id)
+       |SELECT nd.doc_id, np.n_paragraphs, nd.n_dup_paragraphs,
+       |  CAST(nd.n_dup_paragraphs AS DOUBLE) / np.n_paragraphs AS dup_share,
+       |  CAST(CASE WHEN CAST(nd.n_dup_paragraphs AS DOUBLE) / np.n_paragraphs >= 0.5
+       |       THEN 1 ELSE 0 END AS INTEGER) AS drop_flag
+       |FROM nd JOIN np ON nd.doc_id = np.doc_id
+       |ORDER BY nd.doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_paragraph_dedup" -> (q189ParagraphDedup _),
     "q161_exact_substring_dedup" -> (q161ExactSubstringDedup _),
     "q162_semantic_dedup" -> (q162SemanticDedup _),
     "q120_dedup_incremental" -> (q120DedupIncremental _),
@@ -1081,6 +1232,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q189_paragraph_dedup" -> q189Oracle,
     "q161_exact_substring_dedup" -> q161Oracle,
     "q162_semantic_dedup" -> q162Oracle,
     "q120_dedup_incremental" -> q120Oracle,

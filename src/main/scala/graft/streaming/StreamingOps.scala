@@ -238,7 +238,10 @@ object StreamingOps extends Serializable {
     Files.createDirectories(streamDir)
     (0 until slices).foreach { s =>
       val tmp = Files.createTempDirectory("graft_slice")
-      ev.filter(col("event_id") % slices === s).coalesce(1)
+      // null-safe slice key: a NULL event_id must land in SOME slice (the
+      // batch oracles aggregate ALL events), not silently vanish from all
+      ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
+        .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala
@@ -324,7 +327,10 @@ object StreamingOps extends Serializable {
     Files.createDirectories(sliceDir)
     (0 until 3).foreach { s =>
       val tmp = Files.createTempDirectory("graft_vm_slice")
-      ev.filter(col("event_id") % 3 === s).coalesce(1)
+      // null-safe slice key (same contract as eventsReadStreamSliced): the
+      // q187 oracle aggregates ALL events, so a NULL id may not drop out
+      ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3L)) === s)
+        .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala

@@ -271,6 +271,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(worst === 0, "a quantized value strayed past half a step")
   }
 
+  test("q188: subword grams catch the hyphen-joined plants that word grams miss") {
+    val rows = SparkEntry.queries("q188_subword_decontaminate")(spark, sfDir)
+      .select("doc_id", "n_shared_subword_grams", "word_gram_hit")
+      .as[(Long, Long, Int)].collect()
+    val plants = rows.filter(_._1 >= graft.queries.SimilarityQueries.PlantOffset)
+    assert(plants.nonEmpty, "the corpus must yield at least one plant")
+    plants.foreach { case (id, nShared, wordHit) =>
+      // hyphen-joining makes every whitespace token unique → word grams miss
+      assert(wordHit === 0, s"plant $id must NOT be caught by word trigrams")
+      // but the munch never crosses a hyphen, so the pieces of 'customer'
+      // (c u st o me r — one full 6-gram) collide with the original eval doc
+      assert(nShared >= 1, s"plant $id must be caught by subword grams")
+    }
+    // the segment expression is the count expression's expansion
+    val mism = Tables.documents(spark, sfDir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        size(graft.expressions.BpeSegment
+          .bpeSegment(col("toks"), graft.queries.TextQueries.BpeVocab)).cast("long").as("n_seg"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(col("toks"), graft.queries.TextQueries.BpeVocab).as("n_cnt"))
+      .filter(col("n_seg") =!= col("n_cnt")).count()
+    assert(mism === 0, "size(bpeSegment) must equal bpeTokenCount on every doc")
+  }
+
   test("stratified sample rates land near the configured per-lang fractions") {
     val sampled = SparkEntry.queries("q80_stratified_sample")(spark, sfDir)
       .select("lang", "n_sampled").as[(String, Long)].collect().toMap

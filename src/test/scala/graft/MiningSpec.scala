@@ -285,6 +285,25 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
       "corpus has no straddling pairs under doc-level hashing — test is vacuous")
   }
 
+  test("q184: persisted-component-table reuse is result-identical to re-contracting") {
+    val tmp = java.nio.file.Files.createTempDirectory("q184idx").toString
+    queries.GraphQueries.q141NearDupComponents(spark, sfDir)
+      .select("doc_id", "component")
+      .write.mode("overwrite").parquet(tmp)
+    val direct = MiningQueries.q184DedupAwareFolds(spark, sfDir).collect().toSeq
+    spark.conf.set("spark.graft.folds.componentTable", tmp)
+    try {
+      val viaIndex = MiningQueries.q184DedupAwareFolds(spark, sfDir).collect().toSeq
+      assert(viaIndex === direct,
+        "fold split over the persisted index must equal the re-contracted split")
+      // and the reused path really reads the index: its plan scans the
+      // temp parquet instead of carrying a second contraction loop
+      val plan = MiningQueries.q184DedupAwareFolds(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(tmp).getName), plan.take(2000))
+    } finally spark.conf.unset("spark.graft.folds.componentTable")
+  }
+
   test("q186: chunking is content-defined - a prepended token still " +
     "shares most chunks; fixed-width chunking would share none") {
     val rows = MiningQueries.q186ContentDefinedChunking(spark, sfDir).collect()

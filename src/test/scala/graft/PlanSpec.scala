@@ -99,6 +99,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p.split("== Initial Plan ==")(0)).size === 1, p.take(3000))
   }
 
+  test("q190 is genuinely cross-modal: one plan decodes images AND tokenizes text, joined on doc_id") {
+    val p = plan("q190_crossmodal_alignment")
+    // image side: the typed decode map materializes objects
+    // (DeserializeToObject/MapElements/SerializeFromObject)
+    assert(p.contains("SerializeFromObject"), p.take(3000))
+    assert(p.contains("MapElements") || p.contains("mapelements"), p.take(3000))
+    // text side: the tokenize projection (split on whitespace)
+    assert(p.contains("split("), p.take(3000))
+    // crossed relationally, not cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q191 domain rollup is UDF-free: parse_url is a native expression, not q47's UDF") {
+    val p = plan("q191_domain_curation")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(3000))
+    // blocklist kill is a broadcast anti-join, never a shuffle of the rollup
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
   test("q144 reads the corpus ONCE: every BM25 statistic re-aggregates one tokenize pass") {
     // the r7 shape tokenized documents 3× (tf / dl / tot each owned a
     // scan+explode); dl and tot now derive from tf, and the source-level

@@ -229,6 +229,85 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q162: spark.graft.semdedup.k bounds per-cluster pair fan-out (the (n/k)^2 contract)") {
+    // fan-out bound = sum over clusters of C(size, 2) — the exact number of
+    // candidate pairs the cid equi-join can generate. Raising k must shrink
+    // it (that is the whole SemDeDup scale argument), and the planted twins
+    // must STILL be dropped at any k: an identical grid vector always lands
+    // in the same cluster as its original, whatever the clustering.
+    def clusterSizes(): Array[Long] = SparkEntry.queries("q162_semantic_dedup")(spark, sfDir)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    def pairFanout(sizes: Array[Long]): Long = sizes.map(n => n * (n - 1) / 2).sum
+    val sizesDefault = clusterSizes()
+    assert(sizesDefault.length <= 8, "default k = 8 may not materialize more than 8 clusters")
+    spark.conf.set("spark.graft.semdedup.k", "32")
+    try {
+      val rows = SparkEntry.queries("q162_semantic_dedup")(spark, sfDir)
+        .select("vec_id", "cid", "keep_flag").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val sizes32 = rows.groupBy(_._2).map(_._2.length.toLong).toArray
+      assert(sizes32.length > 8, "k = 32 must actually spread vectors over more clusters")
+      assert(pairFanout(sizes32) < pairFanout(sizesDefault),
+        s"raising k must shrink candidate fan-out: k=32 -> ${pairFanout(sizes32)}, " +
+          s"k=8 -> ${pairFanout(sizesDefault)}")
+      // n is fixed, so the bound is also absolute: max cluster C(n_c,2) with
+      // more clusters must beat the single-cluster worst case by a wide margin
+      val n = rows.length.toLong
+      assert(pairFanout(sizes32) < n * (n - 1) / 2 / 4,
+        "fan-out at k=32 must be far below the all-pairs worst case")
+      // recall survives re-parameterization: every planted twin still dropped
+      val plants = rows.filter(_._1 >= Offset)
+      assert(plants.nonEmpty)
+      plants.foreach { case (vid, _, keep) =>
+        assert(keep === 0, s"planted twin $vid must be dropped at k=32 too")
+      }
+    } finally spark.conf.unset("spark.graft.semdedup.k")
+  }
+
+  test("q189: paragraph-level dedup catches partial-duplication twins whole-doc Jaccard misses") {
+    val rows = SparkEntry.queries("q189_paragraph_dedup")(spark, sfDir)
+      .select("doc_id", "n_paragraphs", "n_dup_paragraphs", "dup_share", "drop_flag")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // family A (identical first paragraph + junk): every eligible %11 doc's
+    // twin must be flagged, and with exactly 1 of 2 paragraphs duplicated
+    // it crosses the 50% mass rule
+    val eligibleA = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0 &&
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+      .select("doc_id").as[Long].collect()
+    assert(eligibleA.nonEmpty)
+    eligibleA.foreach { id =>
+      val twin = byId.get(id + Offset)
+      assert(twin.isDefined, s"A-twin of $id must be flagged")
+      assert(twin.get._5 === 1, s"A-twin of $id must carry drop_flag")
+      assert(twin.get._2 === 2 && twin.get._3 >= 1)
+    }
+    // ...while WHOLE-DOC trigram Jaccard on those same twins sits far
+    // below 0.8 — the doc-level detector cannot see them (the operator's
+    // reason to exist). Verified directly against the original text.
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    eligibleA.take(10).foreach { id =>
+      val orig = texts(id).trim.split("\\s+")
+      val twin = orig.take(20) ++ (1 to 20).map(i => s"zqj${id}x$i")
+      def tri(ts: Array[String]) =
+        (if (ts.length < 3) Array(ts.mkString(" "))
+         else ts.sliding(3).map(_.mkString(" ")).toArray).toSet
+      val (a, b) = (tri(orig), tri(twin.toArray))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(j < 0.8, s"doc $id: whole-doc J=$j unexpectedly high")
+    }
+    // every flagged doc really owes its flag to duplicated paragraphs,
+    // and the share always reconciles with the two counts
+    rows.foreach { case (id, nPar, nDup, share, flag) =>
+      assert(nDup >= 1 && nDup <= nPar, s"doc $id: $nDup of $nPar")
+      assert(math.abs(share - nDup.toDouble / nPar) < 1e-12, s"doc $id share")
+      assert(flag === (if (share >= 0.5) 1 else 0), s"doc $id flag")
+    }
+  }
+
   test("cosine is 1.0 on identical vectors, symmetric on pairs") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),

@@ -13,6 +13,9 @@ object SparkTest {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // tz-naive testdata timestamps must read as TIMESTAMP, not NTZ
+      // (same setting as SparkSessionFactory)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // static conf: needed by the bucketing spec's saveAsTable
       .config("spark.sql.warehouse.dir",
