@@ -23,6 +23,19 @@ import org.apache.spark.sql.SparkSession
   * were pure scheduler noise (all recovered on re-run) — and the extra
   * repeats cost seconds in total. The cutoff sat at 1.0 s through round 6;
   * q38/q11 flapped just above it, hence 2.5 s.
+  *
+  * SELF-CERTIFICATION (round 10): min-of-repeats defends against one-off
+  * spikes but not SUSTAINED box contention — round 9's driver bench
+  * recorded a phantom 2.15× "regression" (91% of queries slower, worst
+  * offenders code-unchanged) that an idle re-run fully dissolved, and the
+  * artifact itself carried no way to tell. So the harness now interleaves
+  * a fixed CALIBRATION PROBE (the q01 pricing aggregate, min of 2 runs —
+  * one-off-spike-robust, sustained-load-sensitive) before the first query
+  * and after every ~20, and emits the probe series in the JSON:
+  * `calibration` (seconds per checkpoint), `calibration_drift`
+  * (max/min over the series), and `contended: true` when drift exceeds
+  * 1.5× — the run certifies or indicts itself, no re-run needed to
+  * adjudicate. Methodology in PLANS.md §Bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,7 +61,25 @@ object Bench {
     // fixed side-effect-free query (Map.head could pick one that writes)
     run(queries.Relational.q01Pricing(spark, sfDir).limit(1))
 
+    // calibration probe: a fixed cheap query timed at checkpoints through
+    // the run; its drift is the box-contention signal (see header)
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Unit = {
+      var best = Double.MaxValue
+      var p = 0
+      while (p < 2) {
+        val t0 = System.nanoTime()
+        run(queries.Relational.q01Pricing(spark, sfDir))
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        p += 1
+      }
+      calib += best
+      System.err.println(f"[bench] calibration#${calib.size}%-14d $best%8.2fs")
+    }
+    probe()
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // every repeat runs (a flaky first attempt still surfaces); the
       // reported time is the min over SUCCESSFUL repeats only, so a
@@ -78,8 +109,11 @@ object Bench {
       if (successes == 0) failed += name
       val best = if (successes > 0) bestOk else bestAny
       System.err.println(f"[bench] $name%-24s $best%8.2fs (min of $successes/$target ok)")
+      sinceProbe += 1
+      if (sinceProbe >= 20) { sinceProbe = 0; probe() }
       name -> best
     }
+    if (sinceProbe > 0) probe() // close the series at end-of-run
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -88,7 +122,13 @@ object Bench {
     // repeats_short only appears when the extension tier can actually fire
     // (repeats < 3); with repeats >= 3 no query gets extra runs
     val shortTier = if (repeats < 3) ""","repeats_short":3,"short_cutoff_sec":2.5""" else ""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"sf":"$sfDir"}"""
+    val drift = calib.max / calib.min
+    val contended = drift > 1.5
+    val calibJson = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
+    if (contended)
+      System.err.println(f"[bench] WARNING: calibration drift $drift%.2fx > 1.5x" +
+        " - box was contended during this run; totals are not comparable")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contended,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.

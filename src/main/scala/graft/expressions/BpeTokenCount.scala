@@ -7,6 +7,46 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The ONE greedy longest-match ("maximal munch") implementation both
+  * subword expressions share: a vocabulary indexed by code-point length
+  * (longest first) plus the single per-position step. [[BpeTokenCount]]
+  * folds the step into a count; [[BpeSegment]] collects the pieces — so
+  * the pinned invariant `size(bpeSegment) == bpeTokenCount` holds by
+  * construction (one walk, two folds), not by parallel maintenance of two
+  * copies of the walk.
+  *
+  * Matching is over CODE POINTS (UTF8String semantics), identical to
+  * DuckDB's `substr`/`length`, so oracles replay the same walk with a
+  * recursive CTE over the same vocab and hash-match exactly.
+  */
+final class BpeVocabIndex(vocab: Seq[String]) extends Serializable {
+  require(vocab.nonEmpty, "empty vocabulary")
+
+  val maxLen: Int = vocab.map(UTF8String.fromString(_).numChars()).max
+  private val byLen: Array[java.util.HashSet[UTF8String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
+    vocab.foreach { p =>
+      val u = UTF8String.fromString(p)
+      a(u.numChars()).add(u)
+    }
+    a
+  }
+
+  /** Length (in code points) of the piece consumed at `pos` in word `w`
+    * of length `len`: the longest vocab piece matching there, or 1 (the
+    * single-character UNK fallback) when none matches.
+    */
+  def munchLen(w: UTF8String, pos: Int, len: Int): Int = {
+    var k = math.min(maxLen, len - pos)
+    while (k >= 1) {
+      if (!byLen(k).isEmpty && byLen(k).contains(w.substring(pos, pos + k)))
+        return k
+      k -= 1
+    }
+    1
+  }
+}
+
 /** SUBWORD TOKEN COUNT via greedy longest-match segmentation — the
   * BPE/WordPiece-style tokenizer pass every training pipeline budgets
   * sequence lengths with, as one codegen'd projection. Each whitespace
@@ -19,10 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The vocabulary ships with the expression (serialized plan →
   * task-broadcast — the [[LinearTextScore]] posture; real BPE vocabs are
-  * ~50k pieces ≈ sub-MB, comfortably plan-shippable). Matching is over
-  * CODE POINTS (UTF8String semantics), identical to DuckDB's
-  * `substr`/`length`, so the oracle can replay the same greedy walk with
-  * a recursive CTE over the same vocab and hash-match exactly.
+  * ~50k pieces ≈ sub-MB, comfortably plan-shippable). The walk itself is
+  * [[BpeVocabIndex.munchLen]] — shared with [[BpeSegment]].
   */
 case class BpeTokenCount(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
@@ -31,17 +69,7 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  // pieces grouped by code-point length, longest first — the munch order
-  @transient private lazy val maxLen: Int =
-    vocab.map(UTF8String.fromString(_).numChars()).max
-  @transient private lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
-    val a = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
-    vocab.foreach { p =>
-      val u = UTF8String.fromString(p)
-      a(u.numChars()).add(u)
-    }
-    a
-  }
+  @transient private lazy val index = new BpeVocabIndex(vocab)
 
   override protected def nullSafeEval(input: Any): Any =
     evalCount(input.asInstanceOf[ArrayData])
@@ -55,18 +83,8 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
       val len = w.numChars()
       var pos = 0
       while (pos < len) {
-        var step = 1 // UNK fallback: consume one character
-        var k = math.min(maxLen, len - pos)
-        var matched = false
-        while (!matched && k >= 1) {
-          if (!byLen(k).isEmpty && byLen(k).contains(w.substring(pos, pos + k))) {
-            step = k
-            matched = true
-          }
-          k -= 1
-        }
         total += 1
-        pos += step
+        pos += index.munchLen(w, pos, len)
       }
       i += 1
     }
@@ -89,7 +107,7 @@ object BpeTokenCount {
       BpeTokenCount(GraftColumnBridge.expression(tokens), vocab))
 }
 
-/** The SEGMENTATION itself — same greedy longest-match walk as
+/** The SEGMENTATION itself — the same [[BpeVocabIndex.munchLen]] walk as
   * [[BpeTokenCount]], but returning the flat subword-piece SEQUENCE over
   * the whole token array (each word's pieces in order, words concatenated
   * left-to-right, no word-boundary markers). This is what subword-level
@@ -97,8 +115,10 @@ object BpeTokenCount {
   * whitespace-tokenize differently (hyphenation, joined words) still
   * produce identical piece runs wherever the underlying characters agree
   * within words. Counting invariant: `size(bpeSegment(t, v)) ==
-  * bpeTokenCount(t, v)` for every input (the count expression is the fold
-  * of this one — ExpressionsSpec pins it).
+  * bpeTokenCount(t, v)` for every input — by construction, since both
+  * expressions take identical steps (ExpressionsSpec pins it anyway,
+  * alongside the reconstruction law `array_join(bpeSegment(t, v)) =
+  * concat(t)`).
   */
 case class BpeSegment(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
@@ -109,16 +129,7 @@ case class BpeSegment(child: Expression, vocab: Seq[String])
       org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val maxLen: Int =
-    vocab.map(UTF8String.fromString(_).numChars()).max
-  @transient private lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
-    val a = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
-    vocab.foreach { p =>
-      val u = UTF8String.fromString(p)
-      a(u.numChars()).add(u)
-    }
-    a
-  }
+  @transient private lazy val index = new BpeVocabIndex(vocab)
 
   override protected def nullSafeEval(input: Any): Any =
     evalSegment(input.asInstanceOf[ArrayData])
@@ -132,18 +143,9 @@ case class BpeSegment(child: Expression, vocab: Seq[String])
       val len = w.numChars()
       var pos = 0
       while (pos < len) {
-        var piece: UTF8String = null
-        var k = math.min(maxLen, len - pos)
-        while (piece == null && k >= 1) {
-          if (!byLen(k).isEmpty) {
-            val cand = w.substring(pos, pos + k)
-            if (byLen(k).contains(cand)) piece = cand
-          }
-          k -= 1
-        }
-        if (piece == null) piece = w.substring(pos, pos + 1) // UNK char
-        out.add(piece)
-        pos += piece.numChars()
+        val step = index.munchLen(w, pos, len)
+        out.add(w.substring(pos, pos + step))
+        pos += step
       }
       i += 1
     }

@@ -1100,10 +1100,31 @@ object CurationQueries {
     * is a constant ~3× token fan-out inside codegen'd expressions, and
     * both aggregates key on doc_id — high-cardinality, skew-free.
     */
-  def q188SubwordDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("text"))
+  def q188SubwordDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    subwordDecontaminateWith(spark, dir, TextQueries.BpeVocab)
+
+  /** q188's plan parameterized by the subword vocabulary — the driver
+    * gate runs it on the shared tiny [[TextQueries.BpeVocab]] (oracle-
+    * replayable in SQL); CurationSpec re-runs it on a ~1k-piece vocab
+    * trained by q152's merge rule to prove the catch survives at
+    * realistic vocab scale.
+    */
+  private[graft] def subwordDecontaminateWith(
+      spark: SparkSession, dir: String, vocab: Seq[String]): DataFrame =
+    subwordDecontaminateCore(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")),
+      vocab)
+
+  /** ...and by the corpus frame itself: the testdata vocabulary is 31
+    * distinct words (max 8 chars), so any seriously trained vocab
+    * saturates it — every word compresses to one piece and no within-word
+    * 6-gram window survives. The realistic-vocab spec therefore brings
+    * its own richer synthetic corpus through the SAME plan.
+    */
+  private[graft] def subwordDecontaminateCore(
+      spark: SparkSession, base: DataFrame, vocab: Seq[String]): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))
     val plants = base
       .filter(col("doc_id") % 97 === 0 && array_contains(tk, "customer"))
@@ -1113,7 +1134,7 @@ object CurationQueries {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         graft.expressions.BpeSegment
-          .bpeSegment(col("toks"), TextQueries.BpeVocab).as("ps"))
+          .bpeSegment(col("toks"), vocab).as("ps"))
     val evDocs = docs.filter(col("doc_id") % 97 === 0)
     val trDocs = docs.filter(col("doc_id") % 97 =!= 0)
     // q133's enforced broadcast budget, same conf, same lazy estimate
@@ -1228,9 +1249,11 @@ object CurationQueries {
     * shuffle key; a mega-domain is just a big group, no per-row state);
     * the blocklist is a BROADCAST anti-join (blocklists are KBs).
     */
-  def q191DomainCuration(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+  /** Shared URL-synthesis + `parse_url` host extract + subdomain strip —
+    * the q191 projection, reused by q193's incremental form. One codegen'd
+    * projection over the corpus scan; no UDF (PlanSpec-asserted on q191).
+    */
+  private def domainFrame(spark: SparkSession, dir: String): DataFrame = {
     val url = concat(lit("https://"),
       when(col("doc_id") % 3 === 0, lit("www."))
         .when(col("doc_id") % 3 === 1, lit("cdn."))
@@ -1239,12 +1262,21 @@ object CurationQueries {
       when(expr("(doc_id div 20) % 2") === 0, lit("com"))
         .otherwise(lit("org")),
       lit("/d/"), col("doc_id").cast(StringType), lit("?lang="), col("lang"))
-    val withDomain = docs
+    Tables.documents(spark, dir)
       .withColumn("url", url)
       .withColumn("host", parse_url(col("url"), lit("HOST")))
       .withColumn("domain", regexp_replace(col("host"), "^(www|cdn)\\.", ""))
+  }
+
+  /** The q191/q193 static blocklist — blocklists are KBs, so both plans
+    * take it as a BROADCAST anti-join. */
+  private val DomainBlocklist = Seq("src3.org", "src7.org", "src13.com")
+
+  def q191DomainCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withDomain = domainFrame(spark, dir)
     val qual = q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep"))
-    val blocklist = Seq("src3.org", "src7.org", "src13.com").toDF("domain")
+    val blocklist = DomainBlocklist.toDF("domain")
     withDomain.join(qual, "doc_id")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1301,6 +1333,134 @@ object CurationQueries {
       |  CAST(n_docs_kept AS DOUBLE) / n_docs AS keep_rate, n_langs
       |FROM agg
       |WHERE domain NOT IN ('src3.org', 'src7.org', 'src13.com')
+      |ORDER BY domain""".stripMargin
+
+  /** INCREMENTAL DOMAIN CURATION (q193) — q191's rollup in the shape a
+    * production crawl pipeline actually runs it: per-domain reputation is
+    * a PERSISTED index maintained across batches, and each new batch is
+    * curated against yesterday's verdicts without rescanning yesterday's
+    * documents. Batch b−1 (the doc_id-parity stand-in for "yesterday")
+    * writes its per-(domain, lang) keep stats to parquet once (q120's
+    * persisted-index discipline, session-marker-gated); batch b then
+    *   1. derives yesterday's KILL SET from the index alone — domains
+    *      with ≥ 3 observed docs whose keep rate sits strictly BELOW
+    *      yesterday's corpus-wide keep rate, compared cross-multiplied
+    *      in integers (d_kept·t_docs < t_kept·d_docs — no float
+    *      boundary), so the rule is support-gated and self-calibrating
+    *      rather than a magic constant;
+    *   2. computes ITS OWN (domain, lang) grain only — the batch scan is
+    *      O(batch), never O(corpus);
+    *   3. anti-joins the kill set and the static blocklist (both
+    *      broadcast — KB-scale), and
+    *   4. merges index ∪ delta by state algebra (counts add; n_langs is
+    *      COUNT(DISTINCT lang) over the union of grain rows — the
+    *      (domain, lang) grain is exactly what makes the distinct
+    *      mergeable, q171's discipline).
+    * The oracle is a FULL from-scratch replay over the whole corpus —
+    * index ∪ delta must equal the full recompute or the hash gate breaks
+    * (q150's posture, applied to curation).
+    *
+    * Scale shape: one corpus-batch scan + the index read; grain rollups
+    * key on (domain, lang) (~10⁷·5 keys on real crawls — healthy); kill
+    * set and blocklist are broadcast anti-joins; the only wide exchange
+    * is the domain-keyed merge. CurationSpec pins that the executed plan
+    * reads the persisted index file rather than re-deriving yesterday.
+    */
+  def q193IncrementalDomainCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qual = q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep"))
+    val graded = domainFrame(spark, dir)
+      .select(col("doc_id"), col("lang"), col("domain"))
+      .join(qual, "doc_id")
+    def grain(df: DataFrame): DataFrame = df
+      .groupBy(col("domain"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val idxDir = graft.util.Staging.dir("graft_domain_stats_idx", dir).toString
+    val marker = "spark.graft.layout.domain_stats_idx"
+    if (!spark.conf.getOption(marker).contains(dir)) {
+      grain(graded.filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(idxDir)
+      spark.conf.set(marker, dir)
+    }
+    val index = spark.read.parquet(idxDir)
+    val idxDom = index.groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("d_docs"), sum(col("n_kept")).as("d_kept"))
+    val tot = idxDom.agg(sum(col("d_docs")).as("t_docs"),
+      sum(col("d_kept")).as("t_kept"))
+    val killed = idxDom.crossJoin(broadcast(tot))
+      .filter(col("d_docs") >= 3 &&
+        col("d_kept") * col("t_docs") < col("t_kept") * col("d_docs"))
+      .select(col("domain"))
+    val delta = grain(graded.filter(col("doc_id") % 2 === 1))
+    index.unionByName(delta)
+      .join(broadcast(killed), Seq("domain"), "left_anti")
+      .join(broadcast(DomainBlocklist.toDF("domain")), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_kept")).as("n_docs_kept"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("domain"), col("n_docs"), col("n_docs_kept"),
+        (col("n_docs_kept").cast(DoubleType) / col("n_docs")).as("keep_rate"),
+        col("n_langs"))
+      .orderBy(col("domain"))
+  }
+
+  val q193Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, source,
+      |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |                        WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+      |      || source || '.'
+      |      || (CASE WHEN (doc_id // 20) % 2 = 0 THEN 'com' ELSE 'org' END)
+      |      || '/d/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+      |      '^(www|cdn)\.', '') AS domain
+      |  FROM d),
+      |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM h),
+      |tri AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+      |  FROM t),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |qual AS (
+      |  SELECT tri.doc_id,
+      |    (len(tri.toks) >= 20
+      |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+      |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+      |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+      |g AS (
+      |  SELECT h.domain, h.lang, h.doc_id,
+      |    CASE WHEN q.keep THEN 1 ELSE 0 END AS k
+      |  FROM h JOIN qual q ON h.doc_id = q.doc_id),
+      |idx AS (
+      |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS d_docs,
+      |    CAST(SUM(k) AS BIGINT) AS d_kept
+      |  FROM g WHERE doc_id % 2 = 0 GROUP BY domain),
+      |tot AS (SELECT SUM(d_docs) AS t_docs, SUM(d_kept) AS t_kept FROM idx),
+      |killed AS (
+      |  SELECT domain FROM idx, tot
+      |  WHERE d_docs >= 3 AND d_kept * t_docs < t_kept * d_docs),
+      |agg AS (
+      |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(k) AS BIGINT) AS n_docs_kept,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM g GROUP BY domain)
+      |SELECT domain, n_docs, n_docs_kept,
+      |  CAST(n_docs_kept AS DOUBLE) / n_docs AS keep_rate, n_langs
+      |FROM agg
+      |WHERE domain NOT IN (SELECT domain FROM killed)
+      |  AND domain NOT IN ('src3.org', 'src7.org', 'src13.com')
       |ORDER BY domain""".stripMargin
 
   /** END-TO-END CURATION PIPELINE verdict (q168) — the capstone
@@ -1399,6 +1559,7 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_incremental_domain_curation" -> (q193IncrementalDomainCuration _),
     "q191_domain_curation" -> (q191DomainCuration _),
     "q188_subword_decontaminate" -> (q188SubwordDecontaminate _),
     "q168_curation_pipeline" -> (q168CurationPipeline _),
@@ -1422,6 +1583,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q193_incremental_domain_curation" -> q193Oracle,
     "q191_domain_curation" -> q191Oracle,
     "q188_subword_decontaminate" -> q188Oracle,
     "q168_curation_pipeline" -> q168Oracle,

@@ -178,8 +178,11 @@ object ExtensionQueries {
     *
     * Exactness: both vectors are integers, so dot/norms are exact BIGINTs
     * and the τ = 0.95 gate is the cross-multiplied integer predicate
-    * 400·dot² ≥ 361·‖a‖²·‖b‖² (the q162 discipline — no float boundary);
-    * the reported cosine is rounded to 6 for display only.
+    * 400·dot² ≥ 361·‖a‖²·‖b‖² (the q162 discipline — no float boundary).
+    * The products are evaluated in DECIMAL(38,0) (HUGEINT in the oracle):
+    * at ~10k-char captions dot²·400 crosses 2^63, and BIGINT would wrap
+    * silently where the gate claims exactness. The reported cosine is
+    * rounded to 6 for display only.
     *
     * Scale shape: decode is a typed map (projection-only, no exchange);
     * the text side is a projection on the same scan; the modality join is
@@ -220,8 +223,14 @@ object ExtensionQueries {
           .otherwise(col("dot").cast(DoubleType) /
             (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))), 6)
           .as("cos_r6"),
+        // the cross-multiplied gate runs in DECIMAL(38,0): long captions
+        // push dot²·400 past 2^63, where BIGINT arithmetic would wrap
+        // silently in non-ANSI Spark while the oracle errors (the q144
+        // discipline — promote, don't overflow). Products here stay far
+        // below 10^38, so the decimal compare is exact.
         (col("n_tokens") >= 10 && col("dot") > 0 &&
-          col("dot") * col("dot") * 400 >= col("na") * col("nb") * 361)
+          col("dot").cast(DecimalType(38, 0)) * col("dot") * 400 >=
+            col("na").cast(DecimalType(38, 0)) * col("nb") * 361)
           .cast(IntegerType).as("keep_flag"))
       .orderBy(col("doc_id"))
   }
@@ -264,7 +273,8 @@ object ExtensionQueries {
       |  ROUND(CASE WHEN na * nb = 0 THEN 0.0
       |        ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) AS cos_r6,
       |  CAST(CASE WHEN n_tokens >= 10 AND dot > 0
-      |         AND 400 * dot * dot >= 361 * na * nb THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
+      |         AND 400 * CAST(dot AS HUGEINT) * dot >= 361 * CAST(na AS HUGEINT) * nb
+      |       THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
       |FROM s ORDER BY doc_id""".stripMargin
 
   def q140ImageResize(spark: SparkSession, dir: String): DataFrame = {

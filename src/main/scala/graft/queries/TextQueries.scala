@@ -327,6 +327,113 @@ object TextQueries {
        |ORDER BY lang, bin""".stripMargin
   }
 
+  /** DETERMINISTIC TRAINING-SHARD WRITER (q192) — the last mile every
+    * LLM-data pipeline runs: the packed training sequences (q138/q139's
+    * (lang, bin) assignment) are globally shuffled into N fixed shards
+    * and WRITTEN, with a per-shard manifest (sequence/doc/subword counts
+    * + a content md5) that certifies the layout. "Shuffled" must mean
+    * DETERMINISTIC: shard = range partition of the md5 keyspace —
+    * ⌊prefix32(md5(seq_key)) · N / 2³²⌋ — so placement is a pure function
+    * of content (re-runs and retried tasks land every sequence in the
+    * same shard; no sampling, no RNG), yet md5 uniformity still balances
+    * shard sizes the way a random shuffle would and adjacent corpus
+    * order is destroyed (the anti-curriculum property trainers want).
+    * The query executes the real write (one file per shard via
+    * `repartition(shard)` + `partitionBy`, overwrite → re-run-idempotent)
+    * and computes the manifest FROM THE FILES READ BACK — the artifact is
+    * certified from disk, not from the plan that produced it.
+    *
+    * Scale shape: sequence assembly is q139's aggregate; shard assignment
+    * is a codegen'd projection; the write adds exactly ONE exchange (the
+    * shard repartition — ScaleSpec pins it) and N stays a conf-free
+    * constant here (8) standing in for the real shard count; the manifest
+    * is an N-row aggregate over the shard files. Nothing touches the
+    * driver except the N-row manifest.
+    */
+  def q192TrainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = graft.util.Staging.dir("graft_training_shards", dir).toString
+    shardAssignment(spark, dir)
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_sequences"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_subwords")).as("n_subwords"),
+        md5(array_join(array_sort(collect_list(col("skey_md5"))), ","))
+          .as("shard_md5"))
+      .orderBy(col("shard"))
+  }
+
+  /** q192's shard-assigned sequence frame, pre-write: sequences keyed by
+    * the deterministic md5-range shard, already repartitioned so one task
+    * owns one shard. Exposed for ScaleSpec's plan pin — the shard stage
+    * must add exactly ONE exchange (hashpartitioning on shard) and no
+    * sampled rangepartitioning (placement must be a pure function of
+    * content, never of this run's sampling).
+    */
+  private[graft] def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    bpePackingFrame(spark, dir)
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("seq_subwords"),
+        md5(array_join(
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast(StringType)), ",")).as("ids_md5"))
+      .withColumn("skey_md5",
+        md5(concat(col("lang"), lit(":"), col("bin").cast(StringType))))
+      .withColumn("shard", expr(
+        s"CAST((CAST(conv(substring(skey_md5, 1, 8), 16, 10) AS BIGINT)" +
+          s" * $nShards) div 4294967296 AS INTEGER)"))
+      .repartition(col("shard"))
+  }
+
+  val q192Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_subwords
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id),
+       |assigned AS (
+       |  SELECT lang, doc_id, n_subwords,
+       |    CAST(FLOOR((CAST(SUM(n_subwords) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+       |      / 4096) AS INTEGER) AS bin
+       |  FROM counts JOIN d USING (doc_id)),
+       |seqs AS (
+       |  SELECT lang, bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_subwords) AS BIGINT) AS seq_subwords,
+       |    md5(lang || ':' || CAST(bin AS VARCHAR)) AS skey_md5
+       |  FROM assigned GROUP BY lang, bin),
+       |sh AS (
+       |  SELECT *, CAST((CAST('0x' || substr(skey_md5, 1, 8) AS BIGINT) * 8)
+       |      // 4294967296 AS INTEGER) AS shard
+       |  FROM seqs)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(seq_subwords) AS BIGINT) AS n_subwords,
+       |  md5(string_agg(skey_md5, ',' ORDER BY skey_md5)) AS shard_md5
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val q138Oracle: String = {
     val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
     s"""WITH RECURSIVE d AS (
@@ -360,6 +467,7 @@ object TextQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_training_shards" -> (q192TrainingShards _),
     "q139_pack_manifest" -> (q139PackManifest _),
     "q138_bpe_packing"  -> (q138BpePacking _),
     "q137_bpe_tokens"   -> (q137BpeTokens _),
@@ -370,6 +478,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q192_training_shards" -> q192Oracle,
     "q139_pack_manifest" -> q139Oracle,
     "q138_bpe_packing"  -> q138Oracle,
     "q137_bpe_tokens"   -> q137Oracle,

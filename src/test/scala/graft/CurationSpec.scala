@@ -296,6 +296,136 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(mism === 0, "size(bpeSegment) must equal bpeTokenCount on every doc")
   }
 
+  test("q188 at trained-vocab scale: ~1k-piece q152-rule vocab still catches " +
+    "hyphen-joined plants; Spark munch matches the driver replay") {
+    // The testdata corpus has 31 distinct words (max 8 chars) — any
+    // seriously trained vocab saturates it (every word → 1 piece, no
+    // within-word 6-gram survives), so the realistic-vocab proof brings a
+    // RICHER synthetic corpus through the SAME plan (subwordDecontaminateCore).
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish word distribution: 40 frequent short words + 400 rare
+    // suffix-sharing words (the mid-tail a trainer partially compresses)
+    // + ONE 20-char random singleton per doc (the true tail realistic
+    // vocabs keep fragmenting — its pairs are freq-1, so a 1k-merge
+    // budget barely touches it and greedy munch leaves >= 6 pieces)
+    val freq = (0 until 40).map(i => s"w${i}common")
+    val rare = (0 until 400).map(i => s"xq${i}rarevocabword${i % 7}")
+    def sentence(): String = {
+      val n = 30 + rnd.nextInt(40)
+      val ws = (0 until n).map { _ =>
+        if (rnd.nextInt(10) < 7) freq(rnd.nextInt(freq.length))
+        else rare(rnd.nextInt(rare.length))
+      }
+      val singleton = (0 until 20).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      // every doc carries the plant hook token and its own tail word
+      (ws :+ singleton :+ "customer").mkString(" ")
+    }
+    val docs = (0L until 300L).map(i => (i, sentence())).toDF("doc_id", "text")
+    // q152's merge rule iterated to ~1k pieces, driver-side over the word
+    // vocabulary (Zipf-small — the trainer's actual input relation)
+    val wordCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+      .foreach { case (w, n) => wordCounts(w) = n }
+    var syms: Seq[(Seq[String], Long)] =
+      wordCounts.toSeq.map { case (w, n) => (w.map(_.toString), n) }
+    val pieces = scala.collection.mutable.LinkedHashSet.empty[String]
+    var stop = false
+    while (pieces.size < 1000 && !stop) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (ss, n) =>
+        var j = 0
+        while (j < ss.length - 1) {
+          pairCounts(ss(j) -> ss(j + 1)) =
+            pairCounts.getOrElse(ss(j) -> ss(j + 1), 0L) + n
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) stop = true
+      else {
+        // q152's tie rule: max count, then lexicographically smallest pair
+        val best = pairCounts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1
+        pieces += (best._1 + best._2)
+        syms = syms.map { case (ss, n) =>
+          (graft.queries.CurationQueries.bpeMerge(ss, best._1, best._2), n)
+        }
+      }
+    }
+    val trained = pieces.toSeq
+    assert(trained.size >= 900, s"trainer saturated early at ${trained.size}")
+    // driver-side greedy reference (the replay): same maximal munch law
+    val maxLen = trained.map(_.length).max
+    val vset = trained.toSet
+    def seg(word: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < word.length) {
+        // longest vocab piece, or one char as UNK (l == 1 always accepts)
+        val k = (math.min(maxLen, word.length - pos) to 1 by -1)
+          .find(l => l == 1 || vset.contains(word.substring(pos, pos + l)))
+          .get
+        out += word.substring(pos, pos + k)
+        pos += k
+      }
+      out.toSeq
+    }
+    // expected catches: a plant is provably caught iff its source doc has
+    // a word whose piece run is >= 6 (one full shingle window inside the
+    // word — hyphens never split it because no trained piece contains '-')
+    assert(!trained.exists(_.contains("-")))
+    val texts = docs.as[(Long, String)].collect().toMap
+    val evalIds = texts.keys.filter(id => id % 97 == 0 &&
+      texts(id).split("\\s+").contains("customer"))
+    val expectCaught = evalIds.filter(id =>
+      texts(id).split("\\s+").exists(w => seg(w).length >= 6))
+      .map(_ + graft.queries.SimilarityQueries.PlantOffset).toSet
+    assert(expectCaught.nonEmpty,
+      "synthetic corpus must leave some words fragmenting to >= 6 pieces")
+    val rows = graft.queries.CurationQueries
+      .subwordDecontaminateCore(spark, docs, trained)
+      .select("doc_id", "n_shared_subword_grams", "word_gram_hit")
+      .as[(Long, Long, Int)].collect()
+    val caught = rows.filter(_._1 >= graft.queries.SimilarityQueries.PlantOffset)
+      .map(r => r._1 -> r).toMap
+    expectCaught.foreach { id =>
+      assert(caught.contains(id) && caught(id)._2 >= 1,
+        s"plant $id must be caught at trained-vocab scale")
+      // hyphen-joining still defeats word trigrams
+      assert(caught(id)._3 === 0, s"plant $id must NOT hit word grams")
+    }
+    // the replay check: Spark's codegen'd munch == the driver reference
+    // on every distinct corpus word, at the big vocab's maxLen
+    val sparkSeg = docs.limit(50)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"), graft.expressions.BpeSegment
+        .bpeSegment(array(col("w")), trained).as("ps"))
+      .as[(String, Seq[String])].collect()
+    assert(sparkSeg.nonEmpty)
+    sparkSeg.foreach { case (w, ps) =>
+      assert(ps === seg(w), s"munch divergence on '$w'")
+    }
+  }
+
+  test("q193: incremental curation reads the persisted domain index and " +
+    "the kill path actually fires") {
+    val out = SparkEntry.queries("q193_incremental_domain_curation")(spark, sfDir)
+    // the merged plan must READ yesterday's persisted index, not re-derive
+    // it from yesterday's documents
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_domain_stats_idx"),
+      s"q193 must scan the persisted domain-stats index:\n${plan.take(2000)}")
+    // the self-calibrating kill rule removes at least one domain vs the
+    // kill-free q191 surface (blocklist is shared by both)
+    val q193Domains = out.select("domain").as[String].collect().toSet
+    val q191Domains = SparkEntry.queries("q191_domain_curation")(spark, sfDir)
+      .select("domain").as[String].collect().toSet
+    assert(q193Domains.subsetOf(q191Domains))
+    assert(q193Domains.size < q191Domains.size,
+      "below-corpus-rate domains must be killed (kill path fired)")
+  }
+
   test("stratified sample rates land near the configured per-lang fractions") {
     val sampled = SparkEntry.queries("q80_stratified_sample")(spark, sfDir)
       .select("lang", "n_sampled").as[(String, Long)].collect().toMap

@@ -194,4 +194,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(rewritten === windowed, s"k=$k")
     }
   }
+
+  test("BPE round-trip law: pieces concatenate back to the input; " +
+    "segment size equals token count (generated strings, UNK included)") {
+    import graft.queries.TextQueries.BpeVocab
+    // characters chosen to hit every walk regime: vocab-covered ASCII,
+    // UNK ASCII (digits, hyphen), and multi-byte code points (where byte
+    // and code-point indexing diverge — the regime a UTF8String substring
+    // bug would corrupt)
+    val wordChar: Gen[Char] = Gen.frequency(
+      8 -> Gen.alphaLowerChar,
+      2 -> Gen.oneOf('é', 'ß', '漢', '字', '-', '9', 'Q'))
+    val word: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, wordChar).map(_.mkString))
+    val doc: Gen[List[String]] = Gen.choose(0, 8)
+      .flatMap(n => Gen.listOfN(n, word))
+    val rows = samples(doc, 300).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val out = rows.toDF("id", "toks")
+      .select(col("id"),
+        concat_ws("", col("toks")).as("joined"),
+        array_join(graft.expressions.BpeSegment
+          .bpeSegment(col("toks"), BpeVocab), "").as("rebuilt"),
+        size(graft.expressions.BpeSegment
+          .bpeSegment(col("toks"), BpeVocab)).cast("long").as("n_seg"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(col("toks"), BpeVocab).as("n_cnt"))
+      .collect()
+    assert(out.length === 300)
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      // reconstruction: segmentation is a partition of the input — no
+      // character lost, duplicated, or reordered, UNK fallback included
+      assert(r.getAs[String]("rebuilt") === r.getAs[String]("joined"),
+        s"row $id: pieces must concatenate back to the input")
+      // count law: the count expression is the fold of the segment walk
+      assert(r.getAs[Long]("n_seg") === r.getAs[Long]("n_cnt"),
+        s"row $id: size(bpeSegment) must equal bpeTokenCount")
+    }
+  }
 }

@@ -195,4 +195,32 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q192: shard placement is deterministic-idempotent, balanced by md5, " +
+    "and adds exactly one (hash, never sampled-range) exchange") {
+    // re-run reproduces the manifest byte-for-byte: placement is a pure
+    // function of content, so retried tasks / re-runs cannot move a
+    // sequence between shards
+    val m1 = SparkEntry.queries("q192_training_shards")(spark, sfDir)
+      .collect().toSeq
+    val m2 = SparkEntry.queries("q192_training_shards")(spark, sfDir)
+      .collect().toSeq
+    assert(m1 === m2, "shard writer must be re-run idempotent")
+    assert(m1.nonEmpty)
+    val shards = m1.map(_.getAs[Int]("shard"))
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(shards.distinct.length === shards.length)
+    // the shard stage itself: exactly ONE exchange keyed on shard beyond
+    // the sequence-assembly plan (whose internal prefix-sum range
+    // exchange is fine — bin assignment doesn't depend on its sampled
+    // bounds), and the shard key must never ride a rangepartitioning —
+    // range bounds come from runtime sampling, which would break the
+    // determinism law above
+    val plan = graft.queries.TextQueries.shardAssignment(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(shard".r.findAllMatchIn(plan).size === 1,
+      s"exactly one shard-keyed exchange expected:\n${plan.take(3000)}")
+    assert(!plan.contains("rangepartitioning(shard"),
+      s"shard placement must not be sampled-range based:\n${plan.take(3000)}")
+  }
 }
