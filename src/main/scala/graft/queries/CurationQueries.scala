@@ -1463,6 +1463,121 @@ object CurationQueries {
       |  AND domain NOT IN ('src3.org', 'src7.org', 'src13.com')
       |ORDER BY domain""".stripMargin
 
+  /** TOKEN-BUDGET MIXTURE PLANNING (q194) — the data-recipe sheet every
+    * pre-training run starts from (the LLaMA/Gopher mixture-table shape):
+    * given a global token budget B (`spark.graft.mixture.tokenBudget`,
+    * default 10⁷ — the driver gate replays the default), allocate tokens
+    * to sources by their QUALITY-weighted share (kept docs per q78's
+    * Gopher gate, not raw bytes — allocating by size would just reward
+    * verbosity) and report, per source, the repetition factor the
+    * allocation implies: epochs_ppm = allocated tokens ÷ the source's
+    * kept subword supply, in exact ppm. epochs_ppm > 10⁶ means the
+    * source must repeat (upsample); < 10⁶ means downsample. Token supply
+    * is the REAL tokenizer budget (codegen'd [[graft.expressions
+    * .BpeTokenCount]], q137's counter), not whitespace counts.
+    *
+    * All arithmetic is integral and promoted to DECIMAL(38,0)/HUGEINT
+    * before the ppm/budget products (kept_subwords·10⁶ wraps BIGINT at
+    * ~9·10¹² tokens — real corpora sit above that), with explicit NULL
+    * on a zero-supply source rather than a silent divide.
+    *
+    * Scale shape: one corpus scan (token counting is a projection), a
+    * doc_id-keyed quality join, a source-keyed aggregate (~10²–10⁴
+    * sources — healthy), and a 1-row broadcast total. The recipe frame
+    * is source-cardinality — tiny.
+    */
+  def q194TokenBudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
+      .map(_.toLong).getOrElse(10000000L)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.expressions.BpeTokenCount.bpeTokenCount(
+          TextFunctions.tokens(col("text")), TextQueries.BpeVocab).as("nsw"))
+    val qual = q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep"))
+    val per = toks.join(qual, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("nsw")).as("source_subwords"),
+        sum(when(col("keep"), col("nsw")).otherwise(0L)).as("kept_subwords"))
+    val tot = per.agg(sum(col("n_kept")).as("total_kept_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("source_subwords"), col("kept_subwords"),
+        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000" +
+          " div total_kept_docs AS BIGINT)").as("share_ppm"),
+        expr(s"CAST(CAST(n_kept AS DECIMAL(38,0)) * $budget" +
+          " div total_kept_docs AS BIGINT)").as("tokens_alloc"))
+      .withColumn("epochs_ppm",
+        expr("CASE WHEN kept_subwords = 0 THEN NULL ELSE " +
+          "CAST(CAST(tokens_alloc AS DECIMAL(38,0)) * 1000000" +
+          " div kept_subwords AS BIGINT) END"))
+      .orderBy(col("source"))
+  }
+
+  val q194Oracle: String = {
+    val vocabRows = TextQueries.BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS nsw
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |      FROM documents),
+       |tri AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |qual AS (
+       |  SELECT tri.doc_id,
+       |    (len(tri.toks) >= 20
+       |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+       |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(c.nsw) AS BIGINT) AS source_subwords,
+       |    CAST(SUM(CASE WHEN q.keep THEN c.nsw ELSE 0 END) AS BIGINT)
+       |      AS kept_subwords
+       |  FROM d JOIN counts c USING (doc_id) JOIN qual q USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (SELECT SUM(n_kept) AS total_kept_docs FROM per)
+       |SELECT source, n_docs, n_kept, source_subwords, kept_subwords,
+       |  CAST(CAST(n_kept AS HUGEINT) * 1000000 // total_kept_docs AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs AS BIGINT)
+       |    AS tokens_alloc,
+       |  CASE WHEN kept_subwords = 0 THEN NULL ELSE
+       |    CAST((CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs)
+       |      * 1000000 // kept_subwords AS BIGINT) END AS epochs_ppm
+       |FROM per, tot
+       |ORDER BY source""".stripMargin
+  }
+
   /** END-TO-END CURATION PIPELINE verdict (q168) — the capstone
     * composition: every document gets ONE verdict by applying the
     * suite's curation rules in the order a production pre-training
@@ -1559,6 +1674,7 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_token_budget_mixture" -> (q194TokenBudgetMixture _),
     "q193_incremental_domain_curation" -> (q193IncrementalDomainCuration _),
     "q191_domain_curation" -> (q191DomainCuration _),
     "q188_subword_decontaminate" -> (q188SubwordDecontaminate _),
@@ -1583,6 +1699,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q194_token_budget_mixture" -> q194Oracle,
     "q193_incremental_domain_curation" -> q193Oracle,
     "q191_domain_curation" -> q191Oracle,
     "q188_subword_decontaminate" -> q188Oracle,

@@ -434,6 +434,75 @@ object TextQueries {
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** TOKENIZER COVERAGE / OOV REPORT (q195) — the per-language vocabulary
+    * health check run before committing to a tokenizer: segment the whole
+    * corpus with the production vocab ([[graft.expressions.BpeSegment]],
+    * the same walk q137/q188 run), flag every piece that fell back to the
+    * single-character UNK path (piece ∉ vocab), and report per language
+    * the piece volume, the UNK volume, the exact UNK rate in ppm
+    * (DECIMAL-promoted division — piece counts · 10⁶ wraps BIGINT at real
+    * corpus scale), and the distinct UNK inventory size (the characters a
+    * vocab revision would have to add). A language whose unk_ppm spikes is
+    * exactly the one whose scripts the vocab can't spell — the signal
+    * multilingual pipelines gate on.
+    *
+    * Scale shape: segmentation is a codegen'd projection; the explode is
+    * the ~3× piece fan-out; the aggregate keys on lang (~10²) AFTER a
+    * per-partition partial (count/sum combine map-side; the distinct-UNK
+    * count is over the tiny UNK piece inventory). No joins.
+    */
+  def q195TokenizerCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocabArr = array(BpeVocab.map(lit(_)): _*)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(graft.expressions.BpeSegment
+          .bpeSegment(tokens(col("text")), BpeVocab)).as("piece"))
+      .withColumn("unk", !array_contains(vocabArr, col("piece")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk"),
+        countDistinct(when(col("unk"), col("piece"))).as("distinct_unk_pieces"))
+      .select(col("lang"), col("n_pieces"), col("n_unk"),
+        expr("CAST(CAST(n_unk AS DECIMAL(38,0)) * 1000000" +
+          " div n_pieces AS BIGINT)").as("unk_ppm"),
+        col("distinct_unk_pieces"))
+      .orderBy(col("lang"))
+  }
+
+  val q195Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ord, CAST(NULL AS VARCHAR) AS piece FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word, pos + length(np), ord + 1, np FROM (
+       |    SELECT doc_id, i, word, pos, ord,
+       |      COALESCE((SELECT piece FROM vocab
+       |                WHERE piece = substr(word, pos, length(piece))
+       |                ORDER BY length(piece) DESC LIMIT 1),
+       |               substr(word, pos, 1)) AS np
+       |    FROM seg WHERE pos <= length(word))),
+       |pl AS (
+       |  SELECT d2.lang, s.piece,
+       |    s.piece NOT IN (SELECT piece FROM vocab) AS unk
+       |  FROM seg s JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id)
+       |  WHERE s.piece IS NOT NULL)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |  CAST(CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |    // COUNT(*) AS BIGINT) AS unk_ppm,
+       |  CAST(COUNT(DISTINCT CASE WHEN unk THEN piece END) AS BIGINT)
+       |    AS distinct_unk_pieces
+       |FROM pl GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val q138Oracle: String = {
     val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
     s"""WITH RECURSIVE d AS (
@@ -467,6 +536,7 @@ object TextQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_tokenizer_coverage" -> (q195TokenizerCoverage _),
     "q192_training_shards" -> (q192TrainingShards _),
     "q139_pack_manifest" -> (q139PackManifest _),
     "q138_bpe_packing"  -> (q138BpePacking _),
@@ -478,6 +548,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q195_tokenizer_coverage" -> q195Oracle,
     "q192_training_shards" -> q192Oracle,
     "q139_pack_manifest" -> q139Oracle,
     "q138_bpe_packing"  -> q138Oracle,
