@@ -1463,6 +1463,106 @@ object CurationQueries {
       |  AND domain NOT IN ('src3.org', 'src7.org', 'src13.com')
       |ORDER BY domain""".stripMargin
 
+  /** URL CANONICALIZATION + DEDUP (q197) — the crawl-frontier dedup rule
+    * that runs BEFORE any content fetch: the same page arrives under
+    * case-shifted hosts, www/cdn mirrors, trailing-slash variants,
+    * shuffled query-parameter order, tracking parameters
+    * (utm_ prefixes, sessionid, fbclid) and fragments — canonicalize
+    * (lowercase host, strip mirror subdomain, strip trailing slash,
+    * drop tracking params, SORT surviving params, drop fragment) and
+    * keep one doc per canonical URL. Synthetic URLs pair every doc with
+    * its id-neighbor (2k, 2k+1) pointing at the SAME page through
+    * DIFFERENT raw forms — upper vs lower host case, %4 trailing slash,
+    * opposite param order, a per-doc sessionid + different tracking
+    * params on each side, %6 fragment — so the corpus collapses exactly
+    * 2-to-1 (500 → 250 canonicals, every one with n_docs = 2). Each
+    * normalization is load-bearing: miss one and specific pairs stop
+    * collapsing — counts and the hash change.
+    *
+    * Scale shape: canonicalization is one codegen'd projection
+    * (parse_url + higher-order filter/sort — no UDF, q191's posture);
+    * dedup is a canonical-URL-keyed aggregate — the highest-cardinality
+    * key a crawl has, skew-free. A frontier of 10¹¹ URLs shuffles once.
+    */
+  def q197UrlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    // pair key: docs 2k and 2k+1 share page (host, path) but differ in
+    // every raw-form dimension the canonicalizer must erase
+    val raw = concat(lit("https://"),
+      when(col("doc_id") % 4 < 2,
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")))
+        .otherwise(
+          when(col("doc_id") % 2 === 0, lit("CDN.")).otherwise(lit("cdn."))),
+      lit("site"), expr("CAST((doc_id div 2) % 50 AS STRING)"), lit("."),
+      when(expr("(doc_id div 20) % 2") === 0, lit("com")).otherwise(lit("org")),
+      lit("/d/"), expr("CAST(doc_id div 2 AS STRING)"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("v=1&ref=home&utm_source=feed&sessionid="),
+          col("doc_id").cast(StringType)))
+        .otherwise(lit("ref=home&utm_campaign=x&v=1")),
+      when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("url", raw)
+      .withColumn("host", regexp_replace(
+        lower(parse_url(col("url"), lit("HOST"))), "^(www|cdn)\\.", ""))
+      .withColumn("path", regexp_replace(
+        parse_url(col("url"), lit("PATH")), "/$", ""))
+      .withColumn("ps", array_sort(expr(
+        "filter(split(parse_url(url, 'QUERY'), '&'), p -> NOT (" +
+          "startswith(p, 'utm_') OR startswith(p, 'sessionid=')" +
+          " OR startswith(p, 'fbclid=')))")))
+      .withColumn("canonical_url", concat(col("host"), col("path"),
+        when(size(col("ps")) === 0, lit(""))
+          .otherwise(concat(lit("?"), array_join(col("ps"), "&")))))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_url_variants"),
+        min(col("doc_id")).as("kept_id"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val q197Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'https://' || (CASE WHEN doc_id % 4 < 2
+      |                   THEN (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+      |                   ELSE (CASE WHEN doc_id % 2 = 0 THEN 'CDN.' ELSE 'cdn.' END) END)
+      |      || 'site' || CAST((doc_id // 2) % 50 AS VARCHAR) || '.'
+      |      || (CASE WHEN (doc_id // 20) % 2 = 0 THEN 'com' ELSE 'org' END)
+      |      || '/d/' || CAST(doc_id // 2 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |      || '?'
+      |      || (CASE WHEN doc_id % 2 = 0
+      |            THEN 'v=1&ref=home&utm_source=feed&sessionid='
+      |                 || CAST(doc_id AS VARCHAR)
+      |            ELSE 'ref=home&utm_campaign=x&v=1' END)
+      |      || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+      |      '^(www|cdn)\.', '') AS host,
+      |    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+      |      '/$', '') AS path,
+      |    list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'sessionid=')
+      |                OR starts_with(p, 'fbclid=')))) AS ps
+      |  FROM d),
+      |k AS (
+      |  SELECT doc_id, url,
+      |    host || path || (CASE WHEN len(ps) = 0 THEN ''
+      |                     ELSE '?' || array_to_string(ps, '&') END)
+      |      AS canonical_url
+      |  FROM c)
+      |SELECT canonical_url,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_url_variants,
+      |  MIN(doc_id) AS kept_id
+      |FROM k GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
+
   /** TOKEN-BUDGET MIXTURE PLANNING (q194) — the data-recipe sheet every
     * pre-training run starts from (the LLaMA/Gopher mixture-table shape):
     * given a global token budget B (`spark.graft.mixture.tokenBudget`,
@@ -1674,6 +1774,7 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_url_canonical_dedup" -> (q197UrlCanonicalDedup _),
     "q194_token_budget_mixture" -> (q194TokenBudgetMixture _),
     "q193_incremental_domain_curation" -> (q193IncrementalDomainCuration _),
     "q191_domain_curation" -> (q191DomainCuration _),
@@ -1699,6 +1800,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q197_url_canonical_dedup" -> q197Oracle,
     "q194_token_budget_mixture" -> q194Oracle,
     "q193_incremental_domain_curation" -> q193Oracle,
     "q191_domain_curation" -> q191Oracle,

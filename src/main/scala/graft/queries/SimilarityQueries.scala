@@ -807,6 +807,20 @@ object SimilarityQueries {
     * the top-k ranking hash-match the oracle bit-for-bit.
     */
   def q112AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (scores, _) = pqAdcScores(spark, dir)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** The shared PQ machinery behind q112 (ADC top-k) and q196 (ADC
+    * shortlist → exact re-rank): trains the two subspace codebooks,
+    * encodes the corpus, and returns the (qid, vid, adc) score stream
+    * plus the grid-vector frame re-rankers fetch exact vectors from.
+    */
+  private def pqAdcScores(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val h = 32 // subspace width (dim 64 / M=2)
     val vq = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -835,13 +849,45 @@ object SimilarityQueries {
       qs.join(broadcast(cb), lit(true))
         .select(col("qid"), col("cid").as(s"c$i"), distSq(qsub, col("cv")).as(s"d$i"))
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
-    coded.join(broadcast(t0), "c0")
+    val scores = coded.join(broadcast(t0), "c0")
       .join(broadcast(t1), Seq("qid", "c1"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"), (col("d0") + col("d1")).as("adc"))
-      .withColumn("rn", row_number().over(w))
+    (scores, vq)
+  }
+
+  /** TWO-STAGE ANN: PQ SHORTLIST → EXACT RE-RANK (q196) — the production
+    * retrieval shape (FAISS IVF-PQ + refine, DiskANN's re-rank tier):
+    * the compressed index proposes a cheap shortlist (q112's ADC top-20
+    * per query), then ONLY those candidates fetch their full vectors and
+    * re-rank by true squared distance. Output carries both ranks, so the
+    * artifact shows exactly what re-ranking bought (approx_rn vs final
+    * rn — ADC quantization error reorders the tail). Same integer-grid
+    * exactness as q112/q85: the exact distance is a sum of ≤ 65k-bounded
+    * integer squares in doubles — bit-replayable in SQL.
+    *
+    * Scale shape: stage 1 is q112's plan (corpus scanned once as 2-byte
+    * codes, ADC tables broadcast); stage 2 touches 20 rows per query —
+    * the shortlist BROADCASTS onto the vector table, so full vectors are
+    * read only for candidates (the point-lookup join a billion-vector
+    * re-ranker runs); re-rank window partitions by qid over ≤ 20 rows.
+    */
+  def q196AnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (scores, vq) = pqAdcScores(spark, dir)
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    val short = scores
+      .withColumn("approx_rn", row_number().over(wA))
+      .filter(col("approx_rn") <= 20)
+    val exact = vq.select(col("vec_id").as("vid"), col("v").as("cv"))
+      .join(broadcast(short), "vid")
+      .join(broadcast(vq.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+      .withColumn("exact_d2", distSq(col("qv"), col("cv")))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("exact_d2"), col("vid"))
+    exact
+      .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= 5)
+      .select(col("qid"), col("vid"), col("approx_rn"), col("exact_d2"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -852,7 +898,17 @@ object SimilarityQueries {
     * list_distance's sqrt would not replay bit-for-bit), and the
     * candidate ranking.
     */
-  val q112Oracle: String = {
+  /** Exact squared distance in SQL via an indexed-lambda integer sum —
+    * list_distance's sqrt would not replay bit-for-bit. Shared by the
+    * q112 ADC tables and q196's re-rank stage. */
+  private def pqD2(a: String, b: String) =
+    s"CAST(list_sum(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))) AS DOUBLE)"
+
+  /** The WITH-prefix both PQ oracles share: subspace trainings unrolled
+    * exactly as q85's, encoding, ADC tables, and the candidate scores
+    * (`adc` CTE). q112 appends the ADC ranking; q196 appends the
+    * shortlist + exact re-rank. */
+  private val pqOracleCommon: String = {
     val k = 8
     val iters = 2
     def kmeans(src: String, p: String): String = {
@@ -880,8 +936,7 @@ object SimilarityQueries {
          |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
          |${(1 to iters).map(iteration).mkString(",\n")}""".stripMargin
     }
-    def d2(a: String, b: String) =
-      s"CAST(list_sum(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i]))) AS DOUBLE)"
+    def d2(a: String, b: String) = pqD2(a, b)
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 16 + 0.5)) AS v
@@ -910,13 +965,34 @@ object SimilarityQueries {
        |adc AS (
        |  SELECT t0.qid, code.vec_id AS vid, t0.d0 + t1.d1 AS adc
        |  FROM code JOIN t0 USING (c0) JOIN t1 ON t1.qid = t0.qid AND t1.c1 = code.c1
-       |  WHERE code.vec_id <> t0.qid)
+       |  WHERE code.vec_id <> t0.qid)""".stripMargin
+  }
+
+  val q112Oracle: String =
+    s"""$pqOracleCommon
        |SELECT qid, vid, adc, rn FROM (
        |  SELECT qid, vid, adc,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS INTEGER) AS rn
        |  FROM adc)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-  }
+
+  val q196Oracle: String =
+    s"""$pqOracleCommon,
+       |short AS (
+       |  SELECT qid, vid, approx_rn FROM (
+       |    SELECT qid, vid,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid)
+       |        AS INTEGER) AS approx_rn
+       |    FROM adc) WHERE approx_rn <= 20),
+       |ex AS (
+       |  SELECT s.qid, s.vid, s.approx_rn, ${pqD2("q.v", "f.v")} AS exact_d2
+       |  FROM short s JOIN v q ON q.vec_id = s.qid JOIN v f ON f.vec_id = s.vid)
+       |SELECT qid, vid, approx_rn, exact_d2, rn FROM (
+       |  SELECT qid, vid, approx_rn, exact_d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact_d2, vid)
+       |      AS INTEGER) AS rn
+       |  FROM ex) WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
 
   /** EXACT long-n-gram substring dedup (q161) — the C4/GPT-3-style
     * cleanup rule the Jaccard tier (q36) does not cover: a document is
@@ -1219,6 +1295,7 @@ object SimilarityQueries {
     "q120_dedup_incremental" -> (q120DedupIncremental _),
     "q119_dedup_best_of_cluster" -> (q119DedupBestOfCluster _),
     "q112_ann_pq"            -> (q112AnnPq _),
+    "q196_ann_rerank"        -> (q196AnnRerank _),
     "q107_containment_dedup" -> (q107ContainmentDedup _),
     "q72_dedup_clusters" -> (q72DedupClusters _),
     "q36_dedup_minhash"  -> (q36DedupMinhash _),
@@ -1238,6 +1315,7 @@ object SimilarityQueries {
     "q120_dedup_incremental" -> q120Oracle,
     "q119_dedup_best_of_cluster" -> q119Oracle,
     "q112_ann_pq"            -> q112Oracle,
+    "q196_ann_rerank"        -> q196Oracle,
     "q107_containment_dedup" -> q107Oracle,
     "q36_dedup_minhash"  -> q36Oracle,
     "q37_dedup_simhash"  -> q37Oracle,
