@@ -1586,7 +1586,12 @@ object CurationQueries {
     * sources — healthy), and a 1-row broadcast total. The recipe frame
     * is source-cardinality — tiny.
     */
-  def q194TokenBudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+  def q194TokenBudgetMixture(spark: SparkSession, dir: String): DataFrame =
+    mixturePlan(spark, dir).orderBy(col("source"))
+
+  /** The per-source recipe frame behind q194 (reported directly) and
+    * q198 (which MATERIALIZES the plan into per-doc copy counts). */
+  private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
     val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
       .map(_.toLong).getOrElse(10000000L)
     val toks = Tables.documents(spark, dir)
@@ -1612,7 +1617,140 @@ object CurationQueries {
         expr("CASE WHEN kept_subwords = 0 THEN NULL ELSE " +
           "CAST(CAST(tokens_alloc AS DECIMAL(38,0)) * 1000000" +
           " div kept_subwords AS BIGINT) END"))
+  }
+
+  /** UPSAMPLE MATERIALIZATION (q198) — q194's recipe turned into the
+    * executable sampling plan: every KEPT document gets a deterministic
+    * copy count n_copies = ⌊epochs_ppm/10⁶⌋ + one fractional copy decided
+    * by its md5 (prefix32 < frac_ppm·2³²/10⁶ — q134's exact integer
+    * threshold recipe, DECIMAL-promoted). Repetition is thereby a pure
+    * function of (doc, recipe): re-runs, retries and re-orders produce
+    * the same epoch plan, and E[Σ copies·tokens] = the source's token
+    * allocation. The gated output is the per-source audit — doc volume
+    * before/after, realized tokens, and realized-vs-target in exact ppm
+    * (the fractional-sampling error a trainer actually tolerates).
+    *
+    * Scale shape: the recipe frame is source-cardinality and broadcasts
+    * back onto one corpus scan; copy decisions are a codegen'd md5
+    * projection; the audit re-aggregates by source. Materializing the
+    * physical copies downstream is `explode(sequence(1, n_copies))` —
+    * deliberately NOT done here: the plan, not 1.7× the corpus, is the
+    * artifact worth gating.
+    */
+  def q198UpsampleMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.expressions.BpeTokenCount.bpeTokenCount(
+          TextFunctions.tokens(col("text")), TextQueries.BpeVocab).as("nsw"))
+      .join(q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .filter(col("keep"))
+    val plan = mixturePlan(spark, dir)
+      .select(col("source"), col("kept_subwords"), col("tokens_alloc"),
+        col("epochs_ppm"))
+    docs.join(broadcast(plan), "source")
+      .withColumn("base_copies", expr("epochs_ppm div 1000000"))
+      .withColumn("frac_ppm", expr("epochs_ppm % 1000000"))
+      .withColumn("p32", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("n_copies", expr("base_copies + (CASE WHEN " +
+        "CAST(p32 AS DECIMAL(38,0)) * 1000000 < " +
+        "CAST(frac_ppm AS DECIMAL(38,0)) * 4294967296 THEN 1 ELSE 0 END)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_copies")).as("n_doc_copies"),
+        sum(col("nsw") * col("n_copies")).as("realized_tokens"))
+      .join(broadcast(plan), "source")
+      .select(col("source"), col("n_docs_kept"), col("n_doc_copies"),
+        col("realized_tokens"), col("tokens_alloc"),
+        expr("CASE WHEN tokens_alloc = 0 THEN NULL ELSE " +
+          "CAST(CAST(realized_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div tokens_alloc AS BIGINT) END").as("realized_vs_target_ppm"))
       .orderBy(col("source"))
+  }
+
+  val q198Oracle: String = {
+    val vocabRows = TextQueries.BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS nsw
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |      FROM documents),
+       |tri AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |qual AS (
+       |  SELECT tri.doc_id,
+       |    (len(tri.toks) >= 20
+       |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+       |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2) AS keep
+       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN q.keep THEN c.nsw ELSE 0 END) AS BIGINT)
+       |      AS kept_subwords
+       |  FROM d JOIN counts c USING (doc_id) JOIN qual q USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (SELECT SUM(n_kept) AS total_kept_docs FROM per),
+       |plan AS (
+       |  SELECT source, kept_subwords,
+       |    CAST(CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs AS BIGINT)
+       |      AS tokens_alloc,
+       |    CASE WHEN kept_subwords = 0 THEN NULL ELSE
+       |      CAST((CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs)
+       |        * 1000000 // kept_subwords AS BIGINT) END AS epochs_ppm
+       |  FROM per, tot),
+       |dk AS (
+       |  SELECT d.source, d.doc_id, c.nsw, p.tokens_alloc, p.epochs_ppm,
+       |    p.epochs_ppm // 1000000 AS base_copies,
+       |    p.epochs_ppm % 1000000 AS frac_ppm,
+       |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      AS p32
+       |  FROM d JOIN counts c USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN plan p ON p.source = d.source
+       |  WHERE q.keep),
+       |cp AS (
+       |  SELECT source, doc_id, nsw, tokens_alloc,
+       |    base_copies + (CASE WHEN CAST(p32 AS HUGEINT) * 1000000 <
+       |      CAST(frac_ppm AS HUGEINT) * 4294967296 THEN 1 ELSE 0 END)
+       |      AS n_copies
+       |  FROM dk)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(n_copies) AS BIGINT) AS n_doc_copies,
+       |  CAST(SUM(nsw * n_copies) AS BIGINT) AS realized_tokens,
+       |  tokens_alloc,
+       |  CASE WHEN tokens_alloc = 0 THEN NULL ELSE
+       |    CAST(CAST(SUM(nsw * n_copies) AS HUGEINT) * 1000000
+       |      // tokens_alloc AS BIGINT) END AS realized_vs_target_ppm
+       |FROM cp GROUP BY source, tokens_alloc
+       |ORDER BY source""".stripMargin
   }
 
   val q194Oracle: String = {
@@ -1677,6 +1815,64 @@ object CurationQueries {
        |FROM per, tot
        |ORDER BY source""".stripMargin
   }
+
+  /** DUPLICATE-CHUNK FRACTION (q199) — the Gopher duplicate-line rule,
+    * distinct from q78's OVERLAPPING-n-gram repetition ratio: the text is
+    * cut into NON-overlapping 10-token chunks (the line/paragraph proxy
+    * for a corpus without line breaks; a short doc is one whole-text
+    * chunk) and the metric is the fraction of chunk INSTANCES whose
+    * content occurs more than once in the same document — exactly the
+    * "duplicate line fraction" a looping generator or boilerplate-stuffed
+    * page fails. Reported per doc in exact ppm with the distinct-repeated
+    * inventory alongside.
+    *
+    * Scale shape: chunking is a codegen'd projection; the instance count
+    * rides one (doc_id, chunk)-keyed aggregate (high-cardinality,
+    * map-side combined) re-aggregated to doc_id — the q161 gram-index
+    * posture applied within documents. No joins beyond the two-level
+    * aggregate.
+    */
+  def q199DuplicateChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST((size(toks) - 1) div 10 AS INT)), " +
+          "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as("chunk"))
+    chunks
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_instances"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_repeated_distinct"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_instances"),
+        expr("CAST(CAST(dup_instances AS DECIMAL(38,0)) * 1000000" +
+          " div n_chunks AS BIGINT)").as("dup_ppm"),
+        col("n_repeated_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q199Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, ((len(toks) - 1) // 10) + 1),
+      |    i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))) AS chunk
+      |  FROM d),
+      |cc AS (
+      |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ch GROUP BY doc_id, chunk)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_instances,
+      |  CAST(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS HUGEINT) * 1000000
+      |    // SUM(c) AS BIGINT) AS dup_ppm,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeated_distinct
+      |FROM cc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** END-TO-END CURATION PIPELINE verdict (q168) — the capstone
     * composition: every document gets ONE verdict by applying the
@@ -1774,6 +1970,8 @@ object CurationQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_duplicate_chunks" -> (q199DuplicateChunks _),
+    "q198_upsample_materialize" -> (q198UpsampleMaterialize _),
     "q197_url_canonical_dedup" -> (q197UrlCanonicalDedup _),
     "q194_token_budget_mixture" -> (q194TokenBudgetMixture _),
     "q193_incremental_domain_curation" -> (q193IncrementalDomainCuration _),
@@ -1800,6 +1998,8 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q199_duplicate_chunks" -> q199Oracle,
+    "q198_upsample_materialize" -> q198Oracle,
     "q197_url_canonical_dedup" -> q197Oracle,
     "q194_token_budget_mixture" -> q194Oracle,
     "q193_incremental_domain_curation" -> q193Oracle,
