@@ -57,9 +57,15 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: small end-to-end action to absorb JVM/codegen startup — a
-    // fixed side-effect-free query (Map.head could pick one that writes)
+    // warmup: absorb JVM/codegen startup with the limit(1) action plus
+    // two FULL probe-query runs — the alphabetically-first measured
+    // queries and calibration checkpoint #1 must already be steady-state
+    // (round 10: on an otherwise-idle box, probe #1 read 1.7x its steady
+    // value from pure JIT, indistinguishable from early contention in
+    // the drift statistic; q01–q03 carried the same cold-start tax)
     run(queries.Relational.q01Pricing(spark, sfDir).limit(1))
+    run(queries.Relational.q01Pricing(spark, sfDir))
+    run(queries.Relational.q01Pricing(spark, sfDir))
 
     // calibration probe: a fixed cheap query timed at checkpoints through
     // the run; its drift is the box-contention signal (see header)
