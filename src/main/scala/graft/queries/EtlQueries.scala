@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -277,6 +278,79 @@ object EtlQueries {
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** SCD2 POINT-IN-TIME JOIN (q201) — the read side of q102's dimension
+    * history: every order is enriched with the dimension version that was
+    * valid AT ITS TIMESTAMP (the PIT join behind every "as it was then"
+    * report and every leakage-safe ML feature join — joining today's
+    * attributes onto yesterday's facts is the classic label-leakage bug).
+    * A version applies from valid_from inclusively, so at an exact
+    * boundary the NEW version wins; orders before a user's first version
+    * keep a NULL attribute (LEFT semantics).
+    *
+    * Implemented WITHOUT a range join: q56's union-window shape — version
+    * rows and probe rows tag into ONE stream, one window over
+    * (user, ts, is_probe) carries a running max of the
+    * (valid_from, version, attr) struct, probes read it off. One shuffle
+    * on the user key, no row multiplication, no BNLJ — the scalable PIT
+    * form at any fact:dimension ratio. The oracle is DuckDB's native
+    * ASOF LEFT JOIN against the q102-oracle version CTE.
+    */
+  def q201PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val versions = q102Scd2History(spark, dir)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("version"))
+    val probes = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+    val tagged = versions
+      .select(col("user_id"), col("valid_from").as("ts"),
+        lit(null).cast("long").as("o_orderkey"), lit(false).as("is_probe"),
+        struct(col("valid_from"), col("version"), col("event_type")).as("vrec"))
+      .unionByName(probes
+        .select(col("user_id"), col("ts"), col("o_orderkey"),
+          lit(true).as("is_probe"),
+          lit(null).cast("struct<valid_from:timestamp,version:int," +
+            "event_type:string>").as("vrec")))
+    // inclusive valid_from: at ts == valid_from the version row sorts
+    // first (is_probe false < true), so the probe sees it
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("pit", max(col("vrec")).over(w))
+      .filter(col("is_probe"))
+      .select(col("o_orderkey"), col("user_id"), col("ts").as("order_ts"),
+        col("pit.event_type").as("pit_event_type"),
+        col("pit.version").as("pit_version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q201Oracle: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    ROW_NUMBER() OVER w AS rn, LAG(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |versions AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+      |  FROM (SELECT user_id, event_id, ts, event_type FROM ordered
+      |        WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |probes AS (
+      |  SELECT o_orderkey, o_custkey AS user_id,
+      |    CAST(o_orderdate AS TIMESTAMP) AS ts
+      |  FROM orders)
+      |SELECT p.o_orderkey, p.user_id, p.ts AS order_ts,
+      |  (SELECT v.event_type FROM versions v
+      |   WHERE v.user_id = p.user_id AND v.valid_from <= p.ts
+      |   ORDER BY v.valid_from DESC, v.version DESC LIMIT 1) AS pit_event_type,
+      |  (SELECT v.version FROM versions v
+      |   WHERE v.user_id = p.user_id AND v.valid_from <= p.ts
+      |   ORDER BY v.valid_from DESC, v.version DESC LIMIT 1) AS pit_version
+      |FROM probes p
+      |ORDER BY p.o_orderkey""".stripMargin
+
   /** CHANGE-FEED generation — the inverse of q70's changelog APPLY: two
     * snapshots of the orders table (deterministic deletes/updates/inserts
     * between them) diff into the I/U/D feed via one full-outer join on
@@ -360,6 +434,7 @@ object EtlQueries {
     "q130_profile_columns" -> (q130ProfileColumns _),
     "q129_change_feed"  -> (q129ChangeFeed _),
     "q102_scd2_history" -> (q102Scd2History _),
+    "q201_pit_join" -> (q201PitJoin _),
     "q70_cdc_apply"     -> (q70CdcApply _),
     "q71_data_quality"  -> (q71DataQuality _),
     "q68_etl_pipeline"  -> (q68EtlPipeline _),
@@ -373,6 +448,7 @@ object EtlQueries {
     "q130_profile_columns" -> q130Oracle,
     "q129_change_feed"  -> q129Oracle,
     "q102_scd2_history" -> q102Oracle,
+    "q201_pit_join" -> q201Oracle,
     "q70_cdc_apply"     -> q70CdcOracle,
     "q71_data_quality"  -> q71Oracle,
     "q68_etl_pipeline"  -> q68Oracle,

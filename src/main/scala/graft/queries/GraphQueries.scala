@@ -195,15 +195,87 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TRIANGLE CENSUS over the near-dup graph (q200) — the structural
+    * audit a dedup pipeline runs on its pair set: triangles are
+    * mutually-similar triples (clique-ish duplication families — template
+    * farms), while a high wedge count with few triangles means chain-like
+    * similarity (A∼B∼C but A≁C — exactly where transitive-closure
+    * clustering (q141) over-merges relative to pairwise similarity). The
+    * global clustering coefficient 3·triangles/wedges in exact ppm
+    * quantifies that, per corpus.
+    *
+    * Implementation is the DEGREE-ORIENTED wedge algorithm (the
+    * MapReduce-era standard): orient each undirected edge from its
+    * (degree, id)-smaller endpoint, build wedges only from each node's
+    * ORIENTED out-edges — out-degree is bounded by O(√m) on any graph
+    * (arboricity bound), so the wedge fan-out a hub would explode under
+    * naive enumeration stays bounded — and close wedges with one
+    * canonical-pair equi-join. Every join is an equi-join; the counts
+    * cross-join as 1-row frames (no driver-side counts).
+    */
+  def q200TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val und = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = und.groupBy(col("id_a")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("id_a", "node")
+    val oriented = und
+      .join(deg.select(col("node").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("id_a") < col("id_b")))
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+    val tris = wedges.join(pairs,
+      least(col("v1"), col("v2")) === col("id_a") &&
+        greatest(col("v1"), col("v2")) === col("id_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    val wedgeN = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    nodes.crossJoin(edges).crossJoin(wedgeN).crossJoin(tris)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN NULL ELSE " +
+          "CAST(CAST(n_triangles AS DECIMAL(38,0)) * 3000000" +
+          " div n_wedges AS BIGINT) END").as("global_cc_ppm"))
+  }
+
+  val q200Oracle: String =
+    s"""WITH p AS (SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY u),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM p e1
+       |  JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+       |  JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+       |eg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM p),
+       |wg AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |       FROM deg)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN NULL ELSE
+       |    CAST(CAST(n_triangles AS HUGEINT) * 3000000 // n_wedges AS BIGINT)
+       |  END AS global_cc_ppm
+       |FROM s, eg, wg, tri""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
-    "q150_incremental_components" -> (q150IncrementalComponents _))
+    "q150_incremental_components" -> (q150IncrementalComponents _),
+    "q200_triangle_census"    -> (q200TriangleCensus _))
 
   val oracles: Map[String, String] = Map(
     "q141_neardup_components" -> q141Oracle,
     "q142_pagerank"           -> q142Oracle,
     // identical full-closure oracle by design: incremental merge must
     // equal the from-scratch clustering
-    "q150_incremental_components" -> q141Oracle)
+    "q150_incremental_components" -> q141Oracle,
+    "q200_triangle_census"    -> q200Oracle)
 }
