@@ -48,4 +48,28 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("rank_scaled") >= 150000000L))
   }
+
+  test("q200: degree-oriented census equals brute-force triangle enumeration") {
+    val row = SparkEntry.queries("q200_triangle_census")(spark, sfDir)
+      .collect().head
+    // independent reference: enumerate triangles driver-side from the
+    // collected pair set (tiny at spec scale)
+    val pairs = queries.SimilarityQueries.q36DedupMinhash(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val pairSet = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val bruteTris = (for {
+      (a, b) <- pairSet.iterator
+      c <- (adj(a) intersect adj(b)) if c > b
+    } yield (a, b, c)).size.toLong
+    val bruteWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getAs[Long]("n_triangles") === bruteTris)
+    assert(row.getAs[Long]("n_wedges") === bruteWedges)
+    assert(row.getAs[Long]("n_edges") === pairSet.size.toLong)
+    assert(row.getAs[Long]("n_nodes") === adj.size.toLong)
+    // the census must be non-vacuous at spec scale or the oriented-join
+    // path is untested
+    assert(bruteWedges > 0, "pair graph has no wedges — census vacuous")
+  }
 }
