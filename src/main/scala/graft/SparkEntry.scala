@@ -24,7 +24,8 @@ object SparkEntry {
       AdvancedQueries.registry ++ ApiSurfaceQueries.registry ++
       ScaleQueries.registry ++ CurationQueries.registry ++
       RelationalPlus.registry ++ GraphQueries.registry ++
-      RetrievalQueries.registry ++ MiningQueries.registry
+      RetrievalQueries.registry ++ MiningQueries.registry ++
+      CorpusQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       AdvancedQueries.oracles ++ ApiSurfaceQueries.oracles ++
       ScaleQueries.oracles ++ CurationQueries.oracles ++
       RelationalPlus.oracles ++ GraphQueries.oracles ++
-      RetrievalQueries.oracles ++ MiningQueries.oracles
+      RetrievalQueries.oracles ++ MiningQueries.oracles ++
+      CorpusQueries.oracles
 }
