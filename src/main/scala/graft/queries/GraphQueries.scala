@@ -265,11 +265,101 @@ object GraphQueries {
        |  END AS global_cc_ppm
        |FROM s, eg, wg, tri""".stripMargin
 
+  /** K-CORE DECOMPOSITION of the near-dup graph (q204) — the density
+    * ladder below q200's triangle census: a node's coreness (the largest
+    * k for which it survives iterated "drop every node with fewer than k
+    * surviving neighbors" peeling) separates template-farm cores — dense
+    * mutual-similarity neighborhoods that survive 3-core peeling — from
+    * chain/star periphery that a transitive clustering (q141) lumps into
+    * the same component. Dedup policy reads it directly: keep one doc per
+    * high-core cluster, but review chain-linked components edge by edge.
+    *
+    * Bounded-round form, the q142 PageRank discipline: peeling runs a
+    * FIXED 8 rounds per k ∈ {2, 3} rather than to a data-dependent
+    * fixpoint, so the operator is a deterministic function of the graph
+    * in BOTH engines and the oracle can replay it round by round
+    * (GraphSpec asserts the fixpoint is actually reached well inside the
+    * budget on the gate corpus — extra rounds are no-ops once stable).
+    *
+    * Scale shape: every round is one degree aggregate + two semi-joins on
+    * node id — key-partitioned, no all-pairs anywhere; the edge frame
+    * only SHRINKS as rounds proceed. Like the star contraction (q141),
+    * each round MUST truncate lineage: a lazily-unrolled peel references
+    * the previous round's edges twice (degree pass + restriction join),
+    * so the logical plan doubles per round — 2⁸ copies of the whole
+    * MinHash pipeline by round 8. The expensive pair generation is
+    * materialized ONCE (localCheckpoint; durable checkpoint at cluster
+    * scale) and every subsequent round runs on checkpointed frames.
+    */
+  def q204KCoreDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    def survivors(k: Int): DataFrame = {
+      var e = edges
+      for (_ <- 1 to 8) {
+        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u").as("node"))
+        e = e.join(keep.select(col("node").as("u")), "u")
+          .join(keep.select(col("node").as("v")), "v")
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+      }
+      e.select(col("u").as("node")).distinct()
+    }
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+    nodes
+      .join(survivors(2).select(col("node").as("doc_id"), lit(1).as("c2")),
+        Seq("doc_id"), "left")
+      .join(survivors(3).select(col("node").as("doc_id"), lit(1).as("c3")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("c3") === 1, 3L).when(col("c2") === 1, 2L).otherwise(1L)
+          .as("coreness"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q204Oracle: String = {
+    // unrolled peel: n_{i} = nodes with >= k neighbors inside n_{i-1};
+    // mirrors the Spark loop exactly (8 rounds per k)
+    def peel(k: Int): String = {
+      val rounds = (1 to 8).map { i =>
+        val prev = if (i == 1) s"n0" else s"k${k}_${i - 1}"
+        s"""k${k}_$i AS MATERIALIZED (
+           |  SELECT e.u AS node FROM e
+           |  WHERE e.u IN (SELECT node FROM $prev)
+           |    AND e.v IN (SELECT node FROM $prev)
+           |  GROUP BY e.u HAVING COUNT(*) >= $k)""".stripMargin
+      }
+      rounds.mkString(",\n") +
+        s""",
+           |s$k AS (
+           |  SELECT DISTINCT u AS node FROM e
+           |  WHERE u IN (SELECT node FROM k${k}_8)
+           |    AND v IN (SELECT node FROM k${k}_8))""".stripMargin
+    }
+    s"""WITH p AS MATERIALIZED (SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |n0 AS (SELECT DISTINCT u AS node FROM e),
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT n0.node AS doc_id,
+       |  CAST(CASE WHEN n0.node IN (SELECT node FROM s3) THEN 3
+       |            WHEN n0.node IN (SELECT node FROM s2) THEN 2
+       |            ELSE 1 END AS BIGINT) AS coreness
+       |FROM n0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
-    "q200_triangle_census"    -> (q200TriangleCensus _))
+    "q200_triangle_census"    -> (q200TriangleCensus _),
+    "q204_kcore"              -> (q204KCoreDecomposition _))
 
   val oracles: Map[String, String] = Map(
     "q141_neardup_components" -> q141Oracle,
@@ -277,5 +367,6 @@ object GraphQueries {
     // identical full-closure oracle by design: incremental merge must
     // equal the from-scratch clustering
     "q150_incremental_components" -> q141Oracle,
-    "q200_triangle_census"    -> q200Oracle)
+    "q200_triangle_census"    -> q200Oracle,
+    "q204_kcore"              -> q204Oracle)
 }

@@ -72,4 +72,39 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // path is untested
     assert(bruteWedges > 0, "pair graph has no wedges — census vacuous")
   }
+
+  test("q204: bounded-round peel equals driver-side k-core, and the " +
+    "fixpoint is reached inside the 8-round budget") {
+    val out = GraphQueries.q204KCoreDecomposition(spark, sfDir)
+      .select("doc_id", "coreness").as[(Long, Long)].collect().toMap
+    val pairs = queries.SimilarityQueries.q36DedupMinhash(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // driver-side reference: peel to the TRUE fixpoint (no round bound)
+    def core(k: Int): Set[Long] = {
+      var adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val keep = adj.filter { case (n, vs) => (vs intersect adj.keySet).size >= k }.keySet
+        changed = keep.size != adj.size
+        adj = adj.collect { case (n, vs) if keep(n) =>
+          n -> (vs intersect keep) }.filter(_._2.nonEmpty)
+        rounds += 1
+        assert(rounds <= 8,
+          s"$k-core peel needs > 8 rounds at spec scale — raise the budget")
+      }
+      adj.keySet
+    }
+    val c2 = core(2); val c3 = core(3)
+    val allNodes = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(out.keySet === allNodes)
+    out.foreach { case (n, c) =>
+      val expected = if (c3(n)) 3L else if (c2(n)) 2L else 1L
+      assert(c === expected, s"node $n: coreness $c, expected $expected")
+    }
+    // non-vacuous: the gate corpus must exercise every rung of the ladder
+    assert(out.values.toSet === Set(1L, 2L, 3L),
+      "corpus lacks a coreness level — the peel is untested at that k")
+  }
 }
