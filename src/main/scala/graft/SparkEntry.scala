@@ -25,7 +25,7 @@ object SparkEntry {
       ScaleQueries.registry ++ CurationQueries.registry ++
       RelationalPlus.registry ++ GraphQueries.registry ++
       RetrievalQueries.registry ++ MiningQueries.registry ++
-      CorpusQueries.registry
+      CorpusQueries.registry ++ EvalQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       ScaleQueries.oracles ++ CurationQueries.oracles ++
       RelationalPlus.oracles ++ GraphQueries.oracles ++
       RetrievalQueries.oracles ++ MiningQueries.oracles ++
-      CorpusQueries.oracles
+      CorpusQueries.oracles ++ EvalQueries.oracles
 }

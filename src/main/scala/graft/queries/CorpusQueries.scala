@@ -221,11 +221,235 @@ object CorpusQueries {
        |GROUP BY w.source_kept, d.source
        |ORDER BY source_kept, source_dropped""".stripMargin
 
+  /** Plant offset for the looped-text corpus (q205). */
+  val LoopPlantOffset = 30000000L
+
+  /** TANDEM-REPEAT DETECTION (q205) — the generation-loop artifact screen.
+    * A looping generator (or a scraped page with a stuck template) emits
+    * the SAME span back-to-back: "the best the best the best …". q199's
+    * duplicate-chunk fraction counts repeated content anywhere in the doc;
+    * this operator demands ADJACENCY — consecutive equal non-overlapping
+    * 5-token chunks — which is the actual loop signature (a legal document
+    * repeating a clause in two far-apart sections is not a loop; a model
+    * emitting the same 5-gram four times in a row is). Reported per doc:
+    * chunk count, the longest tandem run, how many runs of length ≥ 2
+    * exist, and the ppm of chunk instances inside such runs.
+    *
+    * The gate corpus plants a loop: every doc_id % 7 == 0 doc gets a twin
+    * whose text is its own first-5-token span repeated four times, then
+    * the original text — so the twin must flag (max_run ≥ 4) while the
+    * natural corpus stays clean, both facts the oracle checks exactly.
+    *
+    * Scale shape: chunking is a codegen'd projection (q199's shape, with
+    * position kept); runs come from ONE per-doc window pass — lag-equality
+    * flag → running sum (gaps-and-islands, the q176 debounce discipline;
+    * doc_id partitions are high-cardinality and skew-free) — and one
+    * (doc, run)-keyed aggregate re-aggregated to doc_id. No joins.
+    */
+  def q205TandemRepeats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = d.unionAll(
+      d.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + LoopPlantOffset).as("doc_id"),
+        expr("concat_ws(' ', array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' '), " +
+          "array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' '), " +
+          "array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' '), " +
+          "array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' '), text)")
+          .as("text")))
+    val chunks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST((size(toks) - 1) div 5 AS INT)), " +
+          "i -> array_join(slice(toks, i * 5 + 1, 5), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = chunks
+      .withColumn("brk",
+        when(lag(col("chunk"), 1).over(w).isNull ||
+          lag(col("chunk"), 1).over(w) =!= col("chunk"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_chunks"),
+        max(col("run_len")).as("max_run"),
+        sum(when(col("run_len") >= 2, 1L).otherwise(0L)).as("n_tandem_runs"),
+        sum(when(col("run_len") >= 2, col("run_len")).otherwise(0L)).as("in_run"))
+      .select(col("doc_id"), col("n_chunks"), col("max_run"),
+        col("n_tandem_runs"),
+        expr("CAST(CAST(in_run AS DECIMAL(38,0)) * 1000000" +
+          " div n_chunks AS BIGINT)").as("tandem_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q205Oracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |docs_p AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $LoopPlantOffset,
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+       |    || ' ' ||
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+       |    || ' ' ||
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+       |    || ' ' ||
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+       |    || ' ' || text
+       |  FROM base WHERE doc_id % 7 = 0),
+       |d AS (SELECT doc_id,
+       |        regexp_split_to_array(trim(text), '\\s+') AS toks
+       |      FROM docs_p),
+       |ch AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
+       |  FROM d, UNNEST(range(0, ((len(toks) - 1) // 5) + 1)) AS t(i)),
+       |fl AS (
+       |  SELECT doc_id, pos, chunk,
+       |    CASE WHEN lag(chunk) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              IS DISTINCT FROM chunk THEN 1 ELSE 0 END AS brk
+       |  FROM ch),
+       |ri AS (
+       |  SELECT doc_id, chunk,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM fl),
+       |runs AS (
+       |  SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+       |  FROM ri GROUP BY doc_id, run_id)
+       |SELECT doc_id,
+       |  CAST(SUM(run_len) AS BIGINT) AS n_chunks,
+       |  CAST(MAX(run_len) AS BIGINT) AS max_run,
+       |  CAST(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tandem_runs,
+       |  CAST(CAST(SUM(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // SUM(run_len) AS BIGINT) AS tandem_ppm
+       |FROM runs GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTING (q206) — Data Selection via
+    * Importance Resampling (Xie et al., NeurIPS 2023): score every raw
+    * document by how much its hashed-n-gram profile looks like a TARGET
+    * distribution versus the raw pool, Σ_f c_{d,f}·(log p_target(f) −
+    * log p_raw(f)) over hashed unigram buckets. The float log is the one
+    * non-portable piece, so the log-likelihood ratio is QUANTIZED to
+    * exact integer log2: fl2(x) = length(bin(x)) = ⌊log2 x⌋ + 1 is
+    * bit-identical in both engines, and s_f = fl2((c_t(f)+1)·N_r) −
+    * fl2((c_r(f)+1)·N_t) is the add-one-smoothed LLR at whole-bit
+    * resolution (sign-exact: s_f > 0 iff the smoothed ratio ≥ 2, < 0 iff
+    * ≤ ½).
+    *
+    * The synthetic corpus draws every language/source from ONE token
+    * distribution (the `lang` column is a label, not a dialect), so a
+    * slice-of-corpus target would make every LLR quantize to zero — a
+    * vacuous gate. The target is therefore a PLANTED domain-shifted probe
+    * corpus, the role Wikipedia plays in the paper: every doc_id % 4 == 0
+    * doc contributes a probe twin whose even-md5-bucket token mass is
+    * doubled (each even-bucket occurrence re-appended). Even-bucket
+    * features carry ~2× relative mass in the target, so their smoothed
+    * ratios sit one bit above the odd buckets' — and a raw doc's score
+    * now measures its even-bucket lean, a checkable, non-degenerate
+    * ordering (EvalSpec correlates it with a driver-side recount).
+    * Output rows are the RAW corpus only; probes exist solely as the
+    * target side of the stats.
+    *
+    * Scale shape: one token explode → (doc, bucket) count (map-side
+    * combined); the bucket-stats frame is B = 1024 rows BY CONSTRUCTION
+    * (a model constant, not data), so the LLR table broadcasts back onto
+    * the (doc, bucket) frame, and the per-doc score is one more keyed
+    * aggregate. The 1-row totals ride a crossJoin like every count frame
+    * in the suite. Nothing in the plan grows faster than the corpus.
+    */
+  def q206DsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // probe twin: even-bucket token occurrences doubled by re-appending
+    val probe = d.filter(col("doc_id") % 4 === 0).select(
+      (col("doc_id") + SourcePlantOffset).as("doc_id"),
+      expr("concat(text, ' ', array_join(filter(split(trim(text), '\\\\s+'), " +
+        "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 2 = 0), " +
+        "' '))").as("text"),
+      lit(1L).as("is_target"))
+    val docFeat = d.select(col("doc_id"), col("text"), lit(0L).as("is_target"))
+      .unionAll(probe)
+      .select(col("doc_id"), col("is_target"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType) % 1024)
+          .as("f"))
+      .groupBy(col("doc_id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    val stats = docFeat.groupBy(col("f"))
+      .agg(sum(when(col("is_target") === 0, col("c")).otherwise(0L)).as("c_r"),
+        sum(when(col("is_target") === 1, col("c")).otherwise(0L)).as("c_t"))
+    val totals = stats.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val llr = stats.crossJoin(totals)
+      .select(col("f"),
+        (length(bin((col("c_t") + 1) * col("n_r"))) -
+          length(bin((col("c_r") + 1) * col("n_t")))).cast(LongType).as("s"))
+    docFeat.filter(col("is_target") === 0)
+      .join(broadcast(llr), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("s")).as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        (col("score_sum").cast("double") / col("n_tokens")).as("imp_per_token"),
+        when(col("score_sum") >= 0, 1).otherwise(0).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q206Oracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |docs_a AS (
+       |  SELECT doc_id, text, 0 AS is_target FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $SourcePlantOffset,
+       |    text || ' ' || array_to_string(
+       |      list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 2 = 0),
+       |      ' '),
+       |    1 AS is_target
+       |  FROM base WHERE doc_id % 4 = 0),
+       |fe AS (
+       |  SELECT doc_id, is_target,
+       |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS f
+       |  FROM (SELECT doc_id, is_target,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |        FROM docs_a)),
+       |df AS (
+       |  SELECT doc_id, is_target, f, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM fe GROUP BY doc_id, is_target, f),
+       |st AS (
+       |  SELECT f,
+       |    SUM(CASE WHEN is_target = 0 THEN c ELSE 0 END) AS c_r,
+       |    SUM(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS c_t
+       |  FROM df GROUP BY f),
+       |tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM st),
+       |w AS (
+       |  SELECT f,
+       |    CAST(length(bin((c_t + 1) * n_r))
+       |       - length(bin((c_r + 1) * n_t)) AS BIGINT) AS s
+       |  FROM st, tot)
+       |SELECT df.doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c * s) AS BIGINT) AS score_sum,
+       |  CAST(CAST(SUM(c * s) AS BIGINT) AS DOUBLE) / SUM(c) AS imp_per_token,
+       |  CASE WHEN SUM(c * s) >= 0 THEN 1 ELSE 0 END AS keep_flag
+       |FROM df JOIN w USING (f)
+       |WHERE df.is_target = 0
+       |GROUP BY df.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_source_overlap_sketch" -> (q202SourceOverlapSketch _),
-    "q203_cross_source_priority" -> (q203CrossSourcePriority _))
+    "q203_cross_source_priority" -> (q203CrossSourcePriority _),
+    "q205_tandem_repeats"        -> (q205TandemRepeats _),
+    "q206_dsir_importance"       -> (q206DsirImportance _))
 
   val oracles: Map[String, String] = Map(
     "q202_source_overlap_sketch" -> q202Oracle,
-    "q203_cross_source_priority" -> q203Oracle)
+    "q203_cross_source_priority" -> q203Oracle,
+    "q205_tandem_repeats"        -> q205Oracle,
+    "q206_dsir_importance"       -> q206Oracle)
 }

@@ -81,6 +81,28 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       r.getAs[String]("source_dropped") == "src19"))
   }
 
+  test("q205: every planted loop flags with a run >= 4; the natural corpus " +
+    "has no tandem runs at all") {
+    val rows = CorpusQueries.q205TandemRepeats(spark, sfDir).collect()
+    val (planted, natural) = rows.partition(
+      _.getAs[Long]("doc_id") >= CorpusQueries.LoopPlantOffset)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      // four planted copies of the doc's own 5-token prefix, followed by
+      // the original text whose first chunk IS that prefix → run of 5
+      assert(r.getAs[Long]("max_run") >= 4,
+        s"planted doc ${r.getAs[Long]("doc_id")} max_run=" +
+          r.getAs[Long]("max_run"))
+      assert(r.getAs[Long]("n_tandem_runs") >= 1)
+      assert(r.getAs[Long]("tandem_ppm") > 0)
+    }
+    natural.foreach { r =>
+      assert(r.getAs[Long]("max_run") === 1L,
+        s"natural doc ${r.getAs[Long]("doc_id")} has a tandem run")
+      assert(r.getAs[Long]("tandem_ppm") === 0L)
+    }
+  }
+
   test("q202/q203 scale shape: no corpus-sized cross products; the corpus " +
     "is scanned once per operator input") {
     val q202 = CorpusQueries.q202SourceOverlapSketch(spark, sfDir)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CorpusQueries, CurationQueries, EvalQueries}
+
+/** Invariant tests for the in-engine model-evaluation tier (q206–q208).
+  * The DuckDB oracle gates bit-exactness; these pin the statistical claims
+  * against independent driver-side recomputation.
+  */
+class EvalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val scoreLabel: Array[(Long, Long, Long)] = {
+    val s = CurationQueries.q136QualityClassifier(spark, sfDir)
+      .select("doc_id", "score_sum").as[(Long, Long)].collect().toMap
+    CurationQueries.q78QualityRepetition(spark, sfDir)
+      .select(col("doc_id"), col("keep").cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (id, y) => (id, s(id), y) }
+  }
+
+  test("q206: importance tracks the planted target shift — docs leaning " +
+    "on even-bucket tokens outscore the rest, and keep is the score sign") {
+    val rows = CorpusQueries.q206DsirImportance(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert((r.getAs[Int]("keep_flag") == 1) ===
+        (r.getAs[Long]("score_sum") >= 0))
+    }
+    // the LLR table must not have quantized flat — the planted 2× shift
+    // has to survive whole-bit resolution
+    assert(rows.map(_.getAs[Long]("score_sum")).distinct.length > 1,
+      "all docs scored identically — the target shift is invisible")
+    // driver-side recount: per-doc even-md5-bucket token share; the
+    // score must order with it (top-share quartile above bottom quartile)
+    def evenShare(text: String): Double = {
+      val toks = text.trim.split("\\s+")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val even = toks.count { t =>
+        val h = md.digest(t.getBytes("UTF-8")).take(4)
+          .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+        h % 2 == 0
+      }
+      even.toDouble / toks.length
+    }
+    val shares = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> evenShare(t) }.toMap
+    val scored = rows.map(r =>
+      (shares(r.getAs[Long]("doc_id")), r.getAs[Double]("imp_per_token")))
+      .sortBy(_._1)
+    val q = scored.length / 4
+    val low = scored.take(q).map(_._2); val high = scored.takeRight(q).map(_._2)
+    assert(high.sum / high.length > low.sum / low.length,
+      "even-bucket-leaning docs do not outscore — importance is noise")
+  }
+
+  test("q207: equal-depth bins partition the corpus; per-bin counts agree " +
+    "with a driver-side replay") {
+    val rows = EvalQueries.q207ReliabilityDeciles(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq === (0L to 9L))
+    val n = scoreLabel.length
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    // equal depth: every bin holds n/10 rows, ±1 for the remainder
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n_docs") - n / 10L) <= 1))
+    // per-bin positives from an independent driver-side ranking
+    val sorted = scoreLabel.sortBy { case (id, s, _) => (s, id) }
+    val expected = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .view.mapValues(_.map(_._1._3).sum).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pos") === expected(r.getAs[Long]("bin")))
+    }
+  }
+
+  test("q208: exact AUC equals the brute-force pairwise Mann–Whitney " +
+    "statistic") {
+    val row = EvalQueries.q208AucExact(spark, sfDir).collect().head
+    val pos = scoreLabel.filter(_._3 == 1L).map(_._2)
+    val neg = scoreLabel.filter(_._3 == 0L).map(_._2)
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    var conc = 0L; var tied = 0L
+    for (p <- pos; q <- neg) {
+      if (p > q) conc += 1 else if (p == q) tied += 1
+    }
+    assert(row.getAs[Long]("n_concordant_pairs") === conc)
+    assert(row.getAs[Long]("n_tied_pairs") === tied)
+    val aucPpm = (BigInt(2) * conc + tied) * 1000000 /
+      (BigInt(2) * pos.length * neg.length)
+    assert(row.getAs[Long]("auc_ppm") === aucPpm.toLong)
+    // both classes populated and the statistic non-degenerate (the
+    // stand-in model's AUC is NOT asserted above 0.5 — its weights are a
+    // deterministic formula, not a trained fit; exactness is the claim)
+    assert(aucPpm > 0 && aucPpm < 1000000)
+  }
+}
