@@ -426,6 +426,76 @@ object Multimodal {
       .map(id => MediaRow(id, "audio", wavBytes(id)))
   }
 
+  /** Speech-shaped WAV variant for the VAD operator (q209): identical
+    * container and noise formula to [[wavBytes]], but the amplitude is
+    * GATED by source-frame index — every third 160-frame block is exact
+    * digital silence ((j div 160) % 3 == 0 → 0), the alternation a
+    * voice-activity detector exists to find. Same four sample rates, so
+    * the silence blocks land at different OUTPUT positions per doc after
+    * the canonical 8 kHz resample — the rate-invariance path stays
+    * exercised.
+    */
+  def wavVadBytes(docId: Long): Array[Byte] = {
+    val bytes = wavBytes(docId)
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 100 + (docId % 400).toInt
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = 44 // header layout fixed by wavBytes: RIFF+fmt+data
+    var k = 0
+    val nSamples = nFrames * channels
+    while (k < nSamples) {
+      if (((k / channels) / 160) % 3 == 0)
+        buf.putShort(dataOff + 2 * k, 0.toShort)
+      k += 1
+    }
+    bytes
+  }
+
+  def wavVadMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", wavVadBytes(id)))
+  }
+
+  case class VadRow(doc_id: Long, src_rate: Int, n_frames_vad: Int,
+    n_active: Int, n_segments: Int, longest_run: Int, speech_ppm: Long)
+
+  /** VOICE-ACTIVITY SEGMENTATION over real WAV bytes: decode + canonical
+    * 8 kHz resample (the [[aHashWav]] front end), then 16-output-frame
+    * (2 ms) energy windows — active iff Σ|amplitude| ≥ 1, i.e. anything
+    * above exact digital silence — and a run-length pass over the active
+    * flags. Segments are maximal active runs; the stats are what an
+    * audio-curation pipeline thresholds on (speech fraction, longest
+    * utterance). 16-frame windows keep every generated geometry ≥ 1
+    * window (shortest payload: 100 frames at 44.1 kHz → 18 resampled
+    * frames).
+    */
+  def vadSegments(m: MediaRow): VadRow = {
+    val (rate, ch, _, outFrames, s) = resampledPcm(m, 8000)
+    val nvf = outFrames / 16
+    var nActive = 0
+    var nSeg = 0
+    var longest = 0
+    var run = 0
+    var f = 0
+    while (f < nvf) {
+      var e = 0L
+      var k = f * 16 * ch
+      val end = (f + 1) * 16 * ch
+      while (k < end) { e += math.abs(s(k)); k += 1 }
+      if (e >= 1L) {
+        nActive += 1
+        if (run == 0) nSeg += 1
+        run += 1
+        if (run > longest) longest = run
+      } else run = 0
+      f += 1
+    }
+    VadRow(m.doc_id, rate, nvf, nActive, nSeg, longest,
+      nActive.toLong * 1000000L / nvf)
+  }
+
   /** Batch audio feature extraction — same typed-mapPartitions posture as
     * the image path.
     */

@@ -178,11 +178,162 @@ object EvalQueries {
        |  END AS auc_ppm
        |FROM c""".stripMargin
 
+  /** The (bands × rows-per-band) grid the audit sweeps — all partitions
+    * of the same 32-slot signature, so the comparison isolates banding
+    * geometry from signature cost. */
+  val LshConfigs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8))
+
+  /** LSH PARAMETER AUDIT (q210) — the S-curve measured, not assumed:
+    * for each (bands b, rows r) partition of one 32-slot MinHash
+    * signature, how many candidate pairs does banding propose, and what
+    * precision/recall does that give against the exact-Jaccard ≥ 0.8
+    * ground truth? Collision probability per pair is 1 − (1 − J^r)^b;
+    * (16, 2) sits low on the curve (catch-everything, candidate-heavy),
+    * (4, 8) high (cheap, recall-risky) — this is the q178 recall-harness
+    * idea applied to the TEXT dedup tier, and the operator a platform
+    * runs before committing a banding config to a 100 TB dedup pass.
+    *
+    * Signatures here ride the codegen'd [[graft.expressions.MinHashSignature]]
+    * over md5-derived base hashes (NOT the q36 pipeline's xxhash64 base):
+    * md5 is the suite's portable-hash discipline, so the DuckDB oracle
+    * replays the ENTIRE candidate generation — base hash → Carter-Wegman
+    * remix → band keys → bucket join — and the audit's counts are
+    * hash-gated, not rows-only. Ground truth is the confirmed
+    * exact-Jaccard pair set (= the exhaustive truth on the gate corpus,
+    * the fact q36's own oracle pins every round).
+    *
+    * Scale shape: per config, candidates come from a band-key equi-join
+    * (the q36 shape — never all-pairs); the three config frames union
+    * into one; truth is a pair-keyed equi-join; the output is
+    * |configs| rows. Everything data-sized is banded or keyed.
+    */
+  def q210LshParamAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Similarity
+    val P = 2147483647L
+    val docs = SimilarityQueries.docsWithPlants(spark, dir)
+      .select(col("doc_id"), Similarity.shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.expressions.MinHashSignature.minhashSignature(
+          expr(s"transform(sh, s -> pmod(" +
+            "shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +
+            " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT), " +
+            s"${P}L))"), 32).as("sig"))
+    val cands = LshConfigs.map { case (b, r) =>
+      val keys = docs.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${b - 1}), i -> struct(i AS band, " +
+          s"array_join(transform(slice(sig, i * $r + 1, $r), " +
+          "x -> CAST(x AS STRING)), ',') AS bkey))")).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      keys.join(keys.select(col("doc_id").as("doc_id_b"),
+          col("band").as("band_b"), col("bkey").as("bkey_b")),
+          col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+            col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+        .distinct()
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("id_a"), col("id_b"))
+    }.reduce(_ unionAll _)
+    val truth = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    cands.join(truth, Seq("id_a", "id_b"), "left")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_hit"))
+      .crossJoin(nTrue)
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true_pairs"), col("n_hit"),
+        expr("CASE WHEN n_candidates = 0 THEN NULL ELSE " +
+          "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000" +
+          " div n_candidates AS BIGINT) END").as("precision_ppm"),
+        expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000" +
+          " div n_true_pairs AS BIGINT)").as("recall_ppm"))
+      .orderBy(col("bands").desc)
+  }
+
+  val q210Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val h64 =
+      """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+        |       * 4294967296
+        |       + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))
+        |      - CASE WHEN CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |                  >= 2147483648
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT))""".stripMargin
+    val cfgRows = LshConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset}, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id,
+       |        list_distinct(CASE
+       |          WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |          END) AS shs
+       |      FROM docs_p),
+       |dl AS (SELECT doc_id, shs, len(shs) AS n FROM d),
+       |bh AS (
+       |  SELECT doc_id,
+       |    list_transform(shs, s ->
+       |      ((($h64) % 2147483647) + 2147483647) % 2147483647) AS hs
+       |  FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 32), s ->
+       |      list_min(list_transform(hs, h ->
+       |        (((s * 2654435761 + 1) % 2147483647) * h
+       |          + (s * 40503 + 7) % 2147483647) % 2147483647))) AS sg
+       |  FROM bh),
+       |cfg(b, r) AS (VALUES $cfgRows),
+       |bk AS (
+       |  SELECT doc_id, b, r, band,
+       |    array_to_string(sg[band * r + 1 : band * r + r], ',') AS bkey
+       |  FROM sig, cfg, UNNEST(range(0, b)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.b, x.r, x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y
+       |    ON x.b = y.b AND x.r = y.r AND x.band = y.band
+       |   AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shs, b.shs))) AS j
+       |    FROM dl a JOIN dl b
+       |      ON b.doc_id > a.doc_id
+       |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
+       |  WHERE j >= 0.8),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth)
+       |SELECT c.b AS bands, c.r AS rows_per_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  nt.n_true_pairs,
+       |  CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+       |    CAST(CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |        AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) END
+       |    AS precision_ppm,
+       |  CAST(CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // nt.n_true_pairs AS BIGINT) AS recall_ppm
+       |FROM cand c
+       |LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |CROSS JOIN nt
+       |GROUP BY c.b, c.r, nt.n_true_pairs
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_reliability_deciles" -> (q207ReliabilityDeciles _),
-    "q208_auc_exact"           -> (q208AucExact _))
+    "q208_auc_exact"           -> (q208AucExact _),
+    "q210_lsh_param_audit"     -> (q210LshParamAudit _))
 
   val oracles: Map[String, String] = Map(
     "q207_reliability_deciles" -> q207Oracle,
-    "q208_auc_exact"           -> q208Oracle)
+    "q208_auc_exact"           -> q208Oracle,
+    "q210_lsh_param_audit"     -> q210Oracle)
 }

@@ -705,7 +705,88 @@ object ExtensionQueries {
       |WHERE hamming <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** VOICE-ACTIVITY SEGMENTATION over REAL WAV bytes (q209) — the speech
+    * curation primitive (silence trimming, utterance inventory, speech-
+    * fraction thresholds) run entirely in-engine: decode the RIFF chunk
+    * walk, canonical 8 kHz ZOH resample (q145/q167's front end — rate
+    * invariance means the same audio at 8 or 44.1 kHz segments alike),
+    * 2 ms energy windows, active = above exact digital silence, segments
+    * = maximal active runs. Payloads come from the speech-shaped fixture
+    * ([[graft.multimodal.Multimodal.wavVadBytes]]): every third
+    * 160-source-frame block is true digital silence, so the expected
+    * segmentation is known structure, not noise.
+    *
+    * Scale shape: the whole operator is one typed map over the media scan
+    * (projection-only; sample bytes never shuffle) + the output sort. The
+    * oracle replays generator → gate → resample mapping → window energies
+    * → run lengths in SQL, so decode offsets, the resample index math,
+    * and the island bookkeeping are all hash-gated.
+    */
+  def q209AudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.wavVadMediaTable(Tables.documents(spark, dir))
+    media.map(Multimodal.vadSegments).toDF()
+      .select(col("doc_id"), col("src_rate"), col("n_frames_vad"),
+        col("n_active"), col("n_segments"), col("longest_run"),
+        col("speech_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q209Oracle: String =
+    """WITH geom AS (
+      |  SELECT doc_id,
+      |    [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |    CAST(100 + doc_id % 400 AS INTEGER) AS nf
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, rate, ch,
+      |         CAST(nf * 8000 // rate AS INTEGER) AS t_out FROM geom),
+      |fe AS (
+      |  SELECT doc_id, rate, t_out, CAST(t_out // 16 AS INTEGER) AS nvf,
+      |    f,
+      |    list_sum(list_transform(range(f * 16 * ch, (f + 1) * 16 * ch), k ->
+      |      CASE WHEN (((k // ch) * rate // 8000) // 160) % 3 = 0 THEN 0
+      |           ELSE abs((doc_id + 7 * (((k // ch) * rate // 8000) * ch
+      |                                   + k % ch)) % 201 - 100)
+      |      END)) AS energy
+      |  FROM g2, UNNEST(range(0, t_out // 16)) AS t(f)),
+      |fl AS (
+      |  SELECT doc_id, rate, nvf, f,
+      |    CASE WHEN energy >= 1 THEN 1 ELSE 0 END AS act
+      |  FROM fe),
+      |br AS (
+      |  SELECT doc_id, rate, nvf, f, act,
+      |    CASE WHEN act = 0
+      |           OR lag(act) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+      |           OR lag(act) OVER (PARTITION BY doc_id ORDER BY f) = 0
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM fl),
+      |rn AS (
+      |  SELECT doc_id, rate, nvf, f, act,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM br),
+      |runs AS (
+      |  SELECT doc_id, rate, nvf, run_id, act,
+      |    CAST(COUNT(*) AS INTEGER) AS run_len
+      |  FROM rn GROUP BY doc_id, rate, nvf, run_id, act)
+      |SELECT doc_id,
+      |  CAST(rate AS INTEGER) AS src_rate,
+      |  nvf AS n_frames_vad,
+      |  CAST(COALESCE(SUM(CASE WHEN act = 1 THEN run_len END), 0) AS INTEGER)
+      |    AS n_active,
+      |  CAST(COALESCE(SUM(CASE WHEN act = 1 THEN 1 END), 0) AS INTEGER)
+      |    AS n_segments,
+      |  CAST(COALESCE(MAX(CASE WHEN act = 1 THEN run_len END), 0) AS INTEGER)
+      |    AS longest_run,
+      |  CAST(CAST(COALESCE(SUM(CASE WHEN act = 1 THEN run_len END), 0)
+      |      AS HUGEINT) * 1000000 // nvf AS BIGINT) AS speech_ppm
+      |FROM runs
+      |GROUP BY doc_id, rate, nvf
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_audio_vad"         -> (q209AudioVad _),
     "q167_audio_neardup"     -> (q167AudioNearDup _),
     "q166_image_neardup"     -> (q166ImageNearDup _),
     "q113_video_meta"        -> (q113VideoMeta _),
@@ -722,6 +803,7 @@ object ExtensionQueries {
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q209_audio_vad"         -> q209Oracle,
     "q167_audio_neardup"     -> q167Oracle,
     "q166_image_neardup"     -> q166Oracle,
     "q113_video_meta"        -> q113Oracle,

@@ -26,7 +26,7 @@ object SimilarityQueries {
 
   val PlantOffset = 10000000L
 
-  private def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // every 5th doc gets a near-dup twin: same text plus one appended token
     val plants = base.filter(col("doc_id") % 5 === 0)

@@ -96,4 +96,25 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     // deterministic formula, not a trained fit; exactness is the claim)
     assert(aucPpm > 0 && aucPpm < 1000000)
   }
+
+  test("q210: the S-curve trade-off is monotone across configs — fewer, " +
+    "longer bands mean fewer candidates, better precision, weaker recall") {
+    val rows = EvalQueries.q210LshParamAudit(spark, sfDir).collect()
+      .sortBy(-_.getAs[Int]("bands")) // (16,2) → (8,4) → (4,8)
+    assert(rows.map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")))
+      .toSeq === EvalQueries.LshConfigs)
+    val cand = rows.map(_.getAs[Long]("n_candidates"))
+    val prec = rows.map(_.getAs[Long]("precision_ppm"))
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a >= b },
+      s"candidates not shrinking: ${cand.toSeq}")
+    assert(prec.zip(prec.tail).forall { case (a, b) => a <= b },
+      s"precision not improving: ${prec.toSeq}")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b },
+      s"recall not weakening: ${rec.toSeq}")
+    // the catch-everything config must actually catch everything on the
+    // gate corpus, or the audit's ground truth is mislabeled
+    assert(rec.head === 1000000L)
+    assert(rows.head.getAs[Long]("n_true_pairs") > 0)
+  }
 }

@@ -314,4 +314,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("frames"))
   }
+
+  test("q209 VAD: the planted silence/speech alternation is recovered — " +
+    "short payloads are all-silence, long ones mix both") {
+    // ids 0..63 are the short regime (nf = 100+id ≤ 163 — at most a
+    // sliver past the first silent gate block); 240..303 are long
+    // (nf ≥ 340 — full voiced blocks present)
+    val rows = ((0L until 64L) ++ (240L until 304L)).map { id =>
+      id -> Multimodal.vadSegments(MediaRow(id, "audio",
+        Multimodal.wavVadBytes(id)))
+    }
+    rows.foreach { case (id, v) =>
+      val nf = 100 + (id % 400).toInt
+      assert(v.n_active <= v.n_frames_vad)
+      assert(v.longest_run <= v.n_active)
+      assert((v.n_segments == 0) === (v.n_active == 0))
+      // gate blocks are 160 SOURCE frames, block 0 silent: a payload
+      // that never reaches source frame 160 must be pure silence
+      if (nf <= 160) {
+        assert(v.speech_ppm === 0L, s"doc $id: short payload not silent")
+      }
+      // one that covers a full voiced block (frames 160..320) must have
+      // speech, and can never be all-speech (block 0 is silent)
+      if (nf >= 340) {
+        assert(v.n_segments >= 1, s"doc $id: voiced block missed")
+        assert(v.speech_ppm > 0L && v.speech_ppm < 1000000L)
+      }
+    }
+    // the fixture must exercise both regimes
+    assert(rows.exists(_._2.speech_ppm == 0L))
+    assert(rows.exists(r => r._2.speech_ppm > 0L))
+    // the VAD fixture still parses as a genuine WAV through the strict
+    // chunk-walking decoder (same container discipline as wavBytes)
+    rows.take(4).foreach { case (id, _) =>
+      val f = Multimodal.decodeWav(MediaRow(id, "audio",
+        Multimodal.wavVadBytes(id)))
+      assert(f.sample_rate > 0)
+    }
+  }
 }
