@@ -47,6 +47,16 @@ object Similarity {
 
   private val MersenneP = 2147483647L // 2^31 - 1
 
+  /** md5-derived base hashes in [0, 2^31-1) — the PORTABLE twin of
+    * [[shingleHashes]] for operators whose DuckDB oracle must replay
+    * candidate generation itself (q210 LSH audit, q211 streaming screen):
+    * md5 is bit-identical in both engines where xxhash64 is Spark-only.
+    * One definition backs every consumer (the BpeSegment lesson — shared
+    * helpers, not parallel copies).
+    */
+  def md5ShingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(md5Hash64(s), lit(MersenneP)))
+
   /** MinHash signature of length `numHashes` via Carter-Wegman remixes
     * h_s(x) = (a_s·h(x) + b_s) mod (2^31-1), with a_s, b_s derived from the
     * slot index. One xxhash64 per shingle, then cheap bounded multiply-adds

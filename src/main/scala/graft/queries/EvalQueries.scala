@@ -209,15 +209,11 @@ object EvalQueries {
     */
   def q210LshParamAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Similarity
-    val P = 2147483647L
     val docs = SimilarityQueries.docsWithPlants(spark, dir)
       .select(col("doc_id"), Similarity.shingleSet(col("text"), 3).as("sh"))
       .select(col("doc_id"),
         graft.expressions.MinHashSignature.minhashSignature(
-          expr(s"transform(sh, s -> pmod(" +
-            "shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)" +
-            " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT), " +
-            s"${P}L))"), 32).as("sig"))
+          Similarity.md5ShingleHashes(col("sh")), 32).as("sig"))
     val cands = LshConfigs.map { case (b, r) =>
       val keys = docs.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${b - 1}), i -> struct(i AS band, " +

@@ -286,7 +286,85 @@ object StreamingQueries {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** STREAMING NEAR-DUP SCREEN (q211) — ingest-time LSH dedup over a
+    * genuinely multi-batch document stream (3 doc_id-residue slices):
+    * every arriving doc is checked against the per-band-key signature
+    * state of everything that arrived before it
+    * ([[StreamingOps.streamNearDupScreen]]); ≥ 24/32 matching MinHash
+    * slots flags it with its earliest-seen partner. The corpus is the
+    * q36 planted one, and plants sit in different slices than their
+    * originals (PlantOffset % 3 ≠ 0), so the flags the oracle demands can
+    * ONLY be produced if band-key state survives the batch boundary —
+    * this is q120's incremental-index discipline moved into the state
+    * store, and the md5-based signatures mean the batch oracle replays
+    * every accept/flag decision bit-for-bit, including arrival order
+    * (slice, doc_id).
+    */
+  def q211StreamNearDupScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = SimilarityQueries.docsWithPlants(spark, dir)
+      .select(col("doc_id"), col("text"))
+    StreamingOps.streamNearDupScreen(spark, dir, docs, "graft_stream_neardup")
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_partner")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q211Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val h64 =
+      """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+        |       * 4294967296
+        |       + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))
+        |      - CASE WHEN CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |                  >= 2147483648
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT))""".stripMargin
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset}, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id,
+       |        list_distinct(CASE
+       |          WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |          END) AS shs
+       |      FROM docs_p),
+       |bh AS (
+       |  SELECT doc_id,
+       |    list_transform(shs, s ->
+       |      ((($h64) % 2147483647) + 2147483647) % 2147483647) AS hs
+       |  FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 32), t ->
+       |      list_min(list_transform(hs, h ->
+       |        (((t * 2654435761 + 1) % 2147483647) * h
+       |          + (t * 40503 + 7) % 2147483647) % 2147483647))) AS sg
+       |  FROM bh),
+       |bk AS (
+       |  SELECT doc_id, sg, band,
+       |    array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',') AS bkey
+       |  FROM sig, UNNEST(range(0, 8)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.sg AS sa, y.sg AS sb
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |   AND (x.doc_id % 3 < y.doc_id % 3
+       |        OR (x.doc_id % 3 = y.doc_id % 3 AND x.doc_id < y.doc_id))),
+       |conf AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) >= 24)
+       |SELECT id_b AS doc_id, MIN(id_a) AS dup_of
+       |FROM conf GROUP BY id_b
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_stream_neardup_screen" -> (q211StreamNearDupScreen _),
     "q187_stream_view_maintenance" -> (q187StreamViewMaintenance _),
     "q118_stream_transform_state" -> (q118StreamTransformState _),
     "q108_stream_upsert" -> (q108StreamUpsert _),
@@ -302,6 +380,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q211_stream_neardup_screen" -> q211Oracle,
     "q187_stream_view_maintenance" -> q187Oracle,
     "q118_stream_transform_state" -> q118Oracle,
     "q108_stream_upsert" -> q108Oracle,

@@ -253,6 +253,97 @@ object StreamingOps extends Serializable {
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
   }
 
+  /** Stage the documents table as `slices` stream files by doc_id residue
+    * — the documents twin of [[eventsReadStreamSliced]]; the near-dup
+    * screen needs a genuinely multi-batch corpus stream so its band-key
+    * state is exercised ACROSS batches.
+    */
+  def docsReadStreamSliced(spark: SparkSession, dir: String,
+      docs: DataFrame, slices: Int): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val streamDir = graft.util.Staging.dir(s"graft_docstream_s$slices", dir)
+    Files.createDirectories(streamDir)
+    (0 until slices).foreach { s =>
+      val tmp = Files.createTempDirectory("graft_docslice")
+      docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(slices.toLong)) === s)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+  }
+
+  /** STREAMING NEAR-DUP SCREEN — ingest-time LSH dedup, the shape a
+    * crawl pipeline runs so duplicates never reach storage: every
+    * arriving document is MinHash-signed (32 slots over md5-derived
+    * shingle hashes — the portable base, so a batch oracle can replay
+    * every decision), exploded to 8×4 band keys, and checked against the
+    * per-band-key state of everything already seen;
+    * signature agreement ≥ 24/32 slots confirms (the streaming stand-in
+    * for exact-Jaccard confirmation — state keeps signatures, never
+    * documents). A flagged doc reports its earliest-seen partner.
+    *
+    * "Already seen" means ARRIVAL order — (slice, doc_id), since the
+    * bounded stream replays doc_id-residue slices — which is exactly
+    * what ingest-time dedup means: you can only dedup against what has
+    * arrived. The batch oracle replays the same order, so cross-batch
+    * state handoff is hash-gated (a pair split across batches flags iff
+    * the state survived the boundary).
+    *
+    * Scale shape: state lives per band key (the q120 persisted-index
+    * posture moved into the state store), holding (id, 32-slot sig) per
+    * bucket occupant — bounded by bucket occupancy, with signatures ~256
+    * bytes regardless of document size. Each batch shuffles once on the
+    * band key. flatMapGroupsWithState keeps it on the state-store
+    * executor path; nothing returns to the driver.
+    */
+  def streamNearDupScreen(spark: SparkSession, dir: String,
+      docs: DataFrame, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val slices = 3
+    val stream = docsReadStreamSliced(spark, dir, docs, slices)
+    val banded = stream
+      .withColumn("sig", graft.expressions.MinHashSignature.minhashSignature(
+        graft.functions.Similarity.md5ShingleHashes(
+          graft.functions.Similarity.shingleSet(col("text"), 3)), 32))
+      .select(col("doc_id"), col("sig"), explode(expr(
+        "transform(sequence(0, 7), i -> struct(i AS band, " +
+          "array_join(transform(slice(sig, i * 4 + 1, 4), " +
+          "x -> CAST(x AS STRING)), ',') AS bkey))")).as("bk"))
+      .select(
+        concat(col("bk.band").cast(StringType), lit(":"), col("bk.bkey"))
+          .as("gkey"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    val flagged = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long)]
+          // within a batch, arrival order = doc_id (one slice per batch)
+          rows.toList.sortBy(_._2).foreach { case (_, id, sig) =>
+            val partners = seen.collect {
+              case (pid, psig)
+                if psig.iterator.zip(sig.iterator)
+                  .count { case (a, b) => a == b } >= 24 => pid
+            }
+            if (partners.nonEmpty) out += ((id, partners.min))
+            seen = (id, sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+    drainToTable(spark, flagged.toDF("doc_id", "dup_partner"),
+      queryName, "append")
+  }
+
   /** Run the transformWithState totals over a 2-batch bounded stream and
     * return the FINAL per-user state: counts are monotone, so the max row
     * per user in the update-mode sink is the final accumulation.

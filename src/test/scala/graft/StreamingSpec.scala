@@ -271,4 +271,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(first.nonEmpty)
     assert(run() === first)
   }
+
+  test("q211: every planted near-dup pair is caught, and the catches " +
+    "genuinely cross batch boundaries") {
+    val flagged = SparkEntry.queries("q211_stream_neardup_screen")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    val plantOffset = queries.SimilarityQueries.PlantOffset
+    val bases = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect()
+    assert(bases.nonEmpty)
+    bases.foreach { b =>
+      val t = b + plantOffset
+      // whichever of the pair ARRIVES second must be flagged (its twin is
+      // already in band-key state); natural near-dups may give it an even
+      // smaller partner, so only membership is pinned here — exact
+      // partners are the oracle's job
+      assert(flagged.contains(b) || flagged.contains(t),
+        s"planted pair ($b, $t) escaped the stream screen")
+    }
+    // the plant offset shifts the slice residue (10000000 % 3 == 1), so
+    // every planted catch crossed a batch boundary — require that the
+    // flagged doc and its partner really sit in different slices for a
+    // healthy share of catches, or the state handoff went untested
+    val crossBatch = flagged.count { case (id, p) => id % 3 != p % 3 }
+    assert(crossBatch > 0, "no cross-batch catch — state died at the boundary")
+  }
 }
