@@ -1969,7 +1969,111 @@ object CurationQueries {
       |LEFT JOIN qual ON qual.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** HTML MAIN-CONTENT EXTRACTION (q212) — the step every web corpus runs
+    * FIRST (C4/RefinedWeb/FineWeb all start from WARC HTML, not clean
+    * text): strip markup and keep only content blocks, dropping nav bars,
+    * footers and link farms by the jusText/trafilatura rule — a block
+    * whose visible text is mostly ANCHOR text (link density) or too short
+    * is boilerplate. The corpus carries no HTML, so each doc is first
+    * rendered into a deterministic page (nav block, `<p>` content blocks
+    * of 12 tokens — every third with an inline "read more" link — and a
+    * footer; the same synthesis-for-plumbing discipline as q191's URLs);
+    * the EXTRACTOR then works only on the page string: split into blocks,
+    * tag-strip to visible text, per-block link chars from
+    * `<a …>text</a>` captures, and the keep rule
+    * `words ≥ 5 AND link_ppm ≤ 340000` (ppm integer math — no float
+    * thresholds). Output certifies the extraction byte-for-byte: per doc
+    * the block counts and the md5 of the extracted text.
+    *
+    * Scale shape: PROJECTION-ONLY — synthesis, tag-strip, link-density
+    * and the keep-filter are one chain of codegen'd higher-order
+    * functions (transform/filter/aggregate) over the scan; no explode, no
+    * join, no shuffle but the output sort. At 100 TB this is exactly the
+    * per-record map a WARC→text pass is: embarrassingly parallel,
+    * zero-exchange.
+    */
+  def q212HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val nav = "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">" +
+      "About</a> <a href=\"/contact\">Contact</a></div>"
+    val foot = "<div id=\"foot\">(c) 2026 <a href=\"/terms\">Terms</a> " +
+      "<a href=\"/privacy\">Privacy</a></div>"
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      // render the synthetic page: nav + 12-token <p> blocks + footer
+      .withColumn("blocks", concat(
+        array(lit(nav)),
+        expr("transform(sequence(0, CAST(ceil(size(toks) / 12.0) AS INT) - 1), " +
+          "i -> concat('<p>', array_join(slice(toks, i * 12 + 1, 12), ' '), " +
+          "CASE WHEN i % 3 = 0 THEN ' <a href=\"/more\">read more</a>' " +
+          "ELSE '' END, '</p>'))"),
+        array(lit(foot))))
+      .withColumn("html", array_join(col("blocks"), "\n"))
+      // extractor: works on the page string only, synthesis forgotten
+      .withColumn("bs", expr(
+        "transform(split(html, '\n'), b -> named_struct(" +
+          "'vis', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), " +
+          "'\\\\s+', ' ')), " +
+          "'lc', aggregate(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1), " +
+          "0L, (a, s) -> a + length(s))))"))
+      .withColumn("es", expr(
+        "transform(bs, s -> named_struct(" +
+          "'vis', s.vis, " +
+          "'nw', CASE WHEN s.vis = '' THEN 0 ELSE size(split(s.vis, ' ')) END, " +
+          "'lppm', CAST(s.lc * 1000000 div greatest(length(s.vis), 1) AS BIGINT)))"))
+      .withColumn("kept", expr("filter(es, s -> s.nw >= 5 AND s.lppm <= 340000)"))
+      .select(col("doc_id"),
+        size(col("es")).cast(LongType).as("n_blocks"),
+        size(col("kept")).cast(LongType).as("n_kept_blocks"),
+        expr("CAST(aggregate(kept, 0L, (a, s) -> a + s.nw) AS BIGINT)")
+          .as("n_words_kept"),
+        expr("md5(array_join(transform(kept, s -> s.vis), ' '))")
+          .as("extracted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q212Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id,
+      |    list_concat(list_concat(
+      |      ['<div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'],
+      |      list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+      |        i -> '<p>' || array_to_string(toks[i*12+1 : i*12+12], ' ')
+      |          || (CASE WHEN i % 3 = 0 THEN ' <a href="/more">read more</a>' ELSE '' END)
+      |          || '</p>')),
+      |      ['<div id="foot">(c) 2026 <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>']) AS blocks
+      |  FROM d),
+      |page AS (SELECT doc_id, array_to_string(blocks, chr(10)) AS html FROM blk),
+      |x AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(html, chr(10)), b -> struct_pack(
+      |      vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+      |      lc  := CAST(coalesce(list_sum(list_transform(
+      |               regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1), s -> length(s))), 0) AS BIGINT)
+      |    )) AS bs
+      |  FROM page),
+      |y AS (
+      |  SELECT doc_id,
+      |    list_transform(bs, s -> struct_pack(
+      |      vis := s.vis,
+      |      nw  := CASE WHEN s.vis = '' THEN 0 ELSE len(string_split(s.vis, ' ')) END,
+      |      lppm := CAST(s.lc * 1000000 // greatest(length(s.vis), 1) AS BIGINT)
+      |    )) AS es
+      |  FROM x),
+      |k AS (
+      |  SELECT doc_id, len(es) AS n_blocks,
+      |    list_filter(es, s -> s.nw >= 5 AND s.lppm <= 340000) AS kept
+      |  FROM y)
+      |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(len(kept) AS BIGINT) AS n_kept_blocks,
+      |  CAST(coalesce(list_sum(list_transform(kept, s -> s.nw)), 0) AS BIGINT) AS n_words_kept,
+      |  md5(array_to_string(list_transform(kept, s -> s.vis), ' ')) AS extracted_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_html_extract" -> (q212HtmlExtract _),
     "q199_duplicate_chunks" -> (q199DuplicateChunks _),
     "q198_upsample_materialize" -> (q198UpsampleMaterialize _),
     "q197_url_canonical_dedup" -> (q197UrlCanonicalDedup _),
@@ -1998,6 +2102,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q212_html_extract" -> q212Oracle,
     "q199_duplicate_chunks" -> q199Oracle,
     "q198_upsample_materialize" -> q198Oracle,
     "q197_url_canonical_dedup" -> q197Oracle,

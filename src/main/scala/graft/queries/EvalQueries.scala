@@ -323,13 +323,91 @@ object EvalQueries {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  /** INTER-ANNOTATOR AGREEMENT — Cohen's κ (q215): when two labelers rate
+    * the same corpus (here the suite's own two quality judges: q78's
+    * Gopher-rule gate vs q136's classifier at threshold 0), raw accord is
+    * inflated by chance — two annotators who both say "keep" 90% of the
+    * time agree 82% by luck alone. κ removes that floor:
+    * κ = (p_o − p_e)/(1 − p_e), computed here entirely in integers from
+    * the 2×2 confusion counts — with N·agree and Σ(row·col marginal
+    * products) both BIGINTs, κ_ppm = (N·agree − Σrc)·10⁶ / (N² − Σrc)
+    * DECIMAL-promoted, so the statistic is bit-exact, never a float. The
+    * operator every labeling pipeline runs before trusting silver labels;
+    * κ near 0 with high raw agreement is the "annotators share only the
+    * base rate" verdict that p_o alone hides.
+    *
+    * Scale shape: the doc-keyed score⋈label join (both sides
+    * projection-only), then ONE 4-cell aggregate; the κ arithmetic is a
+    * 1-row projection. Nothing after the join is data-sized.
+    */
+  def q215CohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    scoreLabel(spark, dir)
+      .select(col("y").as("a"),
+        when(col("score_sum") >= 0, 1L).otherwise(0L).as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n_both_keep"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n_gate_only"),
+        sum((lit(1L) - col("a")) * col("b")).as("n_clf_only"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n_both_drop"))
+      .select(col("n"), col("n_both_keep"), col("n_gate_only"),
+        col("n_clf_only"), col("n_both_drop"),
+        expr("CAST(CAST(n_both_keep + n_both_drop AS DECIMAL(38,0))" +
+          " * 1000000 div n AS BIGINT)").as("po_ppm"),
+        expr("CAST(CAST((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)" +
+          " + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop)" +
+          " AS DECIMAL(38,0)) * 1000000 div (n * n) AS BIGINT)").as("pe_ppm"),
+        // κ is undefined when p_e = 1 (both annotators constant) — NULL,
+        // loudly not 0, same CASE in the oracle
+        expr("CASE WHEN n * n = (n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)" +
+          "    + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop) THEN NULL ELSE " +
+          "CAST(CAST(n * (n_both_keep + n_both_drop)" +
+          " - ((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)" +
+          "    + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop))" +
+          " AS DECIMAL(38,0)) * 1000000" +
+          " div (n * n - ((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)" +
+          "    + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop)))" +
+          " AS BIGINT) END").as("kappa_ppm"))
+  }
+
+  val q215Oracle: String =
+    s"""WITH $scoreLabelCtes,
+       |ab AS (
+       |  SELECT y AS a, CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM j),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a * b) AS BIGINT) AS n_both_keep,
+       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n_gate_only,
+       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n_clf_only,
+       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_both_drop
+       |  FROM ab)
+       |SELECT n, n_both_keep, n_gate_only, n_clf_only, n_both_drop,
+       |  CAST(CAST(n_both_keep + n_both_drop AS HUGEINT)
+       |    * 1000000 // n AS BIGINT) AS po_ppm,
+       |  CAST(CAST((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)
+       |    + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop)
+       |    AS HUGEINT) * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+       |  CASE WHEN n * n = (n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)
+       |       + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop) THEN NULL ELSE
+       |  CAST(CAST(n * (n_both_keep + n_both_drop)
+       |    - ((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)
+       |       + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop))
+       |    AS HUGEINT) * 1000000
+       |    // (n * n - ((n_both_keep + n_gate_only) * (n_both_keep + n_clf_only)
+       |       + (n_clf_only + n_both_drop) * (n_gate_only + n_both_drop)))
+       |    AS BIGINT) END AS kappa_ppm
+       |FROM c""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_reliability_deciles" -> (q207ReliabilityDeciles _),
     "q208_auc_exact"           -> (q208AucExact _),
-    "q210_lsh_param_audit"     -> (q210LshParamAudit _))
+    "q210_lsh_param_audit"     -> (q210LshParamAudit _),
+    "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
     "q207_reliability_deciles" -> q207Oracle,
     "q208_auc_exact"           -> q208Oracle,
-    "q210_lsh_param_audit"     -> q210Oracle)
+    "q210_lsh_param_audit"     -> q210Oracle,
+    "q215_cohens_kappa"        -> q215Oracle)
 }

@@ -1288,7 +1288,182 @@ object SimilarityQueries {
        |ORDER BY nd.doc_id""".stripMargin
   }
 
+  /** LSH HOT-BUCKET GOVERNOR (q213) — the missing defense in every naive
+    * banded dedup: candidate pairs grow QUADRATICALLY in bucket occupancy,
+    * and at crawl scale boilerplate families (mirror farms, templated
+    * pages) drive single band-buckets to 10⁵ occupants — one hot bucket
+    * then emits 10¹⁰ pairs and owns the job. Production governors cap
+    * occupancy: keep only `spark.graft.lsh.bucketCap` (default 4) docs
+    * per (band, key) bucket — chosen DETERMINISTICALLY by md5(doc_id)
+    * priority, so retries and re-runs keep the same survivors — and let
+    * the rest of the bucket go uncompared. This query runs the governor
+    * on a corpus where a 12-member mutual-near-dup family (doc 1 + tiny
+    * suffix variants, the planted "template farm") makes buckets hot, and
+    * AUDITS the trade exactly: candidate pairs before/after the cap, and
+    * capped recall against the confirmed-pair truth — the lost pairs are
+    * intra-family (survivor-chaining recovers them transitively in a
+    * downstream q141 pass; the audit is what certifies that bet).
+    *
+    * Signatures ride the portable md5 base hashes (q210's discipline), so
+    * the DuckDB oracle replays EVERYTHING — banding, priorities, the cap
+    * window, both pair sets, the Jaccard truth — and every count is
+    * hash-gated.
+    *
+    * Scale shape: the cap is a (band, key)-keyed row_number window —
+    * bounded work per bucket, never global; pair generation only ever
+    * joins SURVIVOR sets (≤ cap per bucket ⇒ ≤ cap² per bucket, the
+    * whole point); the five audit scalars are 1-row aggregates crossed
+    * at the end. The uncapped pair count exists ONLY in this audit (to
+    * price the cap) — a production run computes survivors and never
+    * materializes the uncapped set.
+    */
+  def q213LshBucketCap(spark: SparkSession, dir: String): DataFrame = {
+    val cap = spark.conf.getOption("spark.graft.lsh.bucketCap")
+      .map(_.toInt).getOrElse(4)
+    val fam = Tables.documents(spark, dir).filter(col("doc_id") === 1)
+      .select(col("text"))
+      .crossJoin(spark.range(0, 12).select(col("id").as("k")))
+      .select((lit(3 * PlantOffset) + col("k")).as("doc_id"),
+        concat(col("text"), lit(" hotfam"), col("k").cast(StringType)).as("text"))
+    val docs = docsWithPlants(spark, dir).unionByName(fam)
+      .withColumn("sh", md5ShingleHashes(shingleSet(col("text"), 3)))
+    val keys = docs
+      .select(col("doc_id"),
+        graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32).as("sig"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 7), i -> struct(i AS band, " +
+          "array_join(transform(slice(sig, i * 4 + 1, 4), " +
+          "x -> CAST(x AS STRING)), ',') AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("prio", md5(col("doc_id").cast(StringType)))
+    val occ = keys.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("occ"))
+    val bucketStats = occ.agg(count(lit(1)).as("n_buckets"),
+      sum(when(col("occ") > cap, 1L).otherwise(0L)).as("n_hot_buckets"))
+    val surv = keys
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bkey"))
+          .orderBy(col("prio"), col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("band"), col("bkey"))
+    def pairsOf(k: DataFrame): DataFrame = {
+      val b = k.select(col("doc_id").as("doc_id_b"),
+        col("band").as("band_b"), col("bkey").as("bkey_b"))
+      k.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b")
+          && col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+        .distinct()
+    }
+    val candAll = pairsOf(keys.select(col("doc_id"), col("band"), col("bkey")))
+    val candCap = pairsOf(surv)
+    val sets = docs.select(col("doc_id"), col("sh"))
+    val truth = candAll
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    bucketStats
+      .crossJoin(candAll.agg(count(lit(1)).as("n_cand_uncapped")))
+      .crossJoin(candCap.agg(count(lit(1)).as("n_cand_capped")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(candCap.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_true_hit_capped")))
+      .select(lit(cap).as("bucket_cap"), col("n_buckets"), col("n_hot_buckets"),
+        col("n_cand_uncapped"), col("n_cand_capped"),
+        expr("CAST(CAST(n_cand_uncapped - n_cand_capped AS DECIMAL(38,0))" +
+          " * 1000000 div greatest(n_cand_uncapped, 1) AS BIGINT)")
+          .as("cand_drop_ppm"),
+        col("n_true_pairs"), col("n_true_hit_capped"),
+        expr("CAST(CAST(n_true_hit_capped AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_true_pairs, 1) AS BIGINT)").as("recall_capped_ppm"))
+  }
+
+  val q213Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val h64 =
+      """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+        |       * 4294967296
+        |       + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))
+        |      - CASE WHEN CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |                  >= 2147483648
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT))""".stripMargin
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT ${3 * PlantOffset} + k, text || ' hotfam' || CAST(k AS VARCHAR)
+       |  FROM documents, range(0, 12) t(k) WHERE doc_id = 1),
+       |d AS (SELECT doc_id,
+       |        list_distinct(CASE
+       |          WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |          END) AS sh
+       |      FROM docs_p),
+       |bh AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s ->
+       |      ((($h64) % 2147483647) + 2147483647) % 2147483647) AS hs
+       |  FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 32), s ->
+       |      list_min(list_transform(hs, h ->
+       |        (((s * 2654435761 + 1) % 2147483647) * h
+       |          + (s * 40503 + 7) % 2147483647) % 2147483647))) AS sg
+       |  FROM bh),
+       |bk AS (
+       |  SELECT doc_id, band,
+       |    array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',') AS bkey,
+       |    md5(CAST(doc_id AS VARCHAR)) AS prio
+       |  FROM sig, UNNEST(range(0, 8)) AS t(band)),
+       |occ AS (SELECT band, bkey, COUNT(*) AS occ FROM bk GROUP BY band, bkey),
+       |bstats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(SUM(CASE WHEN occ > 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hot_buckets
+       |  FROM occ),
+       |surv AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bkey
+       |        ORDER BY prio, doc_id) AS rn
+       |    FROM bk)
+       |  WHERE rn <= 4),
+       |cand_all AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cand_cap AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM surv x JOIN surv y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |truth AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand_all c JOIN d a ON a.doc_id = c.id_a
+       |                  JOIN d b ON b.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_uncapped FROM cand_all),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_capped FROM cand_cap),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+       |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_hit_capped
+       |       FROM cand_cap JOIN truth USING (id_a, id_b))
+       |SELECT 4 AS bucket_cap, n_buckets, n_hot_buckets,
+       |  n_cand_uncapped, n_cand_capped,
+       |  CAST(CAST(n_cand_uncapped - n_cand_capped AS HUGEINT) * 1000000
+       |    // greatest(n_cand_uncapped, 1) AS BIGINT) AS cand_drop_ppm,
+       |  n_true_pairs, n_true_hit_capped,
+       |  CAST(CAST(n_true_hit_capped AS HUGEINT) * 1000000
+       |    // greatest(n_true_pairs, 1) AS BIGINT) AS recall_capped_ppm
+       |FROM bstats, na, nc, nt, nh""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_lsh_bucket_cap" -> (q213LshBucketCap _),
     "q189_paragraph_dedup" -> (q189ParagraphDedup _),
     "q161_exact_substring_dedup" -> (q161ExactSubstringDedup _),
     "q162_semantic_dedup" -> (q162SemanticDedup _),
@@ -1309,6 +1484,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q213_lsh_bucket_cap" -> q213Oracle,
     "q189_paragraph_dedup" -> q189Oracle,
     "q161_exact_substring_dedup" -> q161Oracle,
     "q162_semantic_dedup" -> q162Oracle,

@@ -535,7 +535,109 @@ object TextQueries {
        |ORDER BY lang, doc_id""".stripMargin
   }
 
+  /** MULTI-EPOCH SHUFFLE PLAN (q214) — the data-order schedule a trainer
+    * consumes ABOVE q192's shards: every epoch must visit every packed
+    * sequence exactly once, in a DIFFERENT order each epoch, and the
+    * order must be a pure function of content + epoch number (resumable
+    * mid-epoch, reproducible across re-runs, no RNG state to checkpoint).
+    * Order key = md5(epoch ‖ sequence key); the global rank within each
+    * epoch comes from the distributed two-pass prefix-sum scaffold (q149's
+    * range-exchange discipline, NOT a one-partition window); shards are
+    * equal-depth rank ranges — ⌊(rank−1)·N/total⌋ — so every epoch's
+    * shards are balanced BY COUNT regardless of the md5 keyspace's
+    * clumping. Output: the (epoch × shard) manifest — sequence/doc/subword
+    * counts plus an order-certifying md5 over the shard's keys — which is
+    * exactly what a dataloader needs to fetch its slice of any epoch.
+    * Permutation laws (each epoch is a bijection; epochs disagree on
+    * order) are pinned in the spec alongside the oracle's full replay.
+    *
+    * Scale shape: the epoch fan-out is a tiny crossJoin (3 epochs), the
+    * rank is two passes over the sequence frame (corpus-sized but narrow),
+    * and the manifest is an (epochs × N)-row aggregate. Nothing touches
+    * the driver; placement is content arithmetic all the way down.
+    */
+  def q214EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val nEpochs = 3
+    val seqs = bpePackingFrame(spark, dir)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("seq_subwords"))
+      .withColumn("skey_md5",
+        md5(concat(col("lang"), lit(":"), col("bin").cast(StringType))))
+    val epochs = seqs.crossJoin(
+        spark.range(0, nEpochs).select(col("id").cast(IntegerType).as("epoch")))
+      .withColumn("ekey",
+        md5(concat(col("epoch").cast(StringType), lit(":"), col("skey_md5"))))
+      .withColumn("one", lit(1L))
+    val ranked = PrefixSum.runningTotal(
+      epochs, Seq("epoch"), Seq(col("ekey").asc), "one", "rk")
+    val total = seqs.agg(count(lit(1)).as("n_seq"))
+    ranked.crossJoin(total)
+      .withColumn("shard", expr(s"CAST(((rk - 1) * $nShards) div n_seq AS INTEGER)"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_sequences"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_subwords")).as("n_subwords"),
+        md5(array_join(array_sort(collect_list(col("ekey"))), ","))
+          .as("order_md5"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val q214Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |counts AS (
+       |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_subwords
+       |  FROM seg WHERE pos = length(word) + 1 GROUP BY doc_id),
+       |assigned AS (
+       |  SELECT lang, doc_id, n_subwords,
+       |    CAST(FLOOR((CAST(SUM(n_subwords) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+       |      / 4096) AS INTEGER) AS bin
+       |  FROM counts JOIN d USING (doc_id)),
+       |seqs AS (
+       |  SELECT lang, bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_subwords) AS BIGINT) AS seq_subwords,
+       |    md5(lang || ':' || CAST(bin AS VARCHAR)) AS skey_md5
+       |  FROM assigned GROUP BY lang, bin),
+       |eps AS (
+       |  SELECT s.*, e.epoch,
+       |    md5(CAST(e.epoch AS VARCHAR) || ':' || s.skey_md5) AS ekey
+       |  FROM seqs s, range(0, 3) e(epoch)),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY ekey) AS rk,
+       |    COUNT(*) OVER (PARTITION BY epoch) AS n_seq
+       |  FROM eps)
+       |SELECT CAST(epoch AS INTEGER) AS epoch,
+       |  CAST((rk - 1) * 8 // n_seq AS INTEGER) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(seq_subwords) AS BIGINT) AS n_subwords,
+       |  md5(string_agg(ekey, ',' ORDER BY ekey)) AS order_md5
+       |FROM r
+       |GROUP BY epoch, (rk - 1) * 8 // n_seq
+       |ORDER BY epoch, shard""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_epoch_shuffle" -> (q214EpochShuffle _),
     "q195_tokenizer_coverage" -> (q195TokenizerCoverage _),
     "q192_training_shards" -> (q192TrainingShards _),
     "q139_pack_manifest" -> (q139PackManifest _),
@@ -548,6 +650,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q214_epoch_shuffle" -> q214Oracle,
     "q195_tokenizer_coverage" -> q195Oracle,
     "q192_training_shards" -> q192Oracle,
     "q139_pack_manifest" -> q139Oracle,

@@ -445,4 +445,51 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(sampled.getOrElse(lang, 0L) === totals(lang), s"$lang must keep all")
     }
   }
+
+  test("q212: a driver-side HTML render + jusText-rule extractor reproduces " +
+    "every doc's block counts and extracted-text md5; nav and footer " +
+    "boilerplate never survive") {
+    val out = SparkEntry.queries("q212_html_extract")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept_blocks"),
+          r.getAs[Long]("n_words_kept"), r.getAs[String]("extracted_md5"))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.length === out.size)
+    val nav = "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">" +
+      "About</a> <a href=\"/contact\">Contact</a></div>"
+    val foot = "<div id=\"foot\">(c) 2026 <a href=\"/terms\">Terms</a> " +
+      "<a href=\"/privacy\">Privacy</a></div>"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val chunks = toks.grouped(12).toArray
+      val blocks = nav +: chunks.zipWithIndex.map { case (c, i) =>
+        "<p>" + c.mkString(" ") +
+          (if (i % 3 == 0) " <a href=\"/more\">read more</a>" else "") + "</p>"
+      } :+ foot
+      // independent extractor: tag-strip, anchor-capture, keep rule
+      val kept = blocks.flatMap { b =>
+        val vis = b.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
+        val linkChars = "<a [^>]*>([^<]*)</a>".r.findAllMatchIn(b)
+          .map(_.group(1).length).sum
+        val nw = if (vis.isEmpty) 0 else vis.split(" ").length
+        val lppm = linkChars.toLong * 1000000 / math.max(vis.length, 1)
+        if (nw >= 5 && lppm <= 340000) Some((vis, nw.toLong)) else None
+      }
+      val (nb, nk, nw, md) = out(id)
+      assert(nb === blocks.length.toLong, s"doc $id block count")
+      assert(nk === kept.length.toLong, s"doc $id kept count")
+      assert(nw === kept.map(_._2).sum, s"doc $id kept words")
+      assert(md === md5hex(kept.map(_._1).mkString(" ")), s"doc $id md5")
+      // boilerplate never survives: the nav/footer blocks' visible text
+      // is never among the kept blocks
+      kept.foreach { case (vis, _) =>
+        assert(vis != "Home About Contact" && vis != "(c) 2026 Terms Privacy",
+          s"doc $id kept a boilerplate block: $vis")
+      }
+    }
+  }
 }

@@ -117,4 +117,32 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(rec.head === 1000000L)
     assert(rows.head.getAs[Long]("n_true_pairs") > 0)
   }
+
+  test("q215: the 2x2 confusion and Cohen's kappa match a driver-side " +
+    "recount, and kappa sits strictly below raw agreement") {
+    val row = EvalQueries.q215CohensKappa(spark, sfDir).collect().head
+    val ab = scoreLabel.map { case (_, s, y) => (y, if (s >= 0) 1L else 0L) }
+    val n = ab.length.toLong
+    val n11 = ab.count { case (a, b) => a == 1 && b == 1 }.toLong
+    val n10 = ab.count { case (a, b) => a == 1 && b == 0 }.toLong
+    val n01 = ab.count { case (a, b) => a == 0 && b == 1 }.toLong
+    val n00 = ab.count { case (a, b) => a == 0 && b == 0 }.toLong
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("n_both_keep") === n11)
+    assert(row.getAs[Long]("n_gate_only") === n10)
+    assert(row.getAs[Long]("n_clf_only") === n01)
+    assert(row.getAs[Long]("n_both_drop") === n00)
+    val po = BigInt(n11 + n00) * 1000000 / n
+    val src = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+    val pe = src * 1000000 / (BigInt(n) * n)
+    val kappa = (BigInt(n) * (n11 + n00) - src) * 1000000 / (BigInt(n) * n - src)
+    assert(row.getAs[Long]("po_ppm") === po.toLong)
+    assert(row.getAs[Long]("pe_ppm") === pe.toLong)
+    assert(row.getAs[Long]("kappa_ppm") === kappa.toLong)
+    // chance-corrected agreement must sit strictly below raw agreement
+    // (pe > 0 always holds for non-degenerate marginals), and within
+    // kappa's defined range
+    assert(kappa < po, s"kappa $kappa not below raw agreement $po")
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+  }
 }

@@ -223,4 +223,30 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("rangepartitioning(shard"),
       s"shard placement must not be sampled-range based:\n${plan.take(3000)}")
   }
+
+  test("q214: every epoch is a bijection over the same sequence set, " +
+    "shards are count-balanced, and epochs disagree on order") {
+    val rows = SparkEntry.queries("q214_epoch_shuffle")(spark, sfDir).collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    // bijection: each epoch carries the SAME sequence count and the SAME
+    // subword mass — nothing dropped, nothing duplicated by the reshuffle
+    val counts = byEpoch.view.mapValues(_.map(_.getAs[Long]("n_sequences")).sum).toMap
+    val masses = byEpoch.view.mapValues(_.map(_.getAs[Long]("n_subwords")).sum).toMap
+    assert(counts.values.toSet.size === 1,
+      s"epochs carry different sequence counts: $counts")
+    assert(masses.values.toSet.size === 1,
+      s"epochs carry different subword mass: $masses")
+    // equal-depth rank ranges: shard sizes within each epoch differ by <= 1
+    byEpoch.foreach { case (e, rs) =>
+      val sz = rs.map(_.getAs[Long]("n_sequences"))
+      assert(sz.max - sz.min <= 1, s"epoch $e shards unbalanced: ${sz.toSeq}")
+    }
+    // epochs must actually reshuffle: the per-shard order certificates of
+    // epoch 0 and epoch 1 cannot all coincide
+    val ord = (e: Int) => byEpoch(e).sortBy(_.getAs[Int]("shard"))
+      .map(_.getAs[String]("order_md5")).toSeq
+    assert(ord(0) !== ord(1), "epoch 1 replays epoch 0's order")
+    assert(ord(1) !== ord(2), "epoch 2 replays epoch 1's order")
+  }
 }

@@ -326,4 +326,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val vals = df.select(Similarity.jaccard(col("a"), col("b"))).as[Double].collect()
     assert(vals(0) === 1.0 && vals(1) === 0.0)
   }
+
+  test("q213: the governor prices its cap honestly — the planted template " +
+    "farm makes buckets hot, capping drops candidates AND measured recall, " +
+    "and an unbounded cap reproduces the uncapped run exactly") {
+    val row = SparkEntry.queries("q213_lsh_bucket_cap")(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Int]("bucket_cap") === 4)
+    // the 12-member hot family must actually heat buckets past the cap
+    assert(row.getAs[Long]("n_hot_buckets") >= 1, "no hot buckets — plant dead")
+    val candAll = row.getAs[Long]("n_cand_uncapped")
+    val candCap = row.getAs[Long]("n_cand_capped")
+    val nTrue = row.getAs[Long]("n_true_pairs")
+    val nHit = row.getAs[Long]("n_true_hit_capped")
+    assert(candCap < candAll, "cap dropped nothing — governor inert")
+    assert(nHit < nTrue, "capping a mutual-dup family must cost recall here")
+    assert(nHit > 0 && nTrue <= candAll)
+    assert(row.getAs[Long]("cand_drop_ppm") ===
+      (BigInt(candAll - candCap) * 1000000 / candAll).toLong)
+    assert(row.getAs[Long]("recall_capped_ppm") ===
+      (BigInt(nHit) * 1000000 / nTrue).toLong)
+    // cap >= max occupancy ⇒ the governor is a no-op: capped == uncapped,
+    // recall 1.0 (conf round-trip, q162's discipline)
+    spark.conf.set("spark.graft.lsh.bucketCap", "100000")
+    try {
+      val free = SparkEntry.queries("q213_lsh_bucket_cap")(spark, sfDir)
+        .collect().head
+      assert(free.getAs[Long]("n_cand_capped") === free.getAs[Long]("n_cand_uncapped"))
+      assert(free.getAs[Long]("n_hot_buckets") === 0L)
+      assert(free.getAs[Long]("recall_capped_ppm") === 1000000L)
+      assert(free.getAs[Long]("n_cand_uncapped") === candAll,
+        "candidate universe must not depend on the cap")
+    } finally spark.conf.unset("spark.graft.lsh.bucketCap")
+  }
 }
