@@ -1462,7 +1462,103 @@ object SimilarityQueries {
        |FROM bstats, na, nc, nt, nh""".stripMargin
   }
 
+  /** WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): positional 3-word-gram hashes, then the MINIMUM hash
+    * of every sliding window of `w` consecutive grams becomes a
+    * fingerprint. The guarantee MinHash cannot give: any shared run of at
+    * least w+k−1 tokens between two documents yields at least one SHARED
+    * fingerprint — detection of long verbatim overlap is certain, not
+    * probabilistic, while the fingerprint density stays ~2/(w+1) of the
+    * gram stream. Candidate pairs come only from the fingerprint
+    * equi-join (bucketed, never all-pairs — the LSH band discipline);
+    * each surviving pair reports its shared-fingerprint count and the
+    * exact fingerprint-set Jaccard in ppm (integer-exact).
+    *
+    * The distinct-set-of-window-minima formulation is tie-break-free:
+    * robust winnowing's rightmost-minimum rule only changes which
+    * POSITION is recorded, never the selected hash values, so the doc's
+    * fingerprint SET is identical under either rule.
+    *
+    * Window size is `spark.graft.winnow.w` (default 4 — sized to the
+    * short synthetic docs; production corpora run w≈50 for the standard
+    * "guaranteed at 50-token overlap" contract). Hashes are
+    * [[graft.functions.Similarity.md5Hash64]] mod 2^31−1 so the DuckDB
+    * oracle replays fingerprint selection bit-identically.
+    *
+    * 100 TB shape: one scan, per-doc linear fingerprinting, explode
+    * bounded by gram count, hash-partitioned join on the 32-bit
+    * fingerprint key; hot-key governors (q213) compose in front if a
+    * boilerplate fingerprint floods a bucket.
+    */
+  def q216WinnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val w = spark.conf.getOption("spark.graft.winnow.w").map(_.toInt).getOrElse(4)
+    val grams = wordShingles(graft.functions.TextFunctions.tokens(col("text")), 3)
+    val fps = docsWithPlants(spark, dir)
+      .withColumn("hs", md5ShingleHashes(grams))
+      .withColumn("nwin", greatest(lit(1), size(col("hs")) - (w - 1)))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), col("nwin")),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+    val fp = fps.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("fp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("a.n_fp")).as("na"), first(col("b.n_fp")).as("nb"))
+      .filter(col("n_shared") >= 2)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        expr("n_shared * 1000000L div (na + nb - n_shared)").as("sim_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q216Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val h64 =
+      """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+        |       * 4294967296
+        |       + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))
+        |      - CASE WHEN CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |                  >= 2147483648
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT))""".stripMargin
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |        END AS grams
+       |      FROM docs_p),
+       |h AS (SELECT doc_id,
+       |        list_transform(grams, s ->
+       |          ((($h64) % 2147483647) + 2147483647) % 2147483647) AS hs
+       |      FROM g),
+       |f AS (SELECT doc_id,
+       |        list_distinct(list_transform(
+       |          range(1, greatest(1, len(hs) - 3) + 1),
+       |          i -> list_min(hs[i : i + 3]))) AS fps
+       |      FROM h),
+       |fc AS (SELECT doc_id, fps, len(fps) AS n_fp FROM f),
+       |e AS (SELECT doc_id, n_fp, UNNEST(fps) AS fp FROM fc),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |    ANY_VALUE(a.n_fp) AS na, ANY_VALUE(b.n_fp) AS nb
+       |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared,
+       |  n_shared * 1000000 // (na + nb - n_shared) AS sim_ppm
+       |FROM p WHERE n_shared >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_winnowing_fingerprints" -> (q216WinnowingFingerprints _),
     "q213_lsh_bucket_cap" -> (q213LshBucketCap _),
     "q189_paragraph_dedup" -> (q189ParagraphDedup _),
     "q161_exact_substring_dedup" -> (q161ExactSubstringDedup _),
@@ -1484,6 +1580,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q216_winnowing_fingerprints" -> q216Oracle,
     "q213_lsh_bucket_cap" -> q213Oracle,
     "q189_paragraph_dedup" -> q189Oracle,
     "q161_exact_substring_dedup" -> q161Oracle,

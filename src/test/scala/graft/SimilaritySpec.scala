@@ -359,4 +359,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         "candidate universe must not depend on the cap")
     } finally spark.conf.unset("spark.graft.lsh.bucketCap")
   }
+
+  test("q216: winnowing's detection guarantee — every planted twin with a " +
+    "shared token run >= w+k-1 shares a fingerprint and is reported") {
+    // plants append one token, so the shared prefix run is the whole base
+    // doc: any base doc with >= 6 tokens (w=4, k=3) MUST pair with its twin
+    val pairs = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val longEnough = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .select("doc_id").as[Long].collect()
+    assert(longEnough.nonEmpty, "fixture must contain plantable docs")
+    val missed = longEnough.map(i => (i, i + Offset)).filterNot(pairs)
+    assert(missed.isEmpty, s"winnowing guarantee violated for: ${missed.take(5).toSeq}")
+  }
+
+  test("q216: a one-token-suffix twin shares nearly all fingerprints — " +
+    "every planted pair's sim_ppm >= 500000") {
+    val rows = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
+      .select("id_a", "id_b", "sim_ppm").as[(Long, Long, Long)].collect()
+    val twin = rows.filter { case (a, b, _) => b == a + Offset }
+    assert(twin.nonEmpty)
+    twin.foreach { case (a, _, s) =>
+      assert(s >= 500000L, s"twin pair of $a unexpectedly dissimilar: $s ppm") }
+  }
 }
