@@ -25,7 +25,8 @@ object SparkEntry {
       ScaleQueries.registry ++ CurationQueries.registry ++
       RelationalPlus.registry ++ GraphQueries.registry ++
       RetrievalQueries.registry ++ MiningQueries.registry ++
-      CorpusQueries.registry ++ EvalQueries.registry
+      CorpusQueries.registry ++ EvalQueries.registry ++
+      TimeSeriesQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       ScaleQueries.oracles ++ CurationQueries.oracles ++
       RelationalPlus.oracles ++ GraphQueries.oracles ++
       RetrievalQueries.oracles ++ MiningQueries.oracles ++
-      CorpusQueries.oracles ++ EvalQueries.oracles
+      CorpusQueries.oracles ++ EvalQueries.oracles ++
+      TimeSeriesQueries.oracles
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series downsampling and seasonality over the event stream — the
+  * monitoring tier of an analytics engine: raw events are unreadable at
+  * 100 TB, so dashboards and anomaly screens run on DOWNSAMPLED bars and
+  * per-season baselines, both computed as single hash-aggregations.
+  *
+  * Both operators follow the suite's exactness discipline: order-dependent
+  * double arithmetic is confined to min/max (order-free); sums go through
+  * DECIMAL casts (q01's recipe); threshold comparisons cross-multiply
+  * integers instead of dividing (q144/q190's recipe).
+  */
+object TimeSeriesQueries {
+
+  /** OHLC BARS (q217) — the canonical time-series downsample: per
+    * (event_type, hour) the open/high/low/close of `value`, the event
+    * count, and the DECIMAL-exact volume. Open/close are argmin/argmax by
+    * (ts, event_id) via single-pass `min(struct(...))` — Spark's struct
+    * ordering is lexicographic, exactly DuckDB's, and event_id breaks ts
+    * ties deterministically. No window functions: one hash-aggregate,
+    * map-side partial combine, shuffle keyed on (event_type, bar) — the
+    * shape that holds at any scale because bar count grows with time, not
+    * data volume.
+    */
+  def q217OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bar_ts"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("volume"))
+      .orderBy(col("event_type"), col("bar_ts"))
+
+  val q217Oracle: String =
+    """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+      |  (min({'t': ts, 'e': event_id, 'v': value})).v AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  (max({'t': ts, 'e': event_id, 'v': value})).v AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS volume
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bar_ts""".stripMargin
+
+  /** SEASONAL-BASELINE ANOMALY SCREEN (q221) — hour buckets whose traffic
+    * deviates ≥ 2× from their hour-of-day seasonal baseline. The baseline
+    * for (event_type, hour-of-day) is that cell's MEAN hourly count over
+    * the corpus's distinct days; a bucket is 'high' when
+    * n·n_days > 2·total_hod and 'low' when 2·n·n_days < total_hod — both
+    * cross-multiplied integer comparisons, no division, no floats. The
+    * z-score screen (q104) flags outliers against a GLOBAL distribution;
+    * this one knows 3 a.m. and 3 p.m. have different normals — the screen
+    * that actually works on diurnal traffic.
+    *
+    * Scale shape: bars from one hash-agg; the 24×|event_type| baseline
+    * table broadcasts back onto bars; the distinct-day count is a 1-row
+    * crossJoin. Hours with ZERO events produce no bar and are not
+    * reported (documented: absence detection needs a calendar spine).
+    */
+  def q221SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bars = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(count(lit(1)).as("n"))
+    val hod = bars.groupBy(col("event_type"), hour(col("bar_ts")).as("hod"))
+      .agg(sum(col("n")).as("total_hod"))
+    val days = ev.agg(countDistinct(to_date(col("ts"))).as("n_days"))
+    bars.withColumn("hod", hour(col("bar_ts")))
+      .join(broadcast(hod), Seq("event_type", "hod"))
+      .crossJoin(broadcast(days))
+      .filter(col("n") * col("n_days") > col("total_hod") * 2 ||
+        col("n") * col("n_days") * 2 < col("total_hod"))
+      .select(col("event_type"), col("bar_ts"), col("n"),
+        col("total_hod"), col("n_days"),
+        when(col("n") * col("n_days") > col("total_hod") * 2, lit("high"))
+          .otherwise(lit("low")).as("verdict"))
+      .orderBy(col("event_type"), col("bar_ts"))
+  }
+
+  val q221Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar_ts, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, EXTRACT(hour FROM bar_ts) AS hod,
+      |    CAST(SUM(n) AS BIGINT) AS total_hod
+      |  FROM b GROUP BY 1, 2),
+      |d AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+      |SELECT b.event_type, b.bar_ts, b.n, h.total_hod, d.n_days,
+      |  CASE WHEN b.n * d.n_days > h.total_hod * 2 THEN 'high'
+      |       ELSE 'low' END AS verdict
+      |FROM b
+      |JOIN h ON h.event_type = b.event_type
+      |      AND h.hod = EXTRACT(hour FROM b.bar_ts)
+      |CROSS JOIN d
+      |WHERE b.n * d.n_days > h.total_hod * 2
+      |   OR b.n * d.n_days * 2 < h.total_hod
+      |ORDER BY b.event_type, b.bar_ts""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_ohlc_bars"        -> (q217OhlcBars _),
+    "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "q217_ohlc_bars"        -> q217Oracle,
+    "q221_seasonal_anomaly" -> q221Oracle)
+}
