@@ -2072,7 +2072,76 @@ object CurationQueries {
       |  md5(array_to_string(list_transform(kept, s -> s.vis), ' ')) AS extracted_md5
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** PER-LANGUAGE QUALITY BUCKETS (q218) — the CCNet partition: within
+    * EACH language, rank documents by classifier score (q136's integer
+    * score_sum; ties broken by doc_id) and cut into equal-depth
+    * head/middle/tail thirds (q149's exact rule, bucket = (rank−1)·3 div
+    * n_lang). A global cutoff would let a high-resource language's score
+    * distribution set the bar for every other language — per-language
+    * percentile buckets are how multilingual corpora keep their tails
+    * comparable. Output is the per-(lang, tier) summary: count and the
+    * score span each tier occupies.
+    *
+    * Scale shape: the within-language rank is the distributed prefix-sum
+    * scaffold (range exchange per lang — no one-partition window); the
+    * per-language totals broadcast back; everything after is a ≤ 3·|lang|
+    * row aggregate.
+    */
+  def q218LangQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val scored = q136QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_sum"))
+    val j = docs.join(scored, "doc_id").withColumn("one", lit(1L))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      j, Seq("lang"), Seq(col("score_sum").desc, col("doc_id").asc), "one", "rk")
+    val nLang = j.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(nLang), "lang")
+      .withColumn("bucket", expr("((rk - 1) * 3) div n_lang"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("score_sum")).as("best_score"),
+        min(col("score_sum")).as("worst_score"))
+      .select(col("lang"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("bucket").cast("int") + 1).as("tier"),
+        col("n_docs"), col("best_score"), col("worst_score"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  val q218Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(toks) AS f FROM d
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS f
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(
+      |    ((CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024)
+      |       * 2654435761 + 12345) % 201 - 100) AS BIGINT) AS score_sum
+      |  FROM feats GROUP BY doc_id),
+      |r AS (
+      |  SELECT d.lang, s.doc_id, s.score_sum,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY s.score_sum DESC, s.doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+      |  FROM d JOIN s USING (doc_id))
+      |SELECT lang,
+      |  CASE ((rk - 1) * 3) // n_lang WHEN 0 THEN 'head'
+      |       WHEN 1 THEN 'middle' ELSE 'tail' END AS tier,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MAX(score_sum) AS BIGINT) AS best_score,
+      |  CAST(MIN(score_sum) AS BIGINT) AS worst_score
+      |FROM r
+      |GROUP BY lang, ((rk - 1) * 3) // n_lang
+      |ORDER BY lang, tier""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_lang_quality_buckets" -> (q218LangQualityBuckets _),
     "q212_html_extract" -> (q212HtmlExtract _),
     "q199_duplicate_chunks" -> (q199DuplicateChunks _),
     "q198_upsample_materialize" -> (q198UpsampleMaterialize _),
@@ -2102,6 +2171,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q218_lang_quality_buckets" -> q218Oracle,
     "q212_html_extract" -> q212Oracle,
     "q199_duplicate_chunks" -> q199Oracle,
     "q198_upsample_materialize" -> q198Oracle,

@@ -492,4 +492,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q218: per-language thirds are equal-depth (±1) and score-ordered " +
+    "head >= middle >= tail") {
+    val rows = SparkEntry.queries("q218_lang_quality_buckets")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("tier"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("best_score"),
+        r.getAs[Long]("worst_score")))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, tiers) =>
+      assert(tiers.map(_._2).toSet == Set("head", "middle", "tail"),
+        s"$lang missing a tier")
+      val depths = tiers.map(_._3)
+      assert(depths.max - depths.min <= 1, s"$lang tiers unbalanced: $depths")
+      val t = tiers.map(x => x._2 -> x).toMap
+      // descending rank order: the worst doc of a higher tier is at least
+      // as good as the best doc of the next tier
+      assert(t("head")._5 >= t("middle")._4, s"$lang head/middle overlap wrong")
+      assert(t("middle")._5 >= t("tail")._4, s"$lang middle/tail overlap wrong")
+    }
+    // buckets partition the corpus exactly
+    val total = rows.map(_._3).sum
+    assert(total === Tables.documents(spark, sfDir).count())
+  }
 }
