@@ -399,13 +399,113 @@ object EvalQueries {
        |    AS BIGINT) END AS kappa_ppm
        |FROM c""".stripMargin
 
+  /** PER-SOURCE QUALITY-DRIFT SIGNIFICANCE (q219) — the χ² two-proportion
+    * test every corpus health dashboard needs: is source S's keep-rate
+    * under the q78 gate DIFFERENT from the rest of the corpus, beyond
+    * what its sample size explains? For each source the 2×2 contingency
+    * (keep/drop × this-source/rest) yields
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), emitted ×1000
+    * (chi2_milli) with every product promoted to DECIMAL(38,0) and the
+    * division integral (q215's exactness recipe — DuckDB replays with
+    * HUGEINT `//`). `significant` is the p<0.05 verdict for 1 dof
+    * (χ² > 3.841), decided by the SAME integer comparison in both
+    * engines — no float crosses the wire. χ² is NULL (loudly, not 0)
+    * when a margin is empty, and the 38-digit budget is guarded by a
+    * raise_error at N > 10⁷ labeled docs per test (beyond that, run the
+    * test on a deterministic sample — N⁵ no longer fits DECIMAL(38)/
+    * HUGEINT).
+    *
+    * Scale shape: one doc-keyed equi-join, one |source|-row aggregate,
+    * 1-row totals crossJoin — nothing grows with the corpus downstream
+    * of the first aggregate.
+    */
+  def q219Chi2SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val keep = CurationQueries.q78QualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").cast(IntegerType).cast("long").as("y"))
+    val src = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val g = src.join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"))
+    val tot = g.agg(sum(col("a")).as("k_tot"), sum(col("b")).as("d_tot"))
+    val det = "(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+    val denom = "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))"
+    val chi2 =
+      s"""CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+         |     WHEN n > 10000000 THEN CAST(raise_error(
+         |       'q219: N exceeds the DECIMAL(38) chi-square budget; test a sample')
+         |       AS BIGINT)
+         |     ELSE CAST(CAST(n AS DECIMAL(38,0)) * $det * $det * 1000
+         |       div $denom AS BIGINT) END""".stripMargin
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("a"), col("b"),
+        (col("k_tot") - col("a")).as("c"),
+        (col("d_tot") - col("b")).as("d"),
+        (col("k_tot") + col("d_tot")).as("n"))
+      .withColumn("chi2_milli", expr(chi2))
+      .withColumn("significant", col("chi2_milli") > 3841L)
+      .orderBy(col("source"))
+  }
+
+  val q219Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id, source, toks,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |k AS (
+       |  SELECT tri.source,
+       |    CASE WHEN len(tri.toks) >= 20
+       |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+       |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+       |g AS (
+       |  SELECT source, CAST(SUM(y) AS BIGINT) AS a,
+       |    CAST(SUM(1 - y) AS BIGINT) AS b
+       |  FROM k GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS k_tot,
+       |    CAST(SUM(b) AS BIGINT) AS d_tot FROM g),
+       |x AS (
+       |  SELECT source, a, b, k_tot - a AS c, d_tot - b AS d,
+       |    k_tot + d_tot AS n
+       |  FROM g CROSS JOIN tot)
+       |SELECT source, a, b, c, d, n,
+       |  CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+       |       ELSE CAST(CAST(n AS HUGEINT)
+       |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+       |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 1000
+       |         // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+       |         AS BIGINT) END AS chi2_milli,
+       |  CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+       |       ELSE (CAST(CAST(n AS HUGEINT)
+       |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+       |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 1000
+       |         // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+       |         AS BIGINT) > 3841) END AS significant
+       |FROM x
+       |ORDER BY source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_chi2_source_drift"   -> (q219Chi2SourceDrift _),
     "q207_reliability_deciles" -> (q207ReliabilityDeciles _),
     "q208_auc_exact"           -> (q208AucExact _),
     "q210_lsh_param_audit"     -> (q210LshParamAudit _),
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q219_chi2_source_drift"   -> q219Oracle,
     "q207_reliability_deciles" -> q207Oracle,
     "q208_auc_exact"           -> q208Oracle,
     "q210_lsh_param_audit"     -> q210Oracle,

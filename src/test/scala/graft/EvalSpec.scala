@@ -145,4 +145,24 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(kappa < po, s"kappa $kappa not below raw agreement $po")
     assert(kappa >= -1000000L && kappa <= 1000000L)
   }
+
+  test("q219: chi-square matches a driver-side float recompute (floor at " +
+    "milli precision) and contingency margins are consistent") {
+    val rows = SparkEntry.queries("q219_chi2_source_drift")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val n0 = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d"))
+      assert(a + b + c + d === n0, "every row must see the same grand total")
+      val chi = r.getAs[Long]("chi2_milli")
+      val det = a.toDouble * d - b.toDouble * c
+      val expect = n0.toDouble * det * det * 1000.0 /
+        ((a + b).toDouble * (c + d) * (a + c) * (b + d))
+      assert(math.abs(chi - math.floor(expect)) <= 1,
+        s"source ${r.getAs[String]("source")}: chi2_milli $chi vs float $expect")
+      assert(r.getAs[Boolean]("significant") === (chi > 3841L))
+    }
+  }
 }
