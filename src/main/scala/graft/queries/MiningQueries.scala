@@ -1202,7 +1202,81 @@ object MiningQueries {
       |WHERE o.side = 'o' AND t.side = 't'
       |ORDER BY o.doc_id""".stripMargin
 
+  /** PMI COLLOCATION EXTRACTION (q220) — the corpus-linguistics staple:
+    * adjacent word pairs that co-occur far more than their unigram
+    * frequencies predict. PMI = log(p₁₂/(p₁·p₂)) is monotone in the
+    * RATIO c₁₂·T² / (c₁·c₂·B) (T = token occurrences, B = bigram
+    * occurrences), so ranking and thresholding never need the log: the
+    * ratio is emitted in exact ppm with every product DECIMAL(38,0)-
+    * promoted (HUGEINT in the oracle) — ties, order and the pmi>0 cut
+    * are bit-identical in both engines. Min-count c₁₂ ≥ 5 applies the
+    * standard collocation support floor; the global top-50 is a
+    * TakeOrderedAndProject (k-row driver result, not a global sort
+    * materialization).
+    *
+    * Scale shape: two corpus-sized hash-aggs (unigrams, bigrams), a
+    * vocab-keyed equi-join for c₁/c₂, 1-row totals crossJoins. The
+    * bigram stream is positional (occurrences, not distinct) — explode
+    * fan-out is exactly token count, same as any tokenizing pass.
+    */
+  def q220PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tTot = uni.agg(sum(col("c")).as("t_tot"))
+    val bi = toks
+      .select(explode(when(size(col("toks")) < 2, array())
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bTot = bi.agg(sum(col("c12")).as("b_tot"))
+    bi.filter(col("c12") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi_ratio_ppm", expr(
+        """CAST(CAST(c12 AS DECIMAL(38,0)) * t_tot * t_tot * 1000000
+          | div (CAST(c1 AS DECIMAL(38,0)) * c2 * b_tot) AS BIGINT)""".stripMargin))
+      .filter(col("pmi_ratio_ppm") > 1000000L)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val q220Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+       |uc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tot FROM uc),
+       |bc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+       |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |    FROM d, UNNEST(range(1, len(toks))) AS r(i)
+       |    WHERE len(toks) >= 2)
+       |  GROUP BY w1, w2),
+       |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS b_tot FROM bc)
+       |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+       |  CAST(CAST(c12 AS HUGEINT) * t_tot * t_tot * 1000000
+       |    // (CAST(u1.c AS HUGEINT) * u2.c * b_tot) AS BIGINT) AS pmi_ratio_ppm
+       |FROM bc
+       |JOIN uc u1 ON u1.w = bc.w1
+       |JOIN uc u2 ON u2.w = bc.w2
+       |CROSS JOIN t CROSS JOIN bt
+       |WHERE c12 >= 5
+       |  AND CAST(c12 AS HUGEINT) * t_tot * t_tot * 1000000
+       |    // (CAST(u1.c AS HUGEINT) * u2.c * b_tot) > 1000000
+       |ORDER BY pmi_ratio_ppm DESC, w1, w2
+       |LIMIT 50""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_pmi_collocations" -> (q220PmiCollocations _),
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
     "q171_incremental_agg"   -> (q171IncrementalAggMaintenance _),
@@ -1223,6 +1297,7 @@ object MiningQueries {
     "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
+    "q220_pmi_collocations" -> q220Oracle,
     "q169_entity_resolution" -> q169Oracle,
     "q170_basket_pairs"      -> q170Oracle,
     "q171_incremental_agg"   -> q171Oracle,

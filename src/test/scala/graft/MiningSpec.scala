@@ -346,4 +346,34 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
         col("event_type").isNotNull).count()
     assert(rows.map(_.getAs[Long]("burst_size")).sum === total)
   }
+
+  test("q220: PMI ratio is the exact BigInt rational and output is " +
+    "support-floored, positive-PMI, descending") {
+    val rows = SparkEntry.queries("q220_pmi_collocations")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute corpus totals once, driver-side
+    val toks = Tables.documents(spark, sfDir)
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val tTot = BigInt(toks.map(_.size.toLong).sum)
+    val bTot = BigInt(toks.map(t => math.max(0, t.size - 1).toLong).sum)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bi = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val (c12, c1, c2) = (r.getAs[Long]("c12"), r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"))
+      assert(c12 >= 5 && c12 === bi((w1, w2)).toLong)
+      assert(c1 === uni(w1).toLong && c2 === uni(w2).toLong)
+      val expect = (BigInt(c12) * tTot * tTot * 1000000 /
+        (BigInt(c1) * c2 * bTot)).toLong
+      assert(r.getAs[Long]("pmi_ratio_ppm") === expect)
+      assert(expect > 1000000L, "pmi must be positive")
+      assert(expect <= prev, "rows must be ratio-descending")
+      prev = expect
+    }
+  }
 }
