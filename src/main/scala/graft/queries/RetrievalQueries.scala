@@ -291,12 +291,60 @@ object RetrievalQueries {
       |ORDER BY score DESC, d1, d2
       |LIMIT 20""".stripMargin
 
+  /** KWIC CONCORDANCE (q222) — keyword-in-context, the corpus inspection
+    * view linguists and data auditors both reach for: every occurrence of
+    * a query term with up to 3 tokens of left and right context, in
+    * corpus order. This is the "show me how this word is actually used"
+    * query that BM25 ranking (q? the retrieval tier) cannot answer — it
+    * returns documents, not occurrences.
+    *
+    * Term is `spark.graft.kwic.term` (default "scan"). One projection +
+    * positional explode filtered to matches: fan-out is occurrence count
+    * of ONE term, far below token count. No joins, no windows; context
+    * slices are per-row array ops. Output order (doc_id, pos) is total.
+    */
+  def q222KwicConcordance(spark: SparkSession, dir: String): DataFrame = {
+    val term = spark.conf.getOption("spark.graft.kwic.term").getOrElse("scan")
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(filter(
+          transform(sequence(lit(1), size(col("toks"))), i => i),
+          i => element_at(col("toks"), i) === term)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(lit(1), col("pos") - 3),
+          least(lit(3), col("pos") - 1))).as("left_ctx"),
+        element_at(col("toks"), col("pos")).as("match_term"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(3))).as("right_ctx"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q222Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, toks, CAST(i AS BIGINT) AS pos
+       |  FROM d, UNNEST(range(1, len(toks) + 1)) AS r(i)
+       |  WHERE toks[i] = 'scan')
+       |SELECT doc_id, pos,
+       |  COALESCE(array_to_string(toks[greatest(1, pos - 3) :
+       |    greatest(1, pos - 3) + least(3, pos - 1) - 1], ' '), '') AS left_ctx,
+       |  toks[pos] AS match_term,
+       |  COALESCE(array_to_string(toks[pos + 1 : pos + 3], ' '), '') AS right_ctx
+       |FROM occ
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_kwic_concordance" -> (q222KwicConcordance _),
     "q143_inverted_index" -> (q143InvertedIndex _),
     "q144_bm25_search"    -> (q144Bm25Search _),
     "q154_sparse_simjoin" -> (q154SparseSimJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q222_kwic_concordance" -> q222Oracle,
     "q143_inverted_index" -> q143Oracle,
     "q144_bm25_search"    -> q144Oracle,
     "q154_sparse_simjoin" -> q154Oracle)

@@ -61,4 +61,30 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(scores === scores.sorted.reverse, "scores must be non-increasing")
     assert(a.forall(r => (1L to 3L).contains(r.getAs[Long]("n_terms_matched"))))
   }
+
+  test("q222: KWIC hit count equals the corpus occurrence count of the " +
+    "term, every match column is the term, and contexts are <= 3 tokens") {
+    val rows = SparkEntry.queries("q222_kwic_concordance")(spark, sfDir)
+      .collect()
+    val occ = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") === "scan").count()
+    assert(rows.length.toLong === occ)
+    rows.foreach { r =>
+      assert(r.getAs[String]("match_term") === "scan")
+      val l = r.getAs[String]("left_ctx")
+      val rt = r.getAs[String]("right_ctx")
+      assert(l.isEmpty || l.split(" ").length <= 3)
+      assert(rt.isEmpty || rt.split(" ").length <= 3)
+      // a full left context ends right before the match position
+      if (r.getAs[Long]("pos") > 3) assert(l.split(" ").length === 3)
+    }
+    // conf round-trip: a different term changes the result set
+    spark.conf.set("spark.graft.kwic.term", "vector")
+    try {
+      val alt = SparkEntry.queries("q222_kwic_concordance")(spark, sfDir)
+        .select("match_term").distinct().collect()
+      assert(alt.map(_.getString(0)).toSeq === Seq("vector"))
+    } finally spark.conf.unset("spark.graft.kwic.term")
+  }
 }
