@@ -2140,7 +2140,68 @@ object CurationQueries {
       |GROUP BY lang, ((rk - 1) * 3) // n_lang
       |ORDER BY lang, tier""".stripMargin
 
+  /** Policy rules for q225 — (rule_id, pattern). Patterns stay inside the
+    * regex subset whose semantics are identical in Java's engine (Spark)
+    * and RE2 (DuckDB): literals, alternation, word boundaries, bounded
+    * repetition. A production deployment loads this table from a
+    * governance store; the shape — data-driven predicates, not
+    * code-driven — is the point.
+    */
+  val PolicyRules: Seq[(String, String)] = Seq(
+    "r1_plant_marker"  -> "zz9end",
+    "r2_slow_pair"     -> "slow (part|join) slow",
+    "r3_dup_token"     -> "\\bdup\\b",
+    "r4_triple_batch"  -> "batch batch batch")
+
+  /** POLICY-TABLE-DRIVEN REGEX FILTER (q225) — compliance filtering the
+    * way governance actually ships it: the blocklist is a TABLE (rule_id,
+    * pattern), not code, so legal/policy can update rules without a
+    * deploy. Every document is screened against every rule
+    * (broadcast-crossed — the rule table is tiny by construction) and
+    * flagged docs report the full sorted rule list that hit them, because
+    * takedown workflows need every violated rule, not the first.
+    *
+    * RE2 (DuckDB's engine) has no backreferences, so the rule subset
+    * deliberately excludes them; alternation and word boundaries are
+    * semantics-identical across engines on this ASCII corpus.
+    *
+    * Scale shape: one scan, |rules| regex evaluations per doc inside a
+    * codegen'd filter, then a doc-keyed aggregate of rule ids. No
+    * shuffle bigger than the flagged subset.
+    */
+  def q225PolicyRegexFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rules = spark.createDataFrame(PolicyRules).toDF("rule_id", "pattern")
+    SimilarityQueries.docsWithPlants(spark, dir)
+      .crossJoin(broadcast(rules))
+      .filter(expr("text RLIKE pattern"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("rule_id")))).as("rules"),
+        countDistinct(col("rule_id")).as("n_rules"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q225Oracle: String = {
+    // DuckDB '...' literals keep backslashes literal — no re-escaping
+    val vals = PolicyRules
+      .map { case (id, p) => s"('$id', '$p')" }
+      .mkString(", ")
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset}, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |rules(rule_id, pattern) AS (VALUES $vals)
+       |SELECT doc_id,
+       |  string_agg(rule_id, ',' ORDER BY rule_id) AS rules,
+       |  CAST(COUNT(DISTINCT rule_id) AS BIGINT) AS n_rules
+       |FROM docs_p CROSS JOIN rules
+       |WHERE regexp_matches(text, pattern)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_policy_regex_filter"  -> (q225PolicyRegexFilter _),
     "q218_lang_quality_buckets" -> (q218LangQualityBuckets _),
     "q212_html_extract" -> (q212HtmlExtract _),
     "q199_duplicate_chunks" -> (q199DuplicateChunks _),
@@ -2171,6 +2232,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q225_policy_regex_filter"  -> q225Oracle,
     "q218_lang_quality_buckets" -> q218Oracle,
     "q212_html_extract" -> q212Oracle,
     "q199_duplicate_chunks" -> q199Oracle,

@@ -636,7 +636,56 @@ object TextQueries {
        |ORDER BY epoch, shard""".stripMargin
   }
 
+  /** LEXICAL-DIVERSITY PROFILE PER SOURCE (q224) — the corpus-linguistics
+    * health panel: token occurrences, distinct vocabulary, type-token
+    * ratio, and the hapax-legomena share (words seen exactly once — the
+    * canonical "is this source templated or organic?" signal: template
+    * mills have tiny hapax shares, organic text large ones). All ratios
+    * in exact ppm via integral division — no floats cross the engines.
+    *
+    * Scale shape: one (source, word) hash-agg (map-side combine eats the
+    * Zipf head), then a |vocab|-bounded rollup per source. Nothing
+    * global, nothing all-pairs, no windows.
+    */
+  def q224LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        expr("CAST(n_vocab AS DECIMAL(38,0)) * 1000000 div n_tokens")
+          .cast("long").as("ttr_ppm"),
+        expr("CASE WHEN n_vocab = 0 THEN NULL ELSE " +
+          "CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000 div n_vocab AS BIGINT) END")
+          .as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q224Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH wc AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+       |  GROUP BY source, w),
+       |g AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM wc GROUP BY source)
+       |SELECT source, n_tokens, n_vocab, n_hapax,
+       |  CAST(CAST(n_vocab AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       |  CASE WHEN n_vocab = 0 THEN NULL ELSE
+       |    CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_vocab AS BIGINT) END AS hapax_ppm
+       |FROM g
+       |ORDER BY source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_lexical_diversity" -> (q224LexicalDiversity _),
     "q214_epoch_shuffle" -> (q214EpochShuffle _),
     "q195_tokenizer_coverage" -> (q195TokenizerCoverage _),
     "q192_training_shards" -> (q192TrainingShards _),
@@ -650,6 +699,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q224_lexical_diversity" -> q224Oracle,
     "q214_epoch_shuffle" -> q214Oracle,
     "q195_tokenizer_coverage" -> q195Oracle,
     "q192_training_shards" -> q192Oracle,

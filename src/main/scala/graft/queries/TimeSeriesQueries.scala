@@ -111,11 +111,79 @@ object TimeSeriesQueries {
       |   OR b.n * d.n_days * 2 < h.total_hod
       |ORDER BY b.event_type, b.bar_ts""".stripMargin
 
+  /** CALENDAR-SPINE GAP RUNS (q223) — the missing-data detector q221
+    * explicitly cannot be: hours with ZERO events produce no bar, so
+    * finding them requires a generated hour spine. The spine spans the
+    * corpus's [min, max] hour, crossed with the distinct event types,
+    * anti-joined against the observed bars; consecutive missing hours
+    * collapse into runs (gaps-and-islands: hour-index minus per-type
+    * row_number is constant within a run — q176's discipline). Output is
+    * one row per OUTAGE, not per missing hour: (event_type, gap_start,
+    * gap_end, n_hours), the shape an alerting system consumes.
+    *
+    * Scale shape: the spine is |hours|×|types| — time-bounded, not
+    * data-bounded (a year is 8 760 rows per type no matter how many
+    * petabytes of events); the only corpus-sized pass is the distinct-bar
+    * aggregation. The per-type window runs on spine-sized partitions.
+    */
+  def q223CalendarGapRuns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mm = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("bar_ts"))
+    val present = ev
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .distinct()
+    val missing = spine.join(present, Seq("event_type", "bar_ts"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bar_ts"))
+    missing
+      .withColumn("isl",
+        expr("unix_timestamp(bar_ts) div 3600") - row_number().over(w))
+      .groupBy(col("event_type"), col("isl"))
+      .agg(min(col("bar_ts")).as("gap_start"),
+        max(col("bar_ts")).as("gap_end"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("gap_start"), col("gap_end"), col("n_hours"))
+      .orderBy(col("event_type"), col("gap_start"))
+  }
+
+  val q223Oracle: String =
+    """WITH mm AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0,
+      |    date_trunc('hour', max(ts)) AS h1 FROM events),
+      |sp AS (
+      |  SELECT et.event_type, g AS bar_ts
+      |  FROM (SELECT DISTINCT event_type FROM events) et, mm,
+      |    UNNEST(generate_series(mm.h0, mm.h1, INTERVAL 1 HOUR)) AS t(g)),
+      |pr AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS bar_ts
+      |  FROM events),
+      |miss AS (
+      |  SELECT sp.event_type, sp.bar_ts FROM sp
+      |  WHERE NOT EXISTS (SELECT 1 FROM pr
+      |    WHERE pr.event_type = sp.event_type AND pr.bar_ts = sp.bar_ts)),
+      |r AS (
+      |  SELECT event_type, bar_ts,
+      |    CAST(epoch(bar_ts) AS BIGINT) // 3600
+      |      - row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS isl
+      |  FROM miss)
+      |SELECT event_type, min(bar_ts) AS gap_start, max(bar_ts) AS gap_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours
+      |FROM r GROUP BY event_type, isl
+      |ORDER BY event_type, gap_start""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_calendar_gap_runs" -> (q223CalendarGapRuns _),
     "q217_ohlc_bars"        -> (q217OhlcBars _),
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q223_calendar_gap_runs" -> q223Oracle,
     "q217_ohlc_bars"        -> q217Oracle,
     "q221_seasonal_anomaly" -> q221Oracle)
 }

@@ -517,4 +517,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val total = rows.map(_._3).sum
     assert(total === Tables.documents(spark, sfDir).count())
   }
+
+  test("q225: every planted doc violates the plant-marker rule, and flagged " +
+    "rule lists are sorted and deduplicated") {
+    val rows = SparkEntry.queries("q225_policy_regex_filter")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("rules"),
+        r.getAs[Long]("n_rules")))
+    val offset = graft.queries.SimilarityQueries.PlantOffset
+    val nPlants = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    val plantRows = rows.filter(_._1 >= offset)
+    assert(plantRows.length.toLong === nPlants,
+      "every plant carries the zz9end marker and must be flagged")
+    plantRows.foreach { case (id, rules, _) =>
+      assert(rules.split(",").contains("r1_plant_marker"), s"doc $id: $rules") }
+    rows.foreach { case (id, rules, n) =>
+      val rs = rules.split(",").toSeq
+      assert(rs === rs.sorted && rs.distinct === rs, s"doc $id rules not canonical")
+      assert(rs.length.toLong === n)
+    }
+    // no unplanted doc matches the plant marker
+    assert(rows.filter(_._1 < offset)
+      .forall(!_._2.split(",").contains("r1_plant_marker")))
+  }
 }

@@ -78,4 +78,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(native.keySet === expected.keySet)
     expected.foreach { case (id, n) => assert(native(id) === n, s"doc $id") }
   }
+
+  test("q224: lexical-diversity invariants and a driver-side recount of one source") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q224_lexical_diversity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, v, h) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"),
+        r.getAs[Long]("n_hapax"))
+      assert(h <= v && v <= t)
+      assert(r.getAs[Long]("ttr_ppm") === BigInt(v) * 1000000 / t)
+      assert(r.getAs[Long]("hapax_ppm") === BigInt(h) * 1000000 / v)
+    }
+    val src0 = rows.head.getAs[String]("source")
+    val words = Tables.documents(spark, sfDir)
+      .filter(col("source") === src0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+    val counts = words.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.head.getAs[Long]("n_tokens") === words.length.toLong)
+    assert(rows.head.getAs[Long]("n_vocab") === counts.size.toLong)
+    assert(rows.head.getAs[Long]("n_hapax") ===
+      counts.values.count(_ == 1).toLong)
+  }
 }

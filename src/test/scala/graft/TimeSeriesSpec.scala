@@ -59,4 +59,41 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .filter(hour(col("ts")) === hodOf).count()
     assert(tot0 === r0.getAs[Long]("total_hod"))
   }
+
+  test("q223: gap hours + observed hours tile the spine exactly, per type, " +
+    "and runs are maximal (no two adjacent runs)") {
+    val ev = Tables.events(spark, sfDir)
+    val span = ev.agg(
+      (expr("unix_timestamp(date_trunc('hour', max(ts)))") -
+        expr("unix_timestamp(date_trunc('hour', min(ts)))")).as("s"))
+      .as[Long].head / 3600 + 1
+    val present = ev.groupBy(col("event_type"))
+      .agg(countDistinct(date_trunc("hour", col("ts"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val runs = SparkEntry.queries("q223_calendar_gap_runs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("gap_start"),
+        r.getAs[java.sql.Timestamp]("gap_end"), r.getAs[Long]("n_hours")))
+    val gapsByType = runs.groupBy(_._1)
+    present.keys.foreach { t =>
+      val gapHours = gapsByType.get(t).map(_.map(_._4).sum).getOrElse(0L)
+      assert(gapHours + present(t) === span,
+        s"$t: gaps $gapHours + present ${present(t)} != spine $span")
+    }
+    // maximality: consecutive runs of a type are separated by >= 1
+    // observed hour
+    gapsByType.values.foreach { rs =>
+      rs.sortBy(_._2.getTime).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._3.getTime > 3600 * 1000L,
+            s"adjacent runs should have merged: $a / $b")
+        case _ =>
+      }
+    }
+    // run length is consistent with its endpoints
+    runs.foreach { case (_, s, e, n) =>
+      assert((e.getTime - s.getTime) / (3600 * 1000L) + 1 === n)
+    }
+  }
 }
