@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddingSpec extends AnyFunSuite with SparkSpec {
+
+  private def grid(x: Float): Long = math.floor(x * 16 + 0.5).toLong
+
+  private lazy val vecs: Array[(Long, Array[Long])] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(grid).toArray))
+
+  test("q226: covariance cells carry exact integer moments — diagonal " +
+    "non-negative, n constant, one cell recomputed driver-side") {
+    val rows = SparkEntry.queries("q226_embedding_covariance")(spark, sfDir)
+      .collect()
+    assert(rows.length === 64 * 65 / 2)
+    val n = vecs.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === n)
+      if (r.getAs[Long]("i") == r.getAs[Long]("j"))
+        assert(r.getAs[Long]("cov_q") >= 0L,
+          s"variance cell (${r.getAs[Long]("i")}) negative")
+    }
+    // recompute cell (0, 1) exactly
+    val (si, sj, sij) = vecs.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (_, q)) =>
+      (a + q(0), b + q(1), c + q(0) * q(1)) }
+    val c01 = rows.find(r => r.getAs[Long]("i") == 0 && r.getAs[Long]("j") == 1).get
+    assert(c01.getAs[Long]("sum_i") === si)
+    assert(c01.getAs[Long]("sum_j") === sj)
+    assert(c01.getAs[Long]("sum_ij") === sij)
+    assert(c01.getAs[Long]("cov_q") === n * sij - si * sj)
+  }
+
+  test("q227: centroid drift covers every label pair once and matches a " +
+    "driver-side exact recompute") {
+    val rows = SparkEntry.queries("q227_centroid_drift")(spark, sfDir)
+      .collect()
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(rows.length === labels.length * (labels.length - 1) / 2)
+    val byLabel = vecs.groupBy(_._1)
+    val r0 = rows.head
+    val (la, lb) = (r0.getAs[Long]("label_a"), r0.getAs[Long]("label_b"))
+    val (ga, gb) = (byLabel(la).map(_._2), byLabel(lb).map(_._2))
+    val (na, nb) = (BigInt(ga.length), BigInt(gb.length))
+    assert(r0.getAs[Long]("na") === na.toLong && r0.getAs[Long]("nb") === nb.toLong)
+    val num = (0 until 64).map { k =>
+      val sa = BigInt(ga.map(_(k)).sum); val sb = BigInt(gb.map(_(k)).sum)
+      val d = sa * nb - sb * na; d * d
+    }.sum
+    assert(r0.getAs[Long]("dist2_ppm") ===
+      (num * 1000000 / (na * nb * na * nb)).toLong)
+    rows.foreach(r => assert(r.getAs[Long]("dist2_ppm") >= 0L))
+  }
+}
