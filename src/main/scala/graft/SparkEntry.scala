@@ -26,7 +26,8 @@ object SparkEntry {
       RelationalPlus.registry ++ GraphQueries.registry ++
       RetrievalQueries.registry ++ MiningQueries.registry ++
       CorpusQueries.registry ++ EvalQueries.registry ++
-      TimeSeriesQueries.registry ++ EmbeddingQueries.registry
+      TimeSeriesQueries.registry ++ EmbeddingQueries.registry ++
+      ProfilingQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       RelationalPlus.oracles ++ GraphQueries.oracles ++
       RetrievalQueries.oracles ++ MiningQueries.oracles ++
       CorpusQueries.oracles ++ EvalQueries.oracles ++
-      TimeSeriesQueries.oracles ++ EmbeddingQueries.oracles
+      TimeSeriesQueries.oracles ++ EmbeddingQueries.oracles ++
+      ProfilingQueries.oracles
 }

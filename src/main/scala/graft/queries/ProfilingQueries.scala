@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-profiling operators — the discovery passes a data platform runs
+  * against tables it did NOT design: which functional dependencies
+  * actually hold, and which declared foreign keys actually resolve. Both
+  * are metadata-sized outputs derived from full scans, the profile-once
+  * / consult-forever shape.
+  */
+object ProfilingQueries {
+
+  /** FD candidates for q229: (table, determinant, dependent). Mixes
+    * dependencies that genuinely hold in TPC-H-shaped data (key → any
+    * column) with ones expected to FAIL (customer → order status) so the
+    * output demonstrates discrimination, not rubber-stamping.
+    */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation",   "n_nationkey", "n_name"),
+    ("nation",   "n_name",      "n_regionkey"),
+    ("orders",   "o_orderkey",  "o_orderstatus"),
+    ("orders",   "o_custkey",   "o_orderstatus"),
+    ("customer", "c_custkey",   "c_nationkey"),
+    ("lineitem", "l_orderkey",  "l_returnflag"))
+
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY (q229) — for each candidate
+    * determinant → dependent pair: how many determinant keys exist, how
+    * many map to MORE than one dependent value (violations), and the
+    * verdict. The profiling pass schema-inference, dedup-key selection
+    * and normalization decisions all start from; a violated "FD" with
+    * few offenders is usually a data-quality bug, one with many is a
+    * modeling error.
+    *
+    * Scale shape: per candidate one (det → countDistinct(dep)) hash-agg
+    * then a metadata-sized rollup; candidates union afterwards. Nothing
+    * joins, nothing is all-pairs — checking an FD is exactly one
+    * aggregation no matter the table size.
+    */
+  def q229FdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val checks = FdCandidates.map { case (t, det, dep) =>
+      Tables.load(spark, dir, t)
+        .groupBy(col(det)).agg(countDistinct(col(dep)).as("ndep"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        .select(lit(t).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_keys"), col("n_violating_keys"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("determinant"), col("dependent"))
+  }
+
+  val q229Oracle: String = {
+    val parts = FdCandidates.map { case (t, det, dep) =>
+      s"""SELECT '$t' AS table_name, '$det' AS determinant,
+         |  '$dep' AS dependent,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_keys,
+         |  SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $det, COUNT(DISTINCT $dep) AS ndep
+         |      FROM $t GROUP BY $det)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n",
+      "\nORDER BY table_name, determinant, dependent")
+  }
+
+  /** Declared foreign-key relationships for q230:
+    * (child table, fk column, parent table, pk column). */
+  val FkRelationships: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey",  "orders",   "o_orderkey"),
+    ("lineitem", "l_partkey",   "part",     "p_partkey"),
+    ("lineitem", "l_suppkey",   "supplier", "s_suppkey"),
+    ("orders",   "o_custkey",   "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation",   "n_nationkey"),
+    ("supplier", "s_nationkey", "nation",   "n_nationkey"),
+    ("nation",   "n_regionkey", "region",   "r_regionkey"))
+
+  /** Orphan audit for ONE relationship: child rows whose fk resolves to
+    * no parent pk. Left-anti join — broadcast when the parent is
+    * dimension-sized, shuffle otherwise; Catalyst picks per stats.
+    * Factored out so the spec can prove detection on planted orphans.
+    */
+  private[graft] def riOrphans(
+      child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.select(col(fk).as("k"))
+      .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+    orphans.agg(
+      count(lit(1)).as("n_orphan_rows"),
+      countDistinct(col("k")).as("n_orphan_keys"))
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT (q230) — every declared FK relationship
+    * checked for orphans in one report: child row count, orphan rows,
+    * distinct orphan keys, verdict. On intact TPC-H-shaped data all
+    * counts are zero — "all green" IS the expected, still fully
+    * verified, output; the spec proves the detector fires by planting
+    * orphans through [[riOrphans]]. This is the gate a lakehouse runs
+    * after every load, before exposing a snapshot.
+    *
+    * Scale shape: one anti-join per relationship (the child scan
+    * dominates; parent sides broadcast when small), 1-row aggregates
+    * crossJoined with the child count — output is |relationships| rows.
+    */
+  def q230RiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val checks = FkRelationships.map { case (ct, fk, pt, pk) =>
+      val child = Tables.load(spark, dir, ct)
+      val nChild = child.agg(count(lit(1)).as("n_child_rows"))
+      riOrphans(child, fk, Tables.load(spark, dir, pt), pk)
+        .crossJoin(nChild)
+        .select(lit(ct).as("child_table"), lit(fk).as("fk_column"),
+          lit(pt).as("parent_table"), lit(pk).as("pk_column"),
+          col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
+          (col("n_orphan_rows") === 0L).as("intact"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("fk_column"))
+  }
+
+  val q230Oracle: String = {
+    val parts = FkRelationships.map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct' AS child_table, '$fk' AS fk_column,
+         |  '$pt' AS parent_table, '$pk' AS pk_column,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct) AS n_child_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+         |  CAST(COUNT(DISTINCT c.$fk) AS BIGINT) AS n_orphan_keys,
+         |  COUNT(*) = 0 AS intact
+         |FROM $ct c
+         |WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$fk)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_fd_discovery" -> (q229FdDiscovery _),
+    "q230_ri_audit"     -> (q230RiAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q229_fd_discovery" -> q229Oracle,
+    "q230_ri_audit"     -> q230Oracle)
+}

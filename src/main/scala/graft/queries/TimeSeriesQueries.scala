@@ -177,12 +177,61 @@ object TimeSeriesQueries {
       |FROM r GROUP BY event_type, isl
       |ORDER BY event_type, gap_start""".stripMargin
 
+  /** DISPERSION INDEX (q228) — the variance-to-mean ratio (Fano factor)
+    * of hourly arrival counts per event type: ~1 for Poisson-like
+    * organic traffic, ≫1 for bursty/bot traffic, ≪1 for metronomic
+    * schedulers. Computed from the exact integer moments of the bar
+    * counts — D·10⁶ = (n·Σc² − (Σc)²)·10⁶ div (n·Σc) — so both engines
+    * agree to the last ppm digit. The q221 seasonal screen asks "which
+    * hour is anomalous"; this asks "is this stream's arrival process
+    * even plausibly organic" — the upstream triage question.
+    *
+    * Moments run over OBSERVED bars (hours with ≥ 1 event); to include
+    * silent hours, compose with q223's calendar spine first — kept
+    * separate so each operator stays one aggregation.
+    *
+    * Scale shape: bars from one hash-agg, then a |event_type|-row moment
+    * rollup. DECIMAL(38,0) promotion keeps n·Σc² exact far past any
+    * realistic bar count.
+    */
+  def q228DispersionIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("dispersion_ppm", expr(
+        """CAST((CAST(n_bars AS DECIMAL(38,0)) * sum_c2
+          |  - CAST(sum_c AS DECIMAL(38,0)) * sum_c) * 1000000
+          |  div (CAST(n_bars AS DECIMAL(38,0)) * sum_c) AS BIGINT)""".stripMargin))
+      .orderBy(col("event_type"))
+
+  val q228Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar_ts, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bars,
+      |    CAST(SUM(c) AS BIGINT) AS sum_c,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      |  FROM b GROUP BY event_type)
+      |SELECT event_type, n_bars, sum_c, sum_c2,
+      |  CAST((CAST(n_bars AS HUGEINT) * sum_c2
+      |    - CAST(sum_c AS HUGEINT) * sum_c) * 1000000
+      |    // (CAST(n_bars AS HUGEINT) * sum_c) AS BIGINT) AS dispersion_ppm
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_dispersion_index"  -> (q228DispersionIndex _),
     "q223_calendar_gap_runs" -> (q223CalendarGapRuns _),
     "q217_ohlc_bars"        -> (q217OhlcBars _),
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q228_dispersion_index"  -> q228Oracle,
     "q223_calendar_gap_runs" -> q223Oracle,
     "q217_ohlc_bars"        -> q217Oracle,
     "q221_seasonal_anomaly" -> q221Oracle)

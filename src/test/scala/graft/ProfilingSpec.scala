@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ProfilingQueries
+
+class ProfilingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q229: key-determined FDs hold, non-key candidates are discriminated, " +
+    "and violation counts recount exactly") {
+    val rows = SparkEntry.queries("q229_fd_discovery")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getAs[String]("table_name"), r.getAs[String]("determinant"),
+        r.getAs[String]("dependent")),
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_violating_keys"),
+          r.getAs[Boolean]("holds")))).toMap
+    assert(rows.size === ProfilingQueries.FdCandidates.size)
+    // primary keys determine everything
+    assert(rows(("nation", "n_nationkey", "n_name"))._3)
+    assert(rows(("orders", "o_orderkey", "o_orderstatus"))._3)
+    assert(rows(("customer", "c_custkey", "c_nationkey"))._3)
+    // a customer places orders in several statuses — must NOT hold
+    val cust = rows(("orders", "o_custkey", "o_orderstatus"))
+    assert(!cust._3 && cust._2 > 0, s"expected o_custkey FD to fail: $cust")
+    // recount one candidate driver-side
+    val expect = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(countDistinct("o_orderstatus").as("n"))
+      .filter(col("n") > 1).count()
+    assert(cust._2 === expect)
+    rows.values.foreach { case (k, v, h) =>
+      assert(v <= k); assert(h === (v == 0)) }
+  }
+
+  test("q230: the fixture graph is intact, and the orphan detector fires on " +
+    "a planted dangling key") {
+    val rows = SparkEntry.queries("q230_ri_audit")(spark, sfDir).collect()
+    assert(rows.length === ProfilingQueries.FkRelationships.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("intact"),
+        s"unexpected orphans in ${r.getAs[String]("child_table")}")
+      assert(r.getAs[Long]("n_orphan_rows") === 0L)
+      assert(r.getAs[Long]("n_child_rows") > 0L)
+    }
+    // plant: two rows referencing a parent that does not exist
+    val child = Seq((1L, 10L), (2L, 999L), (3L, 999L), (4L, 20L))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val audit = ProfilingQueries.riOrphans(child, "fk", parent, "pk")
+      .collect().head
+    assert(audit.getAs[Long]("n_orphan_rows") === 2L)
+    assert(audit.getAs[Long]("n_orphan_keys") === 1L)
+  }
+}

@@ -96,4 +96,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert((e.getTime - s.getTime) / (3600 * 1000L) + 1 === n)
     }
   }
+
+  test("q228: dispersion matches a driver-side exact recompute per type") {
+    val rows = SparkEntry.queries("q228_dispersion_index")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("c")).collect()
+      .groupMap(_.getString(0))(_.getLong(1))
+    rows.foreach { r =>
+      val cs = counts(r.getAs[String]("event_type"))
+      val (n, s, s2) = (BigInt(cs.size), BigInt(cs.sum),
+        BigInt(cs.map(c => c * c).sum))
+      assert(r.getAs[Long]("n_bars") === n.toLong)
+      assert(r.getAs[Long]("sum_c") === s.toLong)
+      assert(r.getAs[Long]("sum_c2") === s2.toLong)
+      assert(r.getAs[Long]("dispersion_ppm") ===
+        ((n * s2 - s * s) * 1000000 / (n * s)).toLong)
+    }
+  }
 }
