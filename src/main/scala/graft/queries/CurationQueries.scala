@@ -2200,7 +2200,64 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** LARGEST-REMAINDER SEAT APPORTIONMENT (q233) — exact proportional
+    * allocation of a fixed eval-set budget across sources (Hamilton's
+    * method): each source gets floor(K·nᵢ/N) seats, then the K − Σfloor
+    * leftover seats go to the largest remainders (K·nᵢ mod N, ties to
+    * the lexicographically first source). Proportional sampling by
+    * FRACTION (q80) cannot promise an exact total; eval budgets are
+    * exact totals by definition — this is the allocator that closes the
+    * gap. Σseats = K by construction, every term integer.
+    *
+    * Budget is `spark.graft.apportion.k` (default 1000). Scale shape:
+    * one per-source count, 1-row totals crossJoin, then ranking over
+    * |source| rows — metadata-sized after the first aggregate.
+    */
+  def q233Apportionment(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.getOption("spark.graft.apportion.k")
+      .map(_.toLong).getOrElse(1000L)
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = g.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val based = g.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$k * n_docs div n_total"))
+      .withColumn("rem", expr(s"$k * n_docs % n_total"))
+    val extras = based.agg(sum(col("base")).as("base_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    based.crossJoin(broadcast(extras))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("extra",
+        when(col("rk") <= lit(k) - col("base_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("base"), col("rem"),
+        col("extra"), (col("base") + col("extra")).as("seats"))
+      .orderBy(col("source"))
+  }
+
+  val q233Oracle: String =
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM g),
+      |b AS (
+      |  SELECT source, n_docs,
+      |    1000 * n_docs // n_total AS base,
+      |    1000 * n_docs % n_total AS rem
+      |  FROM g CROSS JOIN t),
+      |e AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM b),
+      |r AS (
+      |  SELECT b.*, e.base_sum,
+      |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      |  FROM b CROSS JOIN e)
+      |SELECT source, n_docs, base, rem,
+      |  CAST(CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |  CAST(base + CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM r
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_apportionment"        -> (q233Apportionment _),
     "q225_policy_regex_filter"  -> (q225PolicyRegexFilter _),
     "q218_lang_quality_buckets" -> (q218LangQualityBuckets _),
     "q212_html_extract" -> (q212HtmlExtract _),
@@ -2232,6 +2289,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q233_apportionment"        -> q233Oracle,
     "q225_policy_regex_filter"  -> q225Oracle,
     "q218_lang_quality_buckets" -> q218Oracle,
     "q212_html_extract" -> q212Oracle,

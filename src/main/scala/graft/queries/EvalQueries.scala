@@ -497,7 +497,126 @@ object EvalQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL (q232) — the production-scale
+    * bootstrap (resample-with-replacement is a shuffle of the whole
+    * corpus per replica; the Poisson approximation gives each row an
+    * independent Poisson(1) multiplicity per replica, so all B replicas
+    * ride ONE scan). Multiplicities are DETERMINISTIC: u = md5₆₄(b‖doc)
+    * mod 10⁶ against the fixed ppm quantiles of Poisson(1)
+    * (367879/735759/919699/981012/996340, capped at 5) — both engines
+    * replay the identical resample. Statistic: the q78 keep-rate; the CI
+    * is rank-based over the B = 32 replica rates (2nd and 31st order
+    * statistics ≈ a 94% interval — the ranks are the contract, not the
+    * nominal level). Every replica rate is a non-negative integral
+    * division, so Spark's truncation and DuckDB's floor agree.
+    *
+    * Scale shape: corpus scan → ×32 explode (constant fan-out) →
+    * 32-row aggregate → order statistics on 32 rows. No resample
+    * shuffle, no driver-side randomness, no floats.
+    */
+  def q232PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val b = 32
+    val keep = CurationQueries.q78QualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").cast(IntegerType).cast("long").as("y"))
+    val m = graft.functions.Similarity.md5Hash64(
+      concat(col("b").cast("string"), lit(":"), col("doc_id").cast("string")))
+    val reps = keep
+      .select(col("doc_id"), col("y"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u", pmod(m, lit(1000000L)))
+      .withColumn("mult", expr(
+        """CASE WHEN u < 367879 THEN 0L WHEN u < 735759 THEN 1L
+          |     WHEN u < 919699 THEN 2L WHEN u < 981012 THEN 3L
+          |     WHEN u < 996340 THEN 4L ELSE 5L END""".stripMargin))
+      .groupBy(col("b"))
+      .agg(sum(col("mult")).as("n_b"), sum(col("mult") * col("y")).as("s_b"))
+      .select(col("b"),
+        expr("CASE WHEN n_b = 0 THEN NULL ELSE s_b * 1000000L div n_b END")
+          .as("rate_ppm"))
+    val point = keep.agg(
+      expr("sum(y) * 1000000L div count(1)").as("point_ppm"))
+    val ranked = reps
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("rate_ppm").asc, col("b").asc)))
+    ranked.agg(
+        count(lit(1)).as("b_reps"),
+        min(when(col("rk") === 2, col("rate_ppm"))).as("ci_lo_ppm"),
+        min(when(col("rk") === b - 1, col("rate_ppm"))).as("ci_hi_ppm"))
+      .crossJoin(broadcast(point))
+      .select(col("b_reps"), col("point_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"))
+  }
+
+  val q232Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    val h64 =
+      """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+        |       * 4294967296
+        |       + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))
+        |      - CASE WHEN CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |                  >= 2147483648
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS max_tok FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |k AS (
+       |  SELECT tri.doc_id,
+       |    CASE WHEN len(tri.toks) >= 20
+       |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
+       |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+       |e AS (
+       |  SELECT k.doc_id, k.y, b,
+       |    CAST(b AS VARCHAR) || ':' || CAST(k.doc_id AS VARCHAR) AS s
+       |  FROM k, UNNEST(range(0, 32)) AS r(b)),
+       |u AS (
+       |  SELECT doc_id, y, b,
+       |    (($h64) % 1000000 + 1000000) % 1000000 AS u
+       |  FROM e),
+       |mm AS (
+       |  SELECT b, y,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |         WHEN u < 996340 THEN 4 ELSE 5 END AS mult
+       |  FROM u),
+       |reps AS (
+       |  SELECT b, CAST(SUM(mult) AS BIGINT) AS n_b,
+       |    CAST(SUM(mult * y) AS BIGINT) AS s_b
+       |  FROM mm GROUP BY b),
+       |rr AS (
+       |  SELECT b,
+       |    CASE WHEN n_b = 0 THEN NULL
+       |         ELSE CAST(CAST(s_b AS HUGEINT) * 1000000 // n_b AS BIGINT) END
+       |      AS rate_ppm
+       |  FROM reps),
+       |rk AS (
+       |  SELECT rate_ppm,
+       |    row_number() OVER (ORDER BY rate_ppm ASC NULLS FIRST, b ASC) AS rk
+       |  FROM rr),
+       |pt AS (
+       |  SELECT CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS point_ppm FROM k)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS b_reps, pt.point_ppm,
+       |  MIN(CASE WHEN rk = 2 THEN rate_ppm END) AS ci_lo_ppm,
+       |  MIN(CASE WHEN rk = 31 THEN rate_ppm END) AS ci_hi_ppm
+       |FROM rk CROSS JOIN pt
+       |GROUP BY pt.point_ppm""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_poisson_bootstrap"   -> (q232PoissonBootstrap _),
     "q219_chi2_source_drift"   -> (q219Chi2SourceDrift _),
     "q207_reliability_deciles" -> (q207ReliabilityDeciles _),
     "q208_auc_exact"           -> (q208AucExact _),
@@ -505,6 +624,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q232_poisson_bootstrap"   -> q232Oracle,
     "q219_chi2_source_drift"   -> q219Oracle,
     "q207_reliability_deciles" -> q207Oracle,
     "q208_auc_exact"           -> q208Oracle,

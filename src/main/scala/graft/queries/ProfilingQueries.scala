@@ -135,11 +135,130 @@ object ProfilingQueries {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column")
   }
 
+  /** Benford first-digit probabilities log₁₀(1+1/d), d = 1..9, in ppm —
+    * fixed constants, so no log crosses the engines. */
+  val BenfordPpm: Seq[Long] = Seq(
+    301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** BENFORD FIRST-DIGIT AUDIT (q234) — the classic synthetic-data /
+    * fraud tell: real multiplicative quantities follow Benford's law,
+    * uniform generators don't. Audited column: o_totalprice. The first
+    * significant digit comes from integer-cents STRING arithmetic
+    * (CAST(round(p·100) AS BIGINT) → first char) — identical in both
+    * engines, where float log₁₀ would wobble at exact powers of ten.
+    * Output per digit: count, observed frequency (ppm), the Benford
+    * expectation (fixed ppm constants), and the absolute deviation —
+    * the fixture's uniform-ish prices SHOULD deviate hard, and the
+    * audit proves it with exact numbers.
+    *
+    * Scale shape: one scan → 9-row hash-agg → constant lookup. Nothing
+    * downstream of the aggregate scales with data.
+    */
+  def q234BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val benford = spark.createDataFrame(
+      BenfordPpm.zipWithIndex.map { case (p, i) => (i + 1L, p) })
+      .toDF("digit", "benford_ppm")
+    val obs = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(
+        expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("n_total"))
+    obs.join(broadcast(benford), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)")
+          .as("observed_ppm"),
+        col("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("observed_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+
+  val q234Oracle: String = {
+    val vals = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders WHERE o_totalprice > 0
+       |  GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
+       |bf(digit, benford_ppm) AS (VALUES $vals)
+       |SELECT obs.digit, obs.n,
+       |  CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT) AS observed_ppm,
+       |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       |  abs(CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT)
+       |    - benford_ppm) AS dev_ppm
+       |FROM obs JOIN bf ON bf.digit = obs.digit
+       |CROSS JOIN t
+       |ORDER BY obs.digit""".stripMargin
+  }
+
+  /** Column constraints for q235: (table, rule_id, SQL predicate that
+    * must hold). The predicate strings are the shared vocabulary —
+    * Spark and DuckDB evaluate the SAME text. */
+  val ColumnConstraints: Seq[(String, String, String)] = Seq(
+    ("lineitem", "qty_positive",      "l_quantity > 0"),
+    ("lineitem", "discount_unit",     "l_discount >= 0 AND l_discount <= 1"),
+    ("lineitem", "price_positive",    "l_extendedprice > 0"),
+    ("lineitem", "tax_nonnegative",   "l_tax >= 0"),
+    ("lineitem", "shipdate_present",  "l_shipdate IS NOT NULL"),
+    ("orders",   "totalprice_positive", "o_totalprice > 0"),
+    ("orders",   "orderdate_present",   "o_orderdate IS NOT NULL"))
+
+  /** DATA-CONTRACT CONSTRAINT AUDIT (q235) — declarative expectations
+    * (great-expectations shape) over the fact tables: each rule is a SQL
+    * predicate evaluated over its table in ONE pass per table (all of a
+    * table's rules ride the same scan as conditional sums), reported as
+    * rows checked / violations / verdict. The rule text travels in the
+    * output so the report is self-describing — a failed audit names its
+    * predicate, not a rule number someone greps for.
+    *
+    * Scale shape: one scan per table regardless of rule count; output is
+    * |rules| rows.
+    */
+  def q235ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byTable = ColumnConstraints.groupBy(_._1)
+    val parts = byTable.toSeq.sortBy(_._1).map { case (t, rules) =>
+      val aggs = rules.map { case (_, id, pred) =>
+        sum(when(expr(pred), 0L).otherwise(1L)).as(s"v_$id") }
+      val base = Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      rules.map { case (_, id, pred) =>
+        base.select(lit(t).as("table_name"), lit(id).as("rule_id"),
+          lit(pred).as("predicate"), col("n_rows"),
+          col(s"v_$id").as("n_violations"),
+          (col(s"v_$id") === 0L).as("passes"))
+      }.reduce(_ unionByName _)
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("rule_id"))
+  }
+
+  val q235Oracle: String = {
+    val parts = ColumnConstraints.map { case (t, id, pred) =>
+      s"""SELECT '$t' AS table_name, '$id' AS rule_id,
+         |  '${pred.replace("'", "''")}' AS predicate,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_violations,
+         |  SUM(CASE WHEN $pred THEN 0 ELSE 1 END) = 0 AS passes
+         |FROM $t""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, rule_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q229_fd_discovery" -> (q229FdDiscovery _),
-    "q230_ri_audit"     -> (q230RiAudit _))
+    "q229_fd_discovery"    -> (q229FdDiscovery _),
+    "q230_ri_audit"        -> (q230RiAudit _),
+    "q234_benford_audit"   -> (q234BenfordAudit _),
+    "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
-    "q229_fd_discovery" -> q229Oracle,
-    "q230_ri_audit"     -> q230Oracle)
+    "q229_fd_discovery"    -> q229Oracle,
+    "q230_ri_audit"        -> q230Oracle,
+    "q234_benford_audit"   -> q234Oracle,
+    "q235_constraint_audit" -> q235Oracle)
 }

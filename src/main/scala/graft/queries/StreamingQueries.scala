@@ -363,7 +363,58 @@ object StreamingQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** STREAMING OHLC BARS (q231) — q217's downsample executed through
+    * Structured Streaming with a real event-time watermark in APPEND
+    * mode: one-hour windows per event type, open/close by
+    * min/max(struct(ts, event_id, value)) — struct min/max are plain
+    * aggregates, so the streaming hash-agg maintains them incrementally
+    * per window with no custom state. Append mode means a bar emits
+    * exactly once, when the watermark passes its window end — the shape
+    * a live dashboard sink actually consumes (no retractions). Windows
+    * still open when the bounded stream drains never emit; the oracle
+    * encodes that closed-window rule (q73's discipline:
+    * HAVING window_end <= max(ts) − delay).
+    *
+    * Scale shape: per-window state is O(1) (six scalars + two argmin
+    * structs); watermark eviction bounds total state by the delay × bar
+    * rate, not the stream length.
+    */
+  def q231StreamOhlcBars(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.runStreamSync(spark, dir, ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("double").as("volume")),
+      "graft_stream_ohlc", outputMode = "append")
+      .select(col("w.start").as("bar_ts"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+      .orderBy(col("event_type"), col("bar_ts"))
+
+  val q231Oracle: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+      |SELECT date_trunc('hour', ts) AS bar_ts, event_type,
+      |  (min({'t': ts, 'e': event_id, 'v': value})).v AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  (max({'t': ts, 'e': event_id, 'v': value})).v AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS volume
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING bar_ts + INTERVAL '1 hour' <= (SELECT w FROM wm)
+      |ORDER BY event_type, bar_ts""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_stream_ohlc_bars" -> (q231StreamOhlcBars _),
     "q211_stream_neardup_screen" -> (q211StreamNearDupScreen _),
     "q187_stream_view_maintenance" -> (q187StreamViewMaintenance _),
     "q118_stream_transform_state" -> (q118StreamTransformState _),
@@ -380,6 +431,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q231_stream_ohlc_bars" -> q231Oracle,
     "q211_stream_neardup_screen" -> q211Oracle,
     "q187_stream_view_maintenance" -> q187Oracle,
     "q118_stream_transform_state" -> q118Oracle,

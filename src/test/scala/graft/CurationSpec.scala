@@ -541,4 +541,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.filter(_._1 < offset)
       .forall(!_._2.split(",").contains("r1_plant_marker")))
   }
+
+  test("q233: Hamilton apportionment — seats sum to the budget exactly, " +
+    "each source gets floor or floor+1, extras go to the largest remainders") {
+    val rows = SparkEntry.queries("q233_apportionment")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("base"), r.getAs[Long]("rem"), r.getAs[Long]("extra"),
+        r.getAs[Long]("seats")))
+    assert(rows.map(_._6).sum === 1000L)
+    rows.foreach { case (_, _, base, _, extra, seats) =>
+      assert(extra === 0L || extra === 1L)
+      assert(seats === base + extra)
+    }
+    // the awarded extras are exactly the top-(K - sum(base)) remainders
+    val nExtras = 1000L - rows.map(_._3).sum
+    val awarded = rows.filter(_._5 == 1L).map(r => (r._4, r._1)).toSet
+    val topByRem = rows.sortBy(r => (-r._4, r._1)).take(nExtras.toInt)
+      .map(r => (r._4, r._1)).toSet
+    assert(awarded === topByRem)
+    // exact-proportionality sanity: |seats - 1000*n/N| < 1
+    val n = rows.map(_._2).sum
+    rows.foreach { case (s, nd, _, _, _, seats) =>
+      val quota = BigDecimal(1000L) * nd / n
+      assert((BigDecimal(seats) - quota).abs < 1, s"$s seats $seats vs quota $quota")
+    }
+  }
 }

@@ -165,4 +165,23 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("significant") === (chi > 3841L))
     }
   }
+
+  test("q232: bootstrap CI is ordered, replica count is 32, and the point " +
+    "estimate is the exact corpus keep-rate") {
+    val r = SparkEntry.queries("q232_poisson_bootstrap")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("b_reps") === 32L)
+    val (lo, hi, pt) = (r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm"),
+      r.getAs[Long]("point_ppm"))
+    assert(lo <= hi)
+    assert(lo >= 0L && hi <= 1000000L)
+    // the point estimate is deterministic — recount it
+    val keep = graft.queries.CurationQueries
+      .q78QualityRepetition(spark, sfDir)
+      .agg(sum(col("keep").cast("long")), count(lit(1))).collect().head
+    assert(pt === keep.getLong(0) * 1000000L / keep.getLong(1))
+    // a sane bootstrap brackets the point estimate on this fixture
+    assert(lo <= pt && pt <= hi,
+      s"CI [$lo, $hi] does not bracket the point estimate $pt")
+  }
 }

@@ -52,4 +52,37 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(audit.getAs[Long]("n_orphan_rows") === 2L)
     assert(audit.getAs[Long]("n_orphan_keys") === 1L)
   }
+
+  test("q234: first-digit counts tile the positive-price orders and the " +
+    "uniform-ish fixture measurably violates Benford") {
+    val rows = SparkEntry.queries("q234_benford_audit")(spark, sfDir)
+      .collect()
+    val nPos = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nPos)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1L && d <= 9L)
+      assert(r.getAs[Long]("dev_ppm") ===
+        math.abs(r.getAs[Long]("observed_ppm") - r.getAs[Long]("benford_ppm")))
+    }
+    // a uniform generator cannot hug Benford: total deviation is large
+    assert(rows.map(_.getAs[Long]("dev_ppm")).sum > 100000L,
+      "fixture unexpectedly Benford-conformant")
+  }
+
+  test("q235: the data contract holds on the fixture and violation counts " +
+    "recount exactly for one predicate") {
+    val rows = SparkEntry.queries("q235_constraint_audit")(spark, sfDir)
+      .collect()
+    assert(rows.length === ProfilingQueries.ColumnConstraints.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("passes"),
+        s"rule ${r.getAs[String]("rule_id")} unexpectedly violated")
+      assert(r.getAs[Long]("n_violations") === 0L)
+    }
+    val manual = Tables.lineitem(spark, sfDir)
+      .filter(!(col("l_discount") >= 0 && col("l_discount") <= 1)).count()
+    assert(manual === 0L)
+  }
 }

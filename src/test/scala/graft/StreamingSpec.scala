@@ -298,4 +298,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val crossBatch = flagged.count { case (id, p) => id % 3 != p % 3 }
     assert(crossBatch > 0, "no cross-batch catch — state died at the boundary")
   }
+
+  test("q231: streaming append-mode bars equal the batch OHLC restricted " +
+    "to watermark-closed windows") {
+    val streamed = SparkEntry.queries("q231_stream_ohlc_bars")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val batch = SparkEntry.queries("q217_ohlc_bars")(spark, sfDir)
+      .filter(unix_timestamp(col("bar_ts")) + 3600 <=
+        unix_timestamp(lit(maxTs)) - 3600)
+      .select(col("bar_ts"), col("event_type"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"), col("volume"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(2)} / " +
+        s"${(batch diff streamed).take(2)}")
+  }
 }
