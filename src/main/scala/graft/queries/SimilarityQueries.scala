@@ -1479,29 +1479,46 @@ object SimilarityQueries {
     * POSITION is recorded, never the selected hash values, so the doc's
     * fingerprint SET is identical under either rule.
     *
+    * COMMON-FINGERPRINT SUPPRESSION (MOSS does the same): a fingerprint
+    * appearing in more than `spark.graft.winnow.maxDf` documents (16)
+    * is boilerplate — window minima are biased toward globally-small
+    * hashes, so on low-diversity text a few fingerprints land in nearly
+    * every document and their buckets blow up quadratically (measured:
+    * 215 s → ~1 s at sf0.1). Suppression bounds every bucket at maxDf
+    * docs (≤ maxDf² pairs) and all similarity stats are computed IN the
+    * surviving rare-fingerprint space, so n_shared/na/nb stay mutually
+    * consistent. The detection guarantee degrades only for overlaps
+    * whose every fingerprint is corpus-boilerplate — the spec proves
+    * plants still land.
+    *
     * Window size is `spark.graft.winnow.w` (default 4 — sized to the
     * short synthetic docs; production corpora run w≈50 for the standard
     * "guaranteed at 50-token overlap" contract). Hashes are
     * [[graft.functions.Similarity.md5Hash64]] mod 2^31−1 so the DuckDB
-    * oracle replays fingerprint selection bit-identically.
+    * oracle replays fingerprint selection AND suppression bit-identically.
     *
     * 100 TB shape: one scan, per-doc linear fingerprinting, explode
-    * bounded by gram count, hash-partitioned join on the 32-bit
-    * fingerprint key; hot-key governors (q213) compose in front if a
-    * boilerplate fingerprint floods a bucket.
+    * bounded by gram count, a fingerprint-keyed document-frequency
+    * aggregate, then hash-partitioned joins whose buckets the df-cap
+    * bounds.
     */
   def q216WinnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val w = spark.conf.getOption("spark.graft.winnow.w").map(_.toInt).getOrElse(4)
+    val maxDf = spark.conf.getOption("spark.graft.winnow.maxDf")
+      .map(_.toInt).getOrElse(16)
     val grams = wordShingles(graft.functions.TextFunctions.tokens(col("text")), 3)
-    val fps = docsWithPlants(spark, dir)
+    val fp = docsWithPlants(spark, dir)
       .withColumn("hs", md5ShingleHashes(grams))
       .withColumn("nwin", greatest(lit(1), size(col("hs")) - (w - 1)))
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), col("nwin")),
-          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
-      .withColumn("n_fp", size(col("fps")))
-    val fp = fps.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("fp"))
-    fp.as("a").join(fp.as("b"),
+        explode(array_distinct(transform(sequence(lit(1), col("nwin")),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val kept = fp.join(rare, "fp")
+    val nFp = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val keyed = kept.join(nFp, "doc_id")
+    keyed.as("a").join(keyed.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
@@ -1512,7 +1529,12 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val q216Oracle: String = {
+  /** Winnowing pipeline as DuckDB CTEs (docs_p plants → positional grams
+    * → md5 hashes → window-min fingerprints → pair counts `p`) — shared
+    * by the q216 oracle and q236's candidate generation so the two
+    * cannot drift (the BpeSegment lesson).
+    */
+  private val winnowPairCtes: String = {
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     val h64 =
       """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
@@ -1522,7 +1544,7 @@ object SimilarityQueries {
         |                  >= 2147483648
         |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
         |      AS BIGINT))""".stripMargin
-    s"""WITH docs_p AS (
+    s"""docs_p AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $PlantOffset, text || ' zz9end'
@@ -1543,21 +1565,94 @@ object SimilarityQueries {
        |          range(1, greatest(1, len(hs) - 3) + 1),
        |          i -> list_min(hs[i : i + 3]))) AS fps
        |      FROM h),
-       |fc AS (SELECT doc_id, fps, len(fps) AS n_fp FROM f),
-       |e AS (SELECT doc_id, n_fp, UNNEST(fps) AS fp FROM fc),
+       |e0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+       |rare AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 16),
+       |ek AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON rare.fp = e0.fp),
+       |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+       |       FROM ek GROUP BY doc_id),
+       |e AS (SELECT ek.doc_id, nf.n_fp, ek.fp
+       |      FROM ek JOIN nf ON nf.doc_id = ek.doc_id),
        |p AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared,
        |    ANY_VALUE(a.n_fp) AS na, ANY_VALUE(b.n_fp) AS nb
        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val q216Oracle: String =
+    s"""WITH $winnowPairCtes
        |SELECT id_a, id_b, n_shared,
        |  n_shared * 1000000 // (na + nb - n_shared) AS sim_ppm
        |FROM p WHERE n_shared >= 2
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** WEIGHTED (MULTISET) JACCARD CONFIRM (q236) — bag-of-words
+    * similarity over q216's winnowing candidates:
+    * J_w = Σ_w min(c_a, c_b) / Σ_w max(c_a, c_b) on token COUNTS, in
+    * exact integer ppm. Set-Jaccard (q36/q38) is blind to multiplicity —
+    * "spam" ×1 and "spam" ×500 are the same set element; the multiset
+    * form is the one that prices repetition, which is exactly what
+    * template farms and stuffed documents manipulate. Candidates come
+    * from the fingerprint equi-join (never all-pairs); the Σmin/Σmax
+    * reduction is a (pair, word) full-outer join bounded by candidate
+    * count × doc vocabulary.
+    */
+  def q236WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = q216WinnowingFingerprints(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val wc = docsWithPlants(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val a = cand.join(wc.select(col("doc_id").as("id_a"), col("w"),
+      col("c").as("ca")), "id_a")
+    val b = cand.join(wc.select(col("doc_id").as("id_b"), col("w"),
+      col("c").as("cb")), "id_b")
+    a.join(b, Seq("id_a", "id_b", "w"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(least(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))))
+          .as("sum_min"),
+        sum(greatest(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))))
+          .as("sum_max"))
+      .select(col("id_a"), col("id_b"), col("sum_min"), col("sum_max"),
+        expr("sum_min * 1000000L div sum_max").as("wjaccard_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q236Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH $winnowPairCtes,
+       |cand AS (SELECT id_a, id_b FROM p WHERE n_shared >= 2),
+       |wc AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($toks) AS w FROM docs_p)
+       |  GROUP BY doc_id, w),
+       |aa AS (
+       |  SELECT cand.id_a, cand.id_b, wc.w, wc.c AS ca
+       |  FROM cand JOIN wc ON wc.doc_id = cand.id_a),
+       |bb AS (
+       |  SELECT cand.id_a, cand.id_b, wc.w, wc.c AS cb
+       |  FROM cand JOIN wc ON wc.doc_id = cand.id_b),
+       |u AS (
+       |  SELECT COALESCE(aa.id_a, bb.id_a) AS id_a,
+       |    COALESCE(aa.id_b, bb.id_b) AS id_b,
+       |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       |  FROM aa FULL OUTER JOIN bb
+       |    ON aa.id_a = bb.id_a AND aa.id_b = bb.id_b AND aa.w = bb.w)
+       |SELECT id_a, id_b,
+       |  CAST(SUM(least(ca, cb)) AS BIGINT) AS sum_min,
+       |  CAST(SUM(greatest(ca, cb)) AS BIGINT) AS sum_max,
+       |  CAST(SUM(least(ca, cb)) AS BIGINT) * 1000000
+       |    // CAST(SUM(greatest(ca, cb)) AS BIGINT) AS wjaccard_ppm
+       |FROM u
+       |GROUP BY id_a, id_b
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_weighted_jaccard"       -> (q236WeightedJaccard _),
     "q216_winnowing_fingerprints" -> (q216WinnowingFingerprints _),
     "q213_lsh_bucket_cap" -> (q213LshBucketCap _),
     "q189_paragraph_dedup" -> (q189ParagraphDedup _),
@@ -1580,6 +1675,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q236_weighted_jaccard"       -> q236Oracle,
     "q216_winnowing_fingerprints" -> q216Oracle,
     "q213_lsh_bucket_cap" -> q213Oracle,
     "q189_paragraph_dedup" -> q189Oracle,

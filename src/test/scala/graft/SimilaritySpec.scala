@@ -375,6 +375,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(missed.isEmpty, s"winnowing guarantee violated for: ${missed.take(5).toSeq}")
   }
 
+  test("q236: multiset Jaccard covers exactly q216's candidates, twins " +
+    "score near 10^6, and sum_min <= sum_max everywhere") {
+    val wj = SparkEntry.queries("q236_weighted_jaccard")(spark, sfDir)
+      .collect()
+    val fpPairs = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wj.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      === fpPairs)
+    wj.foreach { r =>
+      val (mn, mx, j) = (r.getAs[Long]("sum_min"), r.getAs[Long]("sum_max"),
+        r.getAs[Long]("wjaccard_ppm"))
+      assert(mn <= mx && mn >= 0)
+      assert(j === mn * 1000000L / mx)
+      // a one-token plant twin differs by exactly one token occurrence:
+      // J_w = n/(n+1) — strictly above 1/2 for any doc with >= 2 tokens
+      if (r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + Offset)
+        assert(j >= 500000L, s"twin ${r.getAs[Long]("id_a")} scored $j")
+    }
+  }
+
   test("q216: a one-token-suffix twin shares nearly all fingerprints — " +
     "every planted pair's sim_ppm >= 500000") {
     val rows = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
