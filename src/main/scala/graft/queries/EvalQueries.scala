@@ -447,9 +447,13 @@ object EvalQueries {
       .orderBy(col("source"))
   }
 
-  val q219Oracle: String = {
+  /** q78's keep rule as DuckDB CTEs ending in
+    * `k(doc_id, source, toks, y)` — shared by the q219/q232/q238
+    * oracles so the gate-label replay cannot drift between them.
+    */
+  private val q78KeepCtes: String = {
     val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
        |tri AS (
        |  SELECT doc_id, source, toks,
        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -463,12 +467,16 @@ object EvalQueries {
        |    GROUP BY doc_id, tok)
        |  GROUP BY doc_id),
        |k AS (
-       |  SELECT tri.source,
+       |  SELECT tri.doc_id, tri.source, tri.toks,
        |    CASE WHEN len(tri.toks) >= 20
        |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
        |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2
        |    THEN 1 ELSE 0 END AS y
-       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+       |  FROM tri JOIN top ON tri.doc_id = top.doc_id)""".stripMargin
+  }
+
+  val q219Oracle: String = {
+    s"""WITH $q78KeepCtes,
        |g AS (
        |  SELECT source, CAST(SUM(y) AS BIGINT) AS a,
        |    CAST(SUM(1 - y) AS BIGINT) AS b
@@ -548,7 +556,6 @@ object EvalQueries {
   }
 
   val q232Oracle: String = {
-    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
     val h64 =
       """(CAST((CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
         |       * 4294967296
@@ -557,26 +564,7 @@ object EvalQueries {
         |                  >= 2147483648
         |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
         |      AS BIGINT))""".stripMargin
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |tri AS (
-       |  SELECT doc_id, toks,
-       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |         ELSE list_transform(range(1, len(toks) - 1),
-       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
-       |  FROM t),
-       |top AS (
-       |  SELECT doc_id, MAX(c) AS max_tok FROM (
-       |    SELECT doc_id, tok, COUNT(*) AS c
-       |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-       |    GROUP BY doc_id, tok)
-       |  GROUP BY doc_id),
-       |k AS (
-       |  SELECT tri.doc_id,
-       |    CASE WHEN len(tri.toks) >= 20
-       |      AND 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) <= 0.2
-       |      AND CAST(max_tok AS DOUBLE) / len(tri.toks) <= 0.2
-       |    THEN 1 ELSE 0 END AS y
-       |  FROM tri JOIN top ON tri.doc_id = top.doc_id),
+    s"""WITH $q78KeepCtes,
        |e AS (
        |  SELECT k.doc_id, k.y, b,
        |    CAST(b AS VARCHAR) || ':' || CAST(k.doc_id AS VARCHAR) AS s
@@ -615,7 +603,104 @@ object EvalQueries {
        |GROUP BY pt.point_ppm""".stripMargin
   }
 
+  /** Threshold grid for q238 — data-independent constants so the stump
+    * search is a fixed, exactly replayable candidate set. */
+  val StumpThresholds: Seq[Long] = Seq(10L, 20L, 30L, 50L, 80L, 120L)
+
+  /** DECISION-STUMP TRAINING (q238) — the simplest interpretable model,
+    * trained in-engine: over candidate (feature, threshold) splits of
+    * the document corpus against the q78 gate label, pick the split
+    * maximizing the Gini purity gain. The purity score is quantized to
+    * integers — score_q = (p_l²+q_l²)·10⁶ div n_l + (p_r²+q_r²)·10⁶
+    * div n_r (maximizing it minimizes weighted Gini impurity up to the
+    * ppm quantization) — so the argmax is deterministic and
+    * engine-identical; degenerate splits (an empty side) score NULL
+    * loudly. Features: token count and distinct-token count; thresholds
+    * from the fixed [[StumpThresholds]] grid. The output is the whole
+    * candidate table with `is_best` marking the chosen stump — an
+    * auditable model card, not just a winner.
+    *
+    * Scale shape: one scan → per-doc features → |features|×|thresholds|
+    * constant fan-out → candidate-sized aggregate. Training cost is one
+    * pass regardless of grid size.
+    */
+  def q238DecisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val keep = CurationQueries.q78QualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").cast(IntegerType).cast("long").as("y"))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val feats = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .join(keep, "doc_id")
+      .select(col("y"), explode(array(
+        struct(lit("n_tokens").as("feature"), col("n_tokens").as("v")),
+        struct(lit("n_distinct").as("feature"), col("n_distinct").as("v"))))
+        .as("f"))
+      .select(col("y"), col("f.feature").as("feature"), col("f.v").as("v"))
+    val thr = spark.createDataFrame(StumpThresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val cand = feats.crossJoin(broadcast(thr))
+      .groupBy(col("feature"), col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("p"),
+        sum(when(col("v") <= col("threshold"), 1L).otherwise(0L)).as("n_l"),
+        sum(when(col("v") <= col("threshold"), col("y")).otherwise(0L)).as("p_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("p_r", col("p") - col("p_l"))
+      .withColumn("score_q", expr(
+        """CASE WHEN n_l = 0 OR n_r = 0 THEN NULL ELSE
+          |  CAST((CAST(p_l AS DECIMAL(38,0)) * p_l
+          |      + CAST(n_l - p_l AS DECIMAL(38,0)) * (n_l - p_l))
+          |    * 1000000 div n_l AS BIGINT)
+          |  + CAST((CAST(p_r AS DECIMAL(38,0)) * p_r
+          |      + CAST(n_r - p_r AS DECIMAL(38,0)) * (n_r - p_r))
+          |    * 1000000 div n_r AS BIGINT) END""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_q").desc_nulls_last, col("feature"), col("threshold"))
+    cand.withColumn("is_best", row_number().over(w) === 1)
+      .select(col("feature"), col("threshold"), col("n_l"), col("p_l"),
+        col("n_r"), col("p_r"), col("score_q"), col("is_best"))
+      .orderBy(col("feature"), col("threshold"))
+  }
+
+  val q238Oracle: String = {
+    val thrs = StumpThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH $q78KeepCtes,
+       |feats AS (
+       |  SELECT y, 'n_tokens' AS feature, CAST(len(toks) AS BIGINT) AS v FROM k
+       |  UNION ALL
+       |  SELECT y, 'n_distinct', CAST(len(list_distinct(toks)) AS BIGINT) FROM k),
+       |thr(threshold) AS (VALUES $thrs),
+       |cand AS (
+       |  SELECT feature, threshold,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN v <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+       |    CAST(SUM(CASE WHEN v <= threshold THEN y ELSE 0 END) AS BIGINT) AS p_l
+       |  FROM feats CROSS JOIN thr
+       |  GROUP BY feature, threshold),
+       |sc AS (
+       |  SELECT feature, threshold, n_l, p_l,
+       |    n - n_l AS n_r, p - p_l AS p_r,
+       |    CASE WHEN n_l = 0 OR n - n_l = 0 THEN NULL ELSE
+       |      CAST(CAST(CAST(p_l AS HUGEINT) * p_l
+       |          + CAST(n_l - p_l AS HUGEINT) * (n_l - p_l) AS HUGEINT)
+       |        * 1000000 // n_l AS BIGINT)
+       |      + CAST(CAST(CAST(p - p_l AS HUGEINT) * (p - p_l)
+       |          + CAST((n - n_l) - (p - p_l) AS HUGEINT)
+       |            * ((n - n_l) - (p - p_l)) AS HUGEINT)
+       |        * 1000000 // (n - n_l) AS BIGINT) END AS score_q
+       |  FROM cand)
+       |SELECT feature, threshold, n_l, p_l, n_r, p_r, score_q,
+       |  row_number() OVER (ORDER BY score_q DESC NULLS LAST,
+       |    feature, threshold) = 1 AS is_best
+       |FROM sc
+       |ORDER BY feature, threshold""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_decision_stump"      -> (q238DecisionStump _),
     "q232_poisson_bootstrap"   -> (q232PoissonBootstrap _),
     "q219_chi2_source_drift"   -> (q219Chi2SourceDrift _),
     "q207_reliability_deciles" -> (q207ReliabilityDeciles _),
@@ -624,6 +709,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q238_decision_stump"      -> q238Oracle,
     "q232_poisson_bootstrap"   -> q232Oracle,
     "q219_chi2_source_drift"   -> q219Oracle,
     "q207_reliability_deciles" -> q207Oracle,

@@ -224,13 +224,98 @@ object TimeSeriesQueries {
       |FROM m
       |ORDER BY event_type""".stripMargin
 
+  /** CUSUM CHANGE-POINT SCREEN (q237) — the sequential drift detector:
+    * per event type, the one-sided CUSUM over daily counts
+    * Sₜ = max(0, Sₜ₋₁ + (cₜ − μ − slack)) accumulates only sustained
+    * upward departures from the mean daily rate; a spike resets next
+    * day, a level shift climbs. Everything scaled by n_days to stay
+    * integer: S′ₜ = max(0, S′ₜ₋₁ + n·cₜ − total − slack′) with
+    * slack′ = total div 4 (μ/4 slack), crossing threshold 2·total
+    * (= 2μ·n). Output per type: the max statistic, whether it crossed,
+    * and the FIRST crossing day — the "when did this stream change"
+    * answer q181's whole-range OLS trend smears out.
+    *
+    * The fold is inherently sequential in time but DAY-BOUNDED: per
+    * type the day series collects into one array (365 entries/year
+    * regardless of petabytes) and folds in a single higher-order
+    * `aggregate` — the oracle replays it with a recursive CTE.
+    */
+  def q237CusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        array_sort(collect_list(struct(col("day"), col("c")))).as("ds"))
+      .withColumn("slack", expr("total div 4"))
+      .withColumn("fold", expr(
+        """aggregate(
+          |  ds,
+          |  named_struct('s', 0L, 'mx', 0L,
+          |    'crossday', CAST(NULL AS LONG)),
+          |  (acc, x) -> named_struct(
+          |    's', greatest(0L, acc.s + n_days * x.c - total - slack),
+          |    'mx', greatest(acc.mx,
+          |      greatest(0L, acc.s + n_days * x.c - total - slack)),
+          |    'crossday', CASE WHEN acc.crossday IS NULL
+          |        AND greatest(0L, acc.s + n_days * x.c - total - slack)
+          |          > 2 * total
+          |      THEN x.day ELSE acc.crossday END))""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("fold.mx").as("max_cusum_scaled"),
+        (col("fold.mx") > col("total") * 2).as("crossed"),
+        col("fold.crossday").as("first_cross_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q237Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(SUM(c) AS BIGINT) // 4 AS slack
+      |  FROM daily GROUP BY event_type),
+      |dd AS (
+      |  SELECT daily.event_type, daily.day, daily.c, m.n_days, m.total,
+      |    m.slack,
+      |    row_number() OVER (PARTITION BY daily.event_type
+      |      ORDER BY daily.day) AS rn
+      |  FROM daily JOIN m USING (event_type)),
+      |r AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s,
+      |    CAST(0 AS BIGINT) AS mx, CAST(NULL AS BIGINT) AS crossday
+      |  FROM m
+      |  UNION ALL
+      |  SELECT dd.event_type, dd.rn,
+      |    greatest(0, r.s + dd.n_days * dd.c - dd.total - dd.slack),
+      |    greatest(r.mx,
+      |      greatest(0, r.s + dd.n_days * dd.c - dd.total - dd.slack)),
+      |    CASE WHEN r.crossday IS NULL
+      |        AND greatest(0, r.s + dd.n_days * dd.c - dd.total - dd.slack)
+      |          > 2 * dd.total
+      |      THEN dd.day ELSE r.crossday END
+      |  FROM r JOIN dd ON dd.event_type = r.event_type AND dd.rn = r.rn + 1)
+      |SELECT m.event_type, m.n_days, m.total,
+      |  r.mx AS max_cusum_scaled,
+      |  r.mx > m.total * 2 AS crossed,
+      |  r.crossday AS first_cross_day
+      |FROM m JOIN r ON r.event_type = m.event_type AND r.rn = m.n_days
+      |ORDER BY m.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_cusum_drift"       -> (q237CusumDrift _),
     "q228_dispersion_index"  -> (q228DispersionIndex _),
     "q223_calendar_gap_runs" -> (q223CalendarGapRuns _),
     "q217_ohlc_bars"        -> (q217OhlcBars _),
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q237_cusum_drift"       -> q237Oracle,
     "q228_dispersion_index"  -> q228Oracle,
     "q223_calendar_gap_runs" -> q223Oracle,
     "q217_ohlc_bars"        -> q217Oracle,

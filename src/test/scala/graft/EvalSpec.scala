@@ -184,4 +184,37 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(lo <= pt && pt <= hi,
       s"CI [$lo, $hi] does not bracket the point estimate $pt")
   }
+
+  test("q238: exactly one best stump, it attains the maximum score, and " +
+    "one candidate cell recounts exactly") {
+    val rows = SparkEntry.queries("q238_decision_stump")(spark, sfDir)
+      .collect()
+    assert(rows.length ===
+      2 * graft.queries.EvalQueries.StumpThresholds.size)
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length === 1)
+    val scores = rows.flatMap(r => Option(r.getAs[java.lang.Long]("score_q")))
+      .map(_.toLong)
+    assert(best.head.getAs[Long]("score_q") === scores.max)
+    // recount the (n_tokens, 30) candidate from raw data
+    val cell = rows.find(r => r.getAs[String]("feature") == "n_tokens" &&
+      r.getAs[Long]("threshold") == 30L).get
+    val j = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("v"))
+      .join(graft.queries.CurationQueries.q78QualityRepetition(spark, sfDir)
+        .select(col("doc_id"), col("keep").cast("long").as("y")), "doc_id")
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("y")))
+    assert(cell.getAs[Long]("n_l") === j.count(_._1 <= 30).toLong)
+    assert(cell.getAs[Long]("p_l") ===
+      j.filter(_._1 <= 30).map(_._2).sum)
+    assert(cell.getAs[Long]("n_r") === j.count(_._1 > 30).toLong)
+    // and the score formula holds for that cell
+    val (nl, pl, nr, pr) = (BigInt(cell.getAs[Long]("n_l")),
+      BigInt(cell.getAs[Long]("p_l")), BigInt(cell.getAs[Long]("n_r")),
+      BigInt(cell.getAs[Long]("p_r")))
+    val expect = ((pl * pl + (nl - pl) * (nl - pl)) * 1000000 / nl +
+      (pr * pr + (nr - pr) * (nr - pr)) * 1000000 / nr).toLong
+    assert(cell.getAs[Long]("score_q") === expect)
+  }
 }

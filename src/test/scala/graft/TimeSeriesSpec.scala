@@ -117,4 +117,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
         ((n * s2 - s * s) * 1000000 / (n * s)).toLong)
     }
   }
+
+  test("q237: the CUSUM fold matches a driver-side sequential recompute") {
+    val rows = SparkEntry.queries("q237_cusum_drift")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).map(x => (x.getLong(1), x.getLong(2))).sortBy(_._1)
+      val n = series.length.toLong
+      val total = series.map(_._2).sum
+      val slack = total / 4
+      var s = 0L; var mx = 0L; var cross: Option[Long] = None
+      series.foreach { case (day, c) =>
+        s = math.max(0L, s + n * c - total - slack)
+        mx = math.max(mx, s)
+        if (cross.isEmpty && s > 2 * total) cross = Some(day)
+      }
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("max_cusum_scaled") === mx, s"type $t")
+      assert(r.getAs[Boolean]("crossed") === (mx > 2 * total))
+      assert(Option(r.getAs[java.lang.Long]("first_cross_day"))
+        .map(_.toLong) === cross)
+    }
+  }
 }
