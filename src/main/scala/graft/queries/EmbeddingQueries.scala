@@ -151,11 +151,99 @@ object EmbeddingQueries {
       |FROM p
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Candidate binarization thresholds for q240 (grid units, 1/16). */
+  val OtsuThresholds: Seq[Long] = Seq(-8L, -4L, -2L, -1L, 0L, 1L, 2L, 4L, 8L)
+
+  /** PER-DIMENSION OTSU BINARIZATION (q240) — learn the best 1-bit
+    * quantizer per embedding dimension: the threshold maximizing Otsu's
+    * between-class variance n_l·n_r·(μ_l−μ_r)². SimHash (q37) and sign-
+    * LSH (q41) binarize at zero; a dimension whose mass sits off-center
+    * wastes its bit there — Otsu recovers it. The criterion is ranked by
+    * the exact integer (s_l·n_r − s_r·n_l)² (= n_l²n_r²(μ_l−μ_r)²,
+    * shared n_l·n_r factor handled by scoring score_q = that div
+    * (n_l·n_r)) — DECIMAL-promoted, NULL on degenerate splits, argmax
+    * per dimension deterministic in both engines. Output: each dim's
+    * best threshold, the split sizes, and the quantized criterion.
+    *
+    * Scale shape: one scan → (dim, threshold) constant fan-out (64×9) →
+    * candidate-sized aggregate → per-dim argmax over 9 rows.
+    */
+  def q240OtsuBinarization(spark: SparkSession, dir: String): DataFrame = {
+    val thr = spark.createDataFrame(OtsuThresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val cells = gridded(spark, dir)
+      .select(posexplode(col("q")).as(Seq("k", "qk")))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("k"), col("threshold"))
+      .agg(count(lit(1)).as("n"), sum(col("qk")).as("s"),
+        sum(when(col("qk") <= col("threshold"), 1L).otherwise(0L)).as("n_l"),
+        sum(when(col("qk") <= col("threshold"), col("qk")).otherwise(0L))
+          .as("s_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("s_r", col("s") - col("s_l"))
+      .withColumn("score_q", expr(
+        """CASE WHEN n_l = 0 OR n_r = 0 THEN NULL ELSE
+          |  CAST((CAST(s_l AS DECIMAL(38,0)) * n_r
+          |      - CAST(s_r AS DECIMAL(38,0)) * n_l)
+          |    * (CAST(s_l AS DECIMAL(38,0)) * n_r
+          |      - CAST(s_r AS DECIMAL(38,0)) * n_l)
+          |    div (CAST(n_l AS DECIMAL(38,0)) * n_r) AS BIGINT) END"""
+          .stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+      .orderBy(col("score_q").desc_nulls_last, col("threshold"))
+    cells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("k").cast("long").as("dim"), col("threshold"),
+        col("n_l"), col("n_r"), col("score_q"))
+      .orderBy(col("dim"))
+  }
+
+  val q240Oracle: String = {
+    val thrs = OtsuThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cell AS (
+       |  SELECT k, q[k + 1] AS qk
+       |  FROM v, UNNEST(range(0, 64)) AS t(k)),
+       |thr(threshold) AS (VALUES $thrs),
+       |agg AS (
+       |  SELECT k, threshold,
+       |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qk) AS BIGINT) AS s,
+       |    CAST(SUM(CASE WHEN qk <= threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_l,
+       |    CAST(SUM(CASE WHEN qk <= threshold THEN qk ELSE 0 END) AS BIGINT)
+       |      AS s_l
+       |  FROM cell CROSS JOIN thr
+       |  GROUP BY k, threshold),
+       |sc AS (
+       |  SELECT k, threshold, n_l, n - n_l AS n_r,
+       |    CASE WHEN n_l = 0 OR n - n_l = 0 THEN NULL ELSE
+       |      CAST((CAST(s_l AS HUGEINT) * (n - n_l)
+       |          - CAST(s - s_l AS HUGEINT) * n_l)
+       |        * (CAST(s_l AS HUGEINT) * (n - n_l)
+       |          - CAST(s - s_l AS HUGEINT) * n_l)
+       |        // (CAST(n_l AS HUGEINT) * (n - n_l)) AS BIGINT) END AS score_q
+       |  FROM agg),
+       |rk AS (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY k
+       |    ORDER BY score_q DESC NULLS LAST, threshold) AS rk
+       |  FROM sc)
+       |SELECT k AS dim, CAST(threshold AS BIGINT) AS threshold,
+       |  n_l, n_r, score_q
+       |FROM rk WHERE rk = 1
+       |ORDER BY dim""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_embedding_covariance" -> (q226EmbeddingCovariance _),
-    "q227_centroid_drift"       -> (q227CentroidDrift _))
+    "q227_centroid_drift"       -> (q227CentroidDrift _),
+    "q240_otsu_binarization"    -> (q240OtsuBinarization _))
 
   val oracles: Map[String, String] = Map(
     "q226_embedding_covariance" -> q226Oracle,
-    "q227_centroid_drift"       -> q227Oracle)
+    "q227_centroid_drift"       -> q227Oracle,
+    "q240_otsu_binarization"    -> q240Oracle)
 }

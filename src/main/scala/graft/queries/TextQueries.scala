@@ -684,7 +684,89 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** TEXTRANK KEYWORD EXTRACTION (q239) — Mihalcea & Tarau's classic:
+    * PageRank over the word ADJACENCY graph (distinct undirected bigram
+    * pairs, self-loops dropped) surfaces the corpus's structurally
+    * central vocabulary — the words everything else attaches to — which
+    * frequency alone misranks. Reuses q142's integer-scaled PageRank
+    * recipe verbatim: ranks at 10⁹ scale, `r div outdeg` contributions,
+    * 0.85 damping as (85·cin) div 100, three unrolled iterations — every
+    * step exact integer arithmetic, so the oracle replays rank-for-rank.
+    * Output: global top-20 by final rank (TakeOrderedAndProject).
+    *
+    * Scale shape: the graph is VOCABULARY-sized regardless of corpus
+    * volume (distinct pairs); the unrolled join tree shuffles on the
+    * word key, edge exchange planned once (ReusedExchange).
+    */
+  def q239TextrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val one = Tables.documents(spark, dir)
+      .select(explode(when(size(toksCol) < 2, array())
+        .otherwise(transform(sequence(lit(1), size(toksCol) - 1),
+          i => struct(element_at(toksCol, i).as("w1"),
+            element_at(toksCol, i + 1).as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .distinct()
+    val edges = one.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(one.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val init = deg.select(col("src").as("node"), lit(1000000000L).as("r"))
+    def step(ranks: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cin"))
+      deg.select(col("src").as("node"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+    }
+    step(step(step(init)))
+      .select(col("node").as("word"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(20)
+  }
+
+  val q239Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    def stepSql(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS cin
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT deg.src AS node,
+         |    CAST(150000000 + (85 * COALESCE(c$i.cin, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg LEFT JOIN c$i ON c$i.dst = deg.src)""".stripMargin
+    s"""WITH d AS (SELECT $toksSql AS toks FROM documents),
+       |bg AS (
+       |  SELECT DISTINCT w1, w2 FROM (
+       |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |    FROM d, UNNEST(range(1, len(toks))) AS r(i)
+       |    WHERE len(toks) >= 2)
+       |  WHERE w1 <> w2),
+       |edges AS (
+       |  SELECT w1 AS src, w2 AS dst FROM bg
+       |  UNION
+       |  SELECT w2, w1 FROM bg),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+       |${stepSql(1)},
+       |${stepSql(2)},
+       |${stepSql(3)}
+       |SELECT node AS word, r AS rank_scaled
+       |FROM r3
+       |ORDER BY rank_scaled DESC, word
+       |LIMIT 20""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_textrank_keywords" -> (q239TextrankKeywords _),
     "q224_lexical_diversity" -> (q224LexicalDiversity _),
     "q214_epoch_shuffle" -> (q214EpochShuffle _),
     "q195_tokenizer_coverage" -> (q195TokenizerCoverage _),
@@ -699,6 +781,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q239_textrank_keywords" -> q239Oracle,
     "q224_lexical_diversity" -> q224Oracle,
     "q214_epoch_shuffle" -> q214Oracle,
     "q195_tokenizer_coverage" -> q195Oracle,

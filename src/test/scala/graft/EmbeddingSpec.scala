@@ -55,4 +55,31 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
       (num * 1000000 / (na * nb * na * nb)).toLong)
     rows.foreach(r => assert(r.getAs[Long]("dist2_ppm") >= 0L))
   }
+
+  test("q240: every dimension picks the threshold a driver-side exhaustive " +
+    "Otsu search picks, and splits tile the corpus") {
+    val rows = SparkEntry.queries("q240_otsu_binarization")(spark, sfDir)
+      .collect()
+    assert(rows.length === 64)
+    val n = vecs.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_l") + r.getAs[Long]("n_r") === n)
+      val dim = r.getAs[Long]("dim").toInt
+      val col = vecs.map(_._2(dim))
+      // exhaustive driver-side search over the same grid with the same
+      // quantized criterion and tie rule
+      val best = graft.queries.EmbeddingQueries.OtsuThresholds.flatMap { t =>
+        val l = col.filter(_ <= t); val rr = col.filter(_ > t)
+        if (l.isEmpty || rr.isEmpty) None
+        else {
+          val (nl, nr) = (BigInt(l.length), BigInt(rr.length))
+          val (sl, sr) = (BigInt(l.sum), BigInt(rr.sum))
+          val d = sl * nr - sr * nl
+          Some((t, (d * d / (nl * nr)).toLong))
+        }
+      }.sortBy { case (t, s) => (-s, t) }.head
+      assert(r.getAs[Long]("threshold") === best._1, s"dim $dim")
+      assert(r.getAs[Long]("score_q") === best._2, s"dim $dim")
+    }
+  }
 }

@@ -102,4 +102,20 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[Long]("n_hapax") ===
       counts.values.count(_ == 1).toLong)
   }
+
+  test("q239: TextRank output is descending, vocabulary-bounded, and " +
+    "every rank respects the damping floor") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q239_textrank_keywords")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("rank_scaled")))
+    assert(rows.length === 20)
+    val ranks = rows.map(_._2)
+    assert(ranks === ranks.sorted.reverse)
+    // (1 - d) floor: every node keeps at least 0.15 of the unit rank
+    ranks.foreach(r => assert(r >= 150000000L))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (w, _) => assert(vocab(w), s"unknown keyword $w") }
+  }
 }
