@@ -237,13 +237,97 @@ object EmbeddingQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** CROSS-LABEL HARD-NEGATIVE MINING (q241) — the contrastive-training
+    * feeder: for every vector, its nearest neighbor carrying a DIFFERENT
+    * label, found through q41's sign-LSH bucketing (16 seed-7
+    * hyperplanes, 4×4-bit bands) so candidate generation is a band-key
+    * equi-join, never all-pairs. Distances are exact integers on the
+    * 1/16 grid and the per-query argmin is min(struct(d2, vid)) — tie
+    * to the lower vid, deterministic in both engines. Vectors whose
+    * buckets hold no cross-label occupant report NULL loudly (the
+    * "raise nprobe" signal), not a silent drop.
+    *
+    * Scale shape: signature projection is per-row; the band join's
+    * buckets are occupancy-bounded (q213's governor composes if a
+    * bucket heats); the argmin is one hash-aggregate keyed on the
+    * query id.
+    */
+  def q241HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Similarity.{hyperplanes, lshSignature, lshBandKeys, toDouble}
+    val proj = hyperplanes(16, 64, seed = 7)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 16 + lit(0.5)).cast(LongType)).as("q"))
+      .withColumn("sig", lshSignature(col("v"), proj))
+    val banded = emb.select(col("vec_id"), col("label"), col("q"),
+      explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val other = banded.select(col("vec_id").as("vid"),
+      col("label").as("nlabel"), col("q").as("nq"), col("bk").as("bk_o"))
+    val best = banded.join(other,
+        col("bk") === col("bk_o") && col("label") =!= col("nlabel"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, nq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("vid"), col("nlabel"))).as("m"))
+      .select(col("vec_id"), col("m.vid").as("neg_id"),
+        col("m.nlabel").as("neg_label"), col("m.d2").as("d2"))
+    emb.select(col("vec_id"), col("label"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("neg_id"), col("neg_label"),
+        col("d2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q241Oracle: String = {
+    val proj = graft.functions.Similarity.hyperplanes(16, 64, seed = 7)
+    val values = proj.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.map(java.lang.Double.toString).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH proj(b, p) AS (VALUES $values),
+       |v AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT v.vec_id, proj.b,
+       |    CASE WHEN list_dot_product(v.v, proj.p) > 0
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+       |  FROM v, proj),
+       |sig AS (SELECT vec_id, SUM(bit << b) AS sig FROM bits GROUP BY vec_id),
+       |banded AS (
+       |  SELECT v.vec_id, v.label, v.q, t.band,
+       |    (s.sig >> (4 * t.band)) & 15 AS bk
+       |  FROM v JOIN sig s USING (vec_id), UNNEST([0,1,2,3]) AS t(band)),
+       |cand AS (
+       |  SELECT a.vec_id, b.vec_id AS vid, b.label AS nlabel,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      k -> (a.q[k] - b.q[k]) * (a.q[k] - b.q[k]))) AS BIGINT) AS d2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.label <> b.label),
+       |best AS (
+       |  SELECT vec_id,
+       |    (min({'d': d2, 'v': vid, 'l': nlabel})).v AS neg_id,
+       |    (min({'d': d2, 'v': vid, 'l': nlabel})).l AS neg_label,
+       |    (min({'d': d2, 'v': vid, 'l': nlabel})).d AS d2
+       |  FROM cand GROUP BY vec_id)
+       |SELECT v.vec_id, v.label, best.neg_id, best.neg_label, best.d2
+       |FROM v LEFT JOIN best USING (vec_id)
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_embedding_covariance" -> (q226EmbeddingCovariance _),
     "q227_centroid_drift"       -> (q227CentroidDrift _),
-    "q240_otsu_binarization"    -> (q240OtsuBinarization _))
+    "q240_otsu_binarization"    -> (q240OtsuBinarization _),
+    "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q226_embedding_covariance" -> q226Oracle,
     "q227_centroid_drift"       -> q227Oracle,
-    "q240_otsu_binarization"    -> q240Oracle)
+    "q240_otsu_binarization"    -> q240Oracle,
+    "q241_hard_negatives"       -> q241Oracle)
 }

@@ -82,4 +82,37 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("score_q") === best._2, s"dim $dim")
     }
   }
+
+  test("q241: every mined negative crosses labels, its distance is the " +
+    "exact grid distance, and it is never farther than the true " +
+    "cross-label nearest neighbor is close") {
+    val byId = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Float](2).map(grid).toArray))
+      .toMap
+    val rows = SparkEntry.queries("q241_hard_negatives")(spark, sfDir)
+      .collect()
+    assert(rows.length === byId.size)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var found = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      Option(r.getAs[java.lang.Long]("neg_id")).foreach { nid =>
+        found += 1
+        val (lbl, q) = byId(id)
+        val (nlbl, nq) = byId(nid.toLong)
+        assert(nlbl != lbl, s"vec $id mined a same-label negative")
+        assert(r.getAs[Long]("neg_label") === nlbl)
+        assert(r.getAs[Long]("d2") === d2(q, nq))
+        // LSH is approximate: the mined negative cannot beat the true
+        // cross-label nearest, only tie or lose
+        val trueBest = byId.collect {
+          case (oid, (ol, oq)) if ol != lbl && oid != id => d2(q, oq) }.min
+        assert(r.getAs[Long]("d2") >= trueBest)
+      }
+    }
+    assert(found > byId.size / 2, "LSH buckets found too few hard negatives")
+  }
 }
