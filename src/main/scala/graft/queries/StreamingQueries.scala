@@ -413,7 +413,51 @@ object StreamingQueries {
       |HAVING bar_ts + INTERVAL '1 hour' <= (SELECT w FROM wm)
       |ORDER BY event_type, bar_ts""".stripMargin
 
+  /** STREAMING SESSION WINDOWS (q242) — q45's `session_window`
+    * aggregation executed through Structured Streaming with a watermark
+    * in APPEND mode: Spark's native session operator MERGES windows as
+    * late events arrive (two provisional sessions gap-bridged by a
+    * middle event collapse into one) and emits a session exactly once,
+    * when the watermark passes its end. This is the stateful-merge
+    * operator plain windowed aggs don't exercise. On the bounded
+    * stream, emitted sessions are exactly the batch sessions whose end
+    * precedes max(ts) − delay — the oracle encodes that closed-session
+    * rule (q73's discipline).
+    *
+    * Scale shape: session state is per-(user, open session) and the
+    * watermark evicts closed sessions — state bounded by concurrent
+    * open sessions, not stream length.
+    */
+  def q242StreamSessions(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.runStreamSync(spark, dir, ev =>
+      StreamingOps.sessionAgg(ev.withWatermark("ts", "1 hour")),
+      "graft_stream_sessions", outputMode = "append")
+      .orderBy(col("user_id"), col("s_start"))
+
+  val q242Oracle: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events),
+      |brk AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk)
+      |SELECT user_id, MIN(ts) AS s_start,
+      |  MAX(ts) + INTERVAL '30 minutes' AS s_end,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+      |ORDER BY user_id, s_start""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_stream_sessions"  -> (q242StreamSessions _),
     "q231_stream_ohlc_bars" -> (q231StreamOhlcBars _),
     "q211_stream_neardup_screen" -> (q211StreamNearDupScreen _),
     "q187_stream_view_maintenance" -> (q187StreamViewMaintenance _),
@@ -431,6 +475,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q242_stream_sessions"  -> q242Oracle,
     "q231_stream_ohlc_bars" -> q231Oracle,
     "q211_stream_neardup_screen" -> q211Oracle,
     "q187_stream_view_maintenance" -> q187Oracle,

@@ -316,4 +316,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"stream/batch divergence: ${(streamed diff batch).take(2)} / " +
         s"${(batch diff streamed).take(2)}")
   }
+
+  test("q242: streamed sessions equal the batch session_window output " +
+    "restricted to watermark-closed sessions") {
+    val streamed = SparkEntry.queries("q242_stream_sessions")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val batch = StreamingOps.sessionAgg(Tables.events(spark, sfDir))
+      .filter(unix_timestamp(col("s_end")) <= unix_timestamp(lit(maxTs)) - 3600)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"session stream/batch divergence: ${(streamed diff batch).take(2)} / " +
+        s"${(batch diff streamed).take(2)}")
+    // sessions are per-user non-overlapping and gap-maximal
+    val byUser = streamed.toSeq
+      .map(s => (s(0).asInstanceOf[Long],
+        s(1).asInstanceOf[java.sql.Timestamp].getTime,
+        s(2).asInstanceOf[java.sql.Timestamp].getTime))
+      .groupBy(_._1)
+    byUser.values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 >= a._3,
+          s"overlapping sessions for user ${a._1}")
+        case _ =>
+      }
+    }
+  }
 }
