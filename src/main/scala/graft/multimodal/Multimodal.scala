@@ -825,6 +825,47 @@ object Multimodal {
     media.mapPartitions(_.map(decodeAvi))
   }
 
+  /** Per-FRAME byte sums from a real AVI payload — the movi walk of
+    * [[decodeAvi]] reduced to one Long per frame chunk, in stream order.
+    * This is the temporal signal scene-cut detection needs (decodeAvi
+    * aggregates across frames and loses it). Same container discipline:
+    * LIST recursion, word-aligned chunk skip, overrun checks.
+    */
+  def videoFrameSums(m: MediaRow): Array[Long] = {
+    require(isAvi(m.payload), s"doc ${m.doc_id}: not a RIFF/AVI payload")
+    val buf = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id4(off: Int) = new String(m.payload, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = id4(off)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"doc ${m.doc_id}: chunk $id overruns its list")
+        id match {
+          case "LIST" =>
+            val form = id4(off + 8)
+            if (form == "hdrl" || form == "movi" || form == "strl")
+              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+          case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
+            var s = 0L
+            var k = 0
+            while (k < size) {
+              s += m.payload(off + 8 + k) & 0xff
+              k += 1
+            }
+            sums += s
+          case _ =>
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, m.payload.length, inMovi = false)
+    sums.toArray
+  }
+
   /** STUB decoder — deterministic fake in lieu of a real codec. A real
     * implementation would parse the container format here (per-partition,
     * so codec init cost amortizes across the batch).

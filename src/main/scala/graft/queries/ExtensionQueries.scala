@@ -785,7 +785,69 @@ object ExtensionQueries {
       |GROUP BY doc_id, rate, nvf
       |ORDER BY doc_id""".stripMargin
 
+  /** Scene-cut statistics from per-frame byte sums: adjacent-frame
+    * absolute diffs, their totals, and cuts = diffs exceeding 3× the
+    * clip's mean diff (cross-multiplied — d·n_pairs > 3·total_diff, no
+    * division). Factored over a (doc_id, fsums) frame so the spec can
+    * prove the detector fires on synthetic jump sequences the steady
+    * fixture cannot contain.
+    */
+  private[graft] def sceneCutStats(df: DataFrame): DataFrame =
+    df.withColumn("diffs", expr(
+        """zip_with(slice(fsums, 2, size(fsums) - 1),
+          |  slice(fsums, 1, size(fsums) - 1), (a, b) -> abs(a - b))"""
+          .stripMargin))
+      .withColumn("n_pairs", size(col("diffs")).cast(LongType))
+      .withColumn("total_diff", expr("aggregate(diffs, 0L, (a, x) -> a + x)"))
+      .withColumn("max_diff",
+        expr("CASE WHEN size(diffs) = 0 THEN NULL ELSE array_max(diffs) END"))
+      .withColumn("n_cuts", expr(
+        "CAST(size(filter(diffs, d -> d * n_pairs > 3 * total_diff)) AS BIGINT)"))
+      .select(col("doc_id"), col("n_pairs"), col("total_diff"),
+        col("max_diff"), col("n_cuts"))
+
+  /** VIDEO SCENE-CUT SCREEN (q243) — the shot-boundary primitive every
+    * video-curation pipeline runs before frame sampling: per-frame byte
+    * sums from the REAL AVI movi walk ([[Multimodal.videoFrameSums]]),
+    * adjacent-frame absolute diffs, and a cut wherever a diff exceeds
+    * 3× the clip mean. The fixture's generator brightens frames
+    * LINEARLY (red +5/frame), so every clip's diffs are constant and
+    * the expected output is "zero cuts, perfectly steady" — verified
+    * exactly: the oracle replays the closed-form per-frame sums
+    * (q113's arithmetic-series discipline) and must agree on every
+    * total. Detection on actual jumps is the spec's planted-sequence
+    * job.
+    *
+    * Scale shape: typed mapPartitions projection (bytes never
+    * shuffle), then per-row array ops; output is one row per video.
+    */
+  def q243SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.aviMediaTable(Tables.documents(spark, dir))
+    val sums = media.mapPartitions(_.map(m =>
+        (m.doc_id, Multimodal.videoFrameSums(m))))
+      .toDF("doc_id", "fsums")
+    sceneCutStats(sums).orderBy(col("doc_id"))
+  }
+
+  val q243Oracle: String =
+    s"""WITH $aviOracleSums,
+       |pf AS (
+       |  SELECT doc_id, nf, wv, hv,
+       |    -- adjacent-frame diff is constant: red climbs 5/frame over
+       |    -- wv*hv pixels, blue/green are static
+       |    5 * wv * hv AS d
+       |  FROM sums)
+       |SELECT doc_id,
+       |  CAST(nf - 1 AS BIGINT) AS n_pairs,
+       |  CAST((nf - 1) * d AS BIGINT) AS total_diff,
+       |  CAST(d AS BIGINT) AS max_diff,
+       |  CAST(0 AS BIGINT) AS n_cuts
+       |FROM pf
+       |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_scene_cuts"        -> (q243SceneCuts _),
     "q209_audio_vad"         -> (q209AudioVad _),
     "q167_audio_neardup"     -> (q167AudioNearDup _),
     "q166_image_neardup"     -> (q166ImageNearDup _),
@@ -803,6 +865,7 @@ object ExtensionQueries {
     "q86_audio_features"     -> (q86AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q243_scene_cuts"        -> q243Oracle,
     "q209_audio_vad"         -> q209Oracle,
     "q167_audio_neardup"     -> q167Oracle,
     "q166_image_neardup"     -> q166Oracle,

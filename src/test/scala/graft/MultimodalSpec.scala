@@ -352,4 +352,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(f.sample_rate > 0)
     }
   }
+
+  test("q243: the steady fixture yields zero cuts, and the detector fires " +
+    "on planted jump sequences") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = SparkEntry.queries("q243_scene_cuts")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cuts") === 0L,
+        s"doc ${r.getAs[Long]("doc_id")}: steady clip reported a cut")
+      // constant diffs: max diff * n_pairs == total
+      assert(r.getAs[Long]("max_diff") * r.getAs[Long]("n_pairs") ===
+        r.getAs[Long]("total_diff"))
+    }
+    // planted: steady run, one hard jump, steady run — exactly one cut
+    val planted = Seq(
+      (1L, Seq(100L, 110L, 120L, 1000L, 1010L, 1020L)),
+      (2L, Seq(50L, 50L, 50L, 50L)),         // perfectly static: no cuts
+      (3L, Seq(10L, 500L)))                  // one pair: 3x mean never fires
+      .toDF("doc_id", "fsums")
+    val out = graft.queries.ExtensionQueries.sceneCutStats(planted)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_cuts"))
+      .toMap
+    assert(out(1L) === 1L, "the 880-jump must read as a cut")
+    assert(out(2L) === 0L)
+    assert(out(3L) === 0L, "a single pair cannot exceed 3x its own mean")
+    // and frame sums from real bytes agree with decodeAvi's aggregate
+    val m = Multimodal
+      .aviMediaTable(Tables.documents(spark, sfDir)).limit(3).collect()
+    m.foreach { row =>
+      val sums = Multimodal.videoFrameSums(row)
+      val agg = Multimodal.decodeAvi(row)
+      assert(sums.length === agg.n_frames)
+    }
+  }
 }
