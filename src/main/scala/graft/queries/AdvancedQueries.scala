@@ -1248,7 +1248,74 @@ object AdvancedQueries {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** RFM SEGMENTATION (q246) — the marketing-analytics staple: every
+    * user scored by Recency (last active day), Frequency (event count)
+    * and Monetary (DECIMAL-exact value sum), each dimension cut into
+    * equal-depth quartiles (q149's exact rule, rank via the distributed
+    * prefix-sum scaffold — three scaffolds, one per dimension, no
+    * one-partition window), then the 4×4×4 segment grid reported with
+    * its population and exact monetary mass. Quartile 0 is best
+    * (most recent / most frequent / highest spend); ties break on
+    * user_id so both engines cut identically.
+    *
+    * Scale shape: one per-user aggregate, three range exchanges for the
+    * ranks, a ≤64-row rollup. Nothing downstream scales with users.
+    */
+  def q246RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
+          .as("mon"))
+      .withColumn("one", lit(1L)).withColumn("g", lit(0))
+    def rank(df: DataFrame,
+        order: Seq[org.apache.spark.sql.Column], out: String): DataFrame =
+      PrefixSum.runningTotal(df, Seq("g"), order, "one", out)
+    val ranked = rank(rank(rank(perUser,
+        Seq(col("last_day").desc, col("user_id").asc), "r_rk"),
+        Seq(col("freq").desc, col("user_id").asc), "f_rk"),
+        Seq(col("mon").desc, col("user_id").asc), "m_rk")
+    val tot = perUser.agg(count(lit(1)).as("n_users"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("r_q", expr("((r_rk - 1) * 4) div n_users"))
+      .withColumn("f_q", expr("((f_rk - 1) * 4) div n_users"))
+      .withColumn("m_q", expr("((m_rk - 1) * 4) div n_users"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mon")).cast(DecimalType(38, 2)).cast(DoubleType)
+          .as("segment_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q246Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+      |      AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS mon
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT u.*,
+      |    row_number() OVER (ORDER BY last_day DESC, user_id) AS r_rk,
+      |    row_number() OVER (ORDER BY freq DESC, user_id) AS f_rk,
+      |    row_number() OVER (ORDER BY mon DESC, user_id) AS m_rk,
+      |    COUNT(*) OVER () AS n_users
+      |  FROM u)
+      |SELECT ((r_rk - 1) * 4) // n_users AS r_q,
+      |  ((f_rk - 1) * 4) // n_users AS f_q,
+      |  ((m_rk - 1) * 4) // n_users AS m_q,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(mon) AS DECIMAL(38,2)) AS DOUBLE) AS segment_monetary
+      |FROM r
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_q, f_q, m_q""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_rfm_segments"     -> (q246RfmSegments _),
     "q159_phrase_mining"    -> (q159PhraseMining _),
     "q157_drift_screen"     -> (q157DriftScreen _),
     "q156_asof_forward"     -> (q156AsofForward _),
@@ -1278,6 +1345,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q246_rfm_segments"     -> q246Oracle,
     "q159_phrase_mining"    -> q159Oracle,
     "q157_drift_screen"     -> q157Oracle,
     "q156_asof_forward"     -> q156Oracle,

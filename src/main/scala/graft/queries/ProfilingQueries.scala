@@ -250,13 +250,71 @@ object ProfilingQueries {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, rule_id")
   }
 
+  /** JOIN FAN-OUT PROFILE (q245) — per declared FK relationship, the
+    * children-per-parent distribution: min / max / exact mean (ppm) and
+    * the childless-parent count. This is the statistic that predicts
+    * join blowup BEFORE the join runs — a max fan-out of 10⁶ on a key
+    * you're about to join twice is the 100 TB incident, and AQE can
+    * only mitigate what profiling should have caught. Reuses q230's
+    * [[FkRelationships]] declaration so the two audits cannot drift.
+    *
+    * Scale shape: per relationship one child-side count-by-key and a
+    * parent left-join (childless parents need the parent scan);
+    * output is |relationships| rows.
+    */
+  def q245JoinFanout(spark: SparkSession, dir: String): DataFrame = {
+    val checks = FkRelationships.map { case (ct, fk, pt, pk) =>
+      val counts = Tables.load(spark, dir, ct)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+      Tables.load(spark, dir, pt).select(col(pk).as("k"))
+        .join(counts, Seq("k"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("c"))
+        .agg(count(lit(1)).as("n_parents"),
+          sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_childless"),
+          min(col("c")).as("min_fanout"),
+          max(col("c")).as("max_fanout"),
+          sum(col("c")).as("n_children"))
+        .select(lit(ct).as("child_table"), lit(fk).as("fk_column"),
+          lit(pt).as("parent_table"),
+          col("n_parents"), col("n_childless"),
+          col("min_fanout"), col("max_fanout"),
+          expr("""CAST(CAST(n_children AS DECIMAL(38,0)) * 1000000
+            | div n_parents AS BIGINT)""".stripMargin).as("mean_fanout_ppm"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("fk_column"))
+  }
+
+  val q245Oracle: String = {
+    val parts = FkRelationships.map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct' AS child_table, '$fk' AS fk_column,
+         |  '$pt' AS parent_table,
+         |  CAST(COUNT(*) AS BIGINT) AS n_parents,
+         |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_childless,
+         |  CAST(MIN(c) AS BIGINT) AS min_fanout,
+         |  CAST(MAX(c) AS BIGINT) AS max_fanout,
+         |  CAST(CAST(SUM(c) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS mean_fanout_ppm
+         |FROM (
+         |  SELECT COALESCE(cc.c, 0) AS c
+         |  FROM $pt p LEFT JOIN (
+         |    SELECT $fk AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM $ct GROUP BY $fk) cc
+         |  ON cc.k = p.$pk)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_join_fanout"     -> (q245JoinFanout _),
     "q229_fd_discovery"    -> (q229FdDiscovery _),
     "q230_ri_audit"        -> (q230RiAudit _),
     "q234_benford_audit"   -> (q234BenfordAudit _),
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q245_join_fanout"     -> q245Oracle,
     "q229_fd_discovery"    -> q229Oracle,
     "q230_ri_audit"        -> q230Oracle,
     "q234_benford_audit"   -> q234Oracle,

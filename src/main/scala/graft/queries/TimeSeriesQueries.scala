@@ -307,7 +307,58 @@ object TimeSeriesQueries {
       |FROM m JOIN r ON r.event_type = m.event_type AND r.rn = m.n_days
       |ORDER BY m.event_type""".stripMargin
 
+  /** TRAFFIC-MIX CONCENTRATION (q244) — the Herfindahl–Hirschman index
+    * of the event-type mix per day: HHI·10⁶ = Σcᵢ²·10⁶ div N², from
+    * 10⁶/|types| (perfectly even) to 10⁶ (one type owns the day). The
+    * "did one traffic source take over" screen — a concentration spike
+    * with flat volume is a bot cohort or a broken producer, invisible
+    * to per-type counts alone. Includes each day's dominant type and
+    * its exact share. All integer arithmetic.
+    *
+    * Scale shape: one (day, type) hash-agg, then a |days|-row rollup
+    * with max(struct(c, type)) for the dominant slot.
+    */
+  def q244HhiMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(struct(col("c"), col("event_type"))).as("top"))
+      .select(col("day"), col("n_types"), col("n_events"),
+        expr("""CAST(CAST(sum_c2 AS DECIMAL(38,0)) * 1000000
+          | div (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
+          .stripMargin).as("hhi_ppm"),
+        col("top.event_type").as("dominant_type"),
+        expr("top.c * 1000000L div n_events").as("dominant_share_ppm"))
+      .orderBy(col("day"))
+
+  val q244Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+      |    event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+      |    (max({'c': c, 'event_type': event_type})).c AS top_c,
+      |    (max({'c': c, 'event_type': event_type})).event_type AS top_t
+      |  FROM d GROUP BY day)
+      |SELECT day, n_types, n_events,
+      |  CAST(CAST(sum_c2 AS HUGEINT) * 1000000
+      |    // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS hhi_ppm,
+      |  top_t AS dominant_type,
+      |  CAST(CAST(top_c AS HUGEINT) * 1000000 // n_events AS BIGINT)
+      |    AS dominant_share_ppm
+      |FROM g
+      |ORDER BY day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_hhi_mix"           -> (q244HhiMix _),
     "q237_cusum_drift"       -> (q237CusumDrift _),
     "q228_dispersion_index"  -> (q228DispersionIndex _),
     "q223_calendar_gap_runs" -> (q223CalendarGapRuns _),
@@ -315,6 +366,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q244_hhi_mix"           -> q244Oracle,
     "q237_cusum_drift"       -> q237Oracle,
     "q228_dispersion_index"  -> q228Oracle,
     "q223_calendar_gap_runs" -> q223Oracle,

@@ -85,4 +85,29 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       .filter(!(col("l_discount") >= 0 && col("l_discount") <= 1)).count()
     assert(manual === 0L)
   }
+
+  test("q245: fan-out totals reconcile with child row counts and the " +
+    "min/mean/max ordering holds") {
+    val rows = SparkEntry.queries("q245_join_fanout")(spark, sfDir).collect()
+    assert(rows.length === ProfilingQueries.FkRelationships.size)
+    rows.foreach { r =>
+      val (np, nc) = (r.getAs[Long]("n_parents"), r.getAs[Long]("n_childless"))
+      val (mn, mx) = (r.getAs[Long]("min_fanout"), r.getAs[Long]("max_fanout"))
+      val mean = r.getAs[Long]("mean_fanout_ppm")
+      assert(nc <= np)
+      assert(mn <= mx)
+      assert(mn * 1000000L <= mean && mean <= mx * 1000000L)
+      if (nc > 0) assert(mn === 0L)
+    }
+    val li2o = rows.find(_.getAs[String]("child_table") == "lineitem")
+      .filter(_.getAs[String]("fk_column") == "l_orderkey")
+    // reconcile against the raw child count via the mean identity
+    val r0 = rows.find(r => r.getAs[String]("child_table") == "orders").get
+    val totalOrders = Tables.orders(spark, sfDir).count()
+    val totalCustomers = Tables.customer(spark, sfDir).count()
+    assert(r0.getAs[Long]("n_parents") === totalCustomers)
+    assert(r0.getAs[Long]("mean_fanout_ppm") ===
+      BigInt(totalOrders) * 1000000 / totalCustomers)
+    assert(li2o.nonEmpty)
+  }
 }

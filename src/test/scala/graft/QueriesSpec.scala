@@ -37,4 +37,22 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("within_bounds"), s"group ${r.getString(0)}")
     }
   }
+
+  test("q246: RFM segments partition the users and each dimension's " +
+    "marginals are equal-depth quartiles (±1)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q246_rfm_segments")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+        r.getAs[Long]("m_q")), r.getAs[Long]("n")))
+    val nUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum === nUsers)
+    Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { dim =>
+      val marg = rows.groupBy(t => dim(t._1)).view.mapValues(_.map(_._2).sum)
+      assert(marg.keys.toSet === Set(0L, 1L, 2L, 3L))
+      val depths = marg.values.toSeq
+      assert(depths.max - depths.min <= 1, s"quartiles unbalanced: $depths")
+    }
+  }
 }

@@ -146,4 +146,30 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
         .map(_.toLong) === cross)
     }
   }
+
+  test("q244: HHI stays inside [1/n_types, 1] and the dominant share is " +
+    "at least the even share") {
+    val rows = SparkEntry.queries("q244_hhi_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, hhi, share) = (r.getAs[Long]("n_types"),
+        r.getAs[Long]("hhi_ppm"), r.getAs[Long]("dominant_share_ppm"))
+      assert(hhi >= 1000000L / nt - 1 && hhi <= 1000000L)
+      assert(share >= 1000000L / nt - 1 && share <= 1000000L)
+      // HHI can never exceed the dominant share (sum of squared shares
+      // <= max share when shares sum to 1)
+      assert(hhi <= share + 1)
+    }
+    // recount one day driver-side
+    val r0 = rows.head
+    val day0 = r0.getAs[Long]("day")
+    val cs = Tables.events(spark, sfDir)
+      .filter(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000") === day0)
+      .groupBy(col("event_type")).agg(count(lit(1))).collect()
+      .map(_.getLong(1))
+    val n = cs.sum
+    assert(r0.getAs[Long]("n_events") === n)
+    assert(r0.getAs[Long]("hhi_ppm") ===
+      (cs.map(c => BigInt(c) * c).sum * 1000000 / (BigInt(n) * n)).toLong)
+  }
 }
