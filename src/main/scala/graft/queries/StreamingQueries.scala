@@ -456,7 +456,32 @@ object StreamingQueries {
       |HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
       |ORDER BY user_id, s_start""".stripMargin
 
+  /** STREAMING RATE LIMITER (q247) — fixed-window admission at ingest:
+    * per (user, event-time hour) the first 3 arrivals pass, the rest
+    * are rejected, decided by [[StreamingOps.streamRateLimit]]'s
+    * flatMapGroupsWithState over a genuinely 3-batch stream (event_id
+    * residue slices). Admission depends on ARRIVAL order, so the
+    * oracle replays it as a rank over (slice, ts, event_id) within
+    * each (user, hour) — a state machine whose entire history a batch
+    * engine can reconstruct, which is exactly what makes it gateable.
+    * Every event gets a verdict row: rejected traffic is data too
+    * (abuse forensics reads the rejects).
+    */
+  def q247StreamRateLimit(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamRateLimit(spark, dir, limit = 3,
+      "graft_stream_ratelimit")
+      .orderBy(col("event_id"))
+
+  val q247Oracle: String =
+    """SELECT event_id, user_id,
+      |  row_number() OVER (
+      |    PARTITION BY user_id, date_trunc('hour', ts)
+      |    ORDER BY ((event_id % 3) + 3) % 3, ts, event_id) <= 3 AS allowed
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_stream_rate_limit" -> (q247StreamRateLimit _),
     "q242_stream_sessions"  -> (q242StreamSessions _),
     "q231_stream_ohlc_bars" -> (q231StreamOhlcBars _),
     "q211_stream_neardup_screen" -> (q211StreamNearDupScreen _),
@@ -475,6 +500,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q247_stream_rate_limit" -> q247Oracle,
     "q242_stream_sessions"  -> q242Oracle,
     "q231_stream_ohlc_bars" -> q231Oracle,
     "q211_stream_neardup_screen" -> q211Oracle,

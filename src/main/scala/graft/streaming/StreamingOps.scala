@@ -253,6 +253,76 @@ object StreamingOps extends Serializable {
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
   }
 
+  /** Timestamp-carrying twin of [[eventsReadStreamSliced]] (that one
+    * drops `ts` for the cents aggregations): (event_id, user_id, ts_us)
+    * staged as `slices` files by event_id residue. `ts` travels as
+    * LONG microseconds so the staged parquet needs no NTZ ceremony.
+    */
+  def eventsReadStreamSlicedTs(spark: SparkSession, dir: String,
+      slices: Int): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"))
+    val streamDir = graft.util.Staging.dir(s"graft_stream_ts$slices", dir)
+    Files.createDirectories(streamDir)
+    (0 until slices).foreach { s =>
+      val tmp = Files.createTempDirectory("graft_slice_ts")
+      ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+  }
+
+  /** STREAMING RATE LIMITER — fixed-window admission (the nginx/redis
+    * shape): per (user, event-time hour) the first `limit` arrivals are
+    * admitted, the rest rejected. flatMapGroupsWithState keyed on user;
+    * state is the per-hour admitted count map — bounded by the hours a
+    * user is active, NOT by event volume (one Int per active hour). In
+    * production the stream arrives roughly time-ordered and a watermark
+    * evicts hours behind the horizon; the gate's event_id-residue
+    * slices revisit every hour in every batch, so the gate keeps the
+    * full map (correctness over eviction — the production eviction is
+    * a one-line timeout this harness cannot exercise honestly).
+    * Arrival order is deterministic: slice files arrive in order, and
+    * within a (user, batch) rows process in (ts_us, event_id) order —
+    * so the batch oracle replays admission as a rank over (slice, ts,
+    * event_id) within each (user, hour).
+    */
+  def streamRateLimit(spark: SparkSession, dir: String, limit: Int,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = eventsReadStreamSlicedTs(spark, dir, slices = 3)
+      .as[(Long, Long, Long)]
+    val decided = stream.groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Long, Int], (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[Map[Long, Int]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Int])
+          val out = List.newBuilder[(Long, Long, Boolean)]
+          rows.toList.sortBy(r => (r._3, r._1)).foreach {
+            case (eid, _, tsUs) =>
+              val hour = tsUs / 3600000000L
+              val c = counts.getOrElse(hour, 0)
+              val ok = c < limit
+              if (ok) counts = counts.updated(hour, c + 1)
+              out += ((eid, user, ok))
+          }
+          state.update(counts)
+          out.result().iterator
+      }
+    drainToTable(spark, decided.toDF("event_id", "user_id", "allowed"),
+      queryName, "append")
+  }
+
   /** Stage the documents table as `slices` stream files by doc_id residue
     * — the documents twin of [[eventsReadStreamSliced]]; the near-dup
     * screen needs a genuinely multi-batch corpus stream so its band-key

@@ -344,4 +344,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q247: every (user, hour) admits exactly min(3, arrivals) events " +
+    "and the limiter actually rejects something") {
+    val verdicts = SparkEntry.queries("q247_stream_rate_limit")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("allowed")))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("hour", col("ts")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.get(2))))
+    assert(verdicts.size === ev.length, "every event needs a verdict")
+    val byCell = ev.groupBy(_._2)
+    var rejected = 0
+    byCell.foreach { case (cell, es) =>
+      val admitted = es.count(e => verdicts(e._1))
+      assert(admitted === math.min(3, es.length), s"cell $cell")
+      rejected += es.length - admitted
+    }
+    assert(rejected > 0, "fixture has >3-event hours; limiter must fire")
+  }
 }
