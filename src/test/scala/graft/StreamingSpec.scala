@@ -358,12 +358,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.get(2))))
     assert(verdicts.size === ev.length, "every event needs a verdict")
     val byCell = ev.groupBy(_._2)
-    var rejected = 0
     byCell.foreach { case (cell, es) =>
       val admitted = es.count(e => verdicts(e._1))
       assert(admitted === math.min(3, es.length), s"cell $cell")
+    }
+    // sf0.001 has no >3-event (user, hour) cell, so prove the limiter
+    // FIRES at limit = 1: every multi-event cell must reject
+    val strict = StreamingOps
+      .streamRateLimit(spark, sfDir, limit = 1, "graft_test_rl1")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("allowed")))
+      .toMap
+    var rejected = 0
+    byCell.foreach { case (cell, es) =>
+      val admitted = es.count(e => strict(e._1))
+      assert(admitted === 1, s"cell $cell at limit 1")
       rejected += es.length - admitted
     }
-    assert(rejected > 0, "fixture has >3-event hours; limiter must fire")
+    assert(rejected > 0, "multi-event hours exist; limit 1 must reject")
   }
 }
