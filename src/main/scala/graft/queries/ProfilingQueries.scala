@@ -306,7 +306,52 @@ object ProfilingQueries {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column")
   }
 
+  /** EQUI-DEPTH HISTOGRAM PROFILE (q248) — the optimizer-statistics
+    * histogram: o_totalprice cut into 16 equal-depth buckets (q149's
+    * exact rule over the distributed prefix-sum rank — no one-partition
+    * window), each reporting its row count, exact value span, and
+    * distinct-value count. Equi-depth is what cost models want —
+    * equal-width buckets collapse under skew. Ties on the value break
+    * by o_orderkey so both engines cut identically; bucket counts are
+    * ±1-balanced by construction.
+    *
+    * Scale shape: one range exchange for the rank, a 16-row rollup.
+    */
+  def q248EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("one", lit(1L)).withColumn("g", lit(0))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      o, Seq("g"), Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+      "one", "rk")
+    val tot = o.agg(count(lit(1)).as("n_rows"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("((rk - 1) * 16) div n_rows"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        countDistinct(col("o_totalprice")).as("ndv"))
+      .orderBy(col("bucket"))
+  }
+
+  val q248Oracle: String =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+      |    COUNT(*) OVER () AS n_rows
+      |  FROM orders)
+      |SELECT ((rk - 1) * 16) // n_rows AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi,
+      |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_equidepth_histogram" -> (q248EquidepthHistogram _),
     "q245_join_fanout"     -> (q245JoinFanout _),
     "q229_fd_discovery"    -> (q229FdDiscovery _),
     "q230_ri_audit"        -> (q230RiAudit _),
@@ -314,6 +359,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q248_equidepth_histogram" -> q248Oracle,
     "q245_join_fanout"     -> q245Oracle,
     "q229_fd_discovery"    -> q229Oracle,
     "q230_ri_audit"        -> q230Oracle,

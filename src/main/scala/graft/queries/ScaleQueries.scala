@@ -613,7 +613,65 @@ object ScaleQueries {
       |FROM u GROUP BY strategy, batch_id
       |ORDER BY strategy, batch_id""".stripMargin
 
+  /** SALTING-PLAN ADVISOR (q249) — turn q177's skew diagnosis into an
+    * executable mitigation plan: over the orders-per-customer key space
+    * (o_custkey — the key the orders⋈customer join shuffles on, and the
+    * fixture's genuinely skewed one: hottest customer at 2.5× the
+    * mean), flag every key whose count exceeds 2× the mean
+    * (cross-multiplied — c·n_keys > 2·total) and prescribe its salt
+    * factor ⌈c·n_keys / (2·total)⌉ so each salted bucket lands near the
+    * 2×-mean target. Planning-as-data: the output TABLE drives
+    * [[graft.transform.Skew.saltedJoin]]'s per-key replication at run
+    * time instead of a global worst-case salt constant. All integer
+    * arithmetic. The hot threshold is `spark.graft.salt.thresholdPct`
+    * (percent of mean, default 200 = 2× — the oracle's constant); the
+    * spec drops it to prove the plan fires on the small fixture.
+    *
+    * Scale shape: one keyed hash-agg (map-side combine eats the hot
+    * keys), 1-row totals crossJoin, output bounded by the hot-key
+    * count — by construction under half the key space, in skewed
+    * practice a handful.
+    */
+  def q249SaltPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = spark.conf.getOption("spark.graft.salt.thresholdPct")
+      .map(_.toLong).getOrElse(200L)
+    val counts = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("c") * col("n_keys") * 100 > col("total") * t)
+      .select(col("key"), col("c"),
+        expr(s"""CAST((CAST(c AS DECIMAL(38,0)) * n_keys * 100 + $t * total - 1)
+          | div ($t * CAST(total AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin).as("salts"))
+      .withColumn("rows_per_salt_ceil", expr("(c + salts - 1) div salts"))
+      .orderBy(col("c").desc, col("key"))
+  }
+
+  val q249Oracle: String = {
+    s"""WITH counts AS (
+       |  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM orders
+       |  GROUP BY o_custkey),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+       |        CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
+       |SELECT key, c,
+       |  CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
+       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) AS salts,
+       |  CAST((c + CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
+       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) - 1)
+       |    // CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
+       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) AS BIGINT)
+       |    AS rows_per_salt_ceil
+       |FROM counts CROSS JOIN t
+       |WHERE c * n_keys * 100 > total * 200
+       |ORDER BY c DESC, key""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_salt_plan"          -> (q249SaltPlan _),
     "q165_length_bucketed_batching" -> (q165LengthBucketedBatching _),
     "q153_sorted_layout" -> (q153SortedLayout _),
     "q148_approx_percentile_audit" -> (q148ApproxPercentileAudit _),
@@ -628,6 +686,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q249_salt_plan"          -> q249Oracle,
     "q165_length_bucketed_batching" -> q165Oracle,
     "q153_sorted_layout" -> q153Oracle,
     "q148_approx_percentile_audit" -> q148Oracle,

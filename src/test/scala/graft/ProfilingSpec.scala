@@ -110,4 +110,63 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       BigInt(totalOrders) * 1000000 / totalCustomers)
     assert(li2o.nonEmpty)
   }
+
+  test("q248: sixteen equi-depth buckets tile the orders, spans are " +
+    "ordered and non-overlapping, depths balanced ±1") {
+    val rows = SparkEntry.queries("q248_equidepth_histogram")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("ndv")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 16L))
+    assert(rows.map(_._2).sum === Tables.orders(spark, sfDir).count())
+    val depths = rows.map(_._2)
+    assert(depths.max - depths.min <= 1)
+    rows.foreach { case (_, n, lo, hi, ndv) =>
+      assert(lo <= hi); assert(ndv >= 1L && ndv <= n) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3,
+        s"bucket spans overlap: ${a._4} > ${b._3}")
+      case _ =>
+    }
+  }
+
+  test("q249: the salt plan flags exactly the >2x-mean keys and " +
+    "prescribes factors that land buckets near the target") {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val nKeys = counts.size.toLong
+    val expectedHot = counts.filter { case (_, c) => c * nKeys > 2 * total }
+    val rows = SparkEntry.queries("q249_salt_plan")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("c"),
+        r.getAs[Long]("salts"), r.getAs[Long]("rows_per_salt_ceil")))
+    assert(rows.map(_._1).toSet === expectedHot.keySet,
+      "flagged set must equal the >2x-mean keys")
+    rows.foreach { case (k, c, salts, rps) =>
+      assert(c === expectedHot(k))
+      assert(salts ===
+        (BigInt(c) * nKeys * 100 + 200 * total - 1) / (200 * total))
+      assert(salts >= 2L, "a flagged key needs at least 2 salts")
+      assert(rps === (c + salts - 1) / salts)
+    }
+    // the small fixture is under 2x-mean everywhere — prove the plan
+    // FIRES at a 120% threshold (conf round-trip, q162's discipline)
+    spark.conf.set("spark.graft.salt.thresholdPct", "120")
+    try {
+      val strict = SparkEntry.queries("q249_salt_plan")(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("c"),
+          r.getAs[Long]("salts")))
+      val hot120 = counts.filter { case (_, c) => c * nKeys * 100 > 120 * total }
+      assert(strict.map(_._1).toSet === hot120.keySet)
+      assert(strict.nonEmpty, "1.2x-mean keys exist; plan must fire")
+      strict.foreach { case (k, c, salts) =>
+        assert(salts ===
+          (BigInt(c) * nKeys * 100 + 120 * total - 1) / (120 * total), s"key $k")
+      }
+    } finally spark.conf.unset("spark.graft.salt.thresholdPct")
+  }
 }
