@@ -480,7 +480,84 @@ object StreamingQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** INCREMENTAL SESSIONIZATION (q250) — the production batch-pipeline
+    * shape: yesterday's session table is NOT recomputed when today's
+    * events land. The corpus splits at a cut (day 20 of the fixture's
+    * window); batch 1 sessionizes natively (`session_window`), its
+    * CLOSED sessions (end ≤ cut — provably unable to absorb any later
+    * event, since a post-cut event is ≥ gap away by construction) ship
+    * straight to the output, and only its OPEN tails re-enter the merge
+    * with batch 2's events: tails become weighted intervals
+    * (start, last = end − gap, n, sum) and interval-merge with the new
+    * events per user (running-max-of-last gaps-and-islands, the q176
+    * discipline — chains across multiple tails and events merge
+    * correctly). The DuckDB oracle knows nothing of the split: it
+    * replays plain FULL sessionization (q45's SQL) — the incremental
+    * path must reproduce it exactly, which is the whole claim.
+    *
+    * Scale shape: the expensive native sessionization touches only
+    * batch 1 once; the merge works on "open tails + new events" — the
+    * incremental working set, not the corpus. The merge windows are
+    * per-user and bounded by that working set.
+    */
+  def q250IncrementalSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val cut = ev.agg((date_trunc("DAY", min(col("ts")))
+      + expr("INTERVAL 20 DAYS")).as("cut"))
+    incrementalSessionize(ev, cut)
+  }
+
+  /** The incremental path, factored over (events, 1-row cut frame) so
+    * the spec can drive it through a synthetic corpus whose sessions
+    * PROVABLY span the cut (the small fixture's day-20 midnight falls
+    * between sessions, which would leave the tail merge untested).
+    */
+  private[graft] def incrementalSessionize(
+      ev: DataFrame, cut: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val withCut = ev.crossJoin(broadcast(cut))
+    val b1 = withCut.filter(col("ts") < col("cut"))
+    val b2 = withCut.filter(col("ts") >= col("cut"))
+    val s1 = StreamingOps.sessionAgg(b1.select("user_id", "ts", "value"))
+      .crossJoin(broadcast(cut))
+    val closed = s1.filter(col("s_end") <= col("cut"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"),
+        col("sum_value").cast(DecimalType(38, 2)).as("sv"))
+    val tails = s1.filter(col("s_end") > col("cut"))
+      .select(col("user_id"), col("s_start").as("start"),
+        expr("s_end - INTERVAL 30 MINUTES").as("last"),
+        col("n"), col("sum_value").cast(DecimalType(38, 2)).as("sv"))
+    val fresh = b2.select(col("user_id"), col("ts").as("start"),
+      col("ts").as("last"), lit(1L).as("n"),
+      col("value").cast(DecimalType(12, 2)).cast(DecimalType(38, 2)).as("sv"))
+    val comb = tails.unionByName(fresh)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start"), col("last"))
+    val merged = comb
+      .withColumn("prev_last",
+        max(col("last")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_last").isNull ||
+          col("start") >= col("prev_last") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start")).as("s_start"),
+        (max(col("last")) + expr("INTERVAL 30 MINUTES")).as("s_end"),
+        sum(col("n")).as("n"),
+        sum(col("sv")).cast(DecimalType(38, 2)).as("sv"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"), col("sv"))
+    closed.unionByName(merged)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"),
+        col("sv").cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_incremental_sessions" -> (q250IncrementalSessions _),
     "q247_stream_rate_limit" -> (q247StreamRateLimit _),
     "q242_stream_sessions"  -> (q242StreamSessions _),
     "q231_stream_ohlc_bars" -> (q231StreamOhlcBars _),
@@ -500,6 +577,9 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    // the incremental path must equal plain full sessionization — the
+    // oracle IS q45's full-recompute SQL
+    "q250_incremental_sessions" -> q45Oracle,
     "q247_stream_rate_limit" -> q247Oracle,
     "q242_stream_sessions"  -> q242Oracle,
     "q231_stream_ohlc_bars" -> q231Oracle,

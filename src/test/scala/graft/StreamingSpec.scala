@@ -377,4 +377,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rejected > 0, "multi-event hours exist; limit 1 must reject")
   }
+
+  test("q250: the incremental split is non-trivial (events on both sides " +
+    "of the cut, sessions genuinely spanning it) and the result equals " +
+    "full sessionization") {
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.agg((date_trunc("DAY", min(col("ts")))
+      + expr("INTERVAL 20 DAYS")).as("c")).collect().head.getTimestamp(0)
+    val before = ev.filter(col("ts") < lit(cut)).count()
+    val after = ev.filter(col("ts") >= lit(cut)).count()
+    assert(before > 0 && after > 0, "cut must split the fixture")
+    val full = StreamingOps.sessionAgg(ev).collect().map(_.toSeq).toSet
+    val incr = SparkEntry.queries("q250_incremental_sessions")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(incr === full,
+      s"incremental != full: ${(incr diff full).take(2)} / ${(full diff incr).take(2)}")
+    // the fixture's day-20 midnight falls between sessions, so drive the
+    // tail-merge path directly: synthetic users whose event chains
+    // PROVABLY span a known cut (10-minute steps, 30-minute gap)
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val synth = Seq(
+      // user 1: chain crossing the cut at minute 100 (events at 80, 95,
+      // 110 — each step < gap) plus a separate later session
+      (1L, ts(80), 1.0), (1L, ts(95), 2.0), (1L, ts(110), 3.0),
+      (1L, ts(300), 4.0),
+      // user 2: TWO pre-cut open tails is impossible (tails end the
+      // batch), but a tail chained through several post-cut events is
+      // the deep case: 90 -> 105 -> 120 -> 135
+      (2L, ts(90), 1.0), (2L, ts(105), 1.0), (2L, ts(120), 1.0),
+      (2L, ts(135), 1.0),
+      // user 3: closed well before the cut, must pass through untouched
+      (3L, ts(10), 5.0))
+      .toDF("user_id", "ts", "value")
+    val cutDf = Seq(Tuple1(ts(100))).toDF("cut")
+    val incrSynth = graft.queries.StreamingQueries
+      .incrementalSessionize(synth, cutDf).collect().map(_.toSeq).toSet
+    val fullSynth = StreamingOps.sessionAgg(synth)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(incrSynth === fullSynth,
+      s"synthetic merge diverged: ${(incrSynth diff fullSynth).take(3)} vs " +
+        s"${(fullSynth diff incrSynth).take(3)}")
+    // and the spanning sessions really span: user 1's first session runs
+    // from minute 80 to 110+30, across the cut at 100
+    val u1 = fullSynth.filter(_.head == 1L).toSeq.sortBy(
+      _(1).asInstanceOf[java.sql.Timestamp].getTime)
+    assert(u1.head(1).asInstanceOf[java.sql.Timestamp].before(ts(100)))
+    assert(u1.head(2).asInstanceOf[java.sql.Timestamp].after(ts(100)))
+  }
 }
