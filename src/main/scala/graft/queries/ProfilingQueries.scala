@@ -350,7 +350,132 @@ object ProfilingQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Linear-counting lookup for q251: est_lc(v) = round(m·ln(m/v)) for
+    * v empty registers, m = 256. ln is transcendental, but v has only
+    * 256 possible values — so the correction ships as a FIXED integer
+    * table both engines index, and no float crosses the gate. v = 0
+    * never consults the table (the raw path handles a full sketch).
+    */
+  val LcTable: IndexedSeq[Long] =
+    (0 to 256).map(v =>
+      if (v == 0) -1L else math.round(256.0 * math.log(256.0 / v)))
+
+  /** DETERMINISTIC HYPERLOGLOG (q251) — the mergeable cardinality
+    * sketch, built from scratch on md5 so the DuckDB oracle replays
+    * every register: p = 8 (256 registers), register = the hash's first
+    * 2 hex digits, ρ = position of the first set bit in the next 56
+    * (57 − bitlength, via the engines' shared exact binary-string
+    * length — no float log anywhere), raw estimate = α·m²·2⁵⁰ over
+    * Z_scaled = Σ 2^(50−min(ρmax,50)) with α as a fixed ppm constant,
+    * and the textbook SMALL-RANGE branch: when registers are empty and
+    * the raw estimate is ≤ 5m/2, linear counting m·ln(m/empty) takes
+    * over — via the integer [[LcTable]], because the raw formula
+    * over-reads 7× at n ≪ m and a sketch without its correction is a
+    * demo, not an operator. Spark's own approx_count_distinct (q11) is
+    * opaque to an external oracle; THIS sketch is the auditable twin —
+    * per source it reports the estimate, the branch taken, the exact
+    * distinct count, and the error in ppm, so the accuracy contract is
+    * itself gate-checked.
+    *
+    * Scale shape: one (source, register) max-ρ aggregate (map-side
+    * combine — the sketch IS the combiner), then a 256-row-per-source
+    * rollup. The estimate never touches the corpus again.
+    */
+  /** The sketch itself, factored over (frame, group column, value
+    * expression) so the spec can drive the RAW branch through a
+    * high-cardinality synthetic column (the fixture's 25-distinct
+    * sources all take the linear-counting branch).
+    */
+  private[graft] def hllSketch(df: DataFrame, groupCol: String,
+      valueSql: String): DataFrame = {
+    val regs = df
+      .select(col(groupCol).as("source"),
+        expr(s"CAST(conv(substring(md5($valueSql), 1, 2), 16, 10) AS BIGINT)")
+          .as("reg"),
+        expr(s"CAST(conv(substring(md5($valueSql), 3, 14), 16, 10) AS BIGINT)")
+          .as("v"))
+      .withColumn("rho", expr(
+        "CASE WHEN v = 0 THEN 57L ELSE 57L - length(conv(v, 10, 2)) END"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("rho_max"))
+    regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(1L, CAST(50 - least(rho_max, 50L) AS INT))"))
+          .as("z_hit"))
+      // 256 − m_hit empty registers each contribute 2^50 to Z
+      .withColumn("z_scaled",
+        col("z_hit") + (lit(256L) - col("m_hit")) * expr("shiftleft(1L, 50)"))
+      .withColumn("raw_est", expr(
+        """CAST(CAST(718273 AS DECIMAL(38,0)) * 65536
+          | * CAST(shiftleft(1L, 50) AS DECIMAL(38,0))
+          | div (CAST(z_scaled AS DECIMAL(38,0)) * 1000000) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("lc_est", element_at(
+        typedLit(LcTable), (lit(256L) - col("m_hit")).cast("int") + 1))
+      .withColumn("use_lc",
+        col("m_hit") < 256L && col("raw_est") <= 640L)
+      .withColumn("hll_est",
+        when(col("use_lc"), col("lc_est")).otherwise(col("raw_est")))
+  }
+
+  def q251HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est = hllSketch(Tables.documents(spark, dir), "source", "text")
+    val exact = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("m_hit"), col("hll_est"), col("use_lc"),
+        col("n_exact"),
+        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q251Oracle: String = {
+    val lcVals = LcTable.zipWithIndex
+      .map { case (e, v) => s"($v, $e)" }.mkString(", ")
+    s"""WITH r AS (
+       |  SELECT source,
+       |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS reg,
+       |    CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v,
+       |    text
+       |  FROM documents),
+       |rr AS (
+       |  SELECT source, reg,
+       |    MAX(CASE WHEN v = 0 THEN 57
+       |        ELSE 57 - length(bin(v)) END) AS rho_max
+       |  FROM r GROUP BY source, reg),
+       |e AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS m_hit,
+       |    CAST(SUM(1 << (50 - least(rho_max, 50))) AS BIGINT) AS z_hit
+       |  FROM rr GROUP BY source),
+       |z AS (
+       |  SELECT source, m_hit,
+       |    z_hit + (256 - m_hit) * (CAST(1 AS BIGINT) << 50) AS z_scaled
+       |  FROM e),
+       |lc(v, est) AS (VALUES $lcVals),
+       |est AS (
+       |  SELECT z.source, z.m_hit,
+       |    CAST(CAST(718273 AS HUGEINT) * 65536 * (CAST(1 AS HUGEINT) << 50)
+       |      // (CAST(z_scaled AS HUGEINT) * 1000000) AS BIGINT) AS raw_est,
+       |    CAST(lc.est AS BIGINT) AS lc_est
+       |  FROM z JOIN lc ON lc.v = 256 - z.m_hit),
+       |fin AS (
+       |  SELECT source, m_hit,
+       |    m_hit < 256 AND raw_est <= 640 AS use_lc,
+       |    CASE WHEN m_hit < 256 AND raw_est <= 640
+       |      THEN lc_est ELSE raw_est END AS hll_est
+       |  FROM est),
+       |x AS (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+       |      FROM documents GROUP BY source)
+       |SELECT fin.source, fin.m_hit, fin.hll_est, fin.use_lc, x.n_exact,
+       |  CAST(abs(fin.hll_est - x.n_exact) * 1000000 // x.n_exact AS BIGINT)
+       |    AS err_ppm
+       |FROM fin JOIN x ON x.source = fin.source
+       |ORDER BY fin.source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_hll_distinct"    -> (q251HllDistinct _),
     "q248_equidepth_histogram" -> (q248EquidepthHistogram _),
     "q245_join_fanout"     -> (q245JoinFanout _),
     "q229_fd_discovery"    -> (q229FdDiscovery _),
@@ -359,6 +484,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q251_hll_distinct"    -> q251Oracle,
     "q248_equidepth_histogram" -> q248Oracle,
     "q245_join_fanout"     -> q245Oracle,
     "q229_fd_discovery"    -> q229Oracle,

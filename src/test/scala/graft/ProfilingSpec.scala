@@ -169,4 +169,25 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.salt.thresholdPct")
   }
+
+  test("q251: linear counting holds small cardinalities within 20%, and " +
+    "the raw branch holds a 5000-distinct synthetic set within 10%") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q251_hll_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("use_lc"),
+        "tiny per-source cardinalities must take the LC branch")
+      assert(r.getAs[Long]("err_ppm") <= 200000L,
+        s"source ${r.getAs[String]("source")}: err ${r.getAs[Long]("err_ppm")}")
+    }
+    // raw branch: one group, 5000 distinct values
+    val synth = (1 to 5000).map(i => ("g", s"value_$i")).toDF("g", "s")
+    val est = graft.queries.ProfilingQueries.hllSketch(synth, "g", "s")
+      .collect().head
+    assert(!est.getAs[Boolean]("use_lc"), "5000 >> 640 must take raw HLL")
+    val e = est.getAs[Long]("hll_est")
+    assert(math.abs(e - 5000L) <= 500L,
+      s"raw HLL estimate $e outside 10% of 5000")
+  }
 }
