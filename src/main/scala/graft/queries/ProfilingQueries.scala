@@ -474,7 +474,57 @@ object ProfilingQueries {
        |ORDER BY fin.source""".stripMargin
   }
 
+  /** EXACT GINI COEFFICIENT (q252) — inequality of order value per
+    * order priority: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted integer cents, emitted ×10⁶ by integral division.
+    * Concentration screens (q244's HHI) measure share-of-categories;
+    * Gini measures share-of-mass across the whole distribution — the
+    * "do 1% of orders carry 50% of revenue" audit. Ranks come from the
+    * distributed prefix-sum scaffold partitioned by priority (no
+    * one-partition window); the rank-weighted sum promotes to
+    * DECIMAL(38,0) so Σi·xᵢ survives any corpus size.
+    *
+    * Scale shape: one range exchange per the scaffold, then a
+    * |priority|-row rollup.
+    */
+  def q252GiniValue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      o, Seq("priority"), Seq(col("cents").asc, col("o_orderkey").asc),
+      "one", "rk")
+    ranked.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * cents")).as("s1"))
+      .select(col("priority"), col("n"), col("sum_cents"),
+        expr("""CAST((2 * s1 - CAST(n + 1 AS DECIMAL(38,0)) * sum_cents)
+          | * 1000000 div (CAST(n AS DECIMAL(38,0)) * sum_cents) AS BIGINT)"""
+          .stripMargin).as("gini_ppm"))
+      .orderBy(col("priority"))
+  }
+
+  val q252Oracle: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+      |      AS rk
+      |  FROM orders)
+      |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST((2 * CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT)
+      |    - CAST(COUNT(*) + 1 AS HUGEINT) * SUM(cents)) * 1000000
+      |    // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT) AS gini_ppm
+      |FROM r
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_gini_value"      -> (q252GiniValue _),
     "q251_hll_distinct"    -> (q251HllDistinct _),
     "q248_equidepth_histogram" -> (q248EquidepthHistogram _),
     "q245_join_fanout"     -> (q245JoinFanout _),
@@ -484,6 +534,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q252_gini_value"      -> q252Oracle,
     "q251_hll_distinct"    -> q251Oracle,
     "q248_equidepth_histogram" -> q248Oracle,
     "q245_join_fanout"     -> q245Oracle,

