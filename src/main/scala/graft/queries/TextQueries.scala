@@ -765,7 +765,121 @@ object TextQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** SOURCE-SIMILARITY MATRIX (q253) — pairwise vocabulary cosine
+    * between sources, SQUARED to stay rational: cos²·10⁶ =
+    * (Σ c₁c₂)²·10⁶ div (Σc₁²·Σc₂²) over per-source word-count vectors.
+    * The corpus-redundancy map: two sources at cos² ≈ 1 are the same
+    * feed under different names — dedup them at the SOURCE level before
+    * paying document-level LSH for millions of their rows. All-pairs
+    * over SOURCES (tiny), never documents; every moment exact integer.
+    *
+    * Scale shape: one (source, word) hash-agg, a word-keyed self-join
+    * for the dot products (vocabulary-bounded), a |source|²/2 rollup.
+    */
+  def q253SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val norms = wc.groupBy(col("source"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = wc.as("a").join(wc.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    dots
+      .join(norms.select(col("source").as("src_a"), col("n2").as("n2a")), "src_a")
+      .join(norms.select(col("source").as("src_b"), col("n2").as("n2b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("dot"),
+        expr("""CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000
+          | div (CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)"""
+          .stripMargin).as("cos2_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q253Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH wc AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+       |  GROUP BY source, w),
+       |norms AS (
+       |  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+       |  FROM wc GROUP BY source),
+       |dots AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+       |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT d.src_a, d.src_b, d.dot,
+       |  CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+       |    // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+       |FROM dots d
+       |JOIN norms na ON na.source = d.src_a
+       |JOIN norms nb ON nb.source = d.src_b
+       |ORDER BY d.src_a, d.src_b""".stripMargin
+  }
+
+  /** BIGRAM NEXT-WORD PREDICTOR EVAL (q254) — the simplest language
+    * model, trained and evaluated in-engine: the global bigram table
+    * predicts each word's most frequent successor (ties to the
+    * lexicographically last, via struct-max — the same rule in both
+    * engines), and per-source top-1 accuracy over every positional
+    * bigram occurrence is the score. This is the "how predictable is
+    * this corpus" probe: template mills score near 1, organic text
+    * much lower — a corpus-health signal that needs no external model.
+    * Training accuracy by design (eval on the training corpus) — the
+    * point is the corpus statistic, not generalization.
+    *
+    * Scale shape: two (word-pair) hash-aggs, a vocabulary-sized argmax,
+    * a broadcastable predictor joined back onto the occurrence stream.
+    */
+  def q254BigramPredictor(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val occ = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(when(size(toksCol) < 2, array())
+          .otherwise(transform(sequence(lit(1), size(toksCol) - 1),
+            i => struct(element_at(toksCol, i).as("w1"),
+              element_at(toksCol, i + 1).as("w2"))))).as("bg"))
+      .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pred = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w1"))
+      .agg(max(struct(col("c"), col("w2"))).getField("w2").as("pred"))
+    occ.join(broadcast(pred), "w1")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("w2") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("source"), col("n_pairs"), col("n_correct"),
+        expr("n_correct * 1000000L div n_pairs").as("acc_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q254Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH occ AS (
+       |  SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT source, $toksSql AS toks FROM documents),
+       |    UNNEST(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |bc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM occ GROUP BY w1, w2),
+       |pred AS (
+       |  SELECT w1, (max({'c': c, 'w2': w2})).w2 AS pred
+       |  FROM bc GROUP BY w1)
+       |SELECT occ.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN occ.w2 = pred.pred THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(CAST(SUM(CASE WHEN occ.w2 = pred.pred THEN 1 ELSE 0 END)
+       |    AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+       |FROM occ JOIN pred ON pred.w1 = occ.w1
+       |GROUP BY occ.source
+       |ORDER BY occ.source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_bigram_predictor"  -> (q254BigramPredictor _),
+    "q253_source_similarity" -> (q253SourceSimilarity _),
     "q239_textrank_keywords" -> (q239TextrankKeywords _),
     "q224_lexical_diversity" -> (q224LexicalDiversity _),
     "q214_epoch_shuffle" -> (q214EpochShuffle _),
@@ -781,6 +895,8 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q254_bigram_predictor"  -> q254Oracle,
+    "q253_source_similarity" -> q253Oracle,
     "q239_textrank_keywords" -> q239Oracle,
     "q224_lexical_diversity" -> q224Oracle,
     "q214_epoch_shuffle" -> q214Oracle,

@@ -118,4 +118,61 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .distinct().collect().map(_.getString(0)).toSet
     rows.foreach { case (w, _) => assert(vocab(w), s"unknown keyword $w") }
   }
+
+  test("q253: every source pair appears once, cos2 is in (0, 10^6], and " +
+    "one pair recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q253_source_similarity")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("dot"), r.getAs[Long]("cos2_ppm"))))
+      .toMap
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.size === sources.length * (sources.length - 1) / 2)
+    rows.foreach { case (p, (_, c)) =>
+      assert(c >= 0L && c <= 1000000L, s"pair $p cos2 $c") }
+    // exact recompute of the first pair
+    val (sa, sb) = (sources(0), sources(1))
+    def counts(s: String) = Tables.documents(spark, sfDir)
+      .filter(col("source") === s)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+    val (ca, cb) = (counts(sa), counts(sb))
+    val dot = ca.keysIterator.filter(cb.contains)
+      .map(w => ca(w) * cb(w)).sum
+    val (n2a, n2b) = (ca.values.map(c => c * c).sum, cb.values.map(c => c * c).sum)
+    assert(rows((sa, sb))._1 === dot.toLong)
+    assert(rows((sa, sb))._2 === (dot * dot * 1000000 / (n2a * n2b)).toLong)
+  }
+
+  test("q254: the bigram predictor's accuracy recomputes exactly and the " +
+    "word-salad corpus stays far from deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q254_bigram_predictor")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // driver-side: train the same predictor, score one source
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val bigrams = toks.flatMap { case (_, t) => t.zip(t.drop(1)) }
+    val pred = bigrams.groupBy(_._1).view.mapValues { bs =>
+      bs.groupBy(_._2).view.mapValues(_.size).toSeq
+        .maxBy { case (w2, c) => (c, w2) }._1
+    }.toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val occ = toks.filter(_._1 == src).flatMap { case (_, t) => t.zip(t.drop(1)) }
+      val correct = occ.count { case (w1, w2) => pred(w1) == w2 }
+      assert(r.getAs[Long]("n_pairs") === occ.length.toLong, src)
+      assert(r.getAs[Long]("n_correct") === correct.toLong, src)
+      assert(r.getAs[Long]("acc_ppm") ===
+        BigInt(correct) * 1000000 / occ.length)
+      // a ~40-word uniform vocabulary caps top-1 bigram accuracy low
+      assert(r.getAs[Long]("acc_ppm") < 500000L,
+        s"$src implausibly predictable")
+    }
+  }
 }
