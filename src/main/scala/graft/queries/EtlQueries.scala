@@ -430,7 +430,70 @@ object EtlQueries {
       .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** CDC CHANGELOG COMPACTION (q255) — apply a change stream to produce
+    * the current snapshot, the Delta/Hudi merge semantic every lakehouse
+    * implements: per key keep the HIGHEST-sequence operation
+    * (last-writer-wins via one struct-max aggregate — no window, no
+    * sort), then drop keys whose final operation is a DELETE tombstone.
+    * The changelog is synthesized deterministically from orders so the
+    * oracle can rebuild it: seq 1 INSERTs every order; seq 2 UPDATEs
+    * every 5th key (status → 'U'); seq 3 DELETEs every 7th. Keys hit by
+    * both rules (every 35th) must resolve to the delete — ordering
+    * bugs, not just merge bugs, hash-mismatch.
+    *
+    * Scale shape: one union scan → one hash-aggregate keyed on the
+    * primary key. Compaction at 100 TB is exactly this shape, run
+    * partition-by-partition.
+    */
+  def q255CdcCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("status"), col("price"))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U").as("status"), (col("price") + 1).as("price")))
+      .unionByName(o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast(StringType).as("status"),
+          lit(null).cast(DoubleType).as("price")))
+    log.groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("status"), col("price")))
+        .as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("last.op").as("last_op"),
+        col("last.status").as("status"), col("last.price").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q255Oracle: String =
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+      |    o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', 'U', o_totalprice + 1
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL, NULL
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |last AS (
+      |  SELECT k,
+      |    (max({'seq': seq, 'op': op, 'status': status, 'price': price})).op
+      |      AS last_op,
+      |    (max({'seq': seq, 'op': op, 'status': status, 'price': price})).status
+      |      AS status,
+      |    (max({'seq': seq, 'op': op, 'status': status, 'price': price})).price
+      |      AS price
+      |  FROM log GROUP BY k)
+      |SELECT k AS o_orderkey, last_op, status, price
+      |FROM last
+      |WHERE last_op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_cdc_compaction" -> (q255CdcCompaction _),
     "q130_profile_columns" -> (q130ProfileColumns _),
     "q129_change_feed"  -> (q129ChangeFeed _),
     "q102_scd2_history" -> (q102Scd2History _),
@@ -445,6 +508,7 @@ object EtlQueries {
     "q31_aes_roundtrip" -> (q31AesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q255_cdc_compaction" -> q255Oracle,
     "q130_profile_columns" -> q130Oracle,
     "q129_change_feed"  -> q129Oracle,
     "q102_scd2_history" -> q102Oracle,

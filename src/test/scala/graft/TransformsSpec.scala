@@ -107,4 +107,28 @@ class TransformsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._3).forall(_ === 0L), "violations must be 0, not null")
     assert(rows.map(_._4).forall(identity), "passed must be true on empty input")
   }
+
+  test("q255: CDC compaction applies last-writer-wins with tombstones — " +
+    "deletes win over updates on keys hit by both") {
+    import org.apache.spark.sql.functions._
+    val snap = SparkEntry.queries("q255_cdc_compaction")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[String]("last_op"), r.getAs[String]("status")))
+      .toMap
+    val orig = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every %7 key (including %35 = also-updated) is gone
+    assert(orig.keys.filter(_ % 7 == 0).forall(!snap.contains(_)),
+      "tombstoned keys must not survive")
+    orig.foreach { case (k, st) =>
+      if (k % 7 != 0) {
+        val (op, status) = snap(k)
+        if (k % 5 == 0) { assert(op === "U" && status === "U", s"key $k") }
+        else { assert(op === "I" && status === st, s"key $k") }
+      }
+    }
+    assert(snap.size === orig.size - orig.keys.count(_ % 7 == 0))
+  }
 }
