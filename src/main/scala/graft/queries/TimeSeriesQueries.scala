@@ -357,7 +357,81 @@ object TimeSeriesQueries {
       |FROM g
       |ORDER BY day""".stripMargin
 
+  /** OFFLINE GREEDY-BANDIT REPLAY (q256) — off-policy evaluation on
+    * logged data (the Li et al. replay method, daily-batch form): each
+    * day the greedy policy picks the arm (event type) with the best
+    * CUMULATIVE mean value over all prior days, and is paid that day's
+    * actual mean value of the chosen arm. Means are quantized to exact
+    * integers (cents·10⁶ div n — the policy is defined ON the quantized
+    * statistic, so both engines pick identical arms; ties to the
+    * lexicographically last arm via struct-max; day 1, with no history,
+    * falls to that same tie rule over empty means). The "what would the
+    * naive exploit-only strategy have earned" baseline every
+    * experimentation platform reports.
+    *
+    * Scale shape: one (type, day) aggregate, per-type cumulative
+    * windows over day-bounded partitions, a |days|-row argmax.
+    */
+  def q256BanditReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = daily
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cs", sum(col("s")).over(w))
+      .withColumn("mean_prev", expr(
+        """CASE WHEN cn IS NULL THEN -1L
+          | ELSE CAST(CAST(cs AS DECIMAL(38,0)) * 1000000
+          |   div cn AS BIGINT) END""".stripMargin))
+      .withColumn("mean_today", expr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+    val chosen = grid.groupBy(col("day"))
+      .agg(max(struct(col("mean_prev"), col("event_type"))).as("pick"))
+      .select(col("day"), col("pick.event_type").as("chosen_arm"),
+        col("pick.mean_prev").as("mean_prev_scaled"))
+    chosen.join(grid.select(col("day"), col("event_type").as("chosen_arm"),
+        col("mean_today").as("reward_scaled")), Seq("day", "chosen_arm"))
+      .orderBy(col("day"))
+  }
+
+  val q256Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT *,
+      |    SUM(n) OVER w AS cn, SUM(s) OVER w AS cs
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT day, event_type,
+      |    CASE WHEN cn IS NULL THEN -1
+      |      ELSE CAST(CAST(cs AS HUGEINT) * 1000000 // cn AS BIGINT) END
+      |      AS mean_prev,
+      |    CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_today
+      |  FROM grid),
+      |pick AS (
+      |  SELECT day,
+      |    (max({'mp': mean_prev, 'et': event_type})).et AS chosen_arm,
+      |    (max({'mp': mean_prev, 'et': event_type})).mp AS mean_prev_scaled
+      |  FROM m GROUP BY day)
+      |SELECT pick.day, pick.chosen_arm, pick.mean_prev_scaled,
+      |  m.mean_today AS reward_scaled
+      |FROM pick JOIN m
+      |  ON m.day = pick.day AND m.event_type = pick.chosen_arm
+      |ORDER BY pick.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_bandit_replay"     -> (q256BanditReplay _),
     "q244_hhi_mix"           -> (q244HhiMix _),
     "q237_cusum_drift"       -> (q237CusumDrift _),
     "q228_dispersion_index"  -> (q228DispersionIndex _),
@@ -366,6 +440,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q256_bandit_replay"     -> q256Oracle,
     "q244_hhi_mix"           -> q244Oracle,
     "q237_cusum_drift"       -> q237Oracle,
     "q228_dispersion_index"  -> q228Oracle,

@@ -172,4 +172,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(r0.getAs[Long]("hhi_ppm") ===
       (cs.map(c => BigInt(c) * c).sum * 1000000 / (BigInt(n) * n)).toLong)
   }
+
+  test("q256: the greedy replay matches a driver-side sequential " +
+    "simulation day by day") {
+    val rows = SparkEntry.queries("q256_bandit_replay")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("chosen_arm"),
+        r.getAs[Long]("mean_prev_scaled"), r.getAs[Long]("reward_scaled")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val days = daily.map(_._2).distinct.sorted
+    val cum = scala.collection.mutable.Map.empty[String, (BigInt, BigInt)]
+    val expected = days.map { d =>
+      val today = daily.filter(_._2 == d)
+      val cells = today.map { case (t, _, _, _) =>
+        val mp = cum.get(t) match {
+          case Some((cn, cs)) => (cs * 1000000 / cn).toLong
+          case None => -1L
+        }
+        (mp, t)
+      }
+      val (mp, arm) = cells.max
+      val (_, _, n, s) = today.find(_._1 == arm).get
+      val reward = (BigInt(s) * 1000000 / n).toLong
+      today.foreach { case (t, _, n0, s0) =>
+        val (cn, cs) = cum.getOrElse(t, (BigInt(0), BigInt(0)))
+        cum(t) = (cn + n0, cs + s0)
+      }
+      (d, arm, mp, reward)
+    }
+    assert(rows.toSeq === expected.toSeq)
+  }
 }
