@@ -1314,7 +1314,110 @@ object AdvancedQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY r_q, f_q, m_q""".stripMargin
 
+  /** CONVERSION-WINDOW FUNNEL (q257) — q96's lifetime funnel with the
+    * constraint real attribution uses: each stage must land within 24
+    * hours of the previous one (a purchase a month after the click is
+    * not that click's conversion). Same first-qualifying-event
+    * recursion (min ts per user per stage), with the window bound in
+    * the join predicate — the change that turns a vanity funnel into
+    * an attribution funnel. Stage rows carry the window so the report
+    * is self-describing.
+    *
+    * Scale shape: identical to q96 — per-stage keyed aggregates and
+    * broadcast-joined user frontiers; the window predicate only
+    * tightens the join.
+    */
+  def q257WindowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstWithin(evType: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t") &&
+          col("ts") <= col("prev_t") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val clicks = firstWithin("click", views)
+    val purchases = firstWithin("purchase", clicks)
+    views.agg(count(lit(1)).as("n_users"))
+      .select(lit("a_view").as("stage"), col("n_users"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .select(lit("b_click").as("stage"), col("n_users")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .select(lit("c_purchase").as("stage"), col("n_users")))
+      .withColumn("window_hours", lit(24L))
+      .orderBy(col("stage"))
+  }
+
+  val q257Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |   AND e.ts <= v.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |   AND e.ts <= c.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT stage, n_users, CAST(24 AS BIGINT) AS window_hours FROM (
+      |  SELECT 'a_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT 'b_click', COUNT(*) FROM c
+      |  UNION ALL SELECT 'c_purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  /** TRANSITION-LATENCY MATRIX (q258) — q173's transition counts tell
+    * you WHERE users go next; this tells you HOW LONG they take: per
+    * (from, to) consecutive-event pair within a user's timeline, the
+    * count and the exact gap statistics (min/max/DECIMAL-exact mean in
+    * microseconds). A slow view→click edge is a UX finding; a
+    * near-zero anything→anything edge is a bot signature. Per-user lag
+    * windows (bounded partitions), then one 25-cell rollup.
+    */
+  def q258TransitionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("CAST(CAST(sum(gap_us) AS DECIMAL(38,0)) * 1 div count(1) AS BIGINT)")
+          .as("mean_gap_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q258Oracle: String =
+    """WITH g AS (
+      |  SELECT
+      |    lag(event_type) OVER w AS from_type,
+      |    event_type AS to_type,
+      |    CAST(epoch_us(ts) AS BIGINT)
+      |      - lag(CAST(epoch_us(ts) AS BIGINT)) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(CAST(SUM(gap_us) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_gap_us
+      |FROM g
+      |WHERE from_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_windowed_funnel"   -> (q257WindowedFunnel _),
+    "q258_transition_latency" -> (q258TransitionLatency _),
     "q246_rfm_segments"     -> (q246RfmSegments _),
     "q159_phrase_mining"    -> (q159PhraseMining _),
     "q157_drift_screen"     -> (q157DriftScreen _),
@@ -1345,6 +1448,8 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q257_windowed_funnel"   -> q257Oracle,
+    "q258_transition_latency" -> q258Oracle,
     "q246_rfm_segments"     -> q246Oracle,
     "q159_phrase_mining"    -> q159Oracle,
     "q157_drift_screen"     -> q157Oracle,

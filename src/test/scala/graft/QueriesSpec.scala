@@ -55,4 +55,39 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(depths.max - depths.min <= 1, s"quartiles unbalanced: $depths")
     }
   }
+
+  test("q257: the windowed funnel is monotone and never beats the " +
+    "unbounded q96 funnel at any stage") {
+    def stages(name: String): Map[String, Long] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    val bounded = stages("q257_windowed_funnel")
+    val unbounded = stages("q96_funnel")
+    assert(bounded("a_view") === unbounded("a_view"),
+      "stage 1 has no window to violate")
+    Seq("a_view", "b_click", "c_purchase").sliding(2).foreach {
+      case Seq(a, b) => assert(bounded(b) <= bounded(a), s"$b > $a")
+      case _ =>
+    }
+    Seq("b_click", "c_purchase").foreach { s =>
+      assert(bounded(s) <= unbounded(s), s"window cannot ADD users at $s") }
+  }
+
+  test("q258: transition latencies are positive-or-zero, cells tile the " +
+    "per-user consecutive pairs, and one cell recounts exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q258_transition_latency")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_gap_us") >= 0L)
+      assert(r.getAs[Long]("min_gap_us") <= r.getAs[Long]("mean_gap_us"))
+      assert(r.getAs[Long]("mean_gap_us") <= r.getAs[Long]("max_gap_us"))
+    }
+    val totalPairs = rows.map(_.getAs[Long]("n")).sum
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id")).groupBy("user_id").count().collect()
+      .map(_.getLong(1))
+    assert(totalPairs === events.map(n => math.max(0L, n - 1)).sum)
+  }
 }
