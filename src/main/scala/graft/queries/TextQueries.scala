@@ -877,7 +877,70 @@ object TextQueries {
        |ORDER BY occ.source""".stripMargin
   }
 
+  /** VOCABULARY COVERAGE CURVE (q260) — the tokenizer-sizing statistic:
+    * rank words by corpus frequency (ties lexicographic) and report,
+    * at each cutoff k ∈ {10, 20, 50, 100, 1000}, how much of the token
+    * MASS the top-k vocabulary covers (exact ppm) and how many words
+    * the cutoff actually retains (min(k, |vocab|)). This is the curve
+    * that decides vocab size before training a tokenizer: where it
+    * flattens, bigger vocabularies buy nothing. Ranks from the
+    * prefix-sum scaffold; cumulative mass from the SAME ranked frame.
+    *
+    * Scale shape: one word hash-agg, one range exchange for the rank,
+    * a cutoff-count-sized output.
+    */
+  def q260VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffs = Seq(10L, 20L, 50L, 100L, 1000L)
+    val wc = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("g", lit(0))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      wc, Seq("g"), Seq(col("c").desc, col("w").asc), "c", "cum")
+      .withColumn("one", lit(1L))
+    val ranked2 = graft.functions.PrefixSum.runningTotal(
+      ranked, Seq("g"), Seq(col("c").desc, col("w").asc), "one", "rk")
+    val tot = wc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_vocab"))
+    val cuts = spark.createDataFrame(cutoffs.map(Tuple1(_))).toDF("k")
+    ranked2.crossJoin(broadcast(cuts))
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("cum")).as("mass"), count(lit(1)).as("n_words"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_words"),
+        expr("mass * 1000000L div total").as("coverage_ppm"),
+        col("n_vocab"))
+      .orderBy(col("k"))
+  }
+
+  val q260Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  GROUP BY w),
+       |r AS (
+       |  SELECT w, c,
+       |    SUM(c) OVER (ORDER BY c DESC, w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    row_number() OVER (ORDER BY c DESC, w) AS rk
+       |  FROM wc),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+       |        CAST(COUNT(*) AS BIGINT) AS n_vocab FROM wc),
+       |cuts(k) AS (VALUES (10), (20), (50), (100), (1000))
+       |SELECT CAST(cuts.k AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(CAST(MAX(cum) AS HUGEINT) * 1000000 // t.total AS BIGINT)
+       |    AS coverage_ppm,
+       |  t.n_vocab
+       |FROM r JOIN cuts ON r.rk <= cuts.k
+       |CROSS JOIN t
+       |GROUP BY cuts.k, t.total, t.n_vocab
+       |ORDER BY k""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_vocab_coverage"    -> (q260VocabCoverage _),
     "q254_bigram_predictor"  -> (q254BigramPredictor _),
     "q253_source_similarity" -> (q253SourceSimilarity _),
     "q239_textrank_keywords" -> (q239TextrankKeywords _),
@@ -895,6 +958,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q260_vocab_coverage"    -> q260Oracle,
     "q254_bigram_predictor"  -> q254Oracle,
     "q253_source_similarity" -> q253Oracle,
     "q239_textrank_keywords" -> q239Oracle,

@@ -430,7 +430,98 @@ object TimeSeriesQueries {
       |  ON m.day = pick.day AND m.event_type = pick.chosen_arm
       |ORDER BY pick.day""".stripMargin
 
+  /** RAPID-REPEAT SCREEN (q259) — the telemetry double-fire detector:
+    * the same user emitting the same event TYPE twice within 60 seconds
+    * is a suspected client double-fire or retry storm. Per-user lag
+    * windows flag the SECOND event of each pair with its exact gap —
+    * the review-list a cleanup job consumes (value equality is
+    * deliberately NOT required: retried requests often re-randomize
+    * payload fields; the type+proximity signature is the durable
+    * tell). Microsecond arithmetic, no floats.
+    */
+  def q259EventDoubleFire(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("prev_type") === col("event_type") &&
+        col("gap_us") < 60000000L)
+      .select(col("user_id"), col("event_id").as("dup_event_id"),
+        col("event_type"), col("gap_us"))
+      .orderBy(col("dup_event_id"))
+  }
+
+  val q259Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type) OVER w AS prev_type,
+      |    CAST(epoch_us(ts) AS BIGINT)
+      |      - lag(CAST(epoch_us(ts) AS BIGINT)) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS dup_event_id, event_type, gap_us
+      |FROM g
+      |WHERE prev_type = event_type AND gap_us < 60000000
+      |ORDER BY dup_event_id""".stripMargin
+
+  /** DAU/MAU STICKINESS (q261) — the product-analytics retention pulse:
+    * per day, the active users that day (DAU), the distinct users of
+    * the trailing 28 days (MAU), and stickiness = DAU·10⁶ div MAU.
+    * Exact sliding distinct WITHOUT window state: each (user, day)
+    * activity contributes itself to the 28 window-days it covers
+    * (constant ×28 explode), then one distinct-count per window-day —
+    * the fan-out shape that scales because it never holds a window's
+    * user set in memory. Days before a full window report their
+    * partial-window MAU (standard dashboard behavior, documented).
+    */
+  def q261DauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .distinct()
+    val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 27)).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau.select(col("wday").as("day"), col("mau")), "day")
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("d1"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000L div mau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val q261Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM ud GROUP BY day),
+      |mau AS (
+      |  SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM (SELECT DISTINCT user_id, day + k AS wday
+      |        FROM ud, UNNEST(range(0, 28)) AS t(k))
+      |  GROUP BY wday),
+      |sp AS (SELECT MAX(day) AS d1 FROM ud)
+      |SELECT dau.day, dau.dau, mau.mau,
+      |  CAST(CAST(dau.dau AS HUGEINT) * 1000000 // mau.mau AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM dau JOIN mau ON mau.wday = dau.day
+      |CROSS JOIN sp
+      |WHERE dau.day <= sp.d1
+      |ORDER BY dau.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_event_doublefire"  -> (q259EventDoubleFire _),
+    "q261_dau_mau"           -> (q261DauMau _),
     "q256_bandit_replay"     -> (q256BanditReplay _),
     "q244_hhi_mix"           -> (q244HhiMix _),
     "q237_cusum_drift"       -> (q237CusumDrift _),
@@ -440,6 +531,8 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q259_event_doublefire"  -> q259Oracle,
+    "q261_dau_mau"           -> q261Oracle,
     "q256_bandit_replay"     -> q256Oracle,
     "q244_hhi_mix"           -> q244Oracle,
     "q237_cusum_drift"       -> q237Oracle,

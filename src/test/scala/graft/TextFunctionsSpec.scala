@@ -175,4 +175,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
         s"$src implausibly predictable")
     }
   }
+
+  test("q260: coverage is monotone in k, hits 10^6 when k exceeds the " +
+    "vocabulary, and one cutoff recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q260_vocab_coverage")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("coverage_ppm"), r.getAs[Long]("n_vocab")))
+      .sortBy(_._1)
+    assert(rows.length === 5)
+    val covs = rows.map(_._3)
+    assert(covs === covs.sorted, "coverage must be monotone in k")
+    rows.foreach { case (k, nw, _, nv) => assert(nw === math.min(k, nv)) }
+    val full = rows.find(r => r._1 >= r._4).get
+    assert(full._3 === 1000000L, "k >= |vocab| must cover everything")
+    // recompute k=10 exactly
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    val mass10 = counts.take(10).map(_._2).sum
+    assert(rows.head._3 === BigInt(mass10) * 1000000 / total)
+  }
 }

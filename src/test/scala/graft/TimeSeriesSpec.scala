@@ -210,4 +210,51 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rows.toSeq === expected.toSeq)
   }
+
+  test("q259: every flagged pair really is a same-type repeat within 60s, " +
+    "and the flag count matches a driver recount") {
+    val rows = SparkEntry.queries("q259_event_doublefire")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_us") >= 0L &&
+        r.getAs[Long]("gap_us") < 60000000L)
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expect = ev.values.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).toSeq.sliding(2).collect {
+        case Seq(a, b) if a._3 == b._3 && b._4 - a._4 < 60000000L => b._2
+      }
+    }.toSet
+    assert(rows.map(_.getAs[Long]("dup_event_id")).toSet === expect)
+  }
+
+  test("q261: stickiness is bounded by 1, DAU <= MAU everywhere, and the " +
+    "first day's MAU equals its DAU") {
+    val rows = SparkEntry.queries("q261_dau_mau")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("mau"), r.getAs[Long]("stickiness_ppm")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, mau, s) =>
+      assert(dau >= 1L && dau <= mau, s"day $d")
+      assert(s === dau * 1000000L / mau)
+      assert(s <= 1000000L)
+    }
+    // day 1's trailing window contains only day 1
+    assert(rows.head._2 === rows.head._3)
+    // a full-window day's MAU is the exact distinct of its 28 days
+    val (d28, _, mau28, _) = rows.last
+    val manual = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .filter(col("day") >= d28 - 27 && col("day") <= d28)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(mau28 === manual)
+  }
 }
