@@ -523,7 +523,131 @@ object ProfilingQueries {
       |GROUP BY priority
       |ORDER BY priority""".stripMargin
 
+  /** ABC CLASSIFICATION (q262) — the inventory-analysis classic: rank
+    * parts by lineitem revenue (integer cents), classify A = the parts
+    * carrying the first 80% of cumulative revenue, B = to 95%, C = the
+    * tail, by exact cross-multiplied comparisons (cum·100 ≤ total·80 —
+    * the boundary part that CROSSES 80% belongs to A, standard ABC
+    * convention via cum_before). Reports each class's part count and
+    * exact revenue share. Gini (q252) says HOW unequal; ABC says WHICH
+    * keys to manage.
+    *
+    * Scale shape: one revenue hash-agg, one prefix-sum rank exchange,
+    * a 3-row rollup.
+    */
+  def q262AbcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .withColumn("g", lit(0))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      rev, Seq("g"), Seq(col("cents").desc, col("l_partkey").asc),
+      "cents", "cum")
+    val tot = rev.agg(sum(col("cents")).as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("cum_before", col("cum") - col("cents"))
+      .withColumn("cls", expr(
+        """CASE WHEN cum_before * 100 < total * 80 THEN 'A'
+          |     WHEN cum_before * 100 < total * 95 THEN 'B'
+          |     ELSE 'C' END""".stripMargin))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("class_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"),
+        expr("""CAST(CAST(class_cents AS DECIMAL(38,0)) * 1000000
+          | div total AS BIGINT)""".stripMargin).as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  val q262Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |r AS (
+      |  SELECT l_partkey, cents,
+      |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      |  FROM rev),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+      |c AS (
+      |  SELECT CASE WHEN COALESCE(cum_before, 0) * 100 < total * 80 THEN 'A'
+      |              WHEN COALESCE(cum_before, 0) * 100 < total * 95 THEN 'B'
+      |              ELSE 'C' END AS cls,
+      |    cents
+      |  FROM r CROSS JOIN t)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(CAST(SUM(cents) AS HUGEINT) * 1000000
+      |    // (SELECT total FROM t) AS BIGINT) AS share_ppm
+      |FROM c
+      |GROUP BY cls
+      |ORDER BY cls""".stripMargin
+
+  /** CROSS-TABLE FINANCIAL RECONCILIATION (q263) — does the order header
+    * total agree with its lines? Recompute Σ extendedprice·(1−disc)·
+    * (1+tax) per order in integer micro-cents cents·10⁴ (each factor
+    * has ≤ 2 decimals, so the triple product is EXACT at 10⁸ scale —
+    * cents·(100−d·100)·(100+t·100)), compare against o_totalprice at
+    * the same scale, and report: orders checked, orders without lines,
+    * mismatches beyond a 1-cent tolerance, and the worst absolute
+    * discrepancy. The close-the-books audit; on this synthetic fixture
+    * the totals are INDEPENDENT random numbers, so the audit must
+    * find near-universal mismatch — and prove it with exact numbers.
+    */
+  def q263Reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+          | * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          | * (100 + CAST(round(l_tax * 100) AS BIGINT))""".stripMargin)
+          .as("line_u"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_u")).as("lines_u"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") * 10000L)
+          .as("header_u"))
+      .join(lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("header_u"), col("lines_u"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lines_u").isNull, 1L).otherwise(0L)).as("n_lineless"),
+        sum(when(col("lines_u").isNotNull &&
+          abs(col("header_u") - col("lines_u")) > 10000L, 1L).otherwise(0L))
+          .as("n_mismatched"),
+        max(when(col("lines_u").isNotNull,
+          abs(col("header_u") - col("lines_u")))).as("max_abs_diff_u"))
+  }
+
+  val q263Oracle: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+      |      AS lines_u
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000 AS header_u,
+      |    lines.lines_u
+      |  FROM orders o LEFT JOIN lines ON lines.l_orderkey = o.o_orderkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN lines_u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lineless,
+      |  CAST(SUM(CASE WHEN lines_u IS NOT NULL
+      |    AND abs(header_u - lines_u) > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatched,
+      |  CAST(MAX(CASE WHEN lines_u IS NOT NULL
+      |    THEN abs(header_u - lines_u) END) AS BIGINT) AS max_abs_diff_u
+      |FROM j""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_abc_classes"     -> (q262AbcClasses _),
+    "q263_reconciliation"  -> (q263Reconciliation _),
     "q252_gini_value"      -> (q252GiniValue _),
     "q251_hll_distinct"    -> (q251HllDistinct _),
     "q248_equidepth_histogram" -> (q248EquidepthHistogram _),
@@ -534,6 +658,8 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q262_abc_classes"     -> q262Oracle,
+    "q263_reconciliation"  -> q263Oracle,
     "q252_gini_value"      -> q252Oracle,
     "q251_hll_distinct"    -> q251Oracle,
     "q248_equidepth_histogram" -> q248Oracle,

@@ -137,13 +137,68 @@ object RelationalPlus {
       |GROUP BY o.k
       |ORDER BY o.k NULLS FIRST""".stripMargin
 
+  /** SHARE-OF-PARENT HIERARCHY REPORT (q264) — the BI staple rollups
+    * don't give you: each nation's revenue with its share of its REGION
+    * and of the GRAND TOTAL, in exact ppm. Revenue flows orders →
+    * customer → nation → region (broadcast dims); the region subtotal
+    * broadcasts back onto its nations — two extra rows of exchange,
+    * zero extra scans (ReusedExchange covers the re-aggregation).
+    * Shares are integral divisions of integer cents: the report sums
+    * audit exactly, no float drift between a nation and its parent.
+    */
+  def q264ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val regTot = rev.groupBy(col("r_name")).agg(sum(col("cents")).as("r_cents"))
+    val tot = rev.agg(sum(col("cents")).as("total"))
+    rev.join(broadcast(regTot), "r_name")
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("""CAST(CAST(cents AS DECIMAL(38,0)) * 1000000
+          | div r_cents AS BIGINT)""".stripMargin).as("share_of_region_ppm"),
+        expr("""CAST(CAST(cents AS DECIMAL(38,0)) * 1000000
+          | div total AS BIGINT)""".stripMargin).as("share_of_total_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q264Oracle: String =
+    """WITH rev AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY r.r_name, n.n_name),
+      |rt AS (SELECT r_name, CAST(SUM(cents) AS BIGINT) AS r_cents
+      |       FROM rev GROUP BY r_name),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev)
+      |SELECT rev.r_name, rev.n_name, rev.cents,
+      |  CAST(CAST(cents AS HUGEINT) * 1000000 // rt.r_cents AS BIGINT)
+      |    AS share_of_region_ppm,
+      |  CAST(CAST(cents AS HUGEINT) * 1000000 // t.total AS BIGINT)
+      |    AS share_of_total_ppm
+      |FROM rev JOIN rt ON rt.r_name = rev.r_name
+      |CROSS JOIN t
+      |ORDER BY rev.r_name, rev.n_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_share_of_parent" -> (q264ShareOfParent _),
     "q105_null_safe_join" -> (q105NullSafeJoin _),
     "q87_join_full_outer" -> (q87JoinFullOuter _),
     "q88_unpivot"         -> (q88Unpivot _),
     "q89_grouping_sets"   -> (q89GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q264_share_of_parent" -> q264Oracle,
     "q105_null_safe_join" -> q105Oracle,
     "q87_join_full_outer" -> q87Oracle,
     "q88_unpivot"         -> q88Oracle,

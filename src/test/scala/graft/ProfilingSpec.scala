@@ -220,4 +220,35 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     val s1 = (1L to 10L).map(_ * 700L).sum
     assert((2 * s1 - (n + 1) * s0) === 0L)
   }
+
+  test("q262: ABC classes partition the parts, shares sum to ~10^6, and " +
+    "A's share is at least 80% minus the boundary part") {
+    val rows = SparkEntry.queries("q262_abc_classes")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("share_ppm"))).toMap
+    assert(rows.keySet === Set("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(rows.values.map(_._1).sum === nParts)
+    val shares = rows.values.map(_._2).sum
+    assert(shares >= 999997L && shares <= 1000000L, s"shares sum $shares")
+    assert(rows("A")._2 >= 800000L, "A must cover at least 80% of revenue")
+    assert(rows("A")._2 <= rows("A")._2 + rows("B")._2)
+    assert(rows("A")._1 < nParts, "A cannot be everything")
+  }
+
+  test("q263: the synthetic fixture's independent header totals mismatch " +
+    "nearly everywhere, and the counts recount exactly") {
+    val r = SparkEntry.queries("q263_reconciliation")(spark, sfDir)
+      .collect().head
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(r.getAs[Long]("n_orders") === nOrders)
+    val withLines = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
+    assert(r.getAs[Long]("n_lineless") === nOrders - withLines)
+    assert(r.getAs[Long]("n_mismatched") > (nOrders - r.getAs[Long]("n_lineless")) / 2,
+      "independent random totals must mismatch mostly")
+    assert(r.getAs[Long]("max_abs_diff_u") > 0L)
+  }
 }

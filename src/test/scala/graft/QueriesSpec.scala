@@ -90,4 +90,26 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(1))
     assert(totalPairs === events.map(n => math.max(0L, n - 1)).sum)
   }
+
+  test("q264: nation shares audit exactly — each region's shares sum to " +
+    "~10^6 and region subtotals recompose the grand total") {
+    val rows = SparkEntry.queries("q264_share_of_parent")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[String]("n_name"),
+        r.getAs[Long]("cents"), r.getAs[Long]("share_of_region_ppm"),
+        r.getAs[Long]("share_of_total_ppm")))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val rCents = ns.map(_._3).sum
+      // integral division truncates: the sum of shares is within
+      // |nations| ppm below 10^6, never above
+      val s = ns.map(_._4).sum
+      assert(s <= 1000000L && s >= 1000000L - ns.length, s"$region: $s")
+      ns.foreach { case (_, n, c, sr, st) =>
+        assert(sr === BigInt(c) * 1000000 / rCents, s"$region/$n")
+        assert(st === BigInt(c) * 1000000 / total, s"$region/$n")
+      }
+    }
+  }
 }
