@@ -294,4 +294,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // "*(n)" node prefixes mark whole-stage-codegen stages in compact mode
     assert(p.contains("*(") , p)
   }
+
+  test("q216/q236: winnowing candidate generation is equi-join-shaped — " +
+    "no cartesian product anywhere in the pair pipeline") {
+    Seq("q216_winnowing_fingerprints", "q236_weighted_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(3000)}")
+    }
+  }
+
+  test("q239: unrolled TextRank reuses the edge/degree exchanges across " +
+    "iterations (q142's discipline on the word graph)") {
+    val df = SparkEntry.queries("q239_textrank_keywords")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) p.take(cut) else p
+    assert(finalPlan.contains("ReusedExchange"),
+      s"TextRank must reuse exchanges:\n${finalPlan.take(4000)}")
+  }
+
+  test("q226: the covariance fan-out collapses through partial " +
+    "aggregation — the shuffle carries cells, not row-pairs") {
+    val df = SparkEntry.queries("q226_embedding_covariance")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // partial_ markers: map-side combine before the (i, j) exchange
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q251: the HLL register aggregate combines map-side (the sketch IS " +
+    "the combiner)") {
+    val p = plan("q251_hll_distinct")
+    assert(p.contains("partial_max"),
+      s"register max must pre-aggregate before the exchange:\n${p.take(3000)}")
+  }
 }
