@@ -14,11 +14,22 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("all registered queries execute and return rows at sf0.001") {
-    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
-      if (n == 0) Some(name) else None
+    // DETECTORS whose correct sf0.001 output is empty (nothing to
+    // detect at this scale): each one's firing is proven by its own
+    // spec on planted/threshold-lowered input (ProfilingSpec q249,
+    // TimeSeriesSpec q259); execution is still asserted here.
+    val emptyByDesign = Set("q249_salt_plan", "q259_event_doublefire")
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).count()
     }
+    val empty = counts.collect {
+      case (name, 0L) if !emptyByDesign(name) => name }
     assert(empty.isEmpty, s"queries with 0 rows at sf0.001: $empty")
+    // the exemption list must not rot: an exempted query that GROWS
+    // rows at this scale should rejoin the strict check
+    emptyByDesign.foreach { name =>
+      assert(counts(name) === 0L,
+        s"$name now returns rows at sf0.001 — drop its exemption") }
   }
 
   test("approx_percentile is within 2.5% of exact percentiles (in-query bound)") {
