@@ -233,4 +233,51 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         s"row $id: size(bpeSegment) must equal bpeTokenCount")
     }
   }
+
+  test("q233 law: Hamilton apportionment sums EXACTLY to the budget for " +
+    "every K (conf sweep over generated budgets)") {
+    val ks = Gen.listOfN(8, Gen.choose(1L, 5000L))
+      .apply(Gen.Parameters.default, Seed(233L)).get.distinct
+    ks.foreach { k =>
+      spark.conf.set("spark.graft.apportion.k", k.toString)
+      try {
+        val rows = SparkEntry.queries("q233_apportionment")(spark, sfDir)
+          .collect()
+        assert(rows.map(_.getAs[Long]("seats")).sum === k,
+          s"K=$k: seats must sum to the budget exactly")
+        rows.foreach(r => assert(r.getAs[Long]("extra") <= 1L))
+      } finally spark.conf.unset("spark.graft.apportion.k")
+    }
+  }
+
+  test("q251 law: the linear-counting table is strictly decreasing in the " +
+    "empty-register count and anchored at the boundaries") {
+    val t = graft.queries.ProfilingQueries.LcTable
+    assert(t.length === 257)
+    assert(t(256) === 0L, "all registers empty => estimate 0")
+    assert(t(1) === math.round(256.0 * math.log(256.0)),
+      "one empty register => densest LC estimate")
+    (2 to 256).foreach { v =>
+      assert(t(v) <= t(v - 1), s"LC($v) must not exceed LC(${v - 1})") }
+  }
+
+  test("q232 law: the Poisson(1) ppm quantiles are the exact CDF cutoffs " +
+    "(e^-1 ladder) and multiplicities have mean ~1 under md5 uniformity") {
+    // the fixed thresholds used by q232 (and its oracle)
+    val thr = Seq(367879L, 735759L, 919699L, 981012L, 996340L)
+    var cdf = 0.0
+    var fact = 1.0
+    thr.zipWithIndex.foreach { case (q, kk) =>
+      if (kk > 0) fact *= kk
+      cdf += math.exp(-1.0) / fact
+      assert(math.abs(q - math.round(cdf * 1000000)) <= 1,
+        s"P(X<=$kk) ppm mismatch: $q vs ${cdf * 1000000}")
+    }
+    // expected multiplicity: sum over k of k*P(k), truncated at 5
+    val p = thr.map(_.toDouble / 1000000)
+    val steps = p.head +: p.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    val probs = steps :+ (1.0 - p.last)
+    val mean = probs.zipWithIndex.map { case (pr, k) => pr * k }.sum
+    assert(math.abs(mean - 1.0) < 0.02, s"truncated-Poisson mean $mean")
+  }
 }
