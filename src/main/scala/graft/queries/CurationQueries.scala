@@ -2256,7 +2256,65 @@ object CurationQueries {
       |FROM r
       |ORDER BY source""".stripMargin
 
+  /** SPAN-CORRUPTION SCHEDULE (q265) — the T5-style objective prep: per
+    * document, partition the token stream into fixed 10-token chunks
+    * and corrupt ONE md5-chosen position per chunk (non-overlapping by
+    * construction — no interval merging needed, which is exactly why
+    * production maskers use chunked sampling). Output per doc: chunk
+    * count, the exact masked-token share in ppm, and the md5 of the
+    * mask-position list — the manifest a trainer consumes to
+    * reconstruct the identical corruption without shipping the masks.
+    * Deterministic end to end: positions are md5₆₄(doc‖chunk) mod 10.
+    *
+    * Scale shape: one scan, per-doc array arithmetic, no joins, no
+    * shuffle beyond the output sort.
+    */
+  def q265SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"))
+      .withColumn("n_chunks", expr("greatest(1L, n_tokens div 10)"))
+      .withColumn("mask_pos", expr(
+        """transform(sequence(0, CAST(n_chunks - 1 AS INT)), c ->
+          |  least(n_tokens - 1, c * 10 +
+          |    CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+          |      CAST(c AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        expr("size(array_distinct(mask_pos))").cast(LongType)
+          .as("n_masked"),
+        expr("""CAST(size(array_distinct(mask_pos)) * 1000000L
+          | div n_tokens AS BIGINT)""".stripMargin).as("masked_ppm"),
+        expr("md5(concat_ws(',', transform(mask_pos, x -> CAST(x AS STRING))))")
+          .as("mask_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q265Oracle: String = {
+    val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        greatest(1, n_tokens // 10) AS n_chunks FROM d),
+       |m AS (
+       |  SELECT doc_id, n_tokens, n_chunks,
+       |    list_transform(range(0, n_chunks), c ->
+       |      least(n_tokens - 1, c * 10 +
+       |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+       |          || CAST(c AS VARCHAR)), 1, 8) AS BIGINT) % 10)) AS mask_pos
+       |  FROM c)
+       |SELECT doc_id, n_tokens, n_chunks,
+       |  CAST(len(list_distinct(mask_pos)) AS BIGINT) AS n_masked,
+       |  CAST(CAST(len(list_distinct(mask_pos)) AS HUGEINT) * 1000000
+       |    // n_tokens AS BIGINT) AS masked_ppm,
+       |  md5(array_to_string(mask_pos, ',')) AS mask_md5
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_span_corruption"      -> (q265SpanCorruption _),
     "q233_apportionment"        -> (q233Apportionment _),
     "q225_policy_regex_filter"  -> (q225PolicyRegexFilter _),
     "q218_lang_quality_buckets" -> (q218LangQualityBuckets _),
@@ -2289,6 +2347,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q265_span_corruption"      -> q265Oracle,
     "q233_apportionment"        -> q233Oracle,
     "q225_policy_regex_filter"  -> q225Oracle,
     "q218_lang_quality_buckets" -> q218Oracle,

@@ -1651,7 +1651,95 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** PER-SOURCE TEMPLATE RATE (q266) — the "which feed is a template
+    * mill" report: share of each source's documents that have at least
+    * one near-duplicate (exact trigram Jaccard ≥ 0.8, LSH-candidates +
+    * confirm, q36's machinery) WITHIN the same source. Cross-source
+    * near-dups are syndication; same-source near-dups are templating —
+    * the distinction that decides whether you fix the source or dedup
+    * the pair. Plants carry their base doc's source, so every source
+    * has a known templated floor the spec can assert.
+    *
+    * Scale shape: q36's banded candidate generation (never all-pairs),
+    * then doc-keyed source joins and a |source|-row rollup.
+    */
+  def q266TemplateRate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val plants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zz9end")).as("text"))
+    val docs = base.unionByName(plants)
+      .withColumn("sh", graft.expressions.ShingleHashes.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3))
+    val sigs = docs.withColumn("sig",
+      graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
+    val banded = sigs.select(col("doc_id"), col("source"),
+      explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.source") === col("b.source"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.source").as("source"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"))
+    val confirmed = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("source"), col("id_a"), col("id_b"))
+    val templated = confirmed.select(col("source"), col("id_a").as("doc_id"))
+      .unionByName(confirmed.select(col("source"), col("id_b").as("doc_id")))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_templated"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(templated, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_templated"), lit(0L)).as("n_templated"))
+      .withColumn("template_ppm",
+        expr("n_templated * 1000000L div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q266Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, source, text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id, source,
+       |        list_distinct(CASE
+       |          WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |          END) AS sh
+       |      FROM docs_p),
+       |dl AS (SELECT doc_id, source, sh, len(sh) AS n FROM d),
+       |pairs AS (
+       |  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM dl a JOIN dl b
+       |    ON b.doc_id > a.doc_id AND a.source = b.source
+       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |tm AS (
+       |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_templated
+       |  FROM (SELECT source, id_a AS doc_id FROM pairs
+       |        UNION ALL SELECT source, id_b FROM pairs)
+       |  GROUP BY source),
+       |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM docs_p GROUP BY source)
+       |SELECT nd.source, nd.n_docs,
+       |  COALESCE(tm.n_templated, 0) AS n_templated,
+       |  COALESCE(tm.n_templated, 0) * 1000000 // nd.n_docs AS template_ppm
+       |FROM nd LEFT JOIN tm ON tm.source = nd.source
+       |ORDER BY nd.source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_template_rate"          -> (q266TemplateRate _),
     "q236_weighted_jaccard"       -> (q236WeightedJaccard _),
     "q216_winnowing_fingerprints" -> (q216WinnowingFingerprints _),
     "q213_lsh_bucket_cap" -> (q213LshBucketCap _),
@@ -1675,6 +1763,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q266_template_rate"          -> q266Oracle,
     "q236_weighted_jaccard"       -> q236Oracle,
     "q216_winnowing_fingerprints" -> q216Oracle,
     "q213_lsh_bucket_cap" -> q213Oracle,

@@ -567,4 +567,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert((BigDecimal(seats) - quota).abs < 1, s"$s seats $seats vs quota $quota")
     }
   }
+
+  test("q265: one mask per chunk, ~10% of tokens masked on chunk-aligned " +
+    "docs, and the manifest md5 is stable across executions") {
+    val a = SparkEntry.queries("q265_span_corruption")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q265_span_corruption")(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "the schedule must be deterministic across executions")
+    a.foreach { r =>
+      val (nt, nc, nm) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_masked"))
+      assert(nc === math.max(1L, nt / 10))
+      assert(nm >= 1L && nm <= nc, "distinct mask positions within chunks")
+      val ppm = r.getAs[Long]("masked_ppm")
+      assert(ppm === nm * 1000000L / nt)
+      // one mask per 10-token chunk; unmasked tail tokens dilute the
+      // share below 10%, never past the 19-token worst case (~5.26%)
+      if (nt >= 10)
+        assert(ppm >= 52631L && ppm <= 100000L,
+          s"doc ${r.getAs[Long]("doc_id")}: masked $ppm ppm")
+      assert(r.getAs[String]("mask_md5").length === 32)
+    }
+  }
 }

@@ -395,6 +395,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q266: every source's template rate reflects at least its planted " +
+    "twins, and rates are valid ppm shares") {
+    val rows = SparkEntry.queries("q266_template_rate")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_templated"), r.getAs[Long]("template_ppm")))
+    assert(rows.nonEmpty)
+    val plantsPerSource = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, nDocs, nTempl, ppm) =>
+      assert(ppm === nTempl * 1000000L / nDocs)
+      assert(nTempl <= nDocs)
+      // each plant and its base are mutual same-source near-dups
+      val floor = plantsPerSource.getOrElse(src, 0L) * 2
+      assert(nTempl >= floor, s"$src: $nTempl below planted floor $floor")
+    }
+  }
+
   test("q216: a one-token-suffix twin shares nearly all fingerprints — " +
     "every planted pair's sim_ppm >= 500000") {
     val rows = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
