@@ -645,7 +645,57 @@ object ProfilingQueries {
       |    THEN abs(header_u - lines_u) END) AS BIGINT) AS max_abs_diff_u
       |FROM j""".stripMargin
 
+  /** Candidate keys for q267: (table, comma-joined column list). Mixes
+    * true keys with expected non-keys — including TPC-H's canonical
+    * (l_orderkey, l_linenumber) composite, which this SYNTHETIC
+    * generator does not honor: the audit discovering that is the
+    * point of running it against tables you did not design. */
+  val KeyCandidates: Seq[(String, Seq[String])] = Seq(
+    ("orders",   Seq("o_orderkey")),
+    ("orders",   Seq("o_custkey")),
+    ("lineitem", Seq("l_orderkey")),
+    ("lineitem", Seq("l_orderkey", "l_linenumber")),
+    ("events",   Seq("event_id")),
+    ("events",   Seq("user_id", "ts")),
+    ("customer", Seq("c_custkey")))
+
+  /** CANDIDATE-KEY DISCOVERY (q267) — which column sets actually
+    * identify rows: per candidate, row count, distinct count, the
+    * duplicate-key count, and the verdict. The upstream question for
+    * every dedup, upsert, and CDC design (q255's merge is only correct
+    * if its key IS a key). One count-distinct aggregate per candidate,
+    * output is |candidates| rows.
+    */
+  def q267KeyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val checks = KeyCandidates.map { case (t, cols) =>
+      val df = Tables.load(spark, dir, t)
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(struct(cols.map(col): _*)).as("n_distinct"))
+        .select(lit(t).as("table_name"),
+          lit(cols.mkString(",")).as("key_columns"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+          (col("n_rows") === col("n_distinct")).as("is_key"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("key_columns"))
+  }
+
+  val q267Oracle: String = {
+    val parts = KeyCandidates.map { case (t, cols) =>
+      val tuple = cols.mkString("(", ", ", ")")
+      s"""SELECT '$t' AS table_name, '${cols.mkString(",")}' AS key_columns,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT $tuple) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) - COUNT(DISTINCT $tuple) AS BIGINT) AS n_dup_rows,
+         |  COUNT(*) = COUNT(DISTINCT $tuple) AS is_key
+         |FROM $t""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, key_columns")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_key_discovery"   -> (q267KeyDiscovery _),
     "q262_abc_classes"     -> (q262AbcClasses _),
     "q263_reconciliation"  -> (q263Reconciliation _),
     "q252_gini_value"      -> (q252GiniValue _),
@@ -658,6 +708,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q267_key_discovery"   -> q267Oracle,
     "q262_abc_classes"     -> q262Oracle,
     "q263_reconciliation"  -> q263Oracle,
     "q252_gini_value"      -> q252Oracle,

@@ -251,4 +251,27 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       "independent random totals must mismatch mostly")
     assert(r.getAs[Long]("max_abs_diff_u") > 0L)
   }
+
+  test("q267: declared keys verify, non-keys are rejected with exact " +
+    "duplicate counts") {
+    val rows = SparkEntry.queries("q267_key_discovery")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("key_columns"))
+        -> (r.getAs[Long]("n_dup_rows"), r.getAs[Boolean]("is_key"))).toMap
+    assert(rows.size === ProfilingQueries.KeyCandidates.size)
+    // true keys
+    Seq(("orders", "o_orderkey"), ("events", "event_id"),
+      ("customer", "c_custkey"))
+      .foreach { k => assert(rows(k)._2, s"$k must be a key") }
+    // non-keys with real duplicate mass — including TPC-H's canonical
+    // composite key, which this synthetic generator does NOT honor
+    // (the discovery that makes the audit worth running)
+    Seq(("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+      ("lineitem", "l_orderkey,l_linenumber")).foreach { k =>
+      assert(!rows(k)._2 && rows(k)._1 > 0L, s"$k must fail as a key") }
+    // recount one duplicate mass
+    val dup = Tables.orders(spark, sfDir).count() -
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows(("orders", "o_custkey"))._1 === dup)
+  }
 }
