@@ -1738,7 +1738,80 @@ object SimilarityQueries {
        |ORDER BY nd.source""".stripMargin
   }
 
+  /** SYNDICATION MATRIX (q268) — q266's complement: near-duplicate
+    * pairs ACROSS different sources, aggregated per source pair — the
+    * "which feeds mirror each other" map that decides licensing
+    * dedup-priority (q203) at the feed level. Plants model a mirror
+    * domain: every 5th doc re-appears under `source_syn` with one
+    * appended token, so every real source has a known syndication edge
+    * the spec asserts. Candidates from q36's banding restricted to
+    * source_a < source_b (canonical cross pairs only).
+    */
+  def q268SyndicationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val plants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("source"), lit("_syn")).as("source"),
+        concat(col("text"), lit(" zz9end")).as("text"))
+    val docs = base.unionByName(plants)
+      .withColumn("sh", graft.expressions.ShingleHashes.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3))
+    val sigs = docs.withColumn("sig",
+      graft.expressions.MinHashSignature.minhashSignature(col("sh"), 32))
+    val banded = sigs.select(col("doc_id"), col("source"),
+      explode(minhashBandKeys(col("sig"), 8, 4)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.source") < col("b.source"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_docs_a"),
+        countDistinct(col("id_b")).as("n_docs_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q268Oracle: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""WITH docs_p AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, source || '_syn', text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (SELECT doc_id, source,
+       |        list_distinct(CASE
+       |          WHEN len($toks) < 3
+       |          THEN [array_to_string($toks, ' ')]
+       |          ELSE list_transform(range(1, len($toks) - 1),
+       |                 i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       |          END) AS sh
+       |      FROM docs_p),
+       |dl AS (SELECT doc_id, source, sh, len(sh) AS n FROM d),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM dl a JOIN dl b
+       |    ON a.source < b.source
+       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_docs_a,
+       |  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_b
+       |FROM pairs
+       |GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_syndication_matrix"     -> (q268SyndicationMatrix _),
     "q266_template_rate"          -> (q266TemplateRate _),
     "q236_weighted_jaccard"       -> (q236WeightedJaccard _),
     "q216_winnowing_fingerprints" -> (q216WinnowingFingerprints _),
@@ -1763,6 +1836,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q268_syndication_matrix"     -> q268Oracle,
     "q266_template_rate"          -> q266Oracle,
     "q236_weighted_jaccard"       -> q236Oracle,
     "q216_winnowing_fingerprints" -> q216Oracle,

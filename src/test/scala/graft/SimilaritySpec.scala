@@ -415,6 +415,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q268: every source has its mirror-domain edge with at least its " +
+    "planted pair count, and edges are canonically ordered") {
+    val rows = SparkEntry.queries("q268_syndication_matrix")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        r.getAs[Long]("n_pairs"))).toMap
+    rows.keys.foreach { case (a, b) => assert(a < b, s"($a,$b) not canonical") }
+    val plantsPerSource = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plantsPerSource.foreach { case (src, n) =>
+      val edge = rows.get((src, src + "_syn"))
+      assert(edge.nonEmpty, s"missing syndication edge for $src")
+      assert(edge.get >= n, s"$src edge ${edge.get} below planted floor $n")
+    }
+  }
+
   test("q216: a one-token-suffix twin shares nearly all fingerprints — " +
     "every planted pair's sim_ppm >= 500000") {
     val rows = SparkEntry.queries("q216_winnowing_fingerprints")(spark, sfDir)
