@@ -48,6 +48,29 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CORPUS DEDUP MAP (q269) — the artifact a dedup pipeline actually
+    * persists: EVERY document (singletons included) mapped to its
+    * canonical survivor, with the keep/drop verdict. q141 labels only
+    * the clustered docs; the map closes the gap with an identity row
+    * per singleton — because the consumer of a dedup map must never
+    * have to ask "is this doc missing or just unique?". canonical =
+    * component min (q141's rule); keep ⇔ doc IS its canonical.
+    *
+    * Scale shape: q141's star contraction + one left join from the
+    * corpus spine; output is corpus-sized by design (it IS the map).
+    */
+  def q269DedupMap(spark: SparkSession, dir: String): DataFrame = {
+    val comp = q141NearDupComponents(spark, dir)
+      .select(col("doc_id"), col("component"))
+    SimilarityQueries.docsWithPlants(spark, dir)
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val q141Oracle: String =
     s"""WITH RECURSIVE docs_p AS (
        |  SELECT doc_id, text FROM documents
@@ -86,6 +109,19 @@ object GraphQueries {
        |SELECT l.doc_id, l.component, s.n_members
        |FROM lab l JOIN siz s USING (component)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** q269 oracle: q141's closure CTEs, then the corpus spine left-joined
+    * so singletons carry identity rows. */
+  val q269Oracle: String = {
+    val cut = q141Oracle.indexOf("siz AS")
+    val ctes = q141Oracle.take(cut)
+    s"""${ctes}spine AS (SELECT doc_id FROM docs_p)
+       |SELECT spine.doc_id,
+       |  COALESCE(lab.component, spine.doc_id) AS canonical_id,
+       |  spine.doc_id = COALESCE(lab.component, spine.doc_id) AS keep
+       |FROM spine LEFT JOIN lab ON lab.doc_id = spine.doc_id
+       |ORDER BY spine.doc_id""".stripMargin
+  }
 
   /** Integer-exact PageRank over the customer↔supplier graph (an edge per
     * distinct customer–supplier order relationship from orders⋈lineitem,
@@ -355,6 +391,7 @@ object GraphQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_dedup_map"          -> (q269DedupMap _),
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
@@ -362,6 +399,7 @@ object GraphQueries {
     "q204_kcore"              -> (q204KCoreDecomposition _))
 
   val oracles: Map[String, String] = Map(
+    "q269_dedup_map"          -> q269Oracle,
     "q141_neardup_components" -> q141Oracle,
     "q142_pagerank"           -> q142Oracle,
     // identical full-closure oracle by design: incremental merge must

@@ -107,4 +107,34 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.toSet === Set(1L, 2L, 3L),
       "corpus lacks a coreness level — the peel is untested at that k")
   }
+
+  test("q269: the dedup map covers EVERY doc, keeps exactly the " +
+    "canonicals, and agrees with q141 on the clustered docs") {
+    val map269 = SparkEntry.queries("q269_dedup_map")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nPlants = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(map269.size.toLong === nDocs + nPlants, "map must cover the corpus")
+    map269.foreach { case (id, (canon, keep)) =>
+      assert(canon <= id, "canonical is the min of the cluster")
+      assert(keep === (id == canon))
+      // canonicals are closed under the map: canon maps to itself
+      assert(map269(canon)._1 === canon, s"canonical $canon not a fixpoint")
+    }
+    val clustered = SparkEntry.queries("q141_neardup_components")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    clustered.foreach { case (id, comp) =>
+      assert(map269(id)._1 === comp, s"doc $id disagrees with q141") }
+    // singletons keep themselves
+    (map269.keySet -- clustered.keySet).foreach { id =>
+      assert(map269(id)._2, s"singleton $id must be kept") }
+    // the kept set is exactly corpus minus (cluster members - canonicals)
+    val dropped = map269.count(!_._2._2)
+    assert(dropped.toLong ===
+      clustered.size - clustered.values.toSet.size)
+  }
 }
