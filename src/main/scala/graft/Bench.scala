@@ -36,12 +36,51 @@ import org.apache.spark.sql.SparkSession
   * (max/min over the series), and `contended: true` when drift exceeds
   * 1.5× — the run certifies or indicts itself, no re-run needed to
   * adjudicate. Methodology in PLANS.md §Bench.
+  *
+  * PER-QUERY REGRESSION GATE (round 11): the probe certifies the box, the
+  * regression gate certifies the queries — each timing is diffed against
+  * the committed prior `bench.json` (env `SPARK_GRAFT_PREV_BENCH`
+  * overrides the path), and >2× drift with a 1 s absolute floor on an
+  * UNCONTENDED run is emitted under `regressions` in the JSON. Contended
+  * runs skip the gate (the calibration flag already voids their numbers,
+  * and flagging queries there would recreate round 9's phantom
+  * regressions).
   */
 object Bench {
+
+  /** Parse the per-query seconds out of a prior bench.json (our own output
+    * format — the `"queries":{...}` object). Returns empty when the file is
+    * absent/unreadable, so a first run simply has no regression baseline.
+    */
+  private[graft] def priorTimes(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(path)
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 11, txt.indexOf('}', start))
+        raw""""([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
+    // PER-QUERY REGRESSION GATE (round 11): the calibration probe certifies
+    // the BOX; this certifies the QUERIES. The committed bench.json from
+    // the prior round is read BEFORE this run overwrites it, and any query
+    // that got >2x slower (with a 1 s absolute floor — sub-second timings
+    // drift multiples on scheduler noise alone) lands in `regressions`.
+    // The gate only adjudicates on an uncontended run: a contended box
+    // inflates everything and the calibration flag already indicts the
+    // totals, so flagging queries there would be the round-9 phantom all
+    // over again.
+    val prevBenchPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench.json"))
+    val prior = priorTimes(prevBenchPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -134,7 +173,23 @@ object Bench {
     if (contended)
       System.err.println(f"[bench] WARNING: calibration drift $drift%.2fx > 1.5x" +
         " - box was contended during this run; totals are not comparable")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contended,"sf":"$sfDir"}"""
+    val regressions =
+      if (contended) Seq.empty
+      else results.flatMap { case (name, secs) =>
+        prior.get(name).collect {
+          case p if secs > 2 * p && secs - p > 1.0 =>
+            (name, p, secs)
+        }
+      }
+    regressions.foreach { case (n, p, c) =>
+      System.err.println(f"[bench] REGRESSION $n: $p%.2fs -> $c%.2fs")
+    }
+    val regJson = regressions.map { case (n, p, c) =>
+      f"""{"query":"$n","prior":$p%.4f,"current":$c%.4f}"""
+    }.mkString("[", ",", "]")
+    val regBase =
+      if (prior.isEmpty) "null" else "\"" + prevBenchPath.toString + "\""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contended,"regressions":$regJson,"regression_baseline":$regBase,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.

@@ -27,7 +27,7 @@ object SparkEntry {
       RetrievalQueries.registry ++ MiningQueries.registry ++
       CorpusQueries.registry ++ EvalQueries.registry ++
       TimeSeriesQueries.registry ++ EmbeddingQueries.registry ++
-      ProfilingQueries.registry
+      ProfilingQueries.registry ++ graft.pipeline.CurationRun.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +42,5 @@ object SparkEntry {
       RetrievalQueries.oracles ++ MiningQueries.oracles ++
       CorpusQueries.oracles ++ EvalQueries.oracles ++
       TimeSeriesQueries.oracles ++ EmbeddingQueries.oracles ++
-      ProfilingQueries.oracles
+      ProfilingQueries.oracles ++ graft.pipeline.CurationRun.oracles
 }

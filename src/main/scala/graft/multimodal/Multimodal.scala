@@ -650,10 +650,17 @@ object Multimodal {
           s"doc ${m.doc_id}: chunk $id overruns its list")
         id match {
           case "LIST" =>
+            // a LIST payload starts with its 4-byte form tag — a shorter
+            // size is malformed; fail through the doc-labeled require,
+            // never a raw StringIndexOutOfBounds from the id4 read
+            require(size >= 4,
+              s"doc ${m.doc_id}: LIST chunk at $off too short for a form tag")
             val form = id4(off + 8)
             if (form == "strl") curStrlType = "" // typed by the strh inside
-            if (form == "hdrl" || form == "movi" || form == "strl")
-              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+            if (form == "hdrl" || form == "movi" || form == "strl" ||
+                form == "rec ") // 'rec ' record groups wrap frames IN movi
+              walk(off + 12, off + 8 + size,
+                inMovi = inMovi || form == "movi")
           case "avih" =>
             usPerFrame = buf.getInt(off + 8)
             totalFrames = buf.getInt(off + 8 + 16)
@@ -757,10 +764,14 @@ object Multimodal {
           s"doc ${m.doc_id}: chunk $id overruns its list")
         id match {
           case "LIST" =>
+            require(size >= 4,
+              s"doc ${m.doc_id}: LIST chunk at $off too short for a form tag")
             val form = id4(off + 8)
             if (form == "strl") curStrlType = ""
-            if (form == "hdrl" || form == "movi" || form == "strl")
-              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+            if (form == "hdrl" || form == "movi" || form == "strl" ||
+                form == "rec ")
+              walk(off + 12, off + 8 + size,
+                inMovi = inMovi || form == "movi")
           case "avih" =>
             usPerFrame = buf.getInt(off + 8)
             nFrames = buf.getInt(off + 8 + 16)
@@ -846,9 +857,13 @@ object Multimodal {
           s"doc ${m.doc_id}: chunk $id overruns its list")
         id match {
           case "LIST" =>
+            require(size >= 4,
+              s"doc ${m.doc_id}: LIST chunk at $off too short for a form tag")
             val form = id4(off + 8)
-            if (form == "hdrl" || form == "movi" || form == "strl")
-              walk(off + 12, off + 8 + size, inMovi = form == "movi")
+            if (form == "hdrl" || form == "movi" || form == "strl" ||
+                form == "rec ")
+              walk(off + 12, off + 8 + size,
+                inMovi = inMovi || form == "movi")
           case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
             var s = 0L
             var k = 0

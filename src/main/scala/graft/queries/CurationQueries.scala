@@ -22,6 +22,12 @@ import graft.functions.{Similarity, TextFunctions}
   */
 object CurationQueries {
 
+  /** Gate-default tunables — same constants feed the conf fallback AND the
+    * oracle SQL so defaults cannot drift; the oracle gate must run with the
+    * confs unset (see SimilarityQueries' oracle-gate contract note). */
+  val ApportionK = 1000L
+  val MixtureTokenBudget = 10000000L
+
   /** Repetition quality signals (Gopher-style): duplicate-trigram ratio
     * (the fraction of trigram occurrences that are repeats) and top-token
     * share (most frequent token / token count), plus the keep/drop verdict
@@ -1593,7 +1599,7 @@ object CurationQueries {
     * q198 (which MATERIALIZES the plan into per-doc copy counts). */
   private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
     val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
-      .map(_.toLong).getOrElse(10000000L)
+      .map(_.toLong).getOrElse(MixtureTokenBudget)
     val toks = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         graft.expressions.BpeTokenCount.bpeTokenCount(
@@ -1720,10 +1726,10 @@ object CurationQueries {
        |tot AS (SELECT SUM(n_kept) AS total_kept_docs FROM per),
        |plan AS (
        |  SELECT source, kept_subwords,
-       |    CAST(CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs AS BIGINT)
+       |    CAST(CAST(n_kept AS HUGEINT) * $MixtureTokenBudget // total_kept_docs AS BIGINT)
        |      AS tokens_alloc,
        |    CASE WHEN kept_subwords = 0 THEN NULL ELSE
-       |      CAST((CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs)
+       |      CAST((CAST(n_kept AS HUGEINT) * $MixtureTokenBudget // total_kept_docs)
        |        * 1000000 // kept_subwords AS BIGINT) END AS epochs_ppm
        |  FROM per, tot),
        |dk AS (
@@ -1807,10 +1813,10 @@ object CurationQueries {
        |SELECT source, n_docs, n_kept, source_subwords, kept_subwords,
        |  CAST(CAST(n_kept AS HUGEINT) * 1000000 // total_kept_docs AS BIGINT)
        |    AS share_ppm,
-       |  CAST(CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs AS BIGINT)
+       |  CAST(CAST(n_kept AS HUGEINT) * $MixtureTokenBudget // total_kept_docs AS BIGINT)
        |    AS tokens_alloc,
        |  CASE WHEN kept_subwords = 0 THEN NULL ELSE
-       |    CAST((CAST(n_kept AS HUGEINT) * 10000000 // total_kept_docs)
+       |    CAST((CAST(n_kept AS HUGEINT) * $MixtureTokenBudget // total_kept_docs)
        |      * 1000000 // kept_subwords AS BIGINT) END AS epochs_ppm
        |FROM per, tot
        |ORDER BY source""".stripMargin
@@ -2215,7 +2221,7 @@ object CurationQueries {
     */
   def q233Apportionment(spark: SparkSession, dir: String): DataFrame = {
     val k = spark.conf.getOption("spark.graft.apportion.k")
-      .map(_.toLong).getOrElse(1000L)
+      .map(_.toLong).getOrElse(ApportionK)
     val g = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val tot = g.agg(sum(col("n_docs")).as("n_total"),
@@ -2236,14 +2242,14 @@ object CurationQueries {
   }
 
   val q233Oracle: String =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
       |  FROM documents GROUP BY source),
       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM g),
       |b AS (
       |  SELECT source, n_docs,
-      |    1000 * n_docs // n_total AS base,
-      |    1000 * n_docs % n_total AS rem
+      |    $ApportionK * n_docs // n_total AS base,
+      |    $ApportionK * n_docs % n_total AS rem
       |  FROM g CROSS JOIN t),
       |e AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM b),
       |r AS (
@@ -2251,8 +2257,8 @@ object CurationQueries {
       |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
       |  FROM b CROSS JOIN e)
       |SELECT source, n_docs, base, rem,
-      |  CAST(CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
-      |  CAST(base + CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |  CAST(CASE WHEN rk <= $ApportionK - base_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |  CAST(base + CASE WHEN rk <= $ApportionK - base_sum THEN 1 ELSE 0 END AS BIGINT) AS seats
       |FROM r
       |ORDER BY source""".stripMargin
 

@@ -60,8 +60,15 @@ object GraphQueries {
     * corpus spine; output is corpus-sized by design (it IS the map).
     */
   def q269DedupMap(spark: SparkSession, dir: String): DataFrame = {
-    val comp = q141NearDupComponents(spark, dir)
-      .select(col("doc_id"), col("component"))
+    // Component reuse knob — SAME conf as q184 (MiningQueries.scala): a
+    // production/pipeline run persists the q141 component table once and
+    // points this conf at it, so composing q184 + q269 pays ONE star
+    // contraction, not two. The driver gate never sets it, so the oracle
+    // still replays the default contraction from the raw corpus.
+    val comp = (spark.conf.getOption("spark.graft.folds.componentTable") match {
+      case Some(path) => spark.read.parquet(path)
+      case None => q141NearDupComponents(spark, dir)
+    }).select(col("doc_id"), col("component"))
     SimilarityQueries.docsWithPlants(spark, dir)
       .select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

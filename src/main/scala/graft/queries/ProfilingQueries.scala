@@ -683,7 +683,12 @@ object ProfilingQueries {
 
   val q267Oracle: String = {
     val parts = KeyCandidates.map { case (t, cols) =>
-      val tuple = cols.mkString("(", ", ", ")")
+      // ROW(...) on BOTH arities: DuckDB's COUNT(DISTINCT (c)) for a bare
+      // single column skips NULL rows, while Spark's countDistinct(struct(c))
+      // counts the NULL key as a distinct value (the struct itself is never
+      // null). ROW(c) is non-null too, so both sides price a NULL key the
+      // same way — and event_id (an audited candidate) does carry NULLs.
+      val tuple = cols.mkString("ROW(", ", ", ")")
       s"""SELECT '$t' AS table_name, '${cols.mkString(",")}' AS key_columns,
          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(COUNT(DISTINCT $tuple) AS BIGINT) AS n_distinct,

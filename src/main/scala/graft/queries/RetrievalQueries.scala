@@ -13,6 +13,12 @@ import graft.functions.TextFunctions
   */
 object RetrievalQueries {
 
+  /** Gate-default tunables — same constants feed the conf fallback AND the
+    * oracle SQL so defaults cannot drift; the oracle gate must run with the
+    * confs unset (see SimilarityQueries' oracle-gate contract note). */
+  val KwicTerm = "scan"
+  val SimJoinMaxPairingDf = 1000L
+
   /** INVERTED INDEX build, SEGMENTED — the posting list for a term is
     * materialized per corpus segment (doc_id div 100), never whole: a
     * stopword's full posting list at 100 TB is billions of entries, and
@@ -222,7 +228,7 @@ object RetrievalQueries {
       .agg(count(lit(1)).as("tf"))
     val nn = Tables.documents(spark, dir).agg(count(lit(1)).as("nn"))
     val cap = spark.conf.getOption("spark.graft.simjoin.maxPairingDf")
-      .map(_.toLong).getOrElse(1000L)
+      .map(_.toLong).getOrElse(SimJoinMaxPairingDf)
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(nn))
     // scoring set: stopword cut — df ≈ N terms carry ~zero idf weight
@@ -273,7 +279,7 @@ object RetrievalQueries {
       |  SELECT term, CAST((nn.nn - df) * 1000 // (df + 1) AS BIGINT) AS idf
       |  FROM dfs, nn WHERE df * 2 <= nn.nn),
       |anchors AS (
-      |  SELECT term FROM dfs, nn WHERE df <= 1000 AND df * 2 <= nn.nn),
+      |  SELECT term FROM dfs, nn WHERE df <= $SimJoinMaxPairingDf AND df * 2 <= nn.nn),
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM tf a
@@ -304,7 +310,7 @@ object RetrievalQueries {
     * slices are per-row array ops. Output order (doc_id, pos) is total.
     */
   def q222KwicConcordance(spark: SparkSession, dir: String): DataFrame = {
-    val term = spark.conf.getOption("spark.graft.kwic.term").getOrElse("scan")
+    val term = spark.conf.getOption("spark.graft.kwic.term").getOrElse(KwicTerm)
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
@@ -327,7 +333,7 @@ object RetrievalQueries {
        |occ AS (
        |  SELECT doc_id, toks, CAST(i AS BIGINT) AS pos
        |  FROM d, UNNEST(range(1, len(toks) + 1)) AS r(i)
-       |  WHERE toks[i] = 'scan')
+       |  WHERE toks[i] = '$KwicTerm')
        |SELECT doc_id, pos,
        |  COALESCE(array_to_string(toks[greatest(1, pos - 3) :
        |    greatest(1, pos - 3) + least(3, pos - 1) - 1], ' '), '') AS left_ctx,

@@ -17,6 +17,11 @@ import graft.transform.Skew
 object ScaleQueries {
   import Exact._
 
+  /** Gate-default tunable — same constant feeds the conf fallback AND the
+    * oracle SQL so the default cannot drift; the oracle gate must run with
+    * the conf unset (see SimilarityQueries' oracle-gate contract note). */
+  val SaltThresholdPct = 200L
+
   /** The 100 TB fact-fact join posture: both sides bucketed on the join key
     * at write time, so the merge join reads co-located buckets and the plan
     * has NO exchange on the join key — the shuffle happened once at layout
@@ -634,7 +639,7 @@ object ScaleQueries {
     */
   def q249SaltPlan(spark: SparkSession, dir: String): DataFrame = {
     val t = spark.conf.getOption("spark.graft.salt.thresholdPct")
-      .map(_.toLong).getOrElse(200L)
+      .map(_.toLong).getOrElse(SaltThresholdPct)
     val counts = Tables.orders(spark, dir)
       .select(col("o_custkey").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("c"))
@@ -658,15 +663,15 @@ object ScaleQueries {
        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
        |        CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
        |SELECT key, c,
-       |  CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
-       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) AS salts,
-       |  CAST((c + CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
-       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) - 1)
-       |    // CAST((CAST(c AS HUGEINT) * n_keys * 100 + 200 * total - 1)
-       |    // (200 * CAST(total AS HUGEINT)) AS BIGINT) AS BIGINT)
+       |  CAST((CAST(c AS HUGEINT) * n_keys * 100 + $SaltThresholdPct * total - 1)
+       |    // ($SaltThresholdPct * CAST(total AS HUGEINT)) AS BIGINT) AS salts,
+       |  CAST((c + CAST((CAST(c AS HUGEINT) * n_keys * 100 + $SaltThresholdPct * total - 1)
+       |    // ($SaltThresholdPct * CAST(total AS HUGEINT)) AS BIGINT) - 1)
+       |    // CAST((CAST(c AS HUGEINT) * n_keys * 100 + $SaltThresholdPct * total - 1)
+       |    // ($SaltThresholdPct * CAST(total AS HUGEINT)) AS BIGINT) AS BIGINT)
        |    AS rows_per_salt_ceil
        |FROM counts CROSS JOIN t
-       |WHERE c * n_keys * 100 > total * 200
+       |WHERE c * n_keys * 100 > total * $SaltThresholdPct
        |ORDER BY c DESC, key""".stripMargin
   }
 

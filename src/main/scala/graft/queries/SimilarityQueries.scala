@@ -26,6 +26,19 @@ object SimilarityQueries {
 
   val PlantOffset = 10000000L
 
+  /** Gate-default tunables. Each conf-tunable query reads its knob from
+    * spark.conf with THESE constants as the fallback, and its DuckDB
+    * oracle SQL is interpolated from the SAME constant — so the default
+    * cannot drift between the two sides. Oracle-gate contract (the q249
+    * posture, suite-wide): the driver gate runs with every `spark.graft.*`
+    * tunable UNSET; a session that overrides one runs the Spark side with
+    * the new value against an oracle built from the default, so the hash
+    * gate is only meaningful at defaults.
+    */
+  val WinnowW = 4
+  val WinnowMaxDf = 16
+  val LshBucketCap = 4
+
   private[queries] def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // every 5th doc gets a near-dup twin: same text plus one appended token
@@ -1319,7 +1332,7 @@ object SimilarityQueries {
     */
   def q213LshBucketCap(spark: SparkSession, dir: String): DataFrame = {
     val cap = spark.conf.getOption("spark.graft.lsh.bucketCap")
-      .map(_.toInt).getOrElse(4)
+      .map(_.toInt).getOrElse(LshBucketCap)
     val fam = Tables.documents(spark, dir).filter(col("doc_id") === 1)
       .select(col("text"))
       .crossJoin(spark.range(0, 12).select(col("id").as("k")))
@@ -1423,7 +1436,7 @@ object SimilarityQueries {
        |occ AS (SELECT band, bkey, COUNT(*) AS occ FROM bk GROUP BY band, bkey),
        |bstats AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |    CAST(SUM(CASE WHEN occ > 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    CAST(SUM(CASE WHEN occ > $LshBucketCap THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_hot_buckets
        |  FROM occ),
        |surv AS (
@@ -1432,7 +1445,7 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY band, bkey
        |        ORDER BY prio, doc_id) AS rn
        |    FROM bk)
-       |  WHERE rn <= 4),
+       |  WHERE rn <= $LshBucketCap),
        |cand_all AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y
@@ -1452,7 +1465,7 @@ object SimilarityQueries {
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
        |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_hit_capped
        |       FROM cand_cap JOIN truth USING (id_a, id_b))
-       |SELECT 4 AS bucket_cap, n_buckets, n_hot_buckets,
+       |SELECT $LshBucketCap AS bucket_cap, n_buckets, n_hot_buckets,
        |  n_cand_uncapped, n_cand_capped,
        |  CAST(CAST(n_cand_uncapped - n_cand_capped AS HUGEINT) * 1000000
        |    // greatest(n_cand_uncapped, 1) AS BIGINT) AS cand_drop_ppm,
@@ -1503,9 +1516,10 @@ object SimilarityQueries {
     * bounds.
     */
   def q216WinnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val w = spark.conf.getOption("spark.graft.winnow.w").map(_.toInt).getOrElse(4)
+    val w = spark.conf.getOption("spark.graft.winnow.w").map(_.toInt)
+      .getOrElse(WinnowW)
     val maxDf = spark.conf.getOption("spark.graft.winnow.maxDf")
-      .map(_.toInt).getOrElse(16)
+      .map(_.toInt).getOrElse(WinnowMaxDf)
     val grams = wordShingles(graft.functions.TextFunctions.tokens(col("text")), 3)
     val fp = docsWithPlants(spark, dir)
       .withColumn("hs", md5ShingleHashes(grams))
@@ -1562,11 +1576,11 @@ object SimilarityQueries {
        |      FROM g),
        |f AS (SELECT doc_id,
        |        list_distinct(list_transform(
-       |          range(1, greatest(1, len(hs) - 3) + 1),
-       |          i -> list_min(hs[i : i + 3]))) AS fps
+       |          range(1, greatest(1, len(hs) - ${WinnowW - 1}) + 1),
+       |          i -> list_min(hs[i : i + ${WinnowW - 1}]))) AS fps
        |      FROM h),
        |e0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
-       |rare AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 16),
+       |rare AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= $WinnowMaxDf),
        |ek AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare ON rare.fp = e0.fp),
        |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
        |       FROM ek GROUP BY doc_id),
@@ -1599,8 +1613,15 @@ object SimilarityQueries {
     * count × doc vocabulary.
     */
   def q236WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = q216WinnowingFingerprints(spark, dir)
-      .select(col("id_a"), col("id_b"))
+    // Fingerprint-frame reuse knob (the q184/q269 componentTable posture
+    // applied to winnowing): a pipeline run persists q216's pair frame
+    // once and points this conf at it, so q216 + q236 composed pay ONE
+    // corpus fingerprint pass. The gate never sets it — the oracle
+    // replays candidate generation from the raw corpus.
+    val cand = (spark.conf.getOption("spark.graft.winnow.pairTable") match {
+      case Some(path) => spark.read.parquet(path)
+      case None => q216WinnowingFingerprints(spark, dir)
+    }).select(col("id_a"), col("id_b"))
     val wc = docsWithPlants(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
@@ -1832,7 +1853,12 @@ object SimilarityQueries {
     "q40_cosine_topk"    -> (q40CosineTopK _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q42_ann_ivf"        -> (q42AnnIvf _),
-    "q74_ann_ivf_trained" -> (q42AnnIvfTrained _),
+    // q42AnnIvfTrained stayed registry-listed as q74 (rows-only, no
+    // oracle) for ten rounds; round 11 retires the gate entry per the
+    // round-10 verdict so CORRECTNESS carries no ambiguous rows. The
+    // operator itself is unchanged and stays covered by the exact
+    // integer-grid twin q85 (oracle-gated, same Lloyd's machinery) plus
+    // the SimilaritySpec recall invariant, which still runs it.
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(

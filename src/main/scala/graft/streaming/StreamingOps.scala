@@ -21,6 +21,24 @@ import org.apache.spark.sql.types._
 // beyond the class ref is serialized)
 object StreamingOps extends Serializable {
 
+  /** Copy a staged slice file into the stream dir and pin its mtime to a
+    * fixed, strictly-increasing timestamp. FileStreamSource orders files
+    * by modification time; with fast copies on a coarse-mtime filesystem
+    * slice mtimes can tie, making batch ARRIVAL order incidental — and
+    * order-sensitive consumers (q247's admission decisions, q211's
+    * earliest-seen partner, q250's cross-batch handoff) rely on
+    * slice0 < slice1 < slice2. An explicit FileTime per slice makes the
+    * order a guarantee, not an accident of copy speed.
+    */
+  private def stageSliceOrdered(src: java.nio.file.Path,
+      dst: java.nio.file.Path, slice: Int): Unit = {
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1600000000000L + slice * 60000L))
+  }
+
   /** Tumbling-window aggregate (batch form). 6-hour windows are
     * epoch-aligned in both Spark and DuckDB's time_bucket.
     */
@@ -246,8 +264,7 @@ object StreamingOps extends Serializable {
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
     }
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -274,8 +291,7 @@ object StreamingOps extends Serializable {
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
     }
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -341,8 +357,7 @@ object StreamingOps extends Serializable {
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, streamDir.resolve(s"slice$s.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
     }
     spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -496,8 +511,7 @@ object StreamingOps extends Serializable {
       import scala.jdk.CollectionConverters._
       val part = Files.list(tmp).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
-      Files.copy(part, sliceDir.resolve(s"slice$s.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageSliceOrdered(part, sliceDir.resolve(s"slice$s.parquet"), s)
     }
     @volatile var lastBatch = -1L
     val q = spark.readStream.schema(ev.schema)

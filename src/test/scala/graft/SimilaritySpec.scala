@@ -131,7 +131,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // (untrained sits ~0.9 here — training must not degrade the index)
     val exact = SparkEntry.queries("q40_cosine_topk")(spark, sfDir)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
-    val trained = SparkEntry.queries("q74_ann_ivf_trained")(spark, sfDir)
+    // direct call — the q74 registry entry is retired (round 11); this
+    // recall invariant plus exact twin q85 are the operator's coverage
+    val trained = SimilarityQueries.q42AnnIvfTrained(spark, sfDir)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
     val rTrained = (exact & trained).size.toDouble / exact.size
     assert(rTrained >= 0.8, s"trained IVF recall $rTrained < 0.8")
