@@ -1520,8 +1520,19 @@ object SimilarityQueries {
       .getOrElse(WinnowW)
     val maxDf = spark.conf.getOption("spark.graft.winnow.maxDf")
       .map(_.toInt).getOrElse(WinnowMaxDf)
+    winnowPairFrame(docsWithPlants(spark, dir), w, maxDf)
+  }
+
+  /** The post-suppression (doc_id, fp) frame — every fingerprint whose
+    * corpus document frequency exceeds `maxDf` is gone, so NO equi-join
+    * bucket over `fp` can exceed maxDf rows per side. Exposed for
+    * ScaleSpec's planted-boilerplate audit (the q213 hot-bucket
+    * discipline applied to winnowing).
+    */
+  private[graft] def winnowKeptFingerprints(docs: DataFrame, w: Int,
+      maxDf: Int): DataFrame = {
     val grams = wordShingles(graft.functions.TextFunctions.tokens(col("text")), 3)
-    val fp = docsWithPlants(spark, dir)
+    val fp = docs
       .withColumn("hs", md5ShingleHashes(grams))
       .withColumn("nwin", greatest(lit(1), size(col("hs")) - (w - 1)))
       .select(col("doc_id"),
@@ -1529,7 +1540,13 @@ object SimilarityQueries {
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("fp"))
-    val kept = fp.join(rare, "fp")
+    fp.join(rare, "fp")
+  }
+
+  /** q216's pair pipeline over an arbitrary (doc_id, text) corpus. */
+  private[graft] def winnowPairFrame(docs: DataFrame, w: Int,
+      maxDf: Int): DataFrame = {
+    val kept = winnowKeptFingerprints(docs, w, maxDf)
     val nFp = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val keyed = kept.join(nFp, "doc_id")
     keyed.as("a").join(keyed.as("b"),

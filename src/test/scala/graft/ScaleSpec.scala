@@ -249,4 +249,44 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(ord(0) !== ord(1), "epoch 1 replays epoch 0's order")
     assert(ord(1) !== ord(2), "epoch 2 replays epoch 1's order")
   }
+
+  test("winnow df-cap: a planted 200-doc boilerplate family cannot blow " +
+    "any fingerprint bucket, and rare overlaps still land") {
+    import graft.queries.SimilarityQueries
+    // pathological corpus: one boilerplate text syndicated across 200
+    // docs — uncapped, its fingerprints would each carry df=200 and the
+    // pair join would emit C(200,2) = 19 900 pairs from ONE bucket family
+    val boiler = spark.range(0, 200)
+      .select((col("id") + 900000000L).as("doc_id"),
+        lit("breaking news wire syndicated footer all rights reserved " +
+          "contact the newsroom desk for corrections and reprints today")
+          .as("text"))
+    // plus one genuinely RARE near-dup pair the cap must not price away
+    val rare = Seq(
+      (800000001L, "unique alpha bravo charlie delta echo foxtrot " +
+        "golf hotel india juliet kilo lima"),
+      (800000002L, "unique alpha bravo charlie delta echo foxtrot " +
+        "golf hotel india juliet kilo lima mike"))
+      .toDF("doc_id", "text")
+    val docs = boiler.unionByName(rare)
+    val w = SimilarityQueries.WinnowW
+    val maxDf = SimilarityQueries.WinnowMaxDf
+    // (a) the suppression bound: after the df filter, NO fingerprint key
+    // feeds more than maxDf rows into the equi-join — the per-bucket pair
+    // fan-out is hard-bounded at maxDf² regardless of corpus skew
+    val occ = SimilarityQueries.winnowKeptFingerprints(docs, w, maxDf)
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first().getLong(0)
+    assert(occ <= maxDf, s"hot fingerprint bucket survived suppression: $occ")
+    // (b) the pair output: zero boilerplate-family pairs (vs 19 900
+    // uncapped) — the hot key is priced out entirely, not just trimmed
+    val pairs = SimilarityQueries.winnowPairFrame(docs, w, maxDf).collect()
+    assert(!pairs.exists(_.getAs[Long]("id_a") >= 900000000L),
+      s"boilerplate pair leaked: ${pairs.mkString(";")}")
+    // (c) recall on rare content is untouched: the planted near-dup pair
+    // shares most window minima and must surface
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 800000001L &&
+      r.getAs[Long]("id_b") == 800000002L),
+      s"rare near-dup pair lost: ${pairs.mkString(";")}")
+  }
 }
