@@ -2319,7 +2319,73 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TOP-P QUALITY-MASS CURATION (q274) — nucleus sampling applied to
+    * corpus curation: per source, rank documents by token mass (the
+    * quality/size proxy; descending, doc_id tiebreak) and keep the
+    * SMALLEST prefix whose cumulative mass reaches 80% of the source
+    * total — "keep the best p mass", the budgeted alternative to fixed
+    * per-doc thresholds (a threshold keeps unpredictable volume; top-p
+    * keeps a predictable share of every source, whatever its
+    * distribution). Keep rule in exact cross-multiplied integers:
+    * keep ⇔ (cum − nw)·100 < 80·total (the doc that CROSSES the 80%
+    * line is kept, everything after is cut). Output per source: doc and
+    * mass totals, kept counts, and the realized kept share in ppm (≥ 80%
+    * by construction, spec-pinned).
+    *
+    * Scale shape: one scan, one source-partitioned cumulative window,
+    * one |source|-row aggregate. The window shuffles on source once —
+    * same key as the aggregate, so AQE coalesces; no joins.
+    */
+  def q274TopPCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nw"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("nw").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cum", sum(col("nw")).over(w))
+      .withColumn("total",
+        sum(col("nw")).over(Window.partitionBy("source")))
+      .withColumn("keep",
+        (col("cum") - col("nw")) * 100 < col("total") * 80)
+    cum.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("total")).as("mass_total"),
+        sum(when(col("keep"), col("nw")).otherwise(0L)).as("mass_kept"))
+      .withColumn("kept_share_ppm",
+        expr("mass_kept * 1000000L div mass_total"))
+      .orderBy(col("source"))
+  }
+
+  val q274Oracle: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, nw,
+      |    SUM(nw) OVER (PARTITION BY source ORDER BY nw DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(nw) OVER (PARTITION BY source) AS total
+      |  FROM b)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN (cum - nw) * 100 < total * 80 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(MAX(total) AS BIGINT) AS mass_total,
+      |  CAST(SUM(CASE WHEN (cum - nw) * 100 < total * 80 THEN nw ELSE 0 END)
+      |    AS BIGINT) AS mass_kept,
+      |  CAST(SUM(CASE WHEN (cum - nw) * 100 < total * 80 THEN nw ELSE 0 END)
+      |    AS BIGINT) * 1000000
+      |    // CAST(MAX(total) AS BIGINT) AS kept_share_ppm
+      |FROM c GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_top_p_curation"       -> (q274TopPCuration _),
     "q265_span_corruption"      -> (q265SpanCorruption _),
     "q233_apportionment"        -> (q233Apportionment _),
     "q225_policy_regex_filter"  -> (q225PolicyRegexFilter _),
@@ -2353,6 +2419,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q274_top_p_curation"       -> q274Oracle,
     "q265_span_corruption"      -> q265Oracle,
     "q233_apportionment"        -> q233Oracle,
     "q225_policy_regex_filter"  -> q225Oracle,

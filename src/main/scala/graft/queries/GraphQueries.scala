@@ -238,6 +238,70 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FRONTIER-SCOPED INCREMENTAL COMPONENTS (q271) — the scale upgrade
+    * over q150: q150 re-contracts the ENTIRE label index ∪ delta on every
+    * batch, which at 100 TB means touching every clustered doc for a
+    * delta that affects a few thousand. This version contracts ONLY the
+    * frontier — components that actually own an endpoint of a new pair —
+    * and passes every untouched component through by identity:
+    *
+    *   1. base labels = contraction of yesterday's pairs (the persisted
+    *      index in production; derived in-query here so the oracle can
+    *      replay from the raw corpus),
+    *   2. touched = base components owning any delta-pair endpoint
+    *      (semi-join on the label key),
+    *   3. merge contraction runs over (touched members' label edges ∪
+    *      delta pairs) — label edges preserve base connectivity, so
+    *      merges across base components and brand-new components both
+    *      resolve; label = component min survives because a base label
+    *      is itself the min member doc id,
+    *   4. untouched base labels union in unchanged (anti-join).
+    *
+    * Work per batch is O(|delta| + |touched components|), independent of
+    * corpus size — the posture that makes daily dedup-map maintenance
+    * viable. The oracle is the FULL-corpus closure (q141's recursive
+    * CTE): incremental-with-passthrough must equal from-scratch exactly.
+    *
+    * Delta stand-in: pairs with an endpoint in residue class doc_id%7=0
+    * arrive "today" (both plant-offset classes occur, so base-base,
+    * base-delta and delta-delta pairs all exist at gate scale).
+    */
+  def q271FrontierComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val isDelta = (c: org.apache.spark.sql.Column) => pmod(c, lit(7L)) === 0
+    val basePairs = pairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b")))
+    val deltaPairs = pairs.filter(isDelta(col("id_a")) || isDelta(col("id_b")))
+    val baseLabels = Similarity.connectedComponentsStar(basePairs)
+    val labels = incrementalMerge(baseLabels, deltaPairs)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The frontier merge: (id, label) base index + delta pairs →
+    * (id, label) for the full graph, contracting only touched components.
+    * Exposed for GraphSpec's planted-topology audit (base-cluster merge,
+    * new-singleton component, untouched passthrough).
+    */
+  private[graft] def incrementalMerge(baseLabels: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val deltaIds = deltaPairs.select(col("id_a").as("id"))
+      .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct()
+    val touched = baseLabels.join(deltaIds, "id")
+      .select(col("label")).distinct()
+    val frontier = baseLabels.join(touched, "label")
+    val mergeEdges = frontier
+      .select(col("id").as("id_a"), col("label").as("id_b"))
+      .unionByName(deltaPairs.select(col("id_a"), col("id_b")))
+    val merged = Similarity.connectedComponentsStar(mergeEdges)
+    baseLabels.join(touched, Seq("label"), "left_anti")
+      .select(col("id"), col("label"))
+      .unionByName(merged.select(col("id"), col("label")))
+  }
+
   /** TRIANGLE CENSUS over the near-dup graph (q200) — the structural
     * audit a dedup pipeline runs on its pair set: triangles are
     * mutually-similar triples (clique-ish duplication families — template
@@ -402,6 +466,7 @@ object GraphQueries {
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
+    "q271_frontier_components" -> (q271FrontierComponents _),
     "q200_triangle_census"    -> (q200TriangleCensus _),
     "q204_kcore"              -> (q204KCoreDecomposition _))
 
@@ -412,6 +477,9 @@ object GraphQueries {
     // identical full-closure oracle by design: incremental merge must
     // equal the from-scratch clustering
     "q150_incremental_components" -> q141Oracle,
+    // same identical-to-full-closure contract, now with untouched-
+    // component passthrough on the Spark side
+    "q271_frontier_components" -> q141Oracle,
     "q200_triangle_census"    -> q200Oracle,
     "q204_kcore"              -> q204Oracle)
 }

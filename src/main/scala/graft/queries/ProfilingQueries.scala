@@ -699,7 +699,127 @@ object ProfilingQueries {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, key_columns")
   }
 
+  /** PER-SOURCE WINSORIZED QUALITY PROFILE (q272) — robust source
+    * comparison: per source, document token counts are rank-winsorized at
+    * p10/p90 (values below the rank-⌈n/10⌉ doc clip up to it, above the
+    * mirror rank clip down) and the raw vs winsorized means are reported
+    * side by side. The robust mean is the one that survives a source
+    * whose tail is a few megadocs or a flood of empties — exactly the
+    * outliers that make raw per-source averages lie. Rank-based cuts
+    * (not interpolated percentiles) keep every number integer-exact:
+    * rn = row_number over (nw, doc_id), lo at rn = ⌈n/10⌉, hi at its
+    * mirror — both engines replay the identical rule.
+    *
+    * Scale shape: one corpus scan; the rank window partitions by source
+    * (high cardinality keys shuffle once); cuts are a |source|-row
+    * aggregate broadcast back for the clipped re-aggregate. No joins
+    * beyond the broadcast.
+    */
+  def q272WinsorizedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("nw"))
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("nw"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val cuts = ranked.groupBy(col("source")).agg(
+      max(when(col("rn") === expr("(n + 9) div 10"), col("nw"))).as("lo_cut"),
+      max(when(col("rn") === expr("n - (n + 9) div 10 + 1"), col("nw")))
+        .as("hi_cut"),
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("sum_raw"))
+    val wins = ranked.join(broadcast(cuts.select(col("source"),
+        col("lo_cut"), col("hi_cut"))), "source")
+      .withColumn("w", greatest(col("lo_cut"),
+        least(col("hi_cut"), col("nw"))))
+      .groupBy(col("source")).agg(sum(col("w")).as("sum_wins"))
+    cuts.join(wins, "source")
+      .select(col("source"), col("n_docs"), col("lo_cut"), col("hi_cut"),
+        col("sum_raw"), col("sum_wins"),
+        expr("sum_raw * 1000 div n_docs").as("mean_raw_milli"),
+        expr("sum_wins * 1000 div n_docs").as("mean_wins_milli"))
+      .orderBy(col("source"))
+  }
+
+  val q272Oracle: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, nw,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY nw, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM b),
+      |c AS (
+      |  SELECT source,
+      |    MAX(CASE WHEN rn = (n + 9) // 10 THEN nw END) AS lo_cut,
+      |    MAX(CASE WHEN rn = n - (n + 9) // 10 + 1 THEN nw END) AS hi_cut,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nw) AS BIGINT) AS sum_raw
+      |  FROM r GROUP BY source),
+      |w AS (
+      |  SELECT r.source,
+      |    CAST(SUM(GREATEST(c.lo_cut, LEAST(c.hi_cut, r.nw))) AS BIGINT)
+      |      AS sum_wins
+      |  FROM r JOIN c USING (source) GROUP BY r.source)
+      |SELECT c.source, n_docs, lo_cut, hi_cut, sum_raw, sum_wins,
+      |  sum_raw * 1000 // n_docs AS mean_raw_milli,
+      |  sum_wins * 1000 // n_docs AS mean_wins_milli
+      |FROM c JOIN w USING (source)
+      |ORDER BY c.source""".stripMargin
+
+  /** PARTITION-LAYOUT / SMALL-FILES ADVISOR (q277) — the write-side
+    * planning pass a 100 TB pipeline runs BEFORE a partitioned write:
+    * for each would-be partition (event day here), the estimated bytes
+    * under a fixed per-row width model (8 B per numeric column + the
+    * actual event_type chars + 8 B row overhead — a deterministic stand-in
+    * for parquet's encoded size so both engines agree exactly), the file
+    * count at a 128 MiB target, and the two verdicts that drive layout
+    * changes: `small` (partition under 16 MiB — the small-files problem:
+    * merge partitions or coarsen the key) and `skewed` (partition over
+    * 8× the mean — split the key or salt the write). Metadata-sized
+    * output from one scan + one aggregate; the totals cross in as a
+    * 1-row broadcast.
+    */
+  def q277LayoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        (lit(40L) + length(col("event_type"))).as("row_bytes"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("est_bytes"))
+    val tot = per.agg(sum(col("est_bytes")).as("total_bytes"),
+      count(lit(1)).as("n_parts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("day"), col("n_rows"), col("est_bytes"),
+        expr("(est_bytes + 134217727) div 134217728").as("files_128mb"),
+        (col("est_bytes") < 16777216L).as("small"),
+        (col("est_bytes") * col("n_parts") > col("total_bytes") * 8L)
+          .as("skewed"))
+      .orderBy(col("day"))
+  }
+
+  val q277Oracle: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(40 + length(event_type)) AS BIGINT) AS est_bytes
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+      |        CAST(COUNT(*) AS BIGINT) AS n_parts FROM per)
+      |SELECT day, n_rows, est_bytes,
+      |  (est_bytes + 134217727) // 134217728 AS files_128mb,
+      |  est_bytes < 16777216 AS small,
+      |  est_bytes * n_parts > total_bytes * 8 AS skewed
+      |FROM per CROSS JOIN t
+      |ORDER BY day NULLS FIRST""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_winsorized_quality" -> (q272WinsorizedQuality _),
+    "q277_layout_advisor"  -> (q277LayoutAdvisor _),
     "q267_key_discovery"   -> (q267KeyDiscovery _),
     "q262_abc_classes"     -> (q262AbcClasses _),
     "q263_reconciliation"  -> (q263Reconciliation _),
@@ -713,6 +833,8 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q272_winsorized_quality" -> q272Oracle,
+    "q277_layout_advisor"  -> q277Oracle,
     "q267_key_discovery"   -> q267Oracle,
     "q262_abc_classes"     -> q262Oracle,
     "q263_reconciliation"  -> q263Oracle,

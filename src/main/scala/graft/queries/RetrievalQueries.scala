@@ -267,8 +267,8 @@ object RetrievalQueries {
   }
 
   val q154Oracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
       |  FROM documents),
       |tf AS (
       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

@@ -1848,7 +1848,69 @@ object SimilarityQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** NEAR-DUP PAIR FEATURE AUDIT (q273) — the feature frame a dedup
+    * CLASSIFIER (or a human adjudicator) consumes for every confirmed
+    * near-dup pair: set sizes, intersection/union, exact Jaccard and BOTH
+    * directional containments in ppm (containment asymmetry is the
+    * quote-vs-copy signal Jaccard is blind to: a short doc fully contained
+    * in a long one has low J but containment_a ≈ 10⁶), plus the edit
+    * distance of the two 120-char prefixes (the cheap lexical-vs-
+    * structural discriminator — near-dups with HIGH prefix edit distance
+    * are template rewrites, not copies). Pairs come from the q36 LSH +
+    * exact-confirm machinery — never all-pairs; the feature joins key on
+    * doc id against the corpus-sized shingle frame, and levenshtein runs
+    * on capped prefixes so its O(len²) DP is constant-bounded per pair.
+    */
+  def q273PairFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val docs = docsWithPlants(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Similarity.shingleSet(col("text"), 3).as("sh"),
+        substring(col("text"), 1, 120).as("t"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("t").as("t_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("t").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_sh_a"),
+        size(col("sh_b")).cast("long").as("n_sh_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_union"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev120"))
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000L div n_union"))
+      .withColumn("contain_a_ppm", expr("n_inter * 1000000L div n_sh_a"))
+      .withColumn("contain_b_ppm", expr("n_inter * 1000000L div n_sh_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q273Oracle: String =
+    s"""WITH $oracleDocsTri,
+       |p AS (SELECT id_a, id_b FROM ($q36Oracle)),
+       |f AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(len(a.sh) AS BIGINT) AS n_sh_a,
+       |    CAST(len(b.sh) AS BIGINT) AS n_sh_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+       |      AS n_union,
+       |    CAST(levenshtein(substr(da.text, 1, 120), substr(db.text, 1, 120))
+       |      AS BIGINT) AS lev120
+       |  FROM p JOIN d a ON a.doc_id = p.id_a
+       |         JOIN d b ON b.doc_id = p.id_b
+       |         JOIN docs_p da ON da.doc_id = p.id_a
+       |         JOIN docs_p db ON db.doc_id = p.id_b)
+       |SELECT id_a, id_b, n_sh_a, n_sh_b, n_inter, n_union, lev120,
+       |  n_inter * 1000000 // n_union AS jaccard_ppm,
+       |  n_inter * 1000000 // n_sh_a AS contain_a_ppm,
+       |  n_inter * 1000000 // n_sh_b AS contain_b_ppm
+       |FROM f ORDER BY id_a, id_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_pair_features"          -> (q273PairFeatures _),
     "q268_syndication_matrix"     -> (q268SyndicationMatrix _),
     "q266_template_rate"          -> (q266TemplateRate _),
     "q236_weighted_jaccard"       -> (q236WeightedJaccard _),
@@ -1879,6 +1941,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q273_pair_features"          -> q273Oracle,
     "q268_syndication_matrix"     -> q268Oracle,
     "q266_template_rate"          -> q266Oracle,
     "q236_weighted_jaccard"       -> q236Oracle,

@@ -240,6 +240,68 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PER-LANGUAGE TOKENIZER FERTILITY (q275) — q137's per-doc fertility
+    * rolled up to the multilingual health report: per lang, word volume,
+    * subword volume, and fertility in EXACT ppm (subwords·10⁶ div words —
+    * the integer form a gate can hash, vs q137's per-doc double). High
+    * fertility is the "this vocab can't spell that language" signal —
+    * the per-language complement to q195's UNK-rate report (q195 says
+    * which pieces fall back to UNK, this prices the sequence-length tax
+    * the model pays for it). Budget planners multiply corpus word counts
+    * by exactly this number.
+    *
+    * Scale shape: projection-only segmentation (codegen'd
+    * [[graft.expressions.BpeTokenCount]], vocab task-broadcast), then one
+    * ~10²-key aggregate with map-side combine. No explode, no join.
+    */
+  def q275LangFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), size(col("toks")).cast(LongType).as("nw"),
+        graft.expressions.BpeTokenCount
+          .bpeTokenCount(col("toks"), BpeVocab).as("ns"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_subwords"))
+      .withColumn("fertility_ppm",
+        expr("n_subwords * 1000000L div n_words"))
+      .orderBy(col("lang"))
+
+  val q275Oracle: String = {
+    val vocabRows = BpeVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(toks,
+       |          (x, i) -> {'w': x, 'i': i})) AS s FROM d) u),
+       |vocab(piece) AS (VALUES $vocabRows),
+       |seg AS (
+       |  SELECT doc_id, i, word, 1 AS pos, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT doc_id, i, word,
+       |    pos + COALESCE((SELECT MAX(length(piece)) FROM vocab
+       |                    WHERE piece = substr(word, pos, length(piece))), 1),
+       |    ntok + 1
+       |  FROM seg WHERE pos <= length(word)),
+       |done AS (SELECT doc_id, i, ntok FROM seg WHERE pos = length(word) + 1),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+       |    CAST(SUM(ntok) AS BIGINT) AS ns
+       |  FROM done GROUP BY doc_id)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(ns) AS BIGINT) * 1000000 // CAST(SUM(nw) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM per JOIN d USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Sequence packing on the REAL token budget — q64's packing pass
     * re-based from whitespace counts onto q137's greedy-BPE subword
     * counts (whitespace underestimates exactly the rare fragmenting words
@@ -940,6 +1002,7 @@ object TextQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_lang_fertility"    -> (q275LangFertility _),
     "q260_vocab_coverage"    -> (q260VocabCoverage _),
     "q254_bigram_predictor"  -> (q254BigramPredictor _),
     "q253_source_similarity" -> (q253SourceSimilarity _),
@@ -958,6 +1021,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q275_lang_fertility"    -> q275Oracle,
     "q260_vocab_coverage"    -> q260Oracle,
     "q254_bigram_predictor"  -> q254Oracle,
     "q253_source_similarity" -> q253Oracle,

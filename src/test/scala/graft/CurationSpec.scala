@@ -589,4 +589,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[String]("mask_md5").length === 32)
     }
   }
+
+  test("q274: every source keeps >= 80% of its mass, and the kept prefix " +
+    "is MINIMAL (dropping its smallest kept doc falls below the line)") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.q274TopPCuration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("nw"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val kept = r.getAs[Long]("mass_kept")
+      val total = r.getAs[Long]("mass_total")
+      val nKept = r.getAs[Long]("n_kept")
+      assert(kept * 100 >= total * 80, s"$src keeps under 80%")
+      // minimality: ranked desc, the kept prefix is exactly n_kept docs
+      // and the prefix ONE SHORTER is below 80%
+      val sorted = docs(src).sortBy(d => (-d._3, d._2)).map(_._3)
+      val prefix = sorted.take(nKept.toInt)
+      assert(prefix.sum === kept, src)
+      assert(prefix.dropRight(1).sum * 100 < total * 80,
+        s"$src kept a non-minimal prefix")
+      assert(r.getAs[Long]("kept_share_ppm") ===
+        BigInt(kept) * 1000000 / total, src)
+    }
+    // discriminating corpus: somewhere the cut actually drops docs
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")),
+      "top-p cut nothing anywhere - vacuous corpus")
+  }
 }

@@ -137,4 +137,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(dropped.toLong ===
       clustered.size - clustered.values.toSet.size)
   }
+
+  test("q271: frontier merge handles base-cluster merge, cross-base bridge, " +
+    "new component, and untouched passthrough on a planted topology") {
+    import graft.functions.Similarity
+    // base graph: {1,2,3} (label 1), {5,6} (label 5 — untouched),
+    // {7,8} and {9,12} (to be BRIDGED by the delta)
+    val basePairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (9L, 12L))
+      .toDF("id_a", "id_b")
+    val baseLabels = Similarity.connectedComponentsStar(basePairs)
+    // delta: extend {1,2,3} with 4; bridge {7,8}+{9,12} via (8,9);
+    // brand-new component {10,11}
+    val deltaPairs = Seq((3L, 4L), (8L, 9L), (10L, 11L)).toDF("id_a", "id_b")
+    val merged = GraphQueries.incrementalMerge(baseLabels, deltaPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,  // extended
+      5L -> 5L, 6L -> 5L,                       // untouched passthrough
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 12L -> 7L,  // bridged, min label wins
+      10L -> 10L, 11L -> 10L))                  // new component
+  }
+
+  test("q271: frontier-scoped incremental equals q141 full recompute, " +
+    "non-vacuously (both base and delta pairs exist)") {
+    val pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    val isD = (x: Long) => ((x % 7) + 7) % 7 == 0
+    assert(pairs.exists { case (a, b) => !isD(a) && !isD(b) },
+      "no base pairs - the test corpus makes the split vacuous")
+    assert(pairs.exists { case (a, b) => isD(a) || isD(b) },
+      "no delta pairs - the test corpus makes the split vacuous")
+    val inc = GraphQueries.q271FrontierComponents(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val full = GraphQueries.q141NearDupComponents(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(inc === full)
+  }
 }

@@ -274,4 +274,60 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
     assert(rows(("orders", "o_custkey"))._1 === dup)
   }
+
+  test("q272: winsorized means recount exactly against a driver-side " +
+    "replay, and the clipping laws hold") {
+    val rows = ProfilingQueries.q272WinsorizedQuality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("nw"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val nws = docs(src).sortBy(d => (d._3, d._2)).map(_._3)
+      val n = nws.length
+      val klo = (n + 9) / 10
+      val lo = nws(klo - 1)
+      val hi = nws(n - klo)
+      assert(r.getAs[Long]("lo_cut") === lo, src)
+      assert(r.getAs[Long]("hi_cut") === hi, src)
+      assert(lo <= hi, src)
+      val wins = nws.map(v => math.max(lo, math.min(hi, v))).sum
+      assert(r.getAs[Long]("sum_wins") === wins, src)
+      assert(r.getAs[Long]("sum_raw") === nws.sum, src)
+      assert(r.getAs[Long]("mean_wins_milli") === wins * 1000 / n, src)
+    }
+    // the robust mean must actually differ somewhere — otherwise the
+    // corpus has no tails and the operator is untested
+    assert(rows.exists(r =>
+      r.getAs[Long]("mean_wins_milli") != r.getAs[Long]("mean_raw_milli")),
+      "no source had clipped tails - vacuous corpus")
+  }
+
+  test("q277: layout advisor recounts against events and its verdicts " +
+    "are internally consistent") {
+    val rows = ProfilingQueries.q277LayoutAdvisor(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val direct = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"),
+        (lit(40L) + length(col("event_type"))).as("b"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(t => t._1.toString -> (t._2, t._3)).toMap
+    val total = rows.map(_.getAs[Long]("est_bytes")).sum
+    val nParts = rows.length
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val (n, bytes) = direct(day)
+      assert(r.getAs[Long]("n_rows") === n, day)
+      assert(r.getAs[Long]("est_bytes") === bytes, day)
+      assert(r.getAs[Long]("files_128mb") === (bytes + 134217727) / 134217728)
+      assert(r.getAs[Boolean]("small") === (bytes < 16777216L), day)
+      assert(r.getAs[Boolean]("skewed") === (bytes * nParts > total * 8L), day)
+      assert(r.getAs[Long]("files_128mb") >= 1L, day)
+    }
+  }
 }

@@ -444,4 +444,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     twin.foreach { case (a, _, s) =>
       assert(s >= 500000L, s"twin pair of $a unexpectedly dissimilar: $s ppm") }
   }
+
+  test("q273: pair features obey the set laws, and plant pairs show the " +
+    "containment-asymmetry + tiny-prefix-edit signature") {
+    val rows = SimilarityQueries.q273PairFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ia, ib) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))
+      val (na, nb) = (r.getAs[Long]("n_sh_a"), r.getAs[Long]("n_sh_b"))
+      assert(ia <= math.min(na, nb) && ib >= math.max(na, nb))
+      assert(ia + ib === na + nb, "inclusion-exclusion violated")
+      assert(r.getAs[Long]("contain_a_ppm") >= r.getAs[Long]("jaccard_ppm"))
+      assert(r.getAs[Long]("contain_b_ppm") >= r.getAs[Long]("jaccard_ppm"))
+    }
+    // plant pairs (id, id + PlantOffset) append ONE token at the END, so
+    // the 120-char prefixes differ by at most the 7-char " zz9end" tail
+    // (and not at all once the doc exceeds 120 chars) while the shingle
+    // set of the shorter doc is fully contained in the longer's
+    val plants = rows.filter(r =>
+      r.getAs[Long]("id_b") === r.getAs[Long]("id_a") + Offset)
+    assert(plants.nonEmpty, "no plant pairs surfaced")
+    plants.foreach { r =>
+      assert(r.getAs[Long]("lev120") <= 7L,
+        s"plant pair prefix edit distance too large: $r")
+      assert(r.getAs[Long]("contain_a_ppm") === 1000000L,
+        s"plant base doc not fully contained: $r")
+    }
+  }
 }

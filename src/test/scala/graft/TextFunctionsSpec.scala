@@ -200,4 +200,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val mass10 = counts.take(10).map(_._2).sum
     assert(rows.head._3 === BigInt(mass10) * 1000000 / total)
   }
+
+  test("q275: per-lang fertility agrees with q137's per-doc sums and " +
+    "respects the >= 1 piece-per-word floor") {
+    import graft.queries.TextQueries
+    val langRows = TextQueries.q275LangFertility(spark, sfDir).collect()
+    assert(langRows.nonEmpty)
+    // cross-check: q137's per-doc (words, subwords) joined to lang must
+    // sum to exactly the q275 rollup
+    val perDoc = TextQueries.q137BpeTokens(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_subwords").as("s"),
+        count(lit(1)).as("d"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    langRows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (w, s, d) = perDoc(lang)
+      assert(r.getAs[Long]("n_words") === w, lang)
+      assert(r.getAs[Long]("n_subwords") === s, lang)
+      assert(r.getAs[Long]("n_docs") === d, lang)
+      val f = r.getAs[Long]("fertility_ppm")
+      assert(f === BigInt(s) * 1000000 / w, lang)
+      // greedy BPE emits at least one piece per word, so fertility >= 1.0
+      assert(f >= 1000000L, s"$lang fertility below 1 piece/word: $f")
+    }
+  }
 }
