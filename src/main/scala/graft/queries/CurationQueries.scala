@@ -2384,7 +2384,58 @@ object CurationQueries {
       |FROM c GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** DETERMINISTIC HOLDOUT SAMPLER (q276) — the eval-slice cutter: a
+    * 1/16 per-source holdout where membership is a PURE FUNCTION of
+    * content identity (md5(doc_id) bucket 0 of 16), so re-runs,
+    * re-shards and late-arriving partitions never move a document
+    * across the holdout boundary — the property RNG sampling lacks and
+    * the reason eval contamination audits (q133/q164) can trust the
+    * slice. Per source: exact counts, the realized rate in ppm (the
+    * uniformity audit — md5 buckets approximate 62 500 ppm without
+    * guaranteeing it, so the report MEASURES it), and a
+    * content-addressed manifest (md5 of the sorted member ids — the
+    * q192 certification recipe) a downstream consumer pins.
+    *
+    * Scale shape: one scan, one ~|source|-key aggregate with map-side
+    * combine; the manifest is per-group sorted-collect over the 1/16
+    * slice only. No joins, no windows.
+    */
+  def q276HoldoutSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
+          "AS BIGINT) % 16"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_sampled"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("bucket") === 0, col("doc_id")))),
+          x => x.cast(org.apache.spark.sql.types.StringType)), ","))
+          .as("sample_md5"))
+      .withColumn("rate_ppm", expr("n_sampled * 1000000L div n_docs"))
+      .orderBy(col("source"))
+
+  val q276Oracle: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      |      % 16 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  md5(COALESCE(string_agg(
+      |    CASE WHEN bucket = 0 THEN CAST(doc_id AS VARCHAR) END, ','
+      |    ORDER BY doc_id), '')) AS sample_md5,
+      |  CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS rate_ppm
+      |FROM b GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_holdout_sample"       -> (q276HoldoutSample _),
     "q274_top_p_curation"       -> (q274TopPCuration _),
     "q265_span_corruption"      -> (q265SpanCorruption _),
     "q233_apportionment"        -> (q233Apportionment _),
@@ -2419,6 +2470,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q276_holdout_sample"       -> q276Oracle,
     "q274_top_p_curation"       -> q274Oracle,
     "q265_span_corruption"      -> q265Oracle,
     "q233_apportionment"        -> q233Oracle,

@@ -620,4 +620,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")),
       "top-p cut nothing anywhere - vacuous corpus")
   }
+
+  test("q276: holdout membership is a pure function of doc identity " +
+    "(driver-side md5 replay), manifests are deterministic, rates sane") {
+    import graft.queries.CurationQueries
+    val r1 = CurationQueries.q276HoldoutSample(spark, sfDir).collect()
+    val r2 = CurationQueries.q276HoldoutSample(spark, sfDir).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+      "sampler is not deterministic across runs")
+    // driver-side replay of the bucket rule
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(2).map("%02x".format(_)).mkString // first 4 hex chars
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val docs = Tables.documents(spark, sfDir).select("source", "doc_id")
+      .as[(String, Long)].collect().groupBy(_._1)
+    r1.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ids = docs(src).map(_._2)
+      val sampled = ids.filter(bucket(_) == 0L).sorted
+      assert(r.getAs[Long]("n_docs") === ids.length, src)
+      assert(r.getAs[Long]("n_sampled") === sampled.length, src)
+      val manifest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sampled.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("sample_md5") === manifest, src)
+      // the reported rate is exactly the integer law (small per-source
+      // doc counts make distributional bounds meaningless here — a
+      // 25-doc source legitimately draws an empty 1/16 bucket)
+      assert(r.getAs[Long]("rate_ppm") ===
+        r.getAs[Long]("n_sampled") * 1000000L / r.getAs[Long]("n_docs"), src)
+    }
+    // corpus-wide the fixed dataset does yield a non-empty holdout
+    assert(r1.map(_.getAs[Long]("n_sampled")).sum > 0,
+      "corpus-wide holdout came out empty")
+  }
 }
