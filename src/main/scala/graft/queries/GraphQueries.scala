@@ -272,7 +272,16 @@ object GraphQueries {
     val isDelta = (c: org.apache.spark.sql.Column) => pmod(c, lit(7L)) === 0
     val basePairs = pairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b")))
     val deltaPairs = pairs.filter(isDelta(col("id_a")) || isDelta(col("id_b")))
-    val baseLabels = Similarity.connectedComponentsStar(basePairs)
+    // Production path: yesterday's label index is PERSISTED — point this
+    // conf at it and the batch pays only the frontier contraction. The
+    // gate never sets it, so the oracle replays base derivation too
+    // (same posture as q184/q269's componentTable, q236's pairTable).
+    val baseLabels =
+      spark.conf.getOption("spark.graft.incr.baseComponentTable") match {
+        case Some(path) =>
+          spark.read.parquet(path).select(col("id"), col("label"))
+        case None => Similarity.connectedComponentsStar(basePairs)
+      }
     val labels = incrementalMerge(baseLabels, deltaPairs)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     labels.join(broadcast(sizes), "label")

@@ -556,7 +556,34 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** STREAMING INGEST-TIME DECONTAMINATION (q278) — q133's eval-overlap
+    * rule executed through Structured Streaming: training documents
+    * arrive in residue slices, each microbatch's trigrams hash-join the
+    * BROADCAST eval gram set (stream-static = stateless — no watermark,
+    * no state store), and the per-doc rollup of the drained hit stream
+    * must equal q133's batch answer exactly (same oracle). This is the
+    * crawl-pipeline placement of decontamination: flag at ingest, not in
+    * a nightly sweep — and the gate proves the streaming execution
+    * changes nothing about the answer.
+    */
+  def q278StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("ng"))
+      .distinct()
+    val tr = docs.filter(col("doc_id") % 97 =!= 0)
+    StreamingOps.streamDecontamScreen(spark, dir, tr, ev,
+        "graft_stream_decontam")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
+        min(col("eval_id")).as("first_eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_stream_decontam" -> (q278StreamDecontam _),
     "q250_incremental_sessions" -> (q250IncrementalSessions _),
     "q247_stream_rate_limit" -> (q247StreamRateLimit _),
     "q242_stream_sessions"  -> (q242StreamSessions _),
@@ -577,6 +604,9 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    // streaming execution of q133's decontamination rule — the oracle IS
+    // q133's batch replay (streaming must change nothing)
+    "q278_stream_decontam" -> CurationQueries.q133Oracle,
     // the incremental path must equal plain full sessionization — the
     // oracle IS q45's full-recompute SQL
     "q250_incremental_sessions" -> q45Oracle,

@@ -297,6 +297,31 @@ object StreamingOps extends Serializable {
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
   }
 
+  /** STREAM-STATIC INGEST-TIME DECONTAMINATION — every arriving training
+    * document's trigrams are checked against a BROADCAST eval-set gram
+    * dimension, the shape a crawl pipeline runs so contaminated docs are
+    * flagged BEFORE storage. Stream-static joins are STATELESS by
+    * construction (no watermark, no state store, no output-mode
+    * constraint): each microbatch is a map-side hash join against the
+    * broadcast dim, so per-batch cost is O(batch grams) and state is
+    * zero — the cheapest possible streaming operator shape. The emitted
+    * (doc_id, ng, eval_id) hit stream is the raw decontamination
+    * evidence; consumers aggregate it per doc (q278 holds that rollup to
+    * q133's batch-oracle equality — streaming execution, batch answer).
+    */
+  def streamDecontamScreen(spark: SparkSession, dir: String,
+      trainDocs: DataFrame, evalGrams: DataFrame,
+      queryName: String): DataFrame = {
+    val stream = docsReadStreamSliced(spark, dir,
+      trainDocs.select(col("doc_id"), col("text")), 3)
+    val grams = stream.select(col("doc_id"),
+      explode(graft.expressions.ShingleStrings.shingleStrings(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("ng"))
+    val hits = grams.join(broadcast(evalGrams), "ng")
+      .select(col("doc_id"), col("ng"), col("eval_id"))
+    drainToTable(spark, hits, queryName, "append")
+  }
+
   /** STREAMING RATE LIMITER — fixed-window admission (the nginx/redis
     * shape): per (user, event-time hour) the first `limit` arrivals are
     * admitted, the rest rejected. flatMapGroupsWithState keyed on user;

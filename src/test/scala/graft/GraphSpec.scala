@@ -173,4 +173,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).toSeq
     assert(inc === full)
   }
+
+  test("q271: persisted base-index path is result-identical and really " +
+    "reads the index") {
+    import graft.functions.Similarity
+    // persist exactly what the default path derives as the base index
+    val pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val basePairs = pairs.filter(
+      pmod(col("id_a"), lit(7L)) =!= 0 && pmod(col("id_b"), lit(7L)) =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("q271base").toString
+    Similarity.connectedComponentsStar(basePairs)
+      .write.mode("overwrite").parquet(tmp)
+    val direct = GraphQueries.q271FrontierComponents(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.incr.baseComponentTable", tmp)
+    try {
+      val viaIndex = GraphQueries.q271FrontierComponents(spark, sfDir)
+      assert(viaIndex.collect().map(_.toString).toSeq === direct)
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(tmp).getName), plan.take(2000))
+    } finally spark.conf.unset("spark.graft.incr.baseComponentTable")
+  }
 }

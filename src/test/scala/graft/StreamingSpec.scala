@@ -427,4 +427,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(u1.head(1).asInstanceOf[java.sql.Timestamp].before(ts(100)))
     assert(u1.head(2).asInstanceOf[java.sql.Timestamp].after(ts(100)))
   }
+
+  test("q278: streaming decontamination equals the q133 batch screen, " +
+    "and the stream genuinely spans multiple slices") {
+    import graft.queries.{CurationQueries, StreamingQueries}
+    val streamed = StreamingQueries.q278StreamDecontam(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = CurationQueries.q133ContaminationCheck(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no contaminated docs - vacuous corpus")
+    // non-vacuity of the streaming path: flagged docs arrive in more than
+    // one residue slice, so the result required more than one microbatch
+    val slices = StreamingQueries.q278StreamDecontam(spark, sfDir)
+      .select(pmod(col("doc_id"), lit(3L))).distinct().count()
+    assert(slices > 1, "all flagged docs landed in one slice")
+  }
 }
