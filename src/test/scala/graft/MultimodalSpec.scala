@@ -387,4 +387,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(sums.length === agg.n_frames)
     }
   }
+
+  test("videoFrameSums finds frames wrapped in 'rec ' record LISTs and " +
+    "fails a truncated LIST through the doc-labeled require") {
+    // hand-built minimal AVI: movi holds one rec-wrapped frame and one
+    // direct frame — interleaved AVIs group frames in LIST('rec ')
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(form: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", form.getBytes("US-ASCII") ++ inner)
+    val recFrame = list("rec ", chunk("00db", Array[Byte](1, 2, 3, 4)))
+    val direct = chunk("00db", Array[Byte](5, 6, 7))
+    val movi = list("movi", recFrame ++ direct)
+    val payload = java.nio.ByteBuffer.allocate(12 + movi.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + movi.length)
+      .put("AVI ".getBytes("US-ASCII")).put(movi).array()
+    val sums = Multimodal.videoFrameSums(MediaRow(42L, "video", payload))
+    assert(sums.toSeq === Seq(10L, 18L),
+      "rec-wrapped frame missing or direct frame lost")
+    // malformed: a LIST whose size (2) cannot hold its 4-byte form tag
+    // must fail through the labeled require, not StringIndexOutOfBounds
+    val shortList = chunk("LIST", Array[Byte](0, 0))
+    val bad = java.nio.ByteBuffer.allocate(12 + shortList.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + shortList.length)
+      .put("AVI ".getBytes("US-ASCII")).put(shortList).array()
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoFrameSums(MediaRow(43L, "video", bad))
+    }
+    assert(e.getMessage.contains("doc 43"), e.getMessage)
+  }
 }

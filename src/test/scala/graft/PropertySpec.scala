@@ -280,4 +280,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val mean = probs.zipWithIndex.map { case (pr, k) => pr * k }.sum
     assert(math.abs(mean - 1.0) < 0.02, s"truncated-Poisson mean $mean")
   }
+
+  test("q271 law: frontier merge == full contraction on random graphs " +
+    "under every base/delta split") {
+    import graft.functions.Similarity
+    import graft.queries.GraphQueries
+    // random small graphs: node ids 0..19, random edge lists; delta =
+    // edges with any endpoint in a random residue class — the merge must
+    // equal a from-scratch contraction of the WHOLE edge set every time
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    val cases = samples(Gen.zip(edgeGen, Gen.choose(2L, 5L)), 12)
+    cases.foreach { case (edges0, mod) =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        val isD = (x: Long) => x % mod == 0
+        val base = edges.filter { case (a, b) => !isD(a) && !isD(b) }
+        val delta = edges.filter { case (a, b) => isD(a) || isD(b) }
+        val full = Similarity.connectedComponentsStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val baseLabels = Similarity.connectedComponentsStar(
+          if (base.nonEmpty) base.toDF("id_a", "id_b")
+          else Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+        val inc = GraphQueries.incrementalMerge(baseLabels,
+          if (delta.nonEmpty) delta.toDF("id_a", "id_b")
+          else Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === full,
+          s"edges=$edges mod=$mod base=$base delta=$delta")
+      }
+    }
+  }
 }
