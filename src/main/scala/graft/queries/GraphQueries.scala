@@ -290,6 +290,63 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PER-CLUSTER COHESION AUDIT (q280) — the over-merge detector for
+    * transitive-closure dedup: q141 merges A∼B∼C into one cluster even
+    * when A≁C, which is CORRECT for dedup but dangerous when the chain
+    * is long — a popular boilerplate n-gram can daisy-chain unrelated
+    * documents into one mega-cluster whose canonical survivor then
+    * "represents" documents it doesn't resemble. Per cluster: member
+    * count, CONFIRMED pair count, the complete-graph possible-pair
+    * count, and density in ppm (10⁶ = clique = true mutual-duplicate
+    * family; low density = chain-like = inspect before keep-one
+    * deletion). q200's triangle census says this corpus-wide; the audit
+    * names the specific clusters. Honors the componentTable reuse conf
+    * (q269's posture) so a composed run prices one contraction.
+    *
+    * Scale shape: labels + pairs are both outputs of already-governed
+    * machinery; the audit itself is one doc-keyed equi-join and two
+    * component-keyed aggregates — output is cluster-count-sized.
+    */
+  def q280ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val labels =
+      (spark.conf.getOption("spark.graft.folds.componentTable") match {
+        case Some(path) => spark.read.parquet(path)
+        case None => q141NearDupComponents(spark, dir)
+      }).select(col("doc_id"), col("component"))
+    // closure guarantees both endpoints share a component — one join
+    val pc = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"))
+      .join(labels.select(col("doc_id").as("id_a"), col("component")), "id_a")
+      .groupBy(col("component")).agg(count(lit(1)).as("n_confirmed_pairs"))
+    labels.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+      .join(pc, Seq("component"), "left")
+      .select(col("component"), col("n_members"),
+        coalesce(col("n_confirmed_pairs"), lit(0L)).as("n_confirmed_pairs"),
+        expr("n_members * (n_members - 1) div 2").as("possible_pairs"))
+      .withColumn("density_ppm",
+        expr("n_confirmed_pairs * 1000000L div possible_pairs"))
+      .orderBy(col("component"))
+  }
+
+  val q280Oracle: String =
+    s"""WITH lab AS (
+       |  SELECT doc_id, component FROM ($q141Oracle)),
+       |p AS (SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |pc AS (
+       |  SELECT l.component, CAST(COUNT(*) AS BIGINT) AS n_confirmed_pairs
+       |  FROM p JOIN lab l ON l.doc_id = p.id_a
+       |  GROUP BY l.component),
+       |m AS (
+       |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM lab GROUP BY component)
+       |SELECT m.component, n_members,
+       |  COALESCE(n_confirmed_pairs, 0) AS n_confirmed_pairs,
+       |  n_members * (n_members - 1) // 2 AS possible_pairs,
+       |  COALESCE(n_confirmed_pairs, 0) * 1000000
+       |    // (n_members * (n_members - 1) // 2) AS density_ppm
+       |FROM m LEFT JOIN pc USING (component)
+       |ORDER BY m.component""".stripMargin
+
   /** The frontier merge: (id, label) base index + delta pairs →
     * (id, label) for the full graph, contracting only touched components.
     * Exposed for GraphSpec's planted-topology audit (base-cluster merge,
@@ -476,6 +533,7 @@ object GraphQueries {
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
     "q271_frontier_components" -> (q271FrontierComponents _),
+    "q280_cluster_cohesion"   -> (q280ClusterCohesion _),
     "q200_triangle_census"    -> (q200TriangleCensus _),
     "q204_kcore"              -> (q204KCoreDecomposition _))
 
@@ -489,6 +547,7 @@ object GraphQueries {
     // same identical-to-full-closure contract, now with untouched-
     // component passthrough on the Spark side
     "q271_frontier_components" -> q141Oracle,
+    "q280_cluster_cohesion"   -> q280Oracle,
     "q200_triangle_census"    -> q200Oracle,
     "q204_kcore"              -> q204Oracle)
 }

@@ -817,7 +817,78 @@ object ProfilingQueries {
       |FROM per CROSS JOIN t
       |ORDER BY day NULLS FIRST""".stripMargin
 
+  /** Columns audited by q281 — high-cardinality keys an optimizer's
+    * cardinality estimator cares about, plus a low-cardinality control
+    * (event_type) whose f-profile is all-tail.
+    */
+  val FreqProfileColumns: Seq[(String, String)] = Seq(
+    ("orders",    "o_custkey"),
+    ("lineitem",  "l_partkey"),
+    ("events",    "user_id"),
+    ("events",    "event_type"),
+    ("documents", "source"))
+
+  /** FREQUENCY-OF-FREQUENCIES PROFILE + CHAO1 (q281) — the statistic
+    * optimizer statistics are made of: per column, how many distinct
+    * values occur exactly once (f1), twice (f2), … five times, and the
+    * Chao1 lower bound on TRUE distinct cardinality,
+    * D + f1·(f1−1)/(2·(f2+1)) in exact integer arithmetic — the
+    * estimator a profiler runs on a SAMPLE to predict how many unseen
+    * values remain (f1 ≈ mass still undiscovered). A column whose f1
+    * dominates is sample-starved; one with f1 = 0 has been seen in
+    * full. The f-profile is also the input to Good-Turing smoothing and
+    * to distinct-count error models — this materializes it exactly.
+    *
+    * Scale shape: per column one value-keyed count aggregate (map-side
+    * combined) re-aggregated to a single row — the two-level profile
+    * pass; output is |columns| rows.
+    */
+  def q281FreqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val checks = FreqProfileColumns.map { case (t, c) =>
+      val vc = Tables.load(spark, dir, t)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      vc.agg(
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("f3"),
+          sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("f4"),
+          sum(when(col("cnt") === 5, 1L).otherwise(0L)).as("f5"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col("n_distinct"),
+          col("f1"), col("f2"), col("f3"), col("f4"), col("f5"),
+          expr("n_distinct + f1 * (f1 - 1) div (2 * (f2 + 1))")
+            .as("chao1_lb"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q281Oracle: String = {
+    val parts = FreqProfileColumns.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         |  CAST(SUM(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+         |  CAST(SUM(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+         |  CAST(SUM(CASE WHEN cnt = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+         |  CAST(COUNT(*)
+         |    + SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+         |      * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
+         |      // (2 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1))
+         |    AS BIGINT) AS chao1_lb
+         |FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM $t GROUP BY $c)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n",
+      "\nORDER BY table_name, column_name")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_freq_profile"    -> (q281FreqProfile _),
     "q272_winsorized_quality" -> (q272WinsorizedQuality _),
     "q277_layout_advisor"  -> (q277LayoutAdvisor _),
     "q267_key_discovery"   -> (q267KeyDiscovery _),
@@ -833,6 +904,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q281_freq_profile"    -> q281Oracle,
     "q272_winsorized_quality" -> q272Oracle,
     "q277_layout_advisor"  -> q277Oracle,
     "q267_key_discovery"   -> q267Oracle,

@@ -519,7 +519,57 @@ object TimeSeriesQueries {
       |WHERE dau.day <= sp.d1
       |ORDER BY dau.day""".stripMargin
 
+  /** COHORT RETENTION MATRIX (q279) — the canonical product-analytics
+    * report DAU/MAU (q261) cannot answer: per signup cohort (week of
+    * first activity), what fraction is still active k weeks later. The
+    * matrix separates "new users mask churn" from real retention — a
+    * flat DAU with collapsing cohort rows is the classic failure this
+    * surfaces. All counts exact distinct users; retention in integer
+    * ppm against the cohort size.
+    *
+    * Scale shape: (user, week) distinct → per-user min (cohort) → one
+    * user-keyed equi-join back → (cohort, offset) distinct-count. Every
+    * shuffle keys on user_id or the tiny (cohort, offset) space; cohort
+    * sizes broadcast onto the matrix.
+    */
+  def q279CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("n_cohort"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_cohort"),
+        col("n_active"),
+        expr("n_active * 1000000L div n_cohort").as("retention_ppm"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val q279Oracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      |s AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      |      FROM c GROUP BY cohort_wk),
+      |a AS (
+      |  SELECT c.cohort_wk,
+      |    CAST(date_diff('day', CAST(c.cohort_wk AS DATE),
+      |      CAST(ev.wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+      |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+      |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT a.cohort_wk, week_offset, n_cohort, n_active,
+      |  n_active * 1000000 // n_cohort AS retention_ppm
+      |FROM a JOIN s USING (cohort_wk)
+      |ORDER BY a.cohort_wk, week_offset""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_cohort_retention"  -> (q279CohortRetention _),
     "q259_event_doublefire"  -> (q259EventDoubleFire _),
     "q261_dau_mau"           -> (q261DauMau _),
     "q256_bandit_replay"     -> (q256BanditReplay _),
@@ -531,6 +581,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q279_cohort_retention"  -> q279Oracle,
     "q259_event_doublefire"  -> q259Oracle,
     "q261_dau_mau"           -> q261Oracle,
     "q256_bandit_replay"     -> q256Oracle,

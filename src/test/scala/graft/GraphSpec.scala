@@ -195,4 +195,27 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains(new java.io.File(tmp).getName), plan.take(2000))
     } finally spark.conf.unset("spark.graft.incr.baseComponentTable")
   }
+
+  test("q280: cohesion laws — spanning-tree floor, clique ceiling, " +
+    "pair mass conservation, 2-clusters are cliques") {
+    val rows = GraphQueries.q280ClusterCohesion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalPairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .count()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val p = r.getAs[Long]("n_confirmed_pairs")
+      assert(n >= 2, "q141 labels only clustered docs")
+      // the closure is BUILT from these pairs: connectivity needs at
+      // least a spanning tree, and at most the complete graph
+      assert(p >= n - 1, s"cluster disconnected in its own pair set: $r")
+      assert(p <= n * (n - 1) / 2, s"pair overcount: $r")
+      assert(r.getAs[Long]("density_ppm") <= 1000000L)
+      if (n == 2)
+        assert(r.getAs[Long]("density_ppm") === 1000000L,
+          "a 2-cluster is definitionally a clique")
+    }
+    // every confirmed pair lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_confirmed_pairs")).sum === totalPairs)
+  }
 }

@@ -330,4 +330,27 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("files_128mb") >= 1L, day)
     }
   }
+
+  test("q281: f-profile recounts exactly and the Chao1 laws hold") {
+    val rows = ProfilingQueries.q281FreqProfile(spark, sfDir).collect()
+    assert(rows.length === ProfilingQueries.FreqProfileColumns.length)
+    rows.foreach { r =>
+      val (d, f1, f2) = (r.getAs[Long]("n_distinct"), r.getAs[Long]("f1"),
+        r.getAs[Long]("f2"))
+      assert(r.getAs[Long]("chao1_lb") === d + f1 * (f1 - 1) / (2 * (f2 + 1)))
+      assert(r.getAs[Long]("chao1_lb") >= d,
+        "Chao1 is a LOWER bound on true distinct, never below observed")
+      // f-mass never exceeds the row count
+      val fmass = (1 to 5).map(k => k * r.getAs[Long](s"f$k")).sum
+      assert(fmass <= r.getAs[Long]("n_rows"), r.toString)
+    }
+    // driver recount of one audited column
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().as[(String, Long)].collect()
+    val r = rows.find(x => x.getAs[String]("table_name") == "events" &&
+      x.getAs[String]("column_name") == "event_type").get
+    assert(r.getAs[Long]("n_distinct") === counts.length)
+    assert(r.getAs[Long]("f1") === counts.count(_._2 == 1))
+    assert(r.getAs[Long]("n_rows") === counts.map(_._2).sum)
+  }
 }

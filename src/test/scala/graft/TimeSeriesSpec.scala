@@ -257,4 +257,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .select(countDistinct(col("user_id"))).collect().head.getLong(0)
     assert(mau28 === manual)
   }
+
+  test("q279: cohort week retains 100% at offset 0, retention never " +
+    "exceeds cohort size, and a driver recount agrees") {
+    import graft.queries.TimeSeriesQueries
+    val rows = TimeSeriesQueries.q279CohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      if (r.getAs[Long]("week_offset") == 0L)
+        assert(r.getAs[Long]("retention_ppm") === 1000000L,
+          "a user is active in their own cohort week by definition")
+    }
+    assert(rows.exists(_.getAs[Long]("week_offset") > 0L),
+      "no multi-week activity - matrix is vacuous")
+    // recount one cell: (first cohort, max offset)
+    val target = rows.maxBy(r =>
+      (r.getAs[Long]("week_offset"), -r.getAs[java.sql.Timestamp]("cohort_wk").getTime))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct().as[(Long, java.sql.Timestamp)].collect()
+    val firstWk = ev.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2.getTime).min }
+    val cwk = target.getAs[java.sql.Timestamp]("cohort_wk").getTime
+    val k = target.getAs[Long]("week_offset")
+    val weekMs = 7L * 86400000L
+    val active = ev.count { case (u, w) =>
+      firstWk(u) == cwk && (w.getTime - cwk) / weekMs == k }
+    assert(target.getAs[Long]("n_active") === active)
+  }
 }
