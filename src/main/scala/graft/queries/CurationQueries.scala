@@ -2434,7 +2434,74 @@ object CurationQueries {
       |FROM b GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** EFFECTIVE CORPUS SIZE AFTER DEDUP (q284) — the number everyone
+    * quotes ("X tokens after dedup") computed honestly: the q269 dedup
+    * map's keep verdicts joined back to per-source token mass, reporting
+    * per source the doc and token counts BEFORE and AFTER keep-one
+    * dedup plus both survival rates in exact ppm. A source whose
+    * kept_tokens_ppm is far below its kept_docs_ppm loses its LONG
+    * duplicates — the signature of mirrored articles rather than
+    * boilerplate stubs. Composes the dedup-map artifact (and therefore
+    * honors `spark.graft.folds.componentTable` transitively — a
+    * composed run prices one contraction).
+    *
+    * Scale shape: one doc-keyed equi-join (map ⋈ token frame) and a
+    * ~|source|-key aggregate; both sides of the join are corpus-sized
+    * but shuffle once on the same key.
+    */
+  def q284EffectiveCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val plants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + SimilarityQueries.PlantOffset).as("doc_id"),
+        col("source"), concat(col("text"), lit(" zz9end")).as("text"))
+    val docs = base.unionByName(plants)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nw"))
+    val map = GraphQueries.q269DedupMap(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    docs.join(map, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("nw")).as("raw_tokens"),
+        sum(when(col("keep"), col("nw")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("kept_docs_ppm", expr("n_kept * 1000000L div n_docs"))
+      .withColumn("kept_tokens_ppm",
+        expr("kept_tokens * 1000000L div raw_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q284Oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, keep FROM (${GraphQueries.q269Oracle})),
+       |docs_ps AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${SimilarityQueries.PlantOffset}, source,
+       |    text || ' zz9end'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS nw
+       |  FROM docs_ps)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(nw) AS BIGINT) AS raw_tokens,
+       |  CAST(SUM(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // COUNT(*) AS kept_docs_ppm,
+       |  CAST(SUM(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(SUM(nw) AS BIGINT) AS kept_tokens_ppm
+       |FROM d JOIN m USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_effective_corpus"     -> (q284EffectiveCorpus _),
     "q276_holdout_sample"       -> (q276HoldoutSample _),
     "q274_top_p_curation"       -> (q274TopPCuration _),
     "q265_span_corruption"      -> (q265SpanCorruption _),
@@ -2470,6 +2537,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q284_effective_corpus"     -> q284Oracle,
     "q276_holdout_sample"       -> q276Oracle,
     "q274_top_p_curation"       -> q274Oracle,
     "q265_span_corruption"      -> q265Oracle,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 
@@ -568,7 +569,76 @@ object TimeSeriesQueries {
       |FROM a JOIN s USING (cohort_wk)
       |ORDER BY a.cohort_wk, week_offset""".stripMargin
 
+  /** PER-SERIES TREND SLOPE — EXACT INTEGER OLS (q283): for each event
+    * type, the least-squares slope of value (cents) against time (hours
+    * since corpus start), carried as the EXACT rational
+    * num/den = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with the quotient
+    * reported in milli-cents/hour by integer division — both engines
+    * truncate toward zero, so negative slopes stay bit-identical. CUSUM
+    * (q237) finds level SHIFTS and the seasonal screen (q221) periodic
+    * structure; this is the monotone-drift detector that catches slow
+    * leaks neither fires on. Products are promoted to DECIMAL(38,0)
+    * (q227's discipline) — n·Σxy at 100 TB event counts wraps BIGINT.
+    *
+    * Scale shape: one 1-row min broadcast to rebase x (keeps x² small
+    * AND overflow-safe), then a single ~|type|-key aggregate with
+    * map-side combine. No windows, no joins beyond the broadcast.
+    */
+  def q283TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        (col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+    val t0 = ev.agg(min(col("us")).as("us0"))
+    ev.crossJoin(broadcast(t0))
+      .withColumn("x", expr("(us - us0) div 3600000000L"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("cents")).as("sum_y"),
+        sum(expr("x * x")).as("sum_xx"),
+        sum(expr("x * cents")).as("sum_xy"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sum_xy - " +
+          "CAST(sum_x AS DECIMAL(38,0)) * sum_y"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sum_xx - " +
+          "CAST(sum_x AS DECIMAL(38,0)) * sum_x"))
+      .select(col("event_type"), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_xy"),
+        expr("CAST(num * 1000 div den AS BIGINT)")
+          .as("slope_millicents_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val q283Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |t0 AS (SELECT MIN(us) AS us0 FROM ev),
+      |xy AS (
+      |  SELECT event_type, (us - us0) // 3600000000 AS x, cents
+      |  FROM ev CROSS JOIN t0),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_y,
+      |    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+      |    CAST(SUM(x * cents) AS BIGINT) AS sum_xy
+      |  FROM xy GROUP BY event_type)
+      |SELECT event_type, n, sum_x, sum_y, sum_xx, sum_xy,
+      |  CAST((CAST(n AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y)
+      |    * 1000
+      |    // (CAST(n AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x)
+      |    AS BIGINT) AS slope_millicents_per_hour
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_trend_slope"       -> (q283TrendSlope _),
     "q279_cohort_retention"  -> (q279CohortRetention _),
     "q259_event_doublefire"  -> (q259EventDoubleFire _),
     "q261_dau_mau"           -> (q261DauMau _),
@@ -581,6 +651,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q283_trend_slope"       -> q283Oracle,
     "q279_cohort_retention"  -> q279Oracle,
     "q259_event_doublefire"  -> q259Oracle,
     "q261_dau_mau"           -> q261Oracle,

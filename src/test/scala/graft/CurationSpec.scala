@@ -657,4 +657,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(r1.map(_.getAs[Long]("n_sampled")).sum > 0,
       "corpus-wide holdout came out empty")
   }
+
+  test("q284: token mass is conserved, kept counts agree with the dedup " +
+    "map, and dedup actually removes something") {
+    import graft.queries.{CurationQueries, GraphQueries}
+    val rows = CurationQueries.q284EffectiveCorpus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("raw_tokens"))
+    }
+    // conservation: per-source totals sum to the full planted corpus
+    val map = GraphQueries.q269DedupMap(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === map.length)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum ===
+      map.count(_.getAs[Boolean]("keep")))
+    // plants guarantee a real dedup delta
+    assert(rows.map(_.getAs[Long]("n_kept")).sum <
+      rows.map(_.getAs[Long]("n_docs")).sum,
+      "dedup removed nothing - plants missing?")
+  }
 }

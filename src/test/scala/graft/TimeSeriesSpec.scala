@@ -285,4 +285,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       firstWk(u) == cwk && (w.getTime - cwk) / weekMs == k }
     assert(target.getAs[Long]("n_active") === active)
   }
+
+  test("q283: OLS sums recount exactly driver-side and the slope is the " +
+    "truncated rational") {
+    import graft.queries.TimeSeriesQueries
+    val rows = TimeSeriesQueries.q283TrendSlope(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val us0 = raw.map(_._2).min
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = raw.filter(_._1 == t)
+        .map { case (_, us, c) => ((us - us0) / 3600000000L, c) }
+      val n = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      assert(BigInt(r.getAs[Long]("sum_x")) === sx, t)
+      assert(BigInt(r.getAs[Long]("sum_xy")) === sxy, t)
+      val num = (n * sxy - sx * sy) * 1000
+      val den = n * sxx - sx * sx
+      assert(den > 0, s"$t: degenerate x spread")
+      // BigInt / truncates toward zero for the signs we produce either way
+      assert(BigInt(r.getAs[Long]("slope_millicents_per_hour")) === num / den, t)
+    }
+  }
 }
