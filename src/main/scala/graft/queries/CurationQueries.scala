@@ -2500,7 +2500,65 @@ object CurationQueries {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  /** EVAL BLAST-RADIUS (q282) — q133's rollup reversed: q133 answers
+    * "which TRAINING docs are contaminated"; this answers the eval
+    * owner's question, "which BENCHMARK docs are burned, and how badly"
+    * — per eval doc, how many training docs share any trigram, the
+    * total shared (train-doc, gram) evidence mass, and the single worst
+    * overlap. An eval doc with a high max_shared_ngrams has a
+    * near-verbatim copy in training and must be dropped from the
+    * benchmark; one with many low-overlap hits merely shares idiom.
+    * Same join discipline as q133 (the eval side is the small one —
+    * broadcast-bounded by the same conf budget).
+    *
+    * Scale shape: identical to q133's gram equi-join, re-aggregated
+    * (eval_id, doc_id) → eval_id; output is eval-slice-sized.
+    */
+  def q282EvalBlastRadius(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.expressions.ShingleStrings.shingleStrings(
+        TextFunctions.tokens(col("text")), 3)).as("ng"))
+    val docs = Tables.documents(spark, dir)
+    val ev = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("eval_id"), col("ng")).distinct()
+    val tr = grams(docs.filter(col("doc_id") % 97 =!= 0)).distinct()
+    tr.join(ev, "ng")
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("shared")).as("n_shared_gram_pairs"),
+        max(col("shared")).as("max_shared_ngrams"))
+      .orderBy(col("eval_id"))
+  }
+
+  val q282Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+      |      AS ng
+      |  FROM d),
+      |ev AS (SELECT DISTINCT doc_id AS eval_id, ng FROM g
+      |       WHERE doc_id % 97 = 0),
+      |tr AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 97 <> 0),
+      |pp AS (
+      |  SELECT ev.eval_id, tr.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM tr JOIN ev USING (ng)
+      |  GROUP BY ev.eval_id, tr.doc_id)
+      |SELECT eval_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+      |  CAST(SUM(shared) AS BIGINT) AS n_shared_gram_pairs,
+      |  CAST(MAX(shared) AS BIGINT) AS max_shared_ngrams
+      |FROM pp GROUP BY eval_id
+      |ORDER BY eval_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_eval_blast_radius"    -> (q282EvalBlastRadius _),
     "q284_effective_corpus"     -> (q284EffectiveCorpus _),
     "q276_holdout_sample"       -> (q276HoldoutSample _),
     "q274_top_p_curation"       -> (q274TopPCuration _),
@@ -2537,6 +2595,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q282_eval_blast_radius"    -> q282Oracle,
     "q284_effective_corpus"     -> q284Oracle,
     "q276_holdout_sample"       -> q276Oracle,
     "q274_top_p_curation"       -> q274Oracle,

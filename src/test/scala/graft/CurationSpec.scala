@@ -677,4 +677,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       rows.map(_.getAs[Long]("n_docs")).sum,
       "dedup removed nothing - plants missing?")
   }
+
+  test("q282: blast-radius is the exact transpose of q133's evidence") {
+    import graft.queries.CurationQueries
+    val blast = CurationQueries.q282EvalBlastRadius(spark, sfDir).collect()
+    val fwd = CurationQueries.q133ContaminationCheck(spark, sfDir).collect()
+    assert(blast.nonEmpty && fwd.nonEmpty)
+    blast.foreach { r =>
+      assert(r.getAs[Long]("max_shared_ngrams") >= 1L)
+      assert(r.getAs[Long]("n_shared_gram_pairs") >=
+        r.getAs[Long]("n_train_docs"))
+    }
+    // transpose law: both sides describe the same (train, eval, gram)
+    // evidence set, so total distinct shared grams must reconcile —
+    // q133's n_shared_ngrams is per TRAIN doc across all eval docs
+    // (distinct grams), which is <= the pair mass; and the flagged
+    // TRAIN population must equal the union q282 sees
+    val trainFlagged = fwd.map(_.getAs[Long]("doc_id")).toSet
+    val pairMass = blast.map(_.getAs[Long]("n_shared_gram_pairs")).sum
+    assert(fwd.map(_.getAs[Long]("n_shared_ngrams")).sum <= pairMass)
+    assert(blast.map(_.getAs[Long]("n_train_docs")).sum >=
+      trainFlagged.size)
+  }
 }
