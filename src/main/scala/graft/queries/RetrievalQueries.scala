@@ -187,6 +187,112 @@ object RetrievalQueries {
       |ORDER BY score_scaled DESC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** RECIPROCAL-RANK FUSION (q285) — hybrid retrieval's standard merge
+    * (Cormack et al.'s RRF): two scorers rank the same query, and the
+    * fused score is Σ 10⁶/(60 + rank) over the rankers that retrieved
+    * the doc — rank-based, so incommensurable score scales fuse without
+    * calibration, and the k=60 constant damps any single ranker's head.
+    * Ranker A is q144's BM25 top-20; ranker B is a deliberately
+    * different lexical scorer over the SAME deterministic query terms —
+    * proportional query-term mass qtf·10⁶ div dl (length-normalized, no
+    * idf, no saturation — the scorer BM25 was invented to fix, which is
+    * exactly what makes the fusion non-trivial). Missing-rank
+    * contributes 0 and is reported as rank 0 (sentinel, never a valid
+    * rank). Integer throughout.
+    *
+    * Scale shape: both rankings are top-20 frames (windows over ≤20
+    * rows after TakeOrdered heads); the fusion is a 20∪20-row full
+    * outer join — driver-free, broadcast-trivial.
+    */
+  def q285RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = q144Bm25Search(spark, dir)
+      .select(col("doc_id"), col("score_scaled"))
+    val rankA = bm.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("score_scaled").desc, col("doc_id")))
+        .as("rank_bm25"))
+    // scorer B over the same corpus stats + query terms as q144
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
+    val qterms = dfs.join(broadcast(tot))
+      .orderBy(abs(col("df") * 2 - col("nn")).asc, col("term").asc)
+      .limit(3)
+      .select(col("term"))
+    val prop = tf.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("qtf"))
+      .join(dl, "doc_id")
+      .withColumn("prop_scaled", expr("qtf * 1000000L div dl"))
+      .orderBy(col("prop_scaled").desc, col("doc_id").asc)
+      .limit(20)
+    val rankB = prop.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("prop_scaled").desc, col("doc_id")))
+        .as("rank_prop"))
+    rankA.join(rankB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0)).as("rank_bm25"),
+        coalesce(col("rank_prop"), lit(0)).as("rank_prop"))
+      .withColumn("rrf_scaled", expr(
+        "CASE WHEN rank_bm25 > 0 THEN 1000000 div (60 + rank_bm25) ELSE 0 END + " +
+          "CASE WHEN rank_prop > 0 THEN 1000000 div (60 + rank_prop) ELSE 0 END")
+        .cast("long"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q285Oracle: String =
+    s"""WITH ra AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+       |      AS INTEGER) AS rank_bm25
+       |  FROM ($q144Oracle)),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY term, doc_id),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY doc_id),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM dl),
+       |qterms AS (
+       |  SELECT term FROM dfs, tot
+       |  ORDER BY abs(2 * df - nn) ASC, term ASC LIMIT 3),
+       |prop AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) * 1000000 // dl.dl
+       |    AS prop_scaled
+       |  FROM tf JOIN qterms USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |  GROUP BY tf.doc_id, dl.dl
+       |  ORDER BY prop_scaled DESC, tf.doc_id ASC LIMIT 20),
+       |rb AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY prop_scaled DESC, doc_id)
+       |      AS INTEGER) AS rank_prop
+       |  FROM prop),
+       |fused AS (
+       |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       |    COALESCE(rank_bm25, 0) AS rank_bm25,
+       |    COALESCE(rank_prop, 0) AS rank_prop
+       |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+       |SELECT doc_id, rank_bm25, rank_prop,
+       |  CAST(CASE WHEN rank_bm25 > 0 THEN 1000000 // (60 + rank_bm25)
+       |       ELSE 0 END
+       |     + CASE WHEN rank_prop > 0 THEN 1000000 // (60 + rank_prop)
+       |       ELSE 0 END AS BIGINT) AS rrf_scaled
+       |FROM fused
+       |ORDER BY rrf_scaled DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** SPARSE SIMILARITY JOIN (q154): top document PAIRS by tf-idf
     * dot-product, mined through the inverted index — the all-pairs
     * complement to q144's query-time ranking and the term-space analogue
@@ -347,9 +453,11 @@ object RetrievalQueries {
     "q222_kwic_concordance" -> (q222KwicConcordance _),
     "q143_inverted_index" -> (q143InvertedIndex _),
     "q144_bm25_search"    -> (q144Bm25Search _),
-    "q154_sparse_simjoin" -> (q154SparseSimJoin _))
+    "q154_sparse_simjoin" -> (q154SparseSimJoin _),
+    "q285_rrf_fusion"     -> (q285RrfFusion _))
 
   val oracles: Map[String, String] = Map(
+    "q285_rrf_fusion"     -> q285Oracle,
     "q222_kwic_concordance" -> q222Oracle,
     "q143_inverted_index" -> q143Oracle,
     "q144_bm25_search"    -> q144Oracle,

@@ -87,4 +87,29 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       assert(alt.map(_.getString(0)).toSeq === Seq("vector"))
     } finally spark.conf.unset("spark.graft.kwic.term")
   }
+
+  test("q285: RRF scores replay from the ranks, both rankers contribute, " +
+    "and the rankers genuinely disagree") {
+    val rows = RetrievalQueries.q285RrfFusion(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Int]("rank_bm25"), r.getAs[Int]("rank_prop"))
+      assert(ra >= 0 && ra <= 20 && rb >= 0 && rb <= 20)
+      assert(ra > 0 || rb > 0, "doc retrieved by neither ranker")
+      val expected =
+        (if (ra > 0) 1000000L / (60 + ra) else 0L) +
+          (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(r.getAs[Long]("rrf_scaled") === expected, r.toString)
+    }
+    // descending fusion order with doc tiebreak
+    val scores = rows.map(_.getAs[Long]("rrf_scaled")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // non-vacuity: fusion only matters if the rankers disagree somewhere
+    val both = rows.filter(r =>
+      r.getAs[Int]("rank_bm25") > 0 && r.getAs[Int]("rank_prop") > 0)
+    assert(both.nonEmpty, "rankings share no docs - fusion untested")
+    assert(rows.exists(r => r.getAs[Int]("rank_bm25") !=
+      r.getAs[Int]("rank_prop")),
+      "rankers fully agree - fusion is vacuous on this corpus")
+  }
 }
