@@ -319,13 +319,79 @@ object EmbeddingQueries {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  /** LABEL × IVF-CELL OCCUPANCY (q286) — does each class COVER the
+    * embedding space or collapse into a corner? Every vector is assigned
+    * to its nearest IVF cell (q42's deterministic first-16 centroid grid
+    * and codegen'd argmin, distance ties broken by cid), and per label
+    * the report gives cell coverage (cells occupied / 16), the hottest
+    * cell's share in ppm, and the integer HHI over its cell distribution
+    * — a label with max_cell_share → 10⁶ is a point mass ANN recall
+    * curves will flatter and classifiers will memorize; q227 measures
+    * BETWEEN-label separation, this measures WITHIN-label spread on the
+    * same index geometry the ANN queries actually use.
+    *
+    * Scale shape: assignment is a projection (centroids ride inside the
+    * expression — the conf-bounded k-row collect annIvf documents); then
+    * one (label, cell) aggregate re-aggregated to |label| rows.
+    */
+  def q286LabelCellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
+        col("label"))
+    val cents: Array[(Int, Array[Double])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val lc = emb
+      .withColumn("cid", element_at(
+        graft.expressions.VectorExpressions.nearestCentroids(col("v"), cents, 1),
+        1))
+      .groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n"))
+    lc.groupBy(col("label"))
+      .agg(sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        max(col("n")).as("max_cell_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .select(col("label"), col("n_vecs"), col("n_cells"),
+        expr("max_cell_n * 1000000L div n_vecs").as("max_cell_share_ppm"),
+        expr("sum_n2 * 1000000L div (n_vecs * n_vecs)").as("hhi_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val q286Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+      |      FROM v WHERE vec_id < 16),
+      |cell AS (
+      |  SELECT vec_id, label, cid FROM (
+      |    SELECT v.vec_id, v.label, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_distance(v.v, c.cv), c.cid) AS arn
+      |    FROM v, c) WHERE arn = 1),
+      |lc AS (SELECT label, cid, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM cell GROUP BY label, cid)
+      |SELECT label,
+      |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(MAX(n) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+      |    AS max_cell_share_ppm,
+      |  CAST(SUM(n * n) AS BIGINT) * 1000000
+      |    // (CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)) AS hhi_ppm
+      |FROM lc GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_label_cell_occupancy" -> (q286LabelCellOccupancy _),
     "q226_embedding_covariance" -> (q226EmbeddingCovariance _),
     "q227_centroid_drift"       -> (q227CentroidDrift _),
     "q240_otsu_binarization"    -> (q240OtsuBinarization _),
     "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "q286_label_cell_occupancy" -> q286Oracle,
     "q226_embedding_covariance" -> q226Oracle,
     "q227_centroid_drift"       -> q227Oracle,
     "q240_otsu_binarization"    -> q240Oracle,

@@ -887,7 +887,96 @@ object ProfilingQueries {
       "\nORDER BY table_name, column_name")
   }
 
+  /** TEMPORAL CONSISTENCY AUDIT (q288) — the cross-table ORDER-OF-EVENTS
+    * check referential integrity (q230) cannot express: a line item must
+    * not ship before its order exists. Per order year: line count,
+    * violations (l_shipdate < o_orderdate), the violation rate in exact
+    * ppm, and the worst lead in days. Like q267's composite-key finding,
+    * the audit DISCOVERS a real fixture property — this generator draws
+    * ship dates independently of order dates, so ~half of all lines
+    * "ship early" — which is exactly the report's job: measure, not
+    * assume. On TPC-H-conformant data the violation columns read zero
+    * and the audit certifies the invariant.
+    *
+    * Scale shape: one orderkey-keyed equi-join (both sides shuffle once
+    * on the same key) into a ~|year|-row aggregate.
+    */
+  def q288TemporalAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("n_violations"),
+        max(when(col("l_shipdate") < col("o_orderdate"),
+          datediff(col("o_orderdate"), col("l_shipdate")))).cast("long")
+          .as("worst_lead_days"))
+      .withColumn("violation_ppm",
+        expr("n_violations * 1000000L div n_lineitems"))
+      .orderBy(col("order_year"))
+
+  val q288Oracle: String =
+    """SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+      |  CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_violations,
+      |  CAST(MAX(CASE WHEN l.l_shipdate < o.o_orderdate
+      |    THEN date_diff('day', CAST(l.l_shipdate AS DATE),
+      |                   CAST(o.o_orderdate AS DATE)) END) AS BIGINT)
+      |    AS worst_lead_days,
+      |  CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // COUNT(*) AS violation_ppm
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1
+      |ORDER BY order_year""".stripMargin
+
+  /** K-ANONYMITY RISK AUDIT (q287) — the STRUCTURAL privacy check the
+    * pattern-based PII passes (q79/q163) cannot make: even with every
+    * name and number scrubbed, a row whose quasi-identifier combination
+    * — here (nation, market segment, account-balance bucket) — is
+    * shared by fewer than k=5 customers is re-identifiable by linkage.
+    * The report is the equivalence-class SIZE HISTOGRAM: for each class
+    * size, how many classes and rows sit there, flagged at_risk below
+    * k — the curve a release decision reads (generalize the bucket,
+    * suppress the tail, or publish). Balance buckets via floor()
+    * (CAST on decimals ROUNDS in DuckDB but truncates in Spark — floor
+    * is the portable choice at negative balances).
+    *
+    * Scale shape: one QI-keyed aggregate (map-side combined) re-keyed
+    * by class size — two shuffles on shrinking cardinalities, output
+    * |distinct sizes| rows.
+    */
+  def q287KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        (col("class_size") < 5).as("at_risk"))
+      .orderBy(col("class_size"))
+
+  val q287Oracle: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+      |  class_size < 5 AS at_risk
+      |FROM cls GROUP BY class_size
+      |ORDER BY class_size""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_k_anonymity"     -> (q287KAnonymity _),
+    "q288_temporal_audit"  -> (q288TemporalAudit _),
     "q281_freq_profile"    -> (q281FreqProfile _),
     "q272_winsorized_quality" -> (q272WinsorizedQuality _),
     "q277_layout_advisor"  -> (q277LayoutAdvisor _),
@@ -904,6 +993,8 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q287_k_anonymity"     -> q287Oracle,
+    "q288_temporal_audit"  -> q288Oracle,
     "q281_freq_profile"    -> q281Oracle,
     "q272_winsorized_quality" -> q272Oracle,
     "q277_layout_advisor"  -> q277Oracle,

@@ -115,4 +115,44 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
     }
     assert(found > byId.size / 2, "LSH buckets found too few hard negatives")
   }
+
+  test("q286: occupancy laws (HHI <= max share, uniform floor, mass " +
+    "conservation) and a driver-side argmin recount") {
+    import graft.queries.EmbeddingQueries
+    val rows = EmbeddingQueries.q286LabelCellOccupancy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    rows.foreach { r =>
+      val cells = r.getAs[Long]("n_cells")
+      assert(cells >= 1 && cells <= 16)
+      // HHI = Σs² <= max_s·Σs = max share; floor at uniform over n_cells
+      assert(r.getAs[Long]("hhi_ppm") <=
+        r.getAs[Long]("max_cell_share_ppm") + 1)
+      assert(r.getAs[Long]("hhi_ppm") >= 1000000L / cells - 1)
+    }
+    // recount: assign every vector driver-side by the same argmin rule
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val cents = raw.filter(_._1 < 16).sortBy(_._1)
+      .map(t => (t._1.toInt, t._2))
+    def cell(v: Array[Double]): Int =
+      cents.minBy { case (cid, cv) =>
+        val d = math.sqrt(cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        (d, cid)
+      }._1
+    val manual = raw.groupBy(_._3).map { case (lab, vs) =>
+      val byCell = vs.groupBy(v => cell(v._2)).map(_._2.size.toLong)
+      lab -> (vs.length.toLong, byCell.size.toLong, byCell.max)
+    }
+    rows.foreach { r =>
+      val (nv, nc, mx) = manual(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") === nv)
+      assert(r.getAs[Long]("n_cells") === nc)
+      assert(r.getAs[Long]("max_cell_share_ppm") === mx * 1000000L / nv)
+    }
+  }
 }

@@ -353,4 +353,47 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("f1") === counts.count(_._2 == 1))
     assert(r.getAs[Long]("n_rows") === counts.map(_._2).sum)
   }
+
+  test("q287: the class-size histogram recounts exactly and conserves " +
+    "the customer population") {
+    val rows = ProfilingQueries.q287KAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+      .as[(Int, String, Long)].collect()
+    val classes = custs.groupBy(identity).map(_._2.length.toLong)
+    val hist = classes.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === custs.length.toLong)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("class_size")
+      assert(r.getAs[Long]("n_classes") === hist(s), s"size $s")
+      assert(r.getAs[Boolean]("at_risk") === (s < 5))
+    }
+    assert(rows.exists(_.getAs[Boolean]("at_risk")),
+      "no class below k=5 - the risk flag is untested on this fixture")
+  }
+
+  test("q288: temporal audit recounts exactly and surfaces the fixture's " +
+    "independent-date property") {
+    val rows = ProfilingQueries.q288TemporalAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val joined = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(year(col("o_orderdate")), col("l_shipdate") < col("o_orderdate"))
+      .as[(Int, Boolean)].collect()
+    assert(rows.map(_.getAs[Long]("n_lineitems")).sum === joined.length.toLong)
+    rows.foreach { r =>
+      val y = r.getAs[Int]("order_year")
+      val inYear = joined.filter(_._1 == y)
+      assert(r.getAs[Long]("n_lineitems") === inYear.length.toLong, y)
+      assert(r.getAs[Long]("n_violations") === inYear.count(_._2).toLong, y)
+    }
+    // the synthetic generator draws dates independently — the audit's
+    // whole value is that it MEASURES this rather than assuming TPC-H
+    assert(rows.map(_.getAs[Long]("n_violations")).sum > 0)
+  }
 }
