@@ -699,7 +699,89 @@ object EvalQueries {
        |ORDER BY feature, threshold""".stripMargin
   }
 
+  /** SPLIT-CONFORMAL CALIBRATION (q289) — the distribution-free
+    * prediction-bound recipe: per language, the classifier scores
+    * (q136's integer LinearTextScore) of a deterministic CALIBRATION
+    * slice (md5 buckets 0–3 of 16 — q276's content-stable split, so the
+    * slice never moves between runs) are rank-sorted, and the conformal
+    * threshold is the ⌈(n_cal+1)·0.9⌉-th smallest score — exchangeability
+    * then guarantees ~90% of UNSEEN docs score at or under it, with NO
+    * distributional assumption. The report measures that promise on the
+    * held-out remainder: realized coverage in exact ppm beside the
+    * guarantee it should hover around. Every step is rank/integer
+    * arithmetic — threshold selection by row_number, ties broken by
+    * doc_id, degenerate slices (q-index past the slice) clamp to the max
+    * — so both engines replay the whole procedure bit-identically.
+    *
+    * Scale shape: scoring is q136's projection; ranking windows only the
+    * calibration slice (1/4 of the corpus) per language; the coverage
+    * pass is one broadcast threshold join + aggregate.
+    */
+  def q289ConformalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.expressions.LinearTextScore.linearTextScore(
+          graft.functions.TextFunctions.tokens(col("text")),
+          CurationQueries.ClassifierWeights, 2).as("s"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
+          "AS BIGINT) % 16"))
+    val cal = scored.filter(col("bucket") < 4)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("s"), col("doc_id"))))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("qidx", expr("((n_cal + 1) * 9 + 9) div 10"))
+    val thr = cal
+      .groupBy(col("lang"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("qidx")).as("cal_q_index"),
+        max(when(col("rn") === least(col("qidx"), col("n_cal")), col("s")))
+          .as("threshold"))
+    scored.filter(col("bucket") >= 4)
+      .join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("cal_q_index")).as("cal_q_index"),
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage_ppm", expr("n_covered * 1000000L div n_test"))
+      .orderBy(col("lang"))
+  }
+
+  val q289Oracle: String =
+    s"""WITH sc AS (
+       |  SELECT q.doc_id, d.lang, q.score_sum AS s,
+       |    CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4)
+       |      AS BIGINT) % 16 AS bucket
+       |  FROM (${CurationQueries.q136Oracle}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id),
+       |cal AS (
+       |  SELECT lang, s,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_cal
+       |  FROM sc WHERE bucket < 4),
+       |thr AS (
+       |  SELECT lang, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+       |    CAST(MAX(((n_cal + 1) * 9 + 9) // 10) AS BIGINT) AS cal_q_index,
+       |    MAX(CASE WHEN rn = LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal)
+       |        THEN s END) AS threshold
+       |  FROM cal GROUP BY lang)
+       |SELECT sc.lang, thr.n_cal, thr.cal_q_index,
+       |  CAST(thr.threshold AS BIGINT) AS threshold,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN sc.s <= thr.threshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  CAST(SUM(CASE WHEN sc.s <= thr.threshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // COUNT(*) AS coverage_ppm
+       |FROM sc JOIN thr USING (lang)
+       |WHERE sc.bucket >= 4
+       |GROUP BY sc.lang, thr.n_cal, thr.cal_q_index, thr.threshold
+       |ORDER BY sc.lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_conformal_calibration" -> (q289ConformalCalibration _),
     "q238_decision_stump"      -> (q238DecisionStump _),
     "q232_poisson_bootstrap"   -> (q232PoissonBootstrap _),
     "q219_chi2_source_drift"   -> (q219Chi2SourceDrift _),
@@ -709,6 +791,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q289_conformal_calibration" -> q289Oracle,
     "q238_decision_stump"      -> q238Oracle,
     "q232_poisson_bootstrap"   -> q232Oracle,
     "q219_chi2_source_drift"   -> q219Oracle,

@@ -217,4 +217,41 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       (pr * pr + (nr - pr) * (nr - pr)) * 1000000 / nr).toLong
     assert(cell.getAs[Long]("score_q") === expect)
   }
+
+  test("q289: threshold is the exact conformal rank statistic (driver " +
+    "replay), slices partition each language, and coverage honors the " +
+    "distribution-free guarantee") {
+    import spark.implicits._
+    val rows = EvalQueries.q289ConformalCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver replay: same scores via q136, same md5 bucket rule
+    val scored = CurationQueries.q136QualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score_sum"))
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .as[(Long, Long, String)].collect()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(2).map("%02x".format(_)).mkString, 16) % 16
+    }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val inLang = scored.filter(_._3 == lang)
+      val cal = inLang.filter(t => bucket(t._1) < 4)
+        .sortBy(t => (t._2, t._1)).map(_._2)
+      val test = inLang.filter(t => bucket(t._1) >= 4).map(_._2)
+      assert(r.getAs[Long]("n_cal") === cal.length.toLong, lang)
+      assert(r.getAs[Long]("n_test") === test.length.toLong, lang)
+      assert(cal.length + test.length === inLang.length, lang)
+      val qidx = ((cal.length + 1) * 9 + 9) / 10
+      assert(r.getAs[Long]("cal_q_index") === qidx.toLong, lang)
+      val thr = cal(math.min(qidx, cal.length) - 1)
+      assert(r.getAs[Long]("threshold") === thr, lang)
+      assert(r.getAs[Long]("n_covered") === test.count(_ <= thr).toLong, lang)
+      // exchangeable synthetic data: realized coverage sits near the 90%
+      // target the rank statistic promises (loose floor, deterministic)
+      assert(r.getAs[Long]("coverage_ppm") >= 800000L,
+        s"$lang coverage collapsed: $r")
+    }
+  }
 }
