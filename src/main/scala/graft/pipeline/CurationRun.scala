@@ -3,11 +3,12 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{GraphQueries, MiningQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, GraphQueries, MiningQueries, SimilarityQueries, TextQueries}
 
 /** END-TO-END CURATION RUN (q270) — the composed production pipeline over
   * the gate suite's independently-verified pieces: near-dup confirm →
-  * transitive components → dedup map + leakage-free fold split → winnowing
+  * transitive components → dedup map + leakage-free fold split +
+  * cluster-cohesion audit + effective-corpus report → winnowing
   * fingerprints → weighted-Jaccard confirm → training shards.
   *
   * The point of this object is the INTERMEDIATE-PERSISTENCE posture. Each
@@ -48,6 +49,11 @@ object CurationRun {
   private val FoldsChk = "fold + n_docs + n_clusters + leakage_pairs"
   private val PairsChk = "id_a + id_b + n_shared + sim_ppm"
   private val WjChk = "id_a + id_b + sum_min + sum_max + wjaccard_ppm"
+  private val CohesionChk =
+    "component + n_members + n_confirmed_pairs + possible_pairs + density_ppm"
+  private val CorpusChk =
+    "n_docs + n_kept + raw_tokens + kept_tokens + kept_docs_ppm + " +
+      "kept_tokens_ppm"
   private val ShardsChkSpark =
     "shard + n_sequences + n_docs + n_subwords + " +
       "CAST(conv(substring(shard_md5, 1, 8), 16, 10) AS BIGINT)"
@@ -90,6 +96,10 @@ object CurationRun {
         ("winnow_pairs", spark.read.parquet(pairPath), PairsChk),
         ("weighted_jaccard",
           SimilarityQueries.q236WeightedJaccard(spark, dir), WjChk),
+        ("cluster_cohesion",
+          GraphQueries.q280ClusterCohesion(spark, dir), CohesionChk),
+        ("effective_corpus",
+          CurationQueries.q284EffectiveCorpus(spark, dir), CorpusChk),
         ("shards", TextQueries.q192TrainingShards(spark, dir), ShardsChkSpark))
       stages.map { case (s, df, chk) => summarize(s, df, chk) }
         .reduce(_ unionByName _)
@@ -125,6 +135,10 @@ object CurationRun {
         SimilarityQueries.q216WinnowingFingerprints(spark, dir), PairsChk),
       ("weighted_jaccard",
         SimilarityQueries.q236WeightedJaccard(spark, dir), WjChk),
+      ("cluster_cohesion",
+        GraphQueries.q280ClusterCohesion(spark, dir), CohesionChk),
+      ("effective_corpus",
+        CurationQueries.q284EffectiveCorpus(spark, dir), CorpusChk),
       ("shards", TextQueries.q192TrainingShards(spark, dir), ShardsChkSpark))
     stages.map { case (s, df, chk) => summarize(s, df, chk) }
       .reduce(_ unionByName _)
@@ -149,6 +163,8 @@ object CurationRun {
       wrap("folds", MiningQueries.q184Oracle, FoldsChk),
       wrap("winnow_pairs", SimilarityQueries.q216Oracle, PairsChk),
       wrap("weighted_jaccard", SimilarityQueries.q236Oracle, WjChk),
+      wrap("cluster_cohesion", GraphQueries.q280Oracle, CohesionChk),
+      wrap("effective_corpus", CurationQueries.q284Oracle, CorpusChk),
       wrap("shards", TextQueries.q192Oracle, ShardsChkDuck))
       .mkString("", "\nUNION ALL\n", "\nORDER BY stage")
   }

@@ -18,10 +18,10 @@ class CurationRunSpec extends AnyFunSuite with SparkSpec {
     val gate = CurationRun.gateSummary(spark, sfDir).collect().toSeq
     assert(composed === gate,
       s"composed=$composed\ngate=$gate")
-    // six stages, every one non-degenerate
+    // eight stages, every one non-degenerate
     assert(composed.map(_.getString(0)) ===
-      Seq("components", "dedup_map", "folds", "shards", "weighted_jaccard",
-        "winnow_pairs"))
+      Seq("cluster_cohesion", "components", "dedup_map", "effective_corpus",
+        "folds", "shards", "weighted_jaccard", "winnow_pairs"))
     assert(composed.forall(_.getLong(1) > 0), s"empty stage in $composed")
   }
 
