@@ -428,6 +428,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(u1.head(2).asInstanceOf[java.sql.Timestamp].after(ts(100)))
   }
 
+  test("staged stream slices carry strictly increasing mtimes, so batch " +
+    "arrival order is guaranteed (not an mtime race)") {
+    // stage the events slices, then inspect the files the source reads
+    StreamingOps.eventsReadStreamSliced(spark, sfDir, slices = 3)
+    val dir = graft.util.Staging.dir("graft_stream_s3", sfDir)
+    val times = (0 until 3).map { s =>
+      java.nio.file.Files.getLastModifiedTime(
+        dir.resolve(s"slice$s.parquet")).toMillis
+    }
+    assert(times === times.sorted, s"mtimes out of order: $times")
+    assert(times.distinct.length === 3, s"mtime tie: $times")
+    // wide spacing survives coarse-mtime filesystems
+    assert(times.zip(times.tail).forall { case (a, b) => b - a >= 1000 },
+      s"mtimes too close for coarse filesystems: $times")
+  }
+
   test("q278: streaming decontamination equals the q133 batch screen, " +
     "and the stream genuinely spans multiple slices") {
     import graft.queries.{CurationQueries, StreamingQueries}
