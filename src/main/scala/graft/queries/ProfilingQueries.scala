@@ -974,7 +974,72 @@ object ProfilingQueries {
       |FROM cls GROUP BY class_size
       |ORDER BY class_size""".stripMargin
 
+  /** GOOD-TURING FREQUENCY RE-ESTIMATES (q290) — q281's f-profile put to
+    * work: the Good-Turing adjusted count r* = (r+1)·f_{r+1}/f_r for the
+    * low ranks (scaled to milli-units, exact integer division) and the
+    * UNSEEN-probability mass P₀ = f₁/N in exact ppm — the number
+    * Katz-backoff and every add-k-vs-discount debate is about. A column
+    * whose p0_ppm is high is still discovering values (schedule a fuller
+    * scan before trusting its distinct count); r*₁ far below 2·f₂/f₁'s
+    * naive expectation signals a heavy singleton tail. Ranks whose f_r
+    * is 0 report NULL (the estimator is undefined there, and both
+    * engines say so identically).
+    *
+    * Scale shape: identical to q281 — per column one value-keyed count
+    * aggregate re-aggregated to a single row.
+    */
+  def q290GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val checks = FreqProfileColumns.map { case (t, c) =>
+      val vc = Tables.load(spark, dir, t)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      vc.agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("f3"),
+          sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("f4"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col("f1"),
+          expr("f1 * 1000000L div n_rows").as("p0_ppm"),
+          expr("CASE WHEN f1 > 0 THEN 2 * f2 * 1000 div f1 END")
+            .as("rstar1_milli"),
+          expr("CASE WHEN f2 > 0 THEN 3 * f3 * 1000 div f2 END")
+            .as("rstar2_milli"),
+          expr("CASE WHEN f3 > 0 THEN 4 * f4 * 1000 div f3 END")
+            .as("rstar3_milli"))
+    }
+    checks.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q290Oracle: String = {
+    val parts = FreqProfileColumns.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // CAST(SUM(cnt) AS BIGINT) AS p0_ppm,
+         |  CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) * 1000
+         |      // SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) END
+         |    AS rstar1_milli,
+         |  CASE WHEN SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(3 * SUM(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) * 1000
+         |      // SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) END
+         |    AS rstar2_milli,
+         |  CASE WHEN SUM(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(4 * SUM(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) * 1000
+         |      // SUM(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) AS BIGINT) END
+         |    AS rstar3_milli
+         |FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM $t GROUP BY $c)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n",
+      "\nORDER BY table_name, column_name")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_good_turing"     -> (q290GoodTuring _),
     "q287_k_anonymity"     -> (q287KAnonymity _),
     "q288_temporal_audit"  -> (q288TemporalAudit _),
     "q281_freq_profile"    -> (q281FreqProfile _),
@@ -993,6 +1058,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q290_good_turing"     -> q290Oracle,
     "q287_k_anonymity"     -> q287Oracle,
     "q288_temporal_audit"  -> q288Oracle,
     "q281_freq_profile"    -> q281Oracle,

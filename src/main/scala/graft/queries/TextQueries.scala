@@ -1001,7 +1001,131 @@ object TextQueries {
        |ORDER BY k""".stripMargin
   }
 
+  /** ZIPF SLOPE DIAGNOSTIC (q291) — is this corpus natural-language-
+    * shaped? Natural text's rank-frequency curve is a power law with
+    * exponent ≈ −1; machine-generated or template-stuffed corpora bend
+    * it. The top-1024 terms are ranked (count desc, term tiebreak), both
+    * axes are quantized to the exact integer ⌊log₂⌋+1 = length(bin(x))
+    * (the q206 recipe — bit-identical in both engines, no float logs),
+    * and the OLS slope over the quantized points comes out in exact
+    * milli-units via q283's DECIMAL(38) rational. A slope far from
+    * −1000 milli is the "this isn't prose" alarm corpus intake runs.
+    *
+    * Scale shape: one tokenize-explode aggregate, a 1024-row TakeOrdered
+    * head, then constant-size arithmetic. The window ranks 1024 rows,
+    * never the corpus.
+    */
+  def q291ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(1024)
+    val pts = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .select(length(bin(col("rank"))).cast(LongType).as("x"),
+        length(bin(col("cnt"))).cast(LongType).as("y"))
+    pts.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(expr("x * x")).as("sum_xx"), sum(expr("x * y")).as("sum_xy"))
+      .select(col("n_terms"), col("sum_x"), col("sum_y"),
+        expr(
+          "CAST((CAST(n_terms AS DECIMAL(38,0)) * sum_xy - " +
+            "CAST(sum_x AS DECIMAL(38,0)) * sum_y) * 1000 div " +
+            "(CAST(n_terms AS DECIMAL(38,0)) * sum_xx - " +
+            "CAST(sum_x AS DECIMAL(38,0)) * sum_x) AS BIGINT)")
+          .as("zipf_slope_milli"))
+  }
+
+  val q291Oracle: String =
+    """WITH c AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1024),
+      |pts AS (
+      |  SELECT
+      |    CAST(length(bin(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+      |      AS BIGINT))) AS BIGINT) AS x,
+      |    CAST(length(bin(cnt)) AS BIGINT) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sum_xy
+      |  FROM pts)
+      |SELECT n_terms, sum_x, sum_y,
+      |  CAST((CAST(n_terms AS HUGEINT) * sum_xy
+      |      - CAST(sum_x AS HUGEINT) * sum_y) * 1000
+      |    // (CAST(n_terms AS HUGEINT) * sum_xx
+      |      - CAST(sum_x AS HUGEINT) * sum_x) AS BIGINT)
+      |    AS zipf_slope_milli
+      |FROM s""".stripMargin
+
+  /** TERM BURSTINESS — FANO FACTOR (q293) — the Church–Gale signal that
+    * separates FUNCTION words from TOPICAL words: per top-20 term, the
+    * dispersion of its per-document counts (zeros included — a term
+    * absent from a doc is data, which is why the stats run against the
+    * corpus-wide doc count N). Poisson scatter ⇒ Fano ≈ 1000 milli
+    * (function words); bursty topical words run far above — and a
+    * "keyword" whose Fano sits at 1000 is spam-stuffed uniformly, not
+    * written. Exact integers: Fano·1000 = (N·Σx² − (Σx)²)·1000 div
+    * (Σx·(N−1)), numerator non-negative by Cauchy–Schwarz; promote to
+    * DECIMAL(38) at real corpus scale (q283's discipline).
+    *
+    * Scale shape: one (term, doc) aggregate, a 20-row TakeOrdered term
+    * head broadcast back, a 1-row N crossJoin — no corpus window.
+    */
+  def q293TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("total_tf"))
+      .orderBy(col("total_tf").desc, col("term")).limit(20)
+      .select(col("term"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(top), "term")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("sum_x"),
+        sum(expr("tf * tf")).as("sum_x2"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("sum_x").as("total_tf"),
+        expr(
+          "CAST((CAST(n_docs AS DECIMAL(38,0)) * sum_x2 - " +
+            "CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 1000 div " +
+            "(CAST(sum_x AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
+          .as("fano_milli"))
+      .orderBy(col("fano_milli").desc, col("term"))
+  }
+
+  val q293Oracle: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY term, doc_id),
+      |top AS (
+      |  SELECT term FROM (
+      |    SELECT term, SUM(tf) AS total FROM tf GROUP BY term)
+      |  ORDER BY total DESC, term LIMIT 20),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT tf.term,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  CAST((CAST(n.n_docs AS HUGEINT) * SUM(tf * tf)
+      |      - CAST(SUM(tf) AS HUGEINT) * SUM(tf)) * 1000
+      |    // (CAST(SUM(tf) AS HUGEINT) * (n.n_docs - 1)) AS BIGINT)
+      |    AS fano_milli
+      |FROM tf JOIN top USING (term) CROSS JOIN n
+      |GROUP BY tf.term, n.n_docs
+      |ORDER BY fano_milli DESC, tf.term""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_zipf_slope"        -> (q291ZipfSlope _),
+    "q293_term_burstiness"   -> (q293TermBurstiness _),
     "q275_lang_fertility"    -> (q275LangFertility _),
     "q260_vocab_coverage"    -> (q260VocabCoverage _),
     "q254_bigram_predictor"  -> (q254BigramPredictor _),
@@ -1021,6 +1145,8 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q291_zipf_slope"        -> q291Oracle,
+    "q293_term_burstiness"   -> q293Oracle,
     "q275_lang_fertility"    -> q275Oracle,
     "q260_vocab_coverage"    -> q260Oracle,
     "q254_bigram_predictor"  -> q254Oracle,

@@ -637,7 +637,95 @@ object TimeSeriesQueries {
       |FROM s
       |ORDER BY event_type""".stripMargin
 
+  /** SESSION-GAP SENSITIVITY (q292) — how fragile is "session count" to
+    * its one magic number? Every sessionization (q45, q242, q250) fixes
+    * a 30-minute gap; this runs the SAME cut at 15/30/60 minutes in ONE
+    * pass and reports sessions, sessions-per-user (exact milli) and the
+    * share of single-event sessions at each threshold. If the metric
+    * halves between 15 and 60 minutes, the dashboard number is a
+    * parameter artifact, not user behavior — the sensitivity check that
+    * should precede any session-based KPI.
+    *
+    * One lag window per user computes each event's gap once; every
+    * threshold is then a conditional aggregate over the same frame — no
+    * per-threshold rescans. A session start is gap NULL (first event)
+    * or gap > t; single-event sessions are starts whose NEXT gap also
+    * starts a session (lead back over the same window).
+    *
+    * Scale shape: one user-keyed window pass + three constant
+    * aggregates unioned; output 3 rows.
+    */
+  def q292SessionGapSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("next_gap_us", lead(col("gap_us"), 1).over(w))
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    val frames = Seq(900L, 1800L, 3600L).map { t =>
+      val tUs = t * 1000000L
+      val isStart = col("gap_us").isNull || col("gap_us") > tUs
+      val nextStarts = col("next_gap_us").isNull || col("next_gap_us") > tUs
+      ev.agg(
+          sum(when(isStart, 1L).otherwise(0L)).as("n_sessions"),
+          sum(when(isStart && nextStarts, 1L).otherwise(0L))
+            .as("n_single_event"))
+        .crossJoin(broadcast(nUsers))
+        .select(lit(t).as("gap_seconds"), col("n_sessions"),
+          col("n_single_event"), col("n_users"),
+          expr("n_sessions * 1000 div n_users").as("sessions_per_user_milli"),
+          expr("n_single_event * 1000000L div n_sessions")
+            .as("single_event_ppm"))
+    }
+    frames.reduce(_ unionByName _).orderBy(col("gap_seconds"))
+  }
+
+  val q292Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g0 AS (
+      |  SELECT user_id, event_id, us,
+      |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap_us
+      |  FROM ev),
+      |g AS (
+      |  SELECT user_id, us, gap_us,
+      |    LEAD(gap_us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS next_gap_us
+      |  FROM g0),
+      |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |      FROM ev),
+      |t AS (SELECT CAST(v.g AS BIGINT) AS gap_seconds
+      |      FROM (VALUES (900), (1800), (3600)) v(g))
+      |SELECT t.gap_seconds,
+      |  CAST(SUM(CASE WHEN g.gap_us IS NULL
+      |        OR g.gap_us > t.gap_seconds * 1000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN (g.gap_us IS NULL
+      |        OR g.gap_us > t.gap_seconds * 1000000)
+      |        AND (g.next_gap_us IS NULL
+      |        OR g.next_gap_us > t.gap_seconds * 1000000) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_single_event,
+      |  u.n_users,
+      |  CAST(SUM(CASE WHEN g.gap_us IS NULL
+      |        OR g.gap_us > t.gap_seconds * 1000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000 // u.n_users AS sessions_per_user_milli,
+      |  CAST(SUM(CASE WHEN (g.gap_us IS NULL
+      |        OR g.gap_us > t.gap_seconds * 1000000)
+      |        AND (g.next_gap_us IS NULL
+      |        OR g.next_gap_us > t.gap_seconds * 1000000) THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000
+      |    // CAST(SUM(CASE WHEN g.gap_us IS NULL
+      |        OR g.gap_us > t.gap_seconds * 1000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS single_event_ppm
+      |FROM g CROSS JOIN t CROSS JOIN u
+      |GROUP BY t.gap_seconds, u.n_users
+      |ORDER BY gap_seconds""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_session_gap_sensitivity" -> (q292SessionGapSensitivity _),
     "q283_trend_slope"       -> (q283TrendSlope _),
     "q279_cohort_retention"  -> (q279CohortRetention _),
     "q259_event_doublefire"  -> (q259EventDoubleFire _),
@@ -651,6 +739,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q292_session_gap_sensitivity" -> q292Oracle,
     "q283_trend_slope"       -> q283Oracle,
     "q279_cohort_retention"  -> q279Oracle,
     "q259_event_doublefire"  -> q259Oracle,

@@ -396,4 +396,25 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     // whole value is that it MEASURES this rather than assuming TPC-H
     assert(rows.map(_.getAs[Long]("n_violations")).sum > 0)
   }
+
+  test("q290: Good-Turing estimates replay exactly from q281's f-profile") {
+    val gt = ProfilingQueries.q290GoodTuring(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"),
+        r.getAs[String]("column_name")) -> r).toMap
+    val fp = ProfilingQueries.q281FreqProfile(spark, sfDir).collect()
+    assert(gt.size === fp.length)
+    fp.foreach { f =>
+      val r = gt((f.getAs[String]("table_name"), f.getAs[String]("column_name")))
+      val (f1, f2, f3, f4) = (f.getAs[Long]("f1"), f.getAs[Long]("f2"),
+        f.getAs[Long]("f3"), f.getAs[Long]("f4"))
+      assert(r.getAs[Long]("f1") === f1)
+      assert(r.getAs[Long]("p0_ppm") === f1 * 1000000L / f.getAs[Long]("n_rows"))
+      def chk(name: String, num: Long, den: Long): Unit =
+        if (den > 0) assert(r.getAs[Long](name) === num * 1000 / den, name)
+        else assert(r.isNullAt(r.fieldIndex(name)), s"$name must be NULL")
+      chk("rstar1_milli", 2 * f2, f1)
+      chk("rstar2_milli", 3 * f3, f2)
+      chk("rstar3_milli", 4 * f4, f3)
+    }
+  }
 }

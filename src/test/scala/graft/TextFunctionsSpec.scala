@@ -227,4 +227,54 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       assert(f >= 1000000L, s"$lang fertility below 1 piece/word: $f")
     }
   }
+
+  test("q291: the Zipf slope is negative, and the quantized OLS replays " +
+    "driver-side") {
+    import graft.queries.TextQueries
+    val row = TextQueries.q291ZipfSlope(spark, sfDir).collect().head
+    val slope = row.getAs[Long]("zipf_slope_milli")
+    assert(slope < 0, s"rank-frequency slope must fall: $slope")
+    // replay: same top-1024, same log2 quantization, BigInt OLS
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.take(1024)
+    def fl2(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (fl2(i + 1L), fl2(c)) }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    assert(row.getAs[Long]("n_terms") === pts.length.toLong)
+    assert(BigInt(slope) === (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx))
+  }
+
+  test("q293: burstiness recounts driver-side and separates bursty terms " +
+    "from uniform ones") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.q293TermBurstiness(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t", "doc_id").count().as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val xs = tf(term).map(_._3)
+      assert(r.getAs[Long]("df") === xs.length.toLong, term)
+      assert(r.getAs[Long]("df") <= nDocs, term)
+      val sx = BigInt(xs.sum); val sx2 = xs.map(x => BigInt(x) * x).sum
+      val expected = (BigInt(nDocs) * sx2 - sx * sx) * 1000 /
+        (sx * (BigInt(nDocs) - 1))
+      assert(BigInt(r.getAs[Long]("fano_milli")) === expected, term)
+      assert(r.getAs[Long]("fano_milli") >= 0, term)
+    }
+    // the top-20 must show REAL spread — if every term sits at the same
+    // Fano the metric discriminates nothing on this corpus
+    val fanos = rows.map(_.getAs[Long]("fano_milli"))
+    assert(fanos.max > fanos.min, "no burstiness spread in top-20 terms")
+  }
 }

@@ -314,4 +314,31 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(BigInt(r.getAs[Long]("slope_millicents_per_hour")) === num / den, t)
     }
   }
+
+  test("q292: session counts are monotone in the gap, bounded by users " +
+    "and events, and one threshold replays driver-side") {
+    import graft.queries.TimeSeriesQueries
+    val rows = TimeSeriesQueries.q292SessionGapSensitivity(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("gap_seconds"))
+    assert(rows.map(_.getAs[Long]("gap_seconds")).toSeq ===
+      Seq(900L, 1800L, 3600L))
+    val nUsers = rows.head.getAs[Long]("n_users")
+    val sessions = rows.map(_.getAs[Long]("n_sessions"))
+    // a larger gap can only merge sessions, never split them
+    assert(sessions(0) >= sessions(1) && sessions(1) >= sessions(2))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= nUsers)
+      assert(r.getAs[Long]("n_single_event") <= r.getAs[Long]("n_sessions"))
+    }
+    // driver replay of the 1800 s cut
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val manual = ev.groupBy(_._1).map { case (_, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      1 + ts.zip(ts.tail).count { case (a, b) => b - a > 1800L * 1000000L }
+    }.sum
+    assert(rows(1).getAs[Long]("n_sessions") === manual.toLong)
+  }
 }
