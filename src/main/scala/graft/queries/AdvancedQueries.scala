@@ -1415,7 +1415,88 @@ object AdvancedQueries {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** MULTI-TOUCH ATTRIBUTION (q298) — linear revenue attribution with
+    * EXACT cent conservation: each purchase's value splits equally across
+    * the user's clicks in the preceding hour (the q56 as-of family's
+    * window), and the integer remainder goes one cent each to the most
+    * recent touches (largest-remainder, the q233 allocator applied
+    * per-purchase) — Σ attributed over a purchase's touches equals its
+    * cents EXACTLY, the invariant float splitting cannot give a finance
+    * team. Touchless purchases land in the `click_event = 0` direct
+    * bucket carrying their full value, so the report conserves total
+    * revenue by construction.
+    *
+    * Scale shape: the touch join is an EQUI join on user_id with the
+    * hour-range as a residual predicate — hash/sort-merge shuffle on the
+    * user key, never a cartesian band join; per-purchase windows
+    * (count + recency rank) partition on p_event, bounded by per-user
+    * click rate × 1 h. Direct bucket = left-anti on the same keys.
+    * Purchases are filtered to value ≥ 0 so div/mod arithmetic is
+    * engine-identical (floor vs truncate differ only below zero).
+    */
+  def q298Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase" && col("value") >= 0)
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts").as("pts"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val touches = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+    val wn = Window.partitionBy(col("p_event"))
+    val wr = Window.partitionBy(col("p_event"))
+      .orderBy(col("cts").desc, col("c_event").asc)
+    val split = touches
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("p_event"), col("c_event").as("click_event"),
+        col("n_touches"),
+        (expr("cents div n_touches") +
+          when(col("rk") <= col("cents") % col("n_touches"), 1L)
+            .otherwise(0L)).as("attributed_cents"))
+    val direct = p.join(touches.select(col("p_event")), Seq("p_event"),
+        "left_anti")
+      .select(col("p_event"), lit(0L).as("click_event"),
+        lit(0L).as("n_touches"), col("cents").as("attributed_cents"))
+    split.unionByName(direct)
+      .orderBy(col("p_event"), col("click_event"))
+  }
+
+  val q298Oracle: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_event, user_id, ts AS pts,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value >= 0),
+      |c AS (
+      |  SELECT event_id AS c_event, user_id, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |t AS (
+      |  SELECT p.p_event, p.cents, c.c_event, c.cts
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |   AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR),
+      |r AS (
+      |  SELECT p_event, cents, c_event, cts,
+      |    CAST(COUNT(*) OVER (PARTITION BY p_event) AS BIGINT) AS n_touches,
+      |    ROW_NUMBER() OVER (PARTITION BY p_event
+      |      ORDER BY cts DESC, c_event ASC) AS rk
+      |  FROM t)
+      |SELECT p_event, c_event AS click_event, n_touches,
+      |  CAST(cents // n_touches
+      |    + CASE WHEN rk <= cents % n_touches THEN 1 ELSE 0 END
+      |    AS BIGINT) AS attributed_cents
+      |FROM r
+      |UNION ALL
+      |SELECT p.p_event, 0, 0, p.cents
+      |FROM p
+      |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.p_event = p.p_event)
+      |ORDER BY p_event, click_event""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_attribution"      -> (q298Attribution _),
     "q257_windowed_funnel"   -> (q257WindowedFunnel _),
     "q258_transition_latency" -> (q258TransitionLatency _),
     "q246_rfm_segments"     -> (q246RfmSegments _),
@@ -1448,6 +1529,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q298_attribution"      -> q298Oracle,
     "q257_windowed_funnel"   -> q257Oracle,
     "q258_transition_latency" -> q258Oracle,
     "q246_rfm_segments"     -> q246Oracle,

@@ -383,7 +383,95 @@ object EmbeddingQueries {
       |FROM lc GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** PRINCIPAL DIRECTION BY POWER ITERATION (q301) — the dominant
+    * eigenvector of the q226 covariance matrix, the "which single axis
+    * carries the cloud's variance" answer a PCA whitening / dimension-
+    * collapse audit starts from. Three fixed power iterations
+    * v ← M·v, renormalized each step to max|component| = 10⁶ by floor
+    * division — max-norm instead of L2 because it needs no square root,
+    * so every step stays exact integer arithmetic (the q295/q142
+    * discipline; signs survive, so the direction is genuine, not a
+    * magnitude artifact). Deterministic: fixed v₀ = 1⃗, symmetric M.
+    *
+    * Scale shape: M is the 64×64 ALREADY-AGGREGATED covariance frame —
+    * matrix-vector multiply is a d²-row join-aggregate regardless of
+    * corpus size, the iteration count is fixed, and the whole unrolled
+    * computation is one declarative plan (per-step max is a 1-row
+    * broadcast). Products promote to DECIMAL(38,0) with the q144 loud
+    * overflow guard: cov·v passes 2⁶³ long before any real corpus does.
+    */
+  def q301PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val upper = q226EmbeddingCovariance(spark, dir)
+      .select(col("i"), col("j"), col("cov_q"))
+    val full = upper.unionByName(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_q")))
+    val v0 = spark.range(0, 64).select(col("id").as("dim"),
+      lit(1000000L).as("v"))
+    def step(vprev: DataFrame): DataFrame = {
+      val w = full.join(vprev, full("j") === vprev("dim"))
+        .groupBy(full("i"))
+        .agg(sum(expr("CAST(cov_q AS DECIMAL(38,0)) * v")).as("w"))
+        .withColumn("w", when(col("w").isNull,
+          expr("raise_error('q301 power-iteration product overflowed DECIMAL(38,0)')"))
+          .otherwise(col("w")))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.join(broadcast(mx))
+        .select(col("i").as("dim"),
+          expr("CAST(w * 1000000 div mx AS BIGINT)").as("v"))
+    }
+    val v3 = step(step(step(v0)))
+    v3.select(col("dim"), col("v").as("loading_scaled"))
+      .orderBy(col("dim"))
+  }
+
+  val q301Oracle: String = {
+    def stepSql(prev: String, out: String): String =
+      s"""${out}w AS (
+         |  SELECT m.i AS dim, SUM(CAST(m.cov_q AS HUGEINT) * p.v) AS w
+         |  FROM m JOIN $prev p ON p.dim = m.j GROUP BY m.i),
+         |$out AS (
+         |  SELECT dim,
+         |    CAST(w * 1000000 // (SELECT MAX(ABS(w)) FROM ${out}w)
+         |      AS BIGINT) AS v
+         |  FROM ${out}w)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT i, j,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(q[i + 1]) AS BIGINT) AS sum_i,
+       |    CAST(SUM(q[j + 1]) AS BIGINT) AS sum_j,
+       |    CAST(SUM(q[i + 1] * q[j + 1]) AS BIGINT) AS sum_ij
+       |  FROM v,
+       |    UNNEST(range(0, 64)) AS a(i),
+       |    UNNEST(range(0, 64)) AS b(j)
+       |  WHERE j >= i
+       |  GROUP BY i, j),
+       |up AS (
+       |  SELECT i, j,
+       |    CAST(CAST(n AS HUGEINT) * sum_ij
+       |      - CAST(sum_i AS HUGEINT) * sum_j AS BIGINT) AS cov_q
+       |  FROM cells),
+       |m AS (
+       |  SELECT i, j, cov_q FROM up
+       |  UNION ALL
+       |  SELECT j, i, cov_q FROM up WHERE i <> j),
+       |r0 AS (SELECT CAST(i AS BIGINT) AS dim, CAST(1000000 AS BIGINT) AS v
+       |       FROM (SELECT DISTINCT i FROM m)),
+       |${stepSql("r0", "r1")},
+       |${stepSql("r1", "r2")},
+       |${stepSql("r2", "r3")}
+       |SELECT dim, v AS loading_scaled
+       |FROM r3
+       |ORDER BY dim""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_power_iteration"  -> (q301PowerIteration _),
     "q286_label_cell_occupancy" -> (q286LabelCellOccupancy _),
     "q226_embedding_covariance" -> (q226EmbeddingCovariance _),
     "q227_centroid_drift"       -> (q227CentroidDrift _),
@@ -391,6 +479,7 @@ object EmbeddingQueries {
     "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "q301_power_iteration"  -> q301Oracle,
     "q286_label_cell_occupancy" -> q286Oracle,
     "q226_embedding_covariance" -> q226Oracle,
     "q227_centroid_drift"       -> q227Oracle,

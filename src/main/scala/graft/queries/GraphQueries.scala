@@ -527,7 +527,95 @@ object GraphQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** HITS HUBS & AUTHORITIES (q295) — Kleinberg's mutual-reinforcement
+    * ranking over the DIRECTED customer→supplier order graph: a customer
+    * is a good hub if it buys from good authorities, a supplier a good
+    * authority if good hubs buy from it. Two full h→a→h iterations
+    * (power iteration on AᵀA), each score renormalized to max = 10⁶ by
+    * floor division — the max-norm stands in for the usual L2 norm
+    * because it needs no square root, so every step is exact integer
+    * arithmetic and the two engines stay bit-identical (the q142
+    * discipline applied to the two-score recurrence).
+    *
+    * Scale shape: iteration count FIXED, so the whole computation is one
+    * declarative plan — edge ⋈ score re-aggregations shuffling on the
+    * node key, unrolled; the per-step max is a 1-row aggregate broadcast
+    * back (no driver round-trip). Normalize multiplies promote to
+    * DECIMAL(38,0)/HUGEINT before scaling: score·10⁶ can pass 2⁶³ once
+    * degrees reach 10⁷, where a Long multiply wraps silently.
+    */
+  def q295Hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast(LongType).as("src"),
+        col("l_suppkey").cast(LongType).as("dst"))
+      .distinct()
+    val h0 = edges.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("h"))
+    def authStep(h: DataFrame): DataFrame = {
+      val raw = edges.join(h, "src")
+        .groupBy("dst").agg(sum(col("h")).as("a"))
+      val mx = raw.agg(max(col("a")).as("mx"))
+      raw.join(broadcast(mx))
+        .select(col("dst"),
+          expr("CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+            .as("a"))
+    }
+    def hubStep(a: DataFrame): DataFrame = {
+      val raw = edges.join(a, "dst")
+        .groupBy("src").agg(sum(col("a")).as("h"))
+      val mx = raw.agg(max(col("h")).as("mx"))
+      raw.join(broadcast(mx))
+        .select(col("src"),
+          expr("CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+            .as("h"))
+    }
+    val a1 = authStep(h0)
+    val h1 = hubStep(a1)
+    val a2 = authStep(h1)
+    val h2 = hubStep(a2)
+    h2.select(lit("hub").as("role"), col("src").as("entity_key"),
+        col("h").as("score_scaled"))
+      .unionByName(a2.select(lit("authority").as("role"),
+        col("dst").as("entity_key"), col("a").as("score_scaled")))
+      .orderBy(col("role"), col("entity_key"))
+  }
+
+  val q295Oracle: String = {
+    def norm(raw: String, out: String, keyCol: String, sc: String): String =
+      s"""$out AS (
+         |  SELECT $keyCol,
+         |    CAST(CAST($sc AS HUGEINT) * 1000000
+         |      // (SELECT MAX($sc) FROM $raw) AS BIGINT) AS $sc
+         |  FROM $raw)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |    CAST(l_suppkey AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT src, CAST(1000000 AS BIGINT) AS h
+       |       FROM (SELECT DISTINCT src FROM e)),
+       |a1r AS (SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS a
+       |        FROM e JOIN h0 h ON h.src = e.src GROUP BY e.dst),
+       |${norm("a1r", "a1", "dst", "a")},
+       |h1r AS (SELECT e.src, CAST(SUM(a1.a) AS BIGINT) AS h
+       |        FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+       |${norm("h1r", "h1", "src", "h")},
+       |a2r AS (SELECT e.dst, CAST(SUM(h1.h) AS BIGINT) AS a
+       |        FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+       |${norm("a2r", "a2", "dst", "a")},
+       |h2r AS (SELECT e.src, CAST(SUM(a2.a) AS BIGINT) AS h
+       |        FROM e JOIN a2 ON a2.dst = e.dst GROUP BY e.src),
+       |${norm("h2r", "h2", "src", "h")}
+       |SELECT 'hub' AS role, src AS entity_key, h AS score_scaled FROM h2
+       |UNION ALL
+       |SELECT 'authority' AS role, dst AS entity_key, a AS score_scaled
+       |FROM a2
+       |ORDER BY role, entity_key""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_hits"               -> (q295Hits _),
     "q269_dedup_map"          -> (q269DedupMap _),
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
@@ -538,6 +626,7 @@ object GraphQueries {
     "q204_kcore"              -> (q204KCoreDecomposition _))
 
   val oracles: Map[String, String] = Map(
+    "q295_hits"               -> q295Oracle,
     "q269_dedup_map"          -> q269Oracle,
     "q141_neardup_components" -> q141Oracle,
     "q142_pagerank"           -> q142Oracle,

@@ -1275,7 +1275,108 @@ object MiningQueries {
        |LIMIT 50""".stripMargin
   }
 
+  /** BIPARTITE CO-OCCURRENCE PROJECTION (q300) — project the doc↔term
+    * bipartite graph onto its term side: which term PAIRS share documents,
+    * with exact co-document counts and a Jaccard affinity over the
+    * projected posting sets. q220's PMI sees only ADJACENT words; the
+    * projection sees document-level association at any distance — the
+    * related-terms graph behind query expansion and topic seeding.
+    *
+    * Scale governance, two separate knobs (the q213/q216 occupancy
+    * discipline): the COST governor is the per-document cap — each doc
+    * contributes at most 32 surviving terms (deterministic md5(term:doc)
+    * pick), so per-doc pair fan-out is ≤ C(32,2), a CONSTANT, and total
+    * pair volume is linear in the corpus regardless of doc length or
+    * term frequency. The SIGNAL cut is relative (2 ≤ df and df·5 ≤ 4N —
+    * cross-multiplied, no float): df=1 terms cannot co-occur and
+    * ubiquitous terms co-occur with everything, telling you nothing —
+    * but even if the cut passed a stopword, the per-doc cap already
+    * bounds its cost. Jaccard denominators use the post-governance
+    * posting sizes so reported affinity is exact over what was actually
+    * projected. Top-100 by co-count, total ordering.
+    */
+  def q300TermProjection(spark: SparkSession, dir: String): DataFrame = {
+    val posting = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    val tot = posting.agg(countDistinct(col("doc_id")).as("nn"))
+    val dfs = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val mid = posting.join(
+      dfs.crossJoin(broadcast(tot))
+        .filter(col("df") >= 2 && col("df") * 5 <= col("nn") * 4)
+        .select(col("term"), col("df")),
+      "term")
+    val capped = mid
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(md5(concat_ws(":", col("term"), col("doc_id"))),
+            col("term"))))
+      .filter(col("rk") <= 32)
+      .select(col("doc_id"), col("term"))
+    val dfs2 = capped.groupBy(col("term")).agg(count(lit(1)).as("df2"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"), col("x.doc_id") === col("y.doc_id") &&
+        col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= 2)
+    pairs
+      .join(dfs2.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("df2", "df_a"), "term_a")
+      .join(dfs2.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("df2", "df_b"), "term_b")
+      .select(col("term_a"), col("term_b"), col("co_docs"),
+        col("df_a"), col("df_b"),
+        expr("co_docs * 1000000L div (df_a + df_b - co_docs)")
+          .as("jaccard_ppm"))
+      .orderBy(col("co_docs").desc, col("term_a"), col("term_b"))
+      .limit(100)
+  }
+
+  val q300Oracle: String =
+    """WITH posting AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |tot AS (
+      |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nn FROM posting),
+      |dfs AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM posting GROUP BY term),
+      |mid AS (
+      |  SELECT p.doc_id, p.term FROM posting p
+      |  JOIN dfs USING (term) CROSS JOIN tot
+      |  WHERE df >= 2 AND df * 5 <= nn * 4),
+      |capped AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, term,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY md5(term || ':' || doc_id), term) AS rk
+      |    FROM mid)
+      |  WHERE rk <= 32),
+      |dfs2 AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df2
+      |  FROM capped GROUP BY term),
+      |pairs AS (
+      |  SELECT x.term AS term_a, y.term AS term_b,
+      |    CAST(COUNT(*) AS BIGINT) AS co_docs
+      |  FROM capped x JOIN capped y
+      |    ON x.doc_id = y.doc_id AND x.term < y.term
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT term_a, term_b, co_docs,
+      |  a.df2 AS df_a, b.df2 AS df_b,
+      |  co_docs * 1000000 // (a.df2 + b.df2 - co_docs) AS jaccard_ppm
+      |FROM pairs
+      |JOIN dfs2 a ON a.term = term_a
+      |JOIN dfs2 b ON b.term = term_b
+      |ORDER BY co_docs DESC, term_a, term_b
+      |LIMIT 100""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_term_projection"  -> (q300TermProjection _),
     "q220_pmi_collocations" -> (q220PmiCollocations _),
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_basket_pairs"      -> (q170BasketPairs _),
@@ -1297,6 +1398,7 @@ object MiningQueries {
     "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
+    "q300_term_projection"  -> q300Oracle,
     "q220_pmi_collocations" -> q220Oracle,
     "q169_entity_resolution" -> q169Oracle,
     "q170_basket_pairs"      -> q170Oracle,

@@ -190,7 +190,69 @@ object RelationalPlus {
       |CROSS JOIN t
       |ORDER BY rev.r_name, rev.n_name""".stripMargin
 
+  /** 2-D SKYLINE / PARETO FRONTIER (q296) — the parts no other part
+    * strictly dominates on (price ↓ better, size ↑ better): x is dominated
+    * iff some y has price ≤ AND size ≥ with at least one strict. The
+    * classic multi-criteria operator (Börzsönyi et al.'s SKYLINE OF), here
+    * in its monotone-scan form: sort by price ascending and a part is on
+    * the frontier iff its size strictly exceeds every strictly-cheaper
+    * part's size (and the best size at its own price point).
+    *
+    * Scale shape — the naive window (`ORDER BY price` unpartitioned) is a
+    * single-partition global sort, so the scan is BLOCKED on value bands
+    * (price div 10⁴, i.e. $100 bands): the running-max window runs PER
+    * BAND (parallel, bounded by band occupancy), and the cross-band
+    * correction is a cummax over the ≤ #bands-row frame of per-band size
+    * maxima, broadcast back — the two-phase skyline-of-skylines merge.
+    * Equal (price, size) twins are BOTH frontier (neither strictly
+    * better). The oracle is a deliberately INDEPENDENT derivation — the
+    * quadratic NOT-EXISTS dominance scan — so the blocked plan is checked
+    * against the definition, not a re-implementation of itself.
+    */
+  def q296Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast(LongType).as("size"),
+        (dec2(col("p_retailprice")) * 100).cast(LongType).as("price_cents"))
+      .withColumn("band", expr("price_cents div 10000"))
+    // phase 1, per band: best size at each price point, then the running
+    // max over strictly-cheaper prices in the same band
+    val perPrice = Window.partitionBy(col("band"), col("price_cents"))
+    val inBand = Window.partitionBy(col("band")).orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val local = p
+      .withColumn("best_at_price", max(col("size")).over(perPrice))
+      .withColumn("prior_in_band", max(col("size")).over(inBand))
+    // phase 2: per-band size maxima, cummax over strictly-lower bands
+    val bandMax = p.groupBy(col("band")).agg(max(col("size")).as("bmax"))
+    val bandPrior = bandMax.withColumn("prior_bands",
+      max(col("bmax")).over(Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("band"), col("prior_bands"))
+    local.join(broadcast(bandPrior), "band")
+      .filter(col("size") === col("best_at_price") &&
+        (col("prior_in_band").isNull || col("size") > col("prior_in_band")) &&
+        (col("prior_bands").isNull || col("size") > col("prior_bands")))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val q296Oracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS price_cents
+      |  FROM part)
+      |SELECT x.p_partkey, x.price_cents, x.size
+      |FROM p x
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p y
+      |  WHERE y.price_cents <= x.price_cents AND y.size >= x.size
+      |    AND (y.price_cents < x.price_cents OR y.size > x.size))
+      |ORDER BY x.price_cents, x.p_partkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_skyline"         -> (q296Skyline _),
     "q264_share_of_parent" -> (q264ShareOfParent _),
     "q105_null_safe_join" -> (q105NullSafeJoin _),
     "q87_join_full_outer" -> (q87JoinFullOuter _),
@@ -198,6 +260,7 @@ object RelationalPlus {
     "q89_grouping_sets"   -> (q89GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q296_skyline"         -> q296Oracle,
     "q264_share_of_parent" -> q264Oracle,
     "q105_null_safe_join" -> q105Oracle,
     "q87_join_full_outer" -> q87Oracle,

@@ -449,17 +449,120 @@ object RetrievalQueries {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** RANKED-RETRIEVAL EVALUATION (q294) — precision@k / recall@k for the
+    * q144 BM25 ranking against an INDEPENDENT relevance label: a document
+    * is relevant iff it contains ≥ 2 DISTINCT of the 3 deterministic query
+    * terms (a judgment derivable without consulting the ranking under
+    * evaluation — the property that separates an eval from a tautology).
+    * For k ∈ {5, 10, 20}: hits@k = relevant docs in the top k,
+    * precision = hits·10⁶ div k, recall = hits·10⁶ div |relevant| — all
+    * integer-exact (the rational metrics clear to integer division, the
+    * log-discount metrics like NDCG deliberately excluded: their last ulp
+    * is engine-specific).
+    *
+    * Scale shape: the ranking is q144's top-20 frame (TakeOrdered head,
+    * ≤ 20 rows — broadcast-trivial); relevance is one more aggregate over
+    * the SAME (term, doc) frame every retrieval query shares (distinct
+    * query-term count per doc), and |relevant| is its 1-row rollup. The
+    * cutoff fan-out is 3 k-values × 20 ranked rows — constant. No join
+    * touches the corpus a second time.
+    */
+  def q294RankEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = q144Bm25Search(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score_scaled").desc, col("doc_id")))
+          .as("rank"))
+    // relevance label: >= 2 distinct query terms present (recomputed from
+    // the shared tf frame — same derivation as q144/q285's qterms)
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
+    val qterms = dfs.join(broadcast(tot))
+      .orderBy(abs(col("df") * 2 - col("nn")).asc, col("term").asc)
+      .limit(3)
+      .select(col("term"))
+    val relevant = tf.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nq"))
+      .filter(col("nq") >= 2)
+      .select(col("doc_id"))
+    val relTotal = relevant.agg(count(lit(1)).as("rel_total"))
+    val labeled = ranked.join(relevant.withColumn("rel", lit(1L)),
+      Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    import spark.implicits._
+    val ks = Seq(5L, 10L, 20L).toDF("k")
+    ks.join(labeled, col("rank") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(sum(coalesce(col("rel"), lit(0L))).as("hits"))
+      .join(broadcast(relTotal))
+      .select(col("k"), col("hits"), col("rel_total"),
+        expr("hits * 1000000L div k").as("precision_scaled"),
+        expr("CASE WHEN rel_total > 0 THEN hits * 1000000L div rel_total " +
+          "ELSE 0L END").as("recall_scaled"))
+      .orderBy(col("k"))
+  }
+
+  val q294Oracle: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM ($q144Oracle)),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY term, doc_id),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY doc_id),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM dl),
+       |qterms AS (
+       |  SELECT term FROM dfs, tot
+       |  ORDER BY abs(2 * df - nn) ASC, term ASC LIMIT 3),
+       |relevant AS (
+       |  SELECT doc_id FROM tf JOIN qterms USING (term)
+       |  GROUP BY doc_id HAVING COUNT(DISTINCT term) >= 2),
+       |rel_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rel_total FROM relevant),
+       |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k),
+       |hits AS (
+       |  SELECT ks.k,
+       |    CAST(COALESCE(SUM(CASE WHEN r2.doc_id IS NOT NULL THEN 1 END), 0)
+       |      AS BIGINT) AS hits
+       |  FROM ks
+       |  LEFT JOIN ranked ON ranked.rank <= ks.k
+       |  LEFT JOIN relevant r2 ON r2.doc_id = ranked.doc_id
+       |  GROUP BY ks.k)
+       |SELECT k, hits, rel_total,
+       |  CAST(hits * 1000000 // k AS BIGINT) AS precision_scaled,
+       |  CAST(CASE WHEN rel_total > 0 THEN hits * 1000000 // rel_total
+       |       ELSE 0 END AS BIGINT) AS recall_scaled
+       |FROM hits, rel_tot
+       |ORDER BY k""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_kwic_concordance" -> (q222KwicConcordance _),
     "q143_inverted_index" -> (q143InvertedIndex _),
     "q144_bm25_search"    -> (q144Bm25Search _),
     "q154_sparse_simjoin" -> (q154SparseSimJoin _),
-    "q285_rrf_fusion"     -> (q285RrfFusion _))
+    "q285_rrf_fusion"     -> (q285RrfFusion _),
+    "q294_rank_eval"      -> (q294RankEval _))
 
   val oracles: Map[String, String] = Map(
     "q285_rrf_fusion"     -> q285Oracle,
     "q222_kwic_concordance" -> q222Oracle,
     "q143_inverted_index" -> q143Oracle,
     "q144_bm25_search"    -> q144Oracle,
-    "q154_sparse_simjoin" -> q154Oracle)
+    "q154_sparse_simjoin" -> q154Oracle,
+    "q294_rank_eval"      -> q294Oracle)
 }

@@ -675,7 +675,89 @@ object ScaleQueries {
        |ORDER BY c DESC, key""".stripMargin
   }
 
+  /** ZONE-MAP SKIP REPORT (q297) — the data-skipping audit a layout
+    * advisor runs BEFORE committing to a sort order: price one ship-date
+    * range predicate (Q1-1996 quarter) against the min/max zone maps of
+    * TWO candidate layouts of the same fact table —
+    *  - `arrival`: zones are l_orderkey div 4096 blocks, the key the
+    *    table is clustered on at ingest (orderkey carries no date
+    *    correlation, so every zone straddles the whole date range and
+    *    min/max pruning is powerless — the "why is my scan slow" state);
+    *  - `shipdate_calendar`: zones are calendar months (year·12+month),
+    *    the layout a date-sort would produce, where pruning touches only
+    *    the quarter's three zones.
+    * Per layout: zone count, zones a min/max scan skips (zmax < lo or
+    * zmin > hi), rows scanned vs matched, and the scan fraction in ppm —
+    * the exact statistic behind parquet row-group pruning, surfaced as a
+    * queryable 2-row comparison whose delta IS the re-sort's payoff.
+    * Matched counts must agree across layouts (same predicate) — the
+    * report's built-in soundness check.
+    *
+    * Scale shape: two keyed aggregates over one table scan each
+    * (min/max/count all partial, map-side combine), zone-count-sized
+    * frames after that, no joins against the fact table. At 100 TB the
+    * same query prices skipping for any candidate predicate/layout pair
+    * without re-writing a byte of data.
+    */
+  def q297ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-03-31").cast("timestamp")
+    def report(zone: org.apache.spark.sql.Column, label: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .withColumn("zone", zone)
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("zmin"),
+          max(col("l_shipdate")).as("zmax"),
+          sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
+            .as("n_match"))
+        .withColumn("skipped", col("zmax") < lo || col("zmin") > hi)
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("skipped"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(!col("skipped"), col("n_rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum(col("n_match")).as("rows_matched"))
+        .select(lit(label).as("layout"), col("n_zones"), col("n_skipped"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          expr("rows_scanned * 1000000L div rows_total")
+            .as("scan_fraction_ppm"))
+    report(expr("l_orderkey div 4096"), "arrival")
+      .unionByName(report(
+        expr("year(l_shipdate) * 12 + month(l_shipdate)"),
+        "shipdate_calendar"))
+      .orderBy(col("layout"))
+  }
+
+  val q297Oracle: String = {
+    def rep(zone: String, label: String): String =
+      s"""SELECT '$label' AS layout,
+         |  CAST(COUNT(*) AS BIGINT) AS n_zones,
+         |  CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_skipped,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(SUM(CASE WHEN skipped THEN 0 ELSE n_rows END) AS BIGINT)
+         |    AS rows_scanned,
+         |  CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+         |  CAST(SUM(CASE WHEN skipped THEN 0 ELSE n_rows END) * 1000000
+         |    // SUM(n_rows) AS BIGINT) AS scan_fraction_ppm
+         |FROM (
+         |  SELECT $zone AS zone, COUNT(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+         |      AND TIMESTAMP '1996-03-31' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match,
+         |    (MAX(l_shipdate) < TIMESTAMP '1996-01-01'
+         |     OR MIN(l_shipdate) > TIMESTAMP '1996-03-31') AS skipped
+         |  FROM lineitem GROUP BY 1)""".stripMargin
+    s"""${rep("l_orderkey // 4096", "arrival")}
+       |UNION ALL
+       |${rep("year(l_shipdate) * 12 + month(l_shipdate)",
+        "shipdate_calendar")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_zonemap_skip"       -> (q297ZonemapSkip _),
     "q249_salt_plan"          -> (q249SaltPlan _),
     "q165_length_bucketed_batching" -> (q165LengthBucketedBatching _),
     "q153_sorted_layout" -> (q153SortedLayout _),
@@ -691,6 +773,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q297_zonemap_skip"       -> q297Oracle,
     "q249_salt_plan"          -> q249Oracle,
     "q165_length_bucketed_batching" -> q165Oracle,
     "q153_sorted_layout" -> q153Oracle,

@@ -724,7 +724,94 @@ object TimeSeriesQueries {
       |GROUP BY t.gap_seconds, u.n_users
       |ORDER BY gap_seconds""".stripMargin
 
+  /** CENSORING-AWARE LIFE TABLE (q299) — the survival-analysis complement
+    * to q279's retention matrix: per day-offset k from each user's first
+    * activity, how many users were AT RISK (still active entering k),
+    * how many CHURNED at k (last event at offset k with the observation
+    * window extending past it), and how many are CENSORED (last event at
+    * the window edge — absence of data, not evidence of churn; counting
+    * these as churn is the classic retention-analysis bias this operator
+    * exists to remove). Hazard = churned·10⁶ div at_risk, the discrete
+    * Kaplan-Meier increment, integer-exact — the KM survival PRODUCT is
+    * deliberately not emitted (cumulative rational products overflow any
+    * fixed decimal; the hazard sequence carries the same information).
+    *
+    * Scale shape: one per-user aggregate (min/max day — map-side
+    * combine), a 1-row global-max broadcast, then all counting collapses
+    * to the ≤ #distinct-offsets frame: churn/censor tallies per offset
+    * and at_risk as a reverse running sum over that tiny frame. No join
+    * touches raw events twice.
+    */
+  def q299LifeTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+    val g = u.agg(max(col("l")).as("gmax"))
+    val o = u.join(broadcast(g))
+      .select(datediff(col("l"), col("f")).cast(LongType).as("off"),
+        datediff(col("gmax"), col("f")).cast(LongType).as("omax"))
+    val sparse = o.groupBy(col("off"))
+      .agg(count(lit(1)).as("n_end"),
+        sum(when(col("omax") > col("off"), 1L).otherwise(0L)).as("churned"),
+        sum(when(col("omax") === col("off"), 1L).otherwise(0L)).as("censored"))
+    // Dense interval spine 0..max(off): a life table has a row per
+    // interval even when nobody exits there (at_risk must be defined at
+    // every offset). The spine is bounded by the calendar span in days —
+    // a tiny frame regardless of corpus size.
+    val grp = sparse.agg(max(col("off")).as("m"))
+      .select(explode(sequence(lit(0L), col("m"))).as("off"))
+      .join(sparse, Seq("off"), "left")
+      .na.fill(0L, Seq("n_end", "churned", "censored"))
+    grp.withColumn("at_risk",
+        sum(col("n_end")).over(Window.orderBy(col("off").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("off").as("day_offset"), col("at_risk"), col("churned"),
+        col("censored"),
+        expr("churned * 1000000L div at_risk").as("hazard_ppm"))
+      .orderBy(col("day_offset"))
+  }
+
+  val q299Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |g AS (SELECT MAX(l) AS gmax FROM u),
+      |o AS (
+      |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS off,
+      |    CAST(date_diff('day', f, gmax) AS BIGINT) AS omax
+      |  FROM u CROSS JOIN g),
+      |sparse AS (
+      |  SELECT off, CAST(COUNT(*) AS BIGINT) AS n_end,
+      |    CAST(SUM(CASE WHEN omax > off THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS churned,
+      |    CAST(SUM(CASE WHEN omax = off THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS censored
+      |  FROM o GROUP BY off),
+      |spine AS (
+      |  SELECT CAST(UNNEST(generate_series(
+      |      0, (SELECT MAX(off) FROM sparse))) AS BIGINT) AS off),
+      |grp AS (
+      |  SELECT spine.off,
+      |    COALESCE(n_end, 0) AS n_end,
+      |    COALESCE(churned, 0) AS churned,
+      |    COALESCE(censored, 0) AS censored
+      |  FROM spine LEFT JOIN sparse ON spine.off = sparse.off),
+      |r AS (
+      |  SELECT off AS day_offset,
+      |    CAST(SUM(n_end) OVER (ORDER BY off DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS at_risk,
+      |    churned, censored
+      |  FROM grp)
+      |SELECT day_offset, at_risk, churned, censored,
+      |  churned * 1000000 // at_risk AS hazard_ppm
+      |FROM r
+      |ORDER BY day_offset""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_life_table"        -> (q299LifeTable _),
     "q292_session_gap_sensitivity" -> (q292SessionGapSensitivity _),
     "q283_trend_slope"       -> (q283TrendSlope _),
     "q279_cohort_retention"  -> (q279CohortRetention _),
@@ -739,6 +826,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q299_life_table"        -> q299Oracle,
     "q292_session_gap_sensitivity" -> q292Oracle,
     "q283_trend_slope"       -> q283Oracle,
     "q279_cohort_retention"  -> q279Oracle,

@@ -155,4 +155,32 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("max_cell_share_ppm") === mx * 1000000L / nv)
     }
   }
+
+  test("q301: power iteration replays exactly driver-side from the " +
+    "covariance matrix in BigInt arithmetic") {
+    import graft.queries.EmbeddingQueries
+    val loadings = EmbeddingQueries.q301PowerIteration(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("dim") -> r.getAs[Long]("loading_scaled"))
+    assert(loadings.length === 64)
+    assert(loadings.map(l => math.abs(l._2)).max === 1000000L,
+      "max-norm step must pin the largest |component| to 1e6")
+    // replay: mirror the upper triangle, three normalized BigInt steps
+    val upper = EmbeddingQueries.q226EmbeddingCovariance(spark, sfDir)
+      .select("i", "j", "cov_q").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2))))
+    val m = Array.ofDim[BigInt](64, 64)
+    for (i <- 0 until 64; j <- 0 until 64) m(i)(j) = BigInt(0)
+    upper.foreach { case (i, j, c) => m(i)(j) = c; if (i != j) m(j)(i) = c }
+    var v = Array.fill(64)(BigInt(1000000))
+    (1 to 3).foreach { _ =>
+      val w = (0 until 64).map(i =>
+        (0 until 64).map(j => m(i)(j) * v(j)).sum).toArray
+      val mx = w.map(_.abs).max
+      // all three (Spark div, DuckDB //, BigInt /) truncate toward zero
+      v = w.map(x => x * 1000000 / mx)
+    }
+    loadings.foreach { case (dim, l) =>
+      assert(BigInt(l) === v(dim.toInt), s"dim $dim diverges from replay")
+    }
+  }
 }

@@ -218,4 +218,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // every confirmed pair lands in exactly one cluster
     assert(rows.map(_.getAs[Long]("n_confirmed_pairs")).sum === totalPairs)
   }
+
+  test("q295: HITS scores are max-normalized and the final hub step " +
+    "replays exactly from the authority scores") {
+    val rows = GraphQueries.q295Hits(spark, sfDir).collect()
+    val hubs = rows.filter(_.getAs[String]("role") == "hub")
+      .map(r => r.getAs[Long]("entity_key") -> r.getAs[Long]("score_scaled"))
+      .toMap
+    val auths = rows.filter(_.getAs[String]("role") == "authority")
+      .map(r => r.getAs[Long]("entity_key") -> r.getAs[Long]("score_scaled"))
+      .toMap
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    assert(hubs.values.max === 1000000L, "hub scores must normalize to 1e6")
+    assert(auths.values.max === 1000000L,
+      "authority scores must normalize to 1e6")
+    assert(rows.forall(_.getAs[Long]("score_scaled") > 0),
+      "every node in the order graph touches at least one edge")
+    // law: h2(src) = floor(Σ_dst a2(dst) * 1e6 / max), replayed driver-side
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val raw = edges.groupBy(_._1).map { case (src, es) =>
+      src -> es.map(e => BigInt(auths(e._2))).sum
+    }
+    val mx = raw.values.max
+    raw.foreach { case (src, w) =>
+      assert(BigInt(hubs(src)) === w * 1000000 / mx,
+        s"hub $src does not replay from authority scores")
+    }
+  }
 }

@@ -376,4 +376,23 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
       prev = expect
     }
   }
+
+  test("q300: projection invariants — co-counts bounded by both posting " +
+    "sizes, Jaccard replays from the counts, per-doc cap holds") {
+    val rows = MiningQueries.q300TermProjection(spark, sfDir).collect()
+    assert(rows.nonEmpty, "projection empty - governance cut everything")
+    rows.foreach { r =>
+      val (co, da, db) = (r.getAs[Long]("co_docs"), r.getAs[Long]("df_a"),
+        r.getAs[Long]("df_b"))
+      assert(co >= 2 && co <= math.min(da, db))
+      assert(r.getAs[String]("term_a") < r.getAs[String]("term_b"))
+      assert(r.getAs[Long]("jaccard_ppm") ===
+        BigInt(co) * 1000000 / (da + db - co))
+    }
+    // descending co-count with (term_a, term_b) tiebreak - a total order,
+    // so the LIMIT head is deterministic
+    val keys = rows.map(r => (-r.getAs[Long]("co_docs"),
+      r.getAs[String]("term_a"), r.getAs[String]("term_b"))).toSeq
+    assert(keys === keys.sorted)
+  }
 }

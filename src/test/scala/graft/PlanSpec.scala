@@ -329,4 +329,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_max"),
       s"register max must pre-aggregate before the exchange:\n${p.take(3000)}")
   }
+
+  test("q296: the skyline scan is band-blocked — per-band windows " +
+    "partition on the price band, no whole-table single-partition sort") {
+    val p = plan("q296_skyline")
+    // the running-max windows must hash-partition on the band key; the
+    // only unpartitioned window is the ≤ #bands cross-band cummax
+    assert(p.contains("hashpartitioning(band"),
+      s"per-band windows must partition on band:\n${p.take(3000)}")
+  }
+
+  test("q298: the touch join anchors on the user equi key — the hour " +
+    "range rides as a residual predicate, never a nested-loop join") {
+    val p = plan("q298_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"touch join must be equi-shaped on user_id:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
 }

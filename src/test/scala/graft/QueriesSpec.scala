@@ -123,4 +123,49 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q296: skyline equals the brute-force dominance frontier") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("q296_skyline")(spark, sfDir)
+      .select("p_partkey", "price_cents", "size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = all.exists { y =>
+      y._2 <= x._2 && y._3 >= x._3 && (y._2 < x._2 || y._3 > x._3)
+    }
+    val brute = all.filterNot(dominated).toSet
+    assert(sky === brute)
+    assert(sky.nonEmpty)
+  }
+
+  test("q298: attribution conserves every purchase's cents exactly and " +
+    "splits differ by at most one cent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q298_attribution")(spark, sfDir).collect()
+    val byPurchase = rows.groupBy(_.getAs[Long]("p_event"))
+    val cents = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value") >= 0)
+      .select(col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byPurchase.keySet === cents.keySet,
+      "every eligible purchase must appear exactly once in the report")
+    byPurchase.foreach { case (p, touches) =>
+      val attributed = touches.map(_.getAs[Long]("attributed_cents"))
+      assert(attributed.sum === cents(p),
+        s"purchase $p: attributed ${attributed.sum} != value ${cents(p)}")
+      if (touches.head.getAs[Long]("n_touches") > 0) {
+        assert(attributed.max - attributed.min <= 1,
+          s"purchase $p: linear split must differ by at most one cent")
+        assert(touches.length === touches.head.getAs[Long]("n_touches"))
+      } else {
+        assert(touches.length === 1 &&
+          touches.head.getAs[Long]("click_event") === 0L)
+      }
+    }
+  }
 }

@@ -112,4 +112,28 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Int]("rank_prop")),
       "rankers fully agree - fusion is vacuous on this corpus")
   }
+
+  test("q294: rank-eval invariants — hits monotone in k, bounded by both " +
+    "k and the relevant total, and the scaled metrics replay exactly") {
+    val rows = RetrievalQueries.q294RankEval(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(5L, 10L, 20L))
+    val relTotals = rows.map(_.getAs[Long]("rel_total")).distinct
+    assert(relTotals.length === 1 && relTotals.head > 0,
+      "relevance label must be non-trivial on this corpus")
+    var prevHits = -1L
+    rows.foreach { r =>
+      val (k, hits, rel) = (r.getAs[Long]("k"), r.getAs[Long]("hits"),
+        r.getAs[Long]("rel_total"))
+      assert(hits >= prevHits, "hits@k must be monotone in k")
+      assert(hits <= k && hits <= rel)
+      assert(r.getAs[Long]("precision_scaled") === hits * 1000000L / k)
+      assert(r.getAs[Long]("recall_scaled") === hits * 1000000L / rel)
+      prevHits = hits
+    }
+    // non-vacuity: the eval must find at least one relevant doc in the
+    // top 20, else the metric row proves nothing about the ranking
+    assert(rows.last.getAs[Long]("hits") > 0,
+      "BM25 top-20 contains no relevant doc - eval is vacuous")
+  }
 }

@@ -289,4 +289,28 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Long]("id_b") == 800000002L),
       s"rare near-dup pair lost: ${pairs.mkString(";")}")
   }
+
+  test("q297: zone-map comparison is sound — matched counts agree across " +
+    "layouts, skipping never loses a match, and the date layout prunes " +
+    "where the arrival layout cannot") {
+    val rows = SparkEntry.queries("q297_zonemap_skip")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val (arr, cal) = (rows("arrival"), rows("shipdate_calendar"))
+    val total = Tables.lineitem(spark, sfDir).count()
+    Seq(arr, cal).foreach { r =>
+      assert(r.getAs[Long]("rows_total") === total)
+      assert(r.getAs[Long]("rows_matched") <= r.getAs[Long]("rows_scanned"),
+        "a skipped zone hid matching rows - pruning is unsound")
+      assert(r.getAs[Long]("n_skipped") <= r.getAs[Long]("n_zones"))
+      assert(r.getAs[Long]("scan_fraction_ppm") ===
+        BigInt(r.getAs[Long]("rows_scanned")) * 1000000 / total)
+    }
+    // same predicate => same matches, layout-independent
+    assert(arr.getAs[Long]("rows_matched") === cal.getAs[Long]("rows_matched"))
+    // the fixture's point: orderkey zones straddle the full date range
+    // (nothing skippable), calendar zones prune to the quarter
+    assert(arr.getAs[Long]("n_skipped") === 0L)
+    assert(cal.getAs[Long]("n_skipped") > 0L)
+    assert(cal.getAs[Long]("rows_scanned") < arr.getAs[Long]("rows_scanned"))
+  }
 }

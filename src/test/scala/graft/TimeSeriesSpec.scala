@@ -341,4 +341,35 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }.sum
     assert(rows(1).getAs[Long]("n_sessions") === manual.toLong)
   }
+
+  test("q299: life-table invariants — at_risk telescopes exactly, " +
+    "every exit is churned or censored, offset 0 covers everyone") {
+    val rows = SparkEntry.queries("q299_life_table")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("day_offset"))
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("day_offset") === 0L)
+    assert(rows.head.getAs[Long]("at_risk") === users,
+      "everyone is at risk at their own first day")
+    rows.foreach { r =>
+      val (ar, ch, ce) = (r.getAs[Long]("at_risk"),
+        r.getAs[Long]("churned"), r.getAs[Long]("censored"))
+      assert(ch + ce <= ar)
+      assert(r.getAs[Long]("hazard_ppm") === ch * 1000000L / ar)
+    }
+    // telescoping: the next row's risk set is exactly this row's minus
+    // its exits (holds across offset gaps too - an absent offset means
+    // no user ended there)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("at_risk") === a.getAs[Long]("at_risk") -
+          a.getAs[Long]("churned") - a.getAs[Long]("censored"))
+      case _ =>
+    }
+    // all exits accounted: Σ(churned + censored) = user count
+    assert(rows.map(r => r.getAs[Long]("churned") +
+      r.getAs[Long]("censored")).sum === users)
+  }
 }
