@@ -2557,7 +2557,112 @@ object CurationQueries {
       |FROM pp GROUP BY eval_id
       |ORDER BY eval_id""".stripMargin
 
+  /** GREEDY COVERAGE-MAXIMIZING SOURCE SELECTION (q305) — which sources
+    * to ingest FIRST when the budget admits only a few: pick the source
+    * covering the most distinct vocabulary, then repeatedly the source
+    * adding the most vocabulary NOT yet covered — the classic greedy
+    * algorithm for submodular set cover (Nemhauser's (1−1/e) guarantee),
+    * which is also how data-mixture teams sequence corpus onboarding:
+    * marginal gain, not raw size, because the second news crawl adds
+    * almost nothing the first didn't. The coverage universe is distinct
+    * token TRIGRAMS (q133's shingles), not unigrams — the synthetic
+    * corpus has a ~31-word vocabulary every source fully covers, while
+    * its ~16k trigrams genuinely discriminate; trigram coverage is also
+    * the better proxy for phrasal/stylistic diversity. Four unrolled
+    * rounds; per round: the chosen source, its MARGINAL new-shingle
+    * count, the cumulative distinct-shingle coverage in ppm.
+    * Deterministic tie-break (gain desc, source asc).
+    *
+    * Scale shape: the frame is the distinct (source, shingle) posting —
+    * phrase-vocabulary-sized after the distinct, not corpus-sized — and
+    * each unrolled round is one |sources|-key count aggregate, a 1-row
+    * TakeOrdered winner, and one shingle-keyed anti join; the iteration
+    * count is a fixed constant so the whole selection is one declarative
+    * plan. Nothing is collected to the driver.
+    */
+  def q305GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val posting = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          TextFunctions.tokens(col("text")), 3)).as("term"))
+      .distinct()
+    val total = posting.select(col("term")).distinct()
+      .agg(count(lit(1)).as("total_terms"))
+    def round(rem: DataFrame): (DataFrame, DataFrame) = {
+      val pick = rem.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc).limit(1)
+      val covered = rem
+        .join(broadcast(pick.select(col("source"))), "source")
+        .select(col("term"))
+      (pick, rem.join(covered, Seq("term"), "left_anti"))
+    }
+    val (p1, r1) = round(posting)
+    val (p2, r2) = round(r1)
+    val (p3, r3) = round(r2)
+    val (p4, _)  = round(r3)
+    val steps = Seq(p1, p2, p3, p4).zipWithIndex
+      .map { case (p, i) =>
+        p.select(lit(i + 1L).as("step"), col("source"),
+          col("gain").as("marginal_terms"))
+      }
+      .reduce(_ unionByName _)
+    // the cumulative window runs over the 4-row picks frame — constant
+    val wc = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps.withColumn("cumulative_terms",
+        sum(col("marginal_terms")).over(wc))
+      .crossJoin(broadcast(total))
+      .select(col("step"), col("source"), col("marginal_terms"),
+        col("cumulative_terms"),
+        expr("cumulative_terms * 1000000L div total_terms")
+          .as("coverage_ppm"))
+      .orderBy(col("step"))
+  }
+
+  val q305Oracle: String = {
+    def roundSql(rem: String, pick: String, next: String): String =
+      s"""$pick AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM $rem GROUP BY 1
+         |  ORDER BY gain DESC, source ASC LIMIT 1),
+         |$next AS (
+         |  SELECT r.source, r.term FROM $rem r
+         |  ANTI JOIN (SELECT DISTINCT term FROM $rem JOIN $pick USING (source)) c
+         |    ON r.term = c.term)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |posting AS (
+       |  SELECT DISTINCT source,
+       |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+       |      AS term
+       |  FROM d),
+       |tot AS (
+       |  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS total_terms
+       |  FROM posting),
+       |${roundSql("posting", "p1", "r1")},
+       |${roundSql("r1", "p2", "r2")},
+       |${roundSql("r2", "p3", "r3")},
+       |${roundSql("r3", "p4", "r4")},
+       |picks AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, source, gain FROM p1
+       |  UNION ALL SELECT 2, source, gain FROM p2
+       |  UNION ALL SELECT 3, source, gain FROM p3
+       |  UNION ALL SELECT 4, source, gain FROM p4)
+       |SELECT step, source, gain AS marginal_terms,
+       |  CAST(SUM(gain) OVER w AS BIGINT) AS cumulative_terms,
+       |  CAST(SUM(gain) OVER w * 1000000 // total_terms AS BIGINT)
+       |    AS coverage_ppm
+       |FROM picks, tot
+       |WINDOW w AS (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND CURRENT ROW)
+       |ORDER BY step""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_greedy_coverage"  -> (q305GreedyCoverage _),
     "q282_eval_blast_radius"    -> (q282EvalBlastRadius _),
     "q284_effective_corpus"     -> (q284EffectiveCorpus _),
     "q276_holdout_sample"       -> (q276HoldoutSample _),
@@ -2595,6 +2700,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q305_greedy_coverage"      -> q305Oracle,
     "q282_eval_blast_radius"    -> q282Oracle,
     "q284_effective_corpus"     -> q284Oracle,
     "q276_holdout_sample"       -> q276Oracle,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 
@@ -1038,7 +1039,67 @@ object ProfilingQueries {
       "\nORDER BY table_name, column_name")
   }
 
+  /** JOIN-CARDINALITY ESTIMATION AUDIT (q302) — how far the optimizer's
+    * uniformity assumption is from the truth, per histogram bucket: for
+    * the l_partkey self-equi-join (the shape behind "parts ordered
+    * together" co-occurrence and every key-skew blow-up), each 128-key
+    * band reports the textbook estimate n²/ndv (every key assumed to
+    * hold n/ndv rows — what a cost model computes from an equi-width
+    * histogram) against the EXACT join cardinality Σₖ n(k)², computed
+    * from per-key counts WITHOUT materializing a single joined row. By
+    * Cauchy–Schwarz Σn(k)² ≥ (Σn(k))²/ndv, so the estimate only ever
+    * UNDERSHOOTS — `underest_ppm` is the per-band price of assuming
+    * uniformity, the number that tells you which key ranges need a
+    * histogram refresh (or salting) before the planner trusts them.
+    *
+    * Scale shape: ONE keyed count aggregate (map-side combine) over one
+    * scan, then a band-keyed aggregate over the ndv-sized count frame —
+    * no join executes anywhere, which is the audit's point: exact join
+    * cardinality for any equi-join is a second-moment statistic of the
+    * per-key histogram, corpus-sized work only in the first aggregate.
+    * DECIMAL(38,0) promotion on both squares: n² passes 2⁶³ at ~3·10⁹
+    * rows per band, well inside 100 TB reality.
+    */
+  def q302JoinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    perKey
+      .withColumn("band", expr("k div 128"))
+      .groupBy(col("band"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("ndv"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("actual_d"))
+      .select(col("band"), col("n_rows"), col("ndv"),
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows div ndv AS BIGINT)")
+          .as("est_rows"),
+        col("actual_d").cast(LongType).as("actual_rows"),
+        expr("""CAST((CAST(actual_d AS DECIMAL(38,0))
+          | - CAST(n_rows AS DECIMAL(38,0)) * n_rows div ndv) * 1000000
+          | div actual_d AS BIGINT)""".stripMargin).as("underest_ppm"))
+      .orderBy(col("band"))
+  }
+
+  val q302Oracle: String =
+    """WITH pk AS (
+      |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT k // 128 AS band,
+      |    CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS ndv,
+      |    SUM(CAST(c AS HUGEINT) * c) AS actual_d
+      |  FROM pk GROUP BY 1)
+      |SELECT band, n_rows, ndv,
+      |  CAST(CAST(n_rows AS HUGEINT) * n_rows // ndv AS BIGINT) AS est_rows,
+      |  CAST(actual_d AS BIGINT) AS actual_rows,
+      |  CAST((actual_d - CAST(n_rows AS HUGEINT) * n_rows // ndv) * 1000000
+      |    // actual_d AS BIGINT) AS underest_ppm
+      |FROM b
+      |ORDER BY band""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_join_card_estimate" -> (q302JoinCardEstimate _),
     "q290_good_turing"     -> (q290GoodTuring _),
     "q287_k_anonymity"     -> (q287KAnonymity _),
     "q288_temporal_audit"  -> (q288TemporalAudit _),
@@ -1058,6 +1119,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q302_join_card_estimate" -> q302Oracle,
     "q290_good_turing"     -> q290Oracle,
     "q287_k_anonymity"     -> q287Oracle,
     "q288_temporal_audit"  -> q288Oracle,

@@ -1909,7 +1909,118 @@ object SimilarityQueries {
        |  n_inter * 1000000 // n_sh_b AS contain_b_ppm
        |FROM f ORDER BY id_a, id_b""".stripMargin
 
+  /** MUTUAL-NEAREST-NEIGHBOR PAIRS (q304) — vectors that are each
+    * other's top-1 neighbor: the reciprocal-best-match criterion behind
+    * bitext mining (parallel-corpus extraction pairs a sentence with its
+    * best translation ONLY when the preference is mutual — one-directional
+    * best-match floods the result with hub vectors that are "closest" to
+    * thousands of queries). Candidates come from q41's sign-LSH bands
+    * (4 bands × 4 bits over the seed-7 hyperplane signature), best-match
+    * is exact cosine within candidates with deterministic tie-break, and
+    * the mutual filter is a self-join of the top-1 frame on reversed
+    * (src, dst).
+    *
+    * Scale governance: each band bucket is CAPPED at 64 members
+    * (deterministic md5 pick, the q213 hot-bucket discipline) so bucket
+    * pair fan-out is bounded by C(64,2) regardless of how skewed the
+    * signature distribution gets; candidate volume is #buckets·C(cap,2)
+    * at worst, never corpus². The top-1 window partitions on the vector
+    * id (high-cardinality — the sanctioned window shape), and the mutual
+    * join touches only the n-row best frame.
+    */
+  def q304MutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), proj))
+    val banded = emb.select(col("vec_id"), col("v"),
+      explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val capped = banded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bk"))
+          .orderBy(md5(concat_ws(":", col("bk.band"), col("bk.bkey"),
+            col("vec_id"))), col("vec_id"))))
+      .filter(col("rk") <= 64)
+      .select(col("vec_id"), col("v"), col("bk"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("a.v").as("va"),
+        col("b.vec_id").as("ib"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .select(col("ia"), col("ib"), col("sim"))
+    val directed = pairs
+      .select(col("ia").as("src"), col("ib").as("dst"), col("sim"))
+      .unionByName(
+        pairs.select(col("ib").as("src"), col("ia").as("dst"), col("sim")))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val best = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("sim"))
+    best.as("x").join(best.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+        round(col("x.sim"), 6).as("sim"))
+      .orderBy(col("id_a"))
+  }
+
+  /** q304 oracle: the full pipeline replayed — seed-7 hyperplanes inline
+    * as double literals (q41's recipe), signatures, band buckets, the
+    * md5 occupancy cap, candidate pairs, exact cosine, top-1 per vector,
+    * mutual filter.
+    */
+  val q304Oracle: String = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val values = proj.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.map(java.lang.Double.toString).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH proj(b, p) AS (VALUES $values),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (
+       |  SELECT v.vec_id, proj.b,
+       |    CASE WHEN list_dot_product(v.v, proj.p) > 0
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+       |  FROM v, proj),
+       |sig AS (SELECT vec_id, SUM(bit << b) AS sig FROM bits GROUP BY vec_id),
+       |banded AS (
+       |  SELECT v.vec_id, v.v, t.band, (s.sig >> (4 * t.band)) & 15 AS bk
+       |  FROM v JOIN sig s USING (vec_id), UNNEST([0,1,2,3]) AS t(band)),
+       |capped AS (
+       |  SELECT vec_id, v, band, bk FROM (
+       |    SELECT vec_id, v, band, bk,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk
+       |        ORDER BY md5(CAST(band AS VARCHAR) || ':'
+       |          || CAST(bk AS VARCHAR) || ':'
+       |          || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM banded)
+       |  WHERE rk <= 64),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS ia, a.v AS va, b.vec_id AS ib, b.v AS vb
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |sims AS (
+       |  SELECT ia, ib, list_cosine_similarity(va, vb) AS sim FROM pairs),
+       |directed AS (
+       |  SELECT ia AS src, ib AS dst, sim FROM sims
+       |  UNION ALL
+       |  SELECT ib AS src, ia AS dst, sim FROM sims),
+       |best AS (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY sim DESC, dst) AS rn
+       |    FROM directed)
+       |  WHERE rn = 1)
+       |SELECT x.src AS id_a, x.dst AS id_b, ROUND(x.sim, 6) AS sim
+       |FROM best x JOIN best y
+       |  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+       |ORDER BY id_a""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_mutual_nn"      -> (q304MutualNn _),
     "q273_pair_features"          -> (q273PairFeatures _),
     "q268_syndication_matrix"     -> (q268SyndicationMatrix _),
     "q266_template_rate"          -> (q266TemplateRate _),
@@ -1941,6 +2052,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q304_mutual_nn"      -> q304Oracle,
     "q273_pair_features"          -> q273Oracle,
     "q268_syndication_matrix"     -> q268Oracle,
     "q266_template_rate"          -> q266Oracle,

@@ -810,7 +810,95 @@ object TimeSeriesQueries {
       |FROM r
       |ORDER BY day_offset""".stripMargin
 
+  /** PEAK-CONCURRENCY SWEEP LINE (q303) — per day: the maximum number of
+    * SIMULTANEOUSLY open user sessions, with the timestamp where the peak
+    * is first reached — the capacity-planning gauge (connection pools,
+    * rate limits, serving replicas are sized to peak concurrency, not
+    * event volume). Sessions are q45's exact semantics (session_window,
+    * 30-minute gap, half-open [start, last+30min)); the sweep is the
+    * classic interval algebra: every session contributes a +1 boundary at
+    * start and a −1 at end, and concurrency at any boundary is the
+    * running total over all boundaries in (ts, delta) order — delta
+    * ascending so an end and a start at the same instant do NOT overlap
+    * (half-open intervals).
+    *
+    * Scale shape: the running level is the textbook one-global-window
+    * anti-pattern (a single task would sort 2·#sessions rows), so it runs
+    * on [[graft.functions.PrefixSum.runningTotal]] — the two-pass
+    * distributed prefix sum: range-exchange on the sort key, O(1)-state
+    * local cumsum, tiny per-partition offset frame broadcast back. Day
+    * rollup and the peak-timestamp lookup are one aggregate + one
+    * broadcast join over the boundary frame. Days with no boundary hold
+    * the previous close (no session starts or ends — concurrency cannot
+    * peak) and are deliberately not emitted.
+    */
+  def q303PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.StreamingOps
+      .sessionAgg(Tables.events(spark, dir))
+      .select(col("s_start"), col("s_end"))
+    val bounds = sess.select(col("s_start").as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("s_end").as("ts"), lit(-1L).as("delta")))
+      .withColumn("g", lit("all"))
+    val leveled = graft.functions.PrefixSum.runningTotal(
+        bounds, Seq("g"), Seq(col("ts").asc, col("delta").asc),
+        "delta", "level")
+      .withColumn("day", to_date(col("ts")))
+    val byDay = leveled.groupBy(col("day"))
+      .agg(max(col("level")).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    leveled.join(broadcast(byDay), Seq("day"))
+      .filter(col("level") === col("peak_concurrency"))
+      .groupBy(col("day"), col("peak_concurrency"),
+        col("n_starts"), col("n_ends"))
+      .agg(min(col("ts")).as("peak_ts"))
+      .select(col("day"), col("peak_concurrency"), col("n_starts"),
+        col("n_ends"), col("peak_ts"))
+      .orderBy(col("day"))
+  }
+
+  val q303Oracle: String =
+    """WITH brk AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess0 AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk),
+      |sess AS (
+      |  SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL '30 minutes' AS s_end
+      |  FROM sess0 GROUP BY user_id, sid),
+      |b AS (
+      |  SELECT s_start AS ts, CAST(1 AS BIGINT) AS delta FROM sess
+      |  UNION ALL
+      |  SELECT s_end AS ts, CAST(-1 AS BIGINT) AS delta FROM sess),
+      |lv AS (
+      |  SELECT ts, delta,
+      |    SUM(delta) OVER (ORDER BY ts, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+      |  FROM b),
+      |d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(MAX(level) AS BIGINT) AS peak_concurrency,
+      |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_starts,
+      |    CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ends
+      |  FROM lv GROUP BY 1)
+      |SELECT d.day, d.peak_concurrency, d.n_starts, d.n_ends,
+      |  MIN(lv.ts) AS peak_ts
+      |FROM d JOIN lv
+      |  ON CAST(lv.ts AS DATE) = d.day AND lv.level = d.peak_concurrency
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY d.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_peak_concurrency"  -> (q303PeakConcurrency _),
     "q299_life_table"        -> (q299LifeTable _),
     "q292_session_gap_sensitivity" -> (q292SessionGapSensitivity _),
     "q283_trend_slope"       -> (q283TrendSlope _),
@@ -826,6 +914,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q303_peak_concurrency"  -> q303Oracle,
     "q299_life_table"        -> q299Oracle,
     "q292_session_gap_sensitivity" -> q292Oracle,
     "q283_trend_slope"       -> q283Oracle,

@@ -699,4 +699,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(blast.map(_.getAs[Long]("n_train_docs")).sum >=
       trainFlagged.size)
   }
+
+  test("q305: greedy coverage picks 4 distinct sources, marginal gains " +
+    "are non-increasing, and step 1 is the true max-coverage source") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.q305GreedyCoverage(spark, sfDir)
+      .orderBy(col("step")).collect()
+    assert(rows.length === 4)
+    val sources = rows.map(_.getAs[String]("source"))
+    assert(sources.distinct.length === 4, "a source was picked twice")
+    // submodularity: greedy marginal gains never increase
+    val gains = rows.map(_.getAs[Long]("marginal_terms"))
+    gains.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"marginal gain rose: $a -> $b")
+      case _ =>
+    }
+    // cumulative bookkeeping + coverage bounds
+    assert(rows.map(_.getAs[Long]("cumulative_terms")).toSeq ===
+      gains.scanLeft(0L)(_ + _).tail.toSeq)
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    cov.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a)
+      case _ =>
+    }
+    assert(cov.last <= 1000000L && cov.head > 0L)
+    // step 1 = argmax of per-source distinct-shingle coverage, recomputed
+    val posting = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("t"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = posting.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val top = bySource.toSeq.map { case (s, ts) => (ts.size, s) }
+      .sortBy { case (n, s) => (-n, s) }.head
+    assert(rows.head.getAs[String]("source") === top._2)
+    assert(gains.head === top._1.toLong)
+  }
 }

@@ -347,4 +347,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q302: the per-key count pre-aggregates map-side (partial_count " +
+    "below the exchange) and no join appears anywhere") {
+    val p = plan("q302_join_card_estimate")
+    assert(p.contains("partial_count"),
+      s"per-key counts must combine map-side:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"exact join cardinality must come from the count frame, not a join:\n${p.take(3000)}")
+  }
+
+  test("q304: candidate generation is a bucket equi-join — no cartesian " +
+    "or nested-loop anywhere in the mutual-NN plan") {
+    val p = plan("q304_mutual_nn")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
 }

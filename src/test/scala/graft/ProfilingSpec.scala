@@ -417,4 +417,26 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       chk("rstar3_milli", 4 * f4, f3)
     }
   }
+
+  test("q302: uniformity estimate never overshoots (Cauchy–Schwarz) and " +
+    "the actual column IS the executed self-join cardinality") {
+    import org.apache.spark.sql.functions._
+    val rows = ProfilingQueries.q302JoinCardEstimate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_rows")
+      val actual = r.getAs[Long]("actual_rows")
+      assert(est <= actual,
+        s"band ${r.getAs[Long]("band")}: estimate $est overshoots $actual")
+      assert(r.getAs[Long]("underest_ppm") ===
+        (actual - est) * 1000000L / actual)
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+    }
+    // the audit's central claim: Σ per-key n(k)² equals the row count of
+    // the MATERIALIZED self-equi-join — exact join cardinality without
+    // executing the join
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("k"))
+    val executed = li.as("a").join(li.as("b"), "k").count()
+    assert(rows.map(_.getAs[Long]("actual_rows")).sum === executed)
+  }
 }

@@ -471,4 +471,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         s"plant base doc not fully contained: $r")
     }
   }
+
+  test("q304: mutual-NN pairs are disjoint (each vector in at most one " +
+    "pair), ordered, and the similarity replays as the exact cosine") {
+    val rows = SimilarityQueries.q304MutualNn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no mutual pairs found")
+    // top-1 is unique per vector, so mutual pairs form a partial matching
+    val ids = rows.flatMap(r =>
+      Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(ids.distinct.length === ids.length,
+      "a vector appears in two mutual pairs — top-1 cannot do that")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+    // replay each pair's cosine from the raw vectors
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val expect = cos(vecs(r.getAs[Long]("id_a")), vecs(r.getAs[Long]("id_b")))
+      assert(math.abs(r.getAs[Double]("sim") - expect) < 1e-5,
+        s"pair $r cosine mismatch vs $expect")
+    }
+  }
 }

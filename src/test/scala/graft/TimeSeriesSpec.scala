@@ -372,4 +372,43 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => r.getAs[Long]("churned") +
       r.getAs[Long]("censored")).sum === users)
   }
+
+  test("q303: boundary conservation and a full driver-side sweep replay") {
+    val rows = graft.queries.TimeSeriesQueries.q303PeakConcurrency(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // microsecond precision: getTime is ms-truncated and would reorder
+    // boundaries that differ only in sub-ms digits
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val sess = graft.streaming.StreamingOps
+      .sessionAgg(graft.Tables.events(spark, sfDir))
+      .select(col("s_start"), col("s_end")).collect()
+      .map(r => (micros(r.getTimestamp(0)), micros(r.getTimestamp(1))))
+    // every session contributes exactly one start and one end boundary
+    assert(rows.map(_.getAs[Long]("n_starts")).sum === sess.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_ends")).sum === sess.length.toLong)
+    // replay the sweep in memory: (ts, delta) order, delta asc so an end
+    // and a start at the same instant do not overlap (half-open)
+    val bounds = sess.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy(identity)
+    var level = 0L
+    val byDay = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    bounds.foreach { case (ts, d) =>
+      level += d
+      val day = java.time.Instant.ofEpochSecond(ts / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val (peak, _) = byDay.getOrElse(day, (Long.MinValue, 0L))
+      if (level > peak) byDay(day) = (level, ts)
+    }
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val (peak, at) = byDay(day)
+      assert(r.getAs[Long]("peak_concurrency") === peak, s"day $day peak")
+      assert(micros(r.getAs[java.sql.Timestamp]("peak_ts")) === at,
+        s"day $day peak_ts")
+      assert(peak >= 1L)
+    }
+    assert(rows.length === byDay.size)
+  }
 }
