@@ -780,7 +780,157 @@ object EvalQueries {
        |GROUP BY sc.lang, thr.n_cal, thr.cal_q_index, thr.threshold
        |ORDER BY sc.lang""".stripMargin
 
+  /** K-FOLD CROSS-VALIDATED STUMP (q307) — the model-selection discipline
+    * q238's single training run skips: 4-fold cross-validation of the
+    * decision stump, folds assigned by the q276 md5 hash (content-stable:
+    * the same document lands in the same fold on every engine and every
+    * run). Per fold: train q238's exact Gini-quantized argmax on the
+    * OTHER three folds, predict by each side's majority label (ties → 1,
+    * the optimistic rule, documented), and score accuracy on the held-out
+    * fold in exact ppm. Four accuracies instead of one training score —
+    * the spread IS the generalization signal; a stump whose folds
+    * disagree is fitting noise.
+    *
+    * Scale shape: fold training reuses one exploded feature frame — each
+    * row joins to its 3 training folds (constant ×3 fan-out, like the
+    * threshold grid's ×6), so all four stumps train in ONE aggregate
+    * pass; per-fold winners are a 4-row window; evaluation is one
+    * broadcast join of those 4 rows against the held-out rows. Nothing
+    * iterates, nothing collects.
+    */
+  def q307StumpCrossVal(spark: SparkSession, dir: String): DataFrame = {
+    val keep = CurationQueries.q78QualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").cast(IntegerType).cast("long").as("y"))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val feats = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .join(keep, "doc_id")
+      .withColumn("fold", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
+          "AS BIGINT) % 4"))
+      .select(col("y"), col("fold"), explode(array(
+        struct(lit("n_tokens").as("feature"), col("n_tokens").as("v")),
+        struct(lit("n_distinct").as("feature"), col("n_distinct").as("v"))))
+        .as("f"))
+      .select(col("y"), col("fold"), col("f.feature").as("feature"),
+        col("f.v").as("v"))
+    import spark.implicits._
+    val folds = Seq(0L, 1L, 2L, 3L).toDF("eval_fold")
+    val thr = spark.createDataFrame(StumpThresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val cand = feats
+      .join(broadcast(folds), col("fold") =!= col("eval_fold"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("eval_fold"), col("feature"), col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("p"),
+        sum(when(col("v") <= col("threshold"), 1L).otherwise(0L)).as("n_l"),
+        sum(when(col("v") <= col("threshold"), col("y")).otherwise(0L))
+          .as("p_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("p_r", col("p") - col("p_l"))
+      .withColumn("score_q", expr(
+        """CASE WHEN n_l = 0 OR n_r = 0 THEN NULL ELSE
+          |  CAST((CAST(p_l AS DECIMAL(38,0)) * p_l
+          |      + CAST(n_l - p_l AS DECIMAL(38,0)) * (n_l - p_l))
+          |    * 1000000 div n_l AS BIGINT)
+          |  + CAST((CAST(p_r AS DECIMAL(38,0)) * p_r
+          |      + CAST(n_r - p_r AS DECIMAL(38,0)) * (n_r - p_r))
+          |    * 1000000 div n_r AS BIGINT) END""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_fold"))
+      .orderBy(col("score_q").desc_nulls_last, col("feature"),
+        col("threshold"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_fold"), col("feature").as("b_feature"),
+        col("threshold"),
+        when(col("p_l") * 2 >= col("n_l"), 1L).otherwise(0L).as("left_label"),
+        when(col("p_r") * 2 >= col("n_r"), 1L).otherwise(0L).as("right_label"),
+        col("score_q").as("train_score_q"))
+    feats.join(broadcast(best),
+        col("fold") === col("eval_fold") && col("feature") === col("b_feature"))
+      .withColumn("pred",
+        when(col("v") <= col("threshold"), col("left_label"))
+          .otherwise(col("right_label")))
+      .groupBy(col("eval_fold"), col("b_feature").as("feature"),
+        col("threshold"), col("train_score_q"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000L div n_test"))
+      .orderBy(col("eval_fold"))
+  }
+
+  val q307Oracle: String = {
+    val thrs = StumpThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH $q78KeepCtes,
+       |base AS (
+       |  SELECT doc_id, y,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      % 4 AS fold
+       |  FROM k),
+       |feats AS (
+       |  SELECT y, fold, 'n_tokens' AS feature, n_tokens AS v FROM base
+       |  UNION ALL
+       |  SELECT y, fold, 'n_distinct', n_distinct FROM base),
+       |folds(eval_fold) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+       |thr(threshold) AS (VALUES $thrs),
+       |cand AS (
+       |  SELECT eval_fold, feature, threshold,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN v <= threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_l,
+       |    CAST(SUM(CASE WHEN v <= threshold THEN y ELSE 0 END) AS BIGINT)
+       |      AS p_l
+       |  FROM feats JOIN folds ON fold <> eval_fold
+       |  CROSS JOIN thr
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT eval_fold, feature, threshold, n_l, p_l,
+       |    n - n_l AS n_r, p - p_l AS p_r,
+       |    CASE WHEN n_l = 0 OR n - n_l = 0 THEN NULL ELSE
+       |      CAST(CAST(CAST(p_l AS HUGEINT) * p_l
+       |          + CAST(n_l - p_l AS HUGEINT) * (n_l - p_l) AS HUGEINT)
+       |        * 1000000 // n_l AS BIGINT)
+       |      + CAST(CAST(CAST(p - p_l AS HUGEINT) * (p - p_l)
+       |          + CAST((n - n_l) - (p - p_l) AS HUGEINT)
+       |            * ((n - n_l) - (p - p_l)) AS HUGEINT)
+       |        * 1000000 // (n - n_l) AS BIGINT) END AS score_q
+       |  FROM cand),
+       |best AS (
+       |  SELECT eval_fold, feature AS b_feature, threshold,
+       |    CASE WHEN p_l * 2 >= n_l THEN 1 ELSE 0 END AS left_label,
+       |    CASE WHEN p_r * 2 >= n_r THEN 1 ELSE 0 END AS right_label,
+       |    score_q AS train_score_q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY eval_fold
+       |          ORDER BY score_q DESC NULLS LAST, feature, threshold) AS rn
+       |        FROM sc)
+       |  WHERE rn = 1),
+       |ev AS (
+       |  SELECT b.eval_fold, b.b_feature AS feature, b.threshold,
+       |    b.train_score_q,
+       |    CASE WHEN f.v <= b.threshold THEN b.left_label
+       |         ELSE b.right_label END AS pred, f.y
+       |  FROM feats f JOIN best b
+       |    ON f.fold = b.eval_fold AND f.feature = b.b_feature)
+       |SELECT eval_fold, feature, threshold, train_score_q,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS accuracy_ppm
+       |FROM ev
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY eval_fold""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_stump_crossval"  -> (q307StumpCrossVal _),
     "q289_conformal_calibration" -> (q289ConformalCalibration _),
     "q238_decision_stump"      -> (q238DecisionStump _),
     "q232_poisson_bootstrap"   -> (q232PoissonBootstrap _),
@@ -791,6 +941,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q307_stump_crossval"  -> q307Oracle,
     "q289_conformal_calibration" -> q289Oracle,
     "q238_decision_stump"      -> q238Oracle,
     "q232_poisson_bootstrap"   -> q232Oracle,
