@@ -27,7 +27,8 @@ object SparkEntry {
       RetrievalQueries.registry ++ MiningQueries.registry ++
       CorpusQueries.registry ++ EvalQueries.registry ++
       TimeSeriesQueries.registry ++ EmbeddingQueries.registry ++
-      ProfilingQueries.registry ++ graft.pipeline.CurationRun.registry
+      ProfilingQueries.registry ++ graft.pipeline.CurationRun.registry ++
+      graft.pipeline.RetrievalRun.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       RetrievalQueries.oracles ++ MiningQueries.oracles ++
       CorpusQueries.oracles ++ EvalQueries.oracles ++
       TimeSeriesQueries.oracles ++ EmbeddingQueries.oracles ++
-      ProfilingQueries.oracles ++ graft.pipeline.CurationRun.oracles
+      ProfilingQueries.oracles ++ graft.pipeline.CurationRun.oracles ++
+      graft.pipeline.RetrievalRun.oracles
 }

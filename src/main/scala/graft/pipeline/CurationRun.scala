@@ -61,10 +61,27 @@ object CurationRun {
     "shard + n_sequences + n_docs + n_subwords + " +
       "CAST('0x' || substr(shard_md5, 1, 8) AS BIGINT)"
 
-  private def summarize(stage: String, df: DataFrame, chk: String): DataFrame =
+  /** Per-stage (n_rows, checksum) summary. The checksum accumulates in
+    * DECIMAL(38,0) — NOT a bare Long sum: in non-ANSI mode a Long-
+    * overflowing sum() wraps silently while the DuckDB oracle promotes
+    * SUM(BIGINT) to HUGEINT before its BIGINT cast, so at 100 TB row
+    * counts the two sides could wrap differently (or wrap identically and
+    * mask a real diff). A DECIMAL(38,0) sum matches HUGEINT accumulation
+    * through ~1e38; past THAT it nulls rather than wraps, and the q144
+    * discipline turns the null into a loud error instead of a silent 0.
+    */
+  private[pipeline] def summarize(stage: String, df: DataFrame, chk: String): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(expr(chk)), lit(0L)).cast("long").as("checksum"))
-      .select(lit(stage).as("stage"), col("n_rows"), col("checksum"))
+        sum(expr(chk).cast("decimal(38,0)")).as("chk_dec"))
+      .select(lit(stage).as("stage"), col("n_rows"),
+        // null sum on an EMPTY stage is the legitimate 0; null with rows
+        // present is decimal overflow and must not read as a checksum
+        when(col("n_rows") === 0, lit(0L))
+          .when(col("chk_dec").isNull ||
+            col("chk_dec") > lit(Long.MaxValue) ||
+            col("chk_dec") < lit(Long.MinValue), expr(
+            s"raise_error('$stage checksum overflowed the BIGINT gate range')"))
+          .otherwise(col("chk_dec").cast("long")).as("checksum"))
 
   /** The staged-intermediate locations for a given input dir (exposed so
     * the spec can pin that composed-mode plans really scan them). */

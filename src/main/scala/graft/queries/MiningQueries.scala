@@ -1296,11 +1296,11 @@ object MiningQueries {
     * projected. Top-100 by co-count, total ordering.
     */
   def q300TermProjection(spark: SparkSession, dir: String): DataFrame = {
-    val posting = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-      .distinct()
+    // the (term, doc_id, tf) frame is keyed on exactly (term, doc_id), so
+    // projecting it IS the distinct posting — and in composed mode the
+    // staged postings parquet replaces the corpus re-tokenize here too
+    val posting = RetrievalQueries.termFrequencies(spark, dir)
+      .select(col("doc_id"), col("term"))
     val tot = posting.agg(countDistinct(col("doc_id")).as("nn"))
     val dfs = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val mid = posting.join(

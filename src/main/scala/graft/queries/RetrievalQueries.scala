@@ -19,6 +19,45 @@ object RetrievalQueries {
   val KwicTerm = "scan"
   val SimJoinMaxPairingDf = 1000L
 
+  /** Reuse conf for the tier's shared intermediate (see
+    * [[termFrequencies]]) — the q269-componentTable / q216-pairTable
+    * posture extended to retrieval. */
+  val PostingsConf = "spark.graft.postings.table"
+
+  /** The shared (term, doc_id, tf) POSTINGS frame — the one intermediate
+    * every retrieval-tier operator re-derives from the corpus: q143's
+    * segmented index, q144's BM25 statistics, q154's sparse sim-join,
+    * q285's second scorer, q294's relevance labels, and q300's bipartite
+    * projection all start from exactly this tokenize → explode →
+    * (term, doc_id) count. In gate mode (conf unset) each query derives
+    * it so its oracle replays from the raw corpus; in composed mode
+    * `spark.graft.postings.table` points at the parquet a
+    * [[graft.pipeline.RetrievalRun]] staged once, and every consumer's
+    * plan scans that instead of re-tokenizing the corpus — at 100 TB the
+    * tokenize+aggregate is the tier's dominant cost, paid once per
+    * corpus version, not once per query.
+    *
+    * The source-level isnotnull(doc_id) matters for the PLAN, not the
+    * data (no null doc_ids exist): consumers that join on doc_id would
+    * otherwise infer the filter on one branch only, splitting the scan
+    * subtrees and defeating exchange reuse — filtered here, every
+    * consumer inside one query shares ONE identical
+    * scan+explode+aggregate subtree.
+    */
+  def termFrequencies(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption(PostingsConf) match {
+      case Some(path) =>
+        spark.read.parquet(path)
+          .select(col("term"), col("doc_id"), col("tf"))
+      case None =>
+        Tables.documents(spark, dir)
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+    }
+
   /** INVERTED INDEX build, SEGMENTED — the posting list for a term is
     * materialized per corpus segment (doc_id div 100), never whole: a
     * stopword's full posting list at 100 TB is billions of entries, and
@@ -35,10 +74,7 @@ object RetrievalQueries {
     * verifies every posting of every term without shipping the lists.
     */
   def q143InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(spark, dir)
     val seg = tf
       .withColumn("segment", expr("doc_id div 100"))
       .groupBy(col("term"), col("segment"))
@@ -113,15 +149,7 @@ object RetrievalQueries {
     * q154 discipline).
     */
   def q144Bm25Search(spark: SparkSession, dir: String): DataFrame = {
-    // the explicit isnotnull(doc_id) matters for the PLAN, not the data:
-    // the dl join would infer it on its branch only, splitting the scan
-    // subtrees and defeating exchange reuse — filtered at the source,
-    // every consumer shares ONE identical scan+explode+aggregate subtree
-    val toks = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
@@ -213,12 +241,7 @@ object RetrievalQueries {
         Window.orderBy(col("score_scaled").desc, col("doc_id")))
         .as("rank_bm25"))
     // scorer B over the same corpus stats + query terms as q144
-    val toks = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))
@@ -325,13 +348,7 @@ object RetrievalQueries {
     * when it still contributes to surviving pairs' scores.
     */
   def q154SparseSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    // source-level isnotnull(doc_id): keeps every tf-consumer subtree
-    // identical so the tokenize exchange is planned once (see q144)
-    val toks = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(spark, dir)
     val nn = Tables.documents(spark, dir).agg(count(lit(1)).as("nn"))
     val cap = spark.conf.getOption("spark.graft.simjoin.maxPairingDf")
       .map(_.toLong).getOrElse(SimJoinMaxPairingDf)
@@ -476,11 +493,7 @@ object RetrievalQueries {
           .as("rank"))
     // relevance label: >= 2 distinct query terms present (recomputed from
     // the shared tf frame — same derivation as q144/q285's qterms)
-    val toks = Tables.documents(spark, dir)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("s"))

@@ -39,6 +39,25 @@ object StreamingOps extends Serializable {
         1600000000000L + slice * 60000L))
   }
 
+  /** ONCE-PER-SESSION STAGING (round 12, the streaming-harness
+    * consolidation): slice staging is deterministic from the input table
+    * (residue split, coalesce(1), fixed FileTime order), yet every gate
+    * construction re-ran the write jobs — 14 streaming gates × 3 slices
+    * of redundant Spark writes per bench sweep. A marker conf (q120's
+    * persisted-index posture) records that a staging dir is already
+    * populated for this (dir-key) in THIS session, so later constructions
+    * skip straight to the readStream. The staleness window is the session
+    * — the same tradeoff q120 already accepts, and the gate input tables
+    * never change mid-session. Gate SEMANTICS are untouched: the staged
+    * bytes are identical whether written now or earlier.
+    */
+  private def stagedOnce(spark: SparkSession, marker: String, key: String)(
+      write: => Unit): Unit =
+    if (!spark.conf.getOption(marker).contains(key)) {
+      write
+      spark.conf.set(marker, key)
+    }
+
   /** Tumbling-window aggregate (batch form). 6-hour windows are
     * epoch-aligned in both Spark and DuckDB's time_bucket.
     */
@@ -130,10 +149,12 @@ object StreamingOps extends Serializable {
     // the copy (a stale copy would silently stream outdated input after
     // the source file changes)
     val streamDir = graft.util.Staging.dir("graft_stream", dir)
-    java.nio.file.Files.createDirectories(streamDir)
-    val staged = streamDir.resolve("events.parquet")
-    java.nio.file.Files.copy(src, staged,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stagedOnce(spark, "spark.graft.layout.stream", dir) {
+      java.nio.file.Files.createDirectories(streamDir)
+      val staged = streamDir.resolve("events.parquet")
+      java.nio.file.Files.copy(src, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val raw = spark.readStream
       .schema(staticSchema)
       .option("maxFilesPerTrigger", "1")
@@ -253,18 +274,20 @@ object StreamingOps extends Serializable {
       .select(col("event_id"), col("user_id"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
     val streamDir = graft.util.Staging.dir(s"graft_stream_s$slices", dir)
-    Files.createDirectories(streamDir)
-    (0 until slices).foreach { s =>
-      val tmp = Files.createTempDirectory("graft_slice")
-      // null-safe slice key: a NULL event_id must land in SOME slice (the
-      // batch oracles aggregate ALL events), not silently vanish from all
-      ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+    stagedOnce(spark, s"spark.graft.layout.stream_s$slices", dir) {
+      Files.createDirectories(streamDir)
+      (0 until slices).foreach { s =>
+        val tmp = Files.createTempDirectory("graft_slice")
+        // null-safe slice key: a NULL event_id must land in SOME slice (the
+        // batch oracles aggregate ALL events), not silently vanish from all
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+      }
     }
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -282,16 +305,18 @@ object StreamingOps extends Serializable {
       .select(col("event_id"), col("user_id"),
         expr("unix_micros(ts)").as("ts_us"))
     val streamDir = graft.util.Staging.dir(s"graft_stream_ts$slices", dir)
-    Files.createDirectories(streamDir)
-    (0 until slices).foreach { s =>
-      val tmp = Files.createTempDirectory("graft_slice_ts")
-      ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+    stagedOnce(spark, s"spark.graft.layout.stream_ts$slices", dir) {
+      Files.createDirectories(streamDir)
+      (0 until slices).foreach { s =>
+        val tmp = Files.createTempDirectory("graft_slice_ts")
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+      }
     }
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -313,7 +338,7 @@ object StreamingOps extends Serializable {
       trainDocs: DataFrame, evalGrams: DataFrame,
       queryName: String): DataFrame = {
     val stream = docsReadStreamSliced(spark, dir,
-      trainDocs.select(col("doc_id"), col("text")), 3)
+      trainDocs.select(col("doc_id"), col("text")), 3, queryName)
     val grams = stream.select(col("doc_id"),
       explode(graft.expressions.ShingleStrings.shingleStrings(
         graft.functions.TextFunctions.tokens(col("text")), 3)).as("ng"))
@@ -368,21 +393,30 @@ object StreamingOps extends Serializable {
     * — the documents twin of [[eventsReadStreamSliced]]; the near-dup
     * screen needs a genuinely multi-batch corpus stream so its band-key
     * state is exercised ACROSS batches.
+    *
+    * The staging dir keys on the CALLER's query name (drainToTable's
+    * per-query discipline), not just (dir, slices): slice files are
+    * written eagerly at construction but read lazily at stream start, so
+    * two doc-stream queries staged to the same dir before either drains
+    * — e.g. a %97 train subset and the full corpus, both 3 slices —
+    * would silently read each other's data.
     */
   def docsReadStreamSliced(spark: SparkSession, dir: String,
-      docs: DataFrame, slices: Int): DataFrame = {
+      docs: DataFrame, slices: Int, name: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
-    val streamDir = graft.util.Staging.dir(s"graft_docstream_s$slices", dir)
-    Files.createDirectories(streamDir)
-    (0 until slices).foreach { s =>
-      val tmp = Files.createTempDirectory("graft_docslice")
-      docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(slices.toLong)) === s)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+    val streamDir = graft.util.Staging.dir(s"graft_docstream_s$slices", s"$dir#$name")
+    stagedOnce(spark, s"spark.graft.layout.docstream_s$slices.$name", dir) {
+      Files.createDirectories(streamDir)
+      (0 until slices).foreach { s =>
+        val tmp = Files.createTempDirectory("graft_docslice")
+        docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(slices.toLong)) === s)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+      }
     }
     spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -417,7 +451,7 @@ object StreamingOps extends Serializable {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val slices = 3
-    val stream = docsReadStreamSliced(spark, dir, docs, slices)
+    val stream = docsReadStreamSliced(spark, dir, docs, slices, queryName)
     val banded = stream
       .withColumn("sig", graft.expressions.MinHashSignature.minhashSignature(
         graft.functions.Similarity.md5ShingleHashes(

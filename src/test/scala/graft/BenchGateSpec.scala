@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The regression gate's prior-bench parser — pure JVM, no Spark session.
+  *
+  * Round-11 advice flagged two parser holes: `indexOf('}')` truncated the
+  * queries object at the first close brace (any future nesting would
+  * silently drop the tail), and the prior run's `failed` list was ignored
+  * (a query whose prior "time" is a time-to-throw must not serve as a
+  * regression baseline). Both are pinned here against hand-built JSON.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private def write(json: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("benchspec", ".json")
+    java.nio.file.Files.writeString(p, json)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("priorBench parses times, failed list, and calibration min") {
+    val p = write(
+      """{"metric":"total","value":3.0,"unit":"sec",
+        |"queries":{"q01_agg":1.25,"q02_filter":0.5,"q99_x":1.5e-1},
+        |"failed":["q02_filter"],
+        |"calibration":[1.10,0.95,1.20],
+        |"contended":false}""".stripMargin)
+    val b = Bench.priorBench(p)
+    assert(b.times === Map("q01_agg" -> 1.25, "q02_filter" -> 0.5, "q99_x" -> 0.15))
+    assert(b.failed === Set("q02_filter"))
+    assert(b.calibMin === Some(0.95))
+  }
+
+  test("queries parse survives nested objects after it (brace matching)") {
+    // a nested object INSIDE queries must not truncate the scan before q03
+    val p = write(
+      """{"queries":{"q01":1.0,"meta":{"inner":2.0},"q03":3.0},
+        |"failed":[],"calibration":[1.0]}""".stripMargin)
+    val b = Bench.priorBench(p)
+    assert(b.times.get("q01") === Some(1.0))
+    assert(b.times.get("q03") === Some(3.0))
+  }
+
+  test("absent or malformed file yields an empty baseline, not a throw") {
+    val missing = java.nio.file.Paths.get("/does/not/exist/bench.json")
+    assert(Bench.priorBench(missing) === Bench.PriorBench(Map.empty, Set.empty, None))
+    val junk = write("{not json at all")
+    val b = Bench.priorBench(junk)
+    assert(b.times.isEmpty && b.failed.isEmpty && b.calibMin.isEmpty)
+  }
+}

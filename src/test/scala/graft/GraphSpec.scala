@@ -196,6 +196,27 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.incr.baseComponentTable")
   }
 
+  test("q308: production path equals gate q271, stages idempotently, " +
+    "and restores the conf") {
+    val direct = GraphQueries.q271FrontierComponents(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val before = spark.conf.getOption("spark.graft.incr.baseComponentTable")
+    val prod = GraphQueries.q308IncrComponentsProd(spark, sfDir)
+    assert(prod.collect().map(_.toString).toSeq === direct)
+    // conf restored (the persisted-index pointer must not leak to later
+    // queries), and the plan reads the staged index, not a re-derivation
+    assert(spark.conf.getOption("spark.graft.incr.baseComponentTable")
+      === before)
+    val plan = prod.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_base_components_idx"), plan.take(2000))
+    // second construction must hit the marker (no re-write): the marker
+    // conf records the staged dir
+    assert(spark.conf.getOption("spark.graft.layout.base_components_idx")
+      .contains(sfDir))
+    assert(GraphQueries.q308IncrComponentsProd(spark, sfDir)
+      .collect().map(_.toString).toSeq === direct)
+  }
+
   test("q280: cohesion laws — spanning-tree floor, clique ceiling, " +
     "pair mass conservation, 2-clusters are cliques") {
     val rows = GraphQueries.q280ClusterCohesion(spark, sfDir).collect()
