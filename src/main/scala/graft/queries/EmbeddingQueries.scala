@@ -470,7 +470,88 @@ object EmbeddingQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** LABEL-CENTROID DRIFT AUDIT (q313) — does each label's embedding
+    * cloud point where the corpus points? Per label: the angle (as
+    * sign + cos² in ppm — sqrt never happens, q314's discipline) and
+    * the squared L2 distance between the label's centroid and the
+    * GLOBAL centroid, both on exact integers. A label whose centroid
+    * sits nearly orthogonal to the corpus mean is a cluster the
+    * embedding model represents very differently — the audit a
+    * platform runs before trusting per-label ANN recall or using
+    * label-stratified IVF cells (q286 counts cell occupancy; this
+    * measures geometric displacement).
+    *
+    * Exactness under scale: per-dim SUMS are exact longs on the q226
+    * grid, but their products would grow as n⁴ — so centroids are
+    * rebased to MILLI-MEANS (sum·1000 div n, integer division both
+    * engines share), bounded by the grid (±16 000) REGARDLESS of
+    * corpus size; every second-order product then fits DECIMAL(38,0)
+    * at any n. Scale shape: one (label, dim) aggregate (explode is
+    * 64× a vector count — the q226 shape), the global side re-sums
+    * the per-label frame (label-count-sized), and the comparison is
+    * a 64-row-per-label broadcast join.
+    */
+  def q313CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gridded(spark, dir)
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+    val perLabel = cells
+      .select(col("label"), col("dim"),
+        expr("s * 1000 div n").as("m"))
+    val global = cells.groupBy(col("dim"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+      .select(col("dim"), expr("gs * 1000 div gn").as("g"))
+    perLabel.join(broadcast(global), "dim")
+      .groupBy(col("label"))
+      .agg(
+        sum(expr("CAST(m AS DECIMAL(38,0)) * g")).as("dot"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("na2"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("nb2"),
+        sum(expr("CAST(m - g AS DECIMAL(38,0)) * (m - g)")).as("dist2"))
+      .select(col("label").cast(LongType).as("label"),
+        expr("CAST(sign(dot) AS BIGINT)").as("cos_sign"),
+        expr("CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL ELSE " +
+          "CAST(dot * dot * 1000000 div (na2 * nb2) AS BIGINT) END")
+          .as("cos2_ppm"),
+        expr("CAST(dist2 AS BIGINT)").as("dist2_mm"))
+      .orderBy(col("label"))
+  }
+
+  val q313Oracle: String =
+    """WITH v AS (
+      |  SELECT label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q[i]) AS BIGINT) AS s
+      |  FROM v, UNNEST(range(1, 65)) AS t(i)
+      |  GROUP BY label, i),
+      |pl AS (SELECT label, dim, s * 1000 // n AS m FROM cells),
+      |g AS (
+      |  SELECT dim, SUM(s) * 1000 // SUM(n) AS g FROM cells
+      |  GROUP BY dim),
+      |agg AS (
+      |  SELECT pl.label,
+      |    SUM(CAST(m AS HUGEINT) * g.g) AS dot,
+      |    SUM(CAST(m AS HUGEINT) * m) AS na2,
+      |    SUM(CAST(g.g AS HUGEINT) * g.g) AS nb2,
+      |    SUM(CAST(m - g.g AS HUGEINT) * (m - g.g)) AS dist2
+      |  FROM pl JOIN g ON g.dim = pl.dim
+      |  GROUP BY pl.label)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(sign(dot) AS BIGINT) AS cos_sign,
+      |  CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL ELSE
+      |    CAST(dot * dot * 1000000 // (na2 * nb2) AS BIGINT) END
+      |    AS cos2_ppm,
+      |  CAST(dist2 AS BIGINT) AS dist2_mm
+      |FROM agg
+      |ORDER BY label""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_centroid_drift" -> (q313CentroidDrift _),
     "q301_power_iteration"  -> (q301PowerIteration _),
     "q286_label_cell_occupancy" -> (q286LabelCellOccupancy _),
     "q226_embedding_covariance" -> (q226EmbeddingCovariance _),
@@ -479,6 +560,7 @@ object EmbeddingQueries {
     "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "q313_centroid_drift" -> q313Oracle,
     "q301_power_iteration"  -> q301Oracle,
     "q286_label_cell_occupancy" -> q286Oracle,
     "q226_embedding_covariance" -> q226Oracle,

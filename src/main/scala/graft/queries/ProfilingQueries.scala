@@ -1098,7 +1098,91 @@ object ProfilingQueries {
       |FROM b
       |ORDER BY band""".stripMargin
 
+  /** KMV DISTINCT SKETCH (q310) — the ORDER-STATISTICS cardinality
+    * estimator beside q251's register-based HLL: hash every distinct
+    * (source, token) onto a 60-bit grid, keep only the k = 64 SMALLEST
+    * distinct hash values per source, and estimate distinct count from
+    * how deep into the hash space the k-th minimum sits:
+    * est = (k−1)·M div h_(k) with M = 2⁶⁰. KMV is what engines use when
+    * sketches must support set operations HLL can't (union = merge the
+    * min-sets, intersection via inclusion–exclusion on the combined
+    * k-th minimum), and its error contract is gate-checked here the
+    * same way q251's is: estimate, exact, and err_ppm side by side.
+    * A source with fewer than k distinct hashes saturates the sketch —
+    * the min-set IS the population and the estimate is exact by
+    * construction (the branch is part of the operator, like q251's
+    * linear-counting branch).
+    *
+    * Hashes ride md5's first 15 hex digits (60 bits, positive in both
+    * engines), so the DuckDB oracle replays every min-set member.
+    *
+    * Scale shape: the k-smallest selection runs on the custom
+    * [[graft.plans.GroupTopK]] heap operator (q62's) — one exchange,
+    * bounded per-source heaps, NO per-source sort; the estimator then
+    * works on k rows per source. The distinct pre-aggregate is the
+    * same (source, term) frame every profiling pass shares.
+    */
+  def q310KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+    val mins = graft.plans.GroupTopK.topKPerGroup(
+      hashes.withColumn("neg_h", -col("h")),
+      keyCols = Seq("source"),
+      orderDescCol = "neg_h",
+      tieAscCol = "h",
+      k = 64)
+    val sketch = mins.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_retained"), max(col("h")).as("kth_min"))
+    val exact = hashes.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, "source")
+      .select(col("source"), col("n_retained"), col("kth_min"),
+        col("n_exact"),
+        when(col("n_retained") < 64, col("n_retained"))
+          .otherwise(expr(
+            "CAST(CAST(63 AS DECIMAL(38,0)) * 1152921504606846976" +
+              " div kth_min AS BIGINT)")).as("kmv_est"))
+      .withColumn("err_ppm",
+        expr("abs(kmv_est - n_exact) * 1000000L div n_exact"))
+      .orderBy(col("source"))
+  }
+
+  val q310Oracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT source,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)),
+      |r AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_retained,
+      |    CAST(MAX(h) AS BIGINT) AS kth_min
+      |  FROM r WHERE rn <= 64 GROUP BY source),
+      |e AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM h
+      |  GROUP BY source),
+      |est AS (
+      |  SELECT s.source, n_retained, kth_min, n_exact,
+      |    CASE WHEN n_retained < 64 THEN n_retained
+      |      ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+      |        // kth_min AS BIGINT) END AS kmv_est
+      |  FROM s JOIN e ON e.source = s.source)
+      |SELECT source, n_retained, kth_min, n_exact, kmv_est,
+      |  abs(kmv_est - n_exact) * 1000000 // n_exact AS err_ppm
+      |FROM est
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_kmv_distinct"    -> (q310KmvDistinct _),
     "q302_join_card_estimate" -> (q302JoinCardEstimate _),
     "q290_good_turing"     -> (q290GoodTuring _),
     "q287_k_anonymity"     -> (q287KAnonymity _),
@@ -1119,6 +1203,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q310_kmv_distinct"    -> q310Oracle,
     "q302_join_card_estimate" -> q302Oracle,
     "q290_good_turing"     -> q290Oracle,
     "q287_k_anonymity"     -> q287Oracle,

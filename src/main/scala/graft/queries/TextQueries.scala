@@ -1123,7 +1123,103 @@ object TextQueries {
       |GROUP BY tf.term, n.n_docs
       |ORDER BY fano_milli DESC, tf.term""".stripMargin
 
+  /** HEAPS-LAW VOCABULARY GROWTH (q311) — vocabulary size as a function
+    * of corpus prefix: ingest the corpus in doc_id order, checkpoint at
+    * ten equal-width doc_id prefixes, and report cumulative docs, tokens,
+    * vocabulary, the NEW types each slice contributed, and the
+    * type–token ratio in ppm. Heaps' law predicts V ∝ nᵝ (β ≈ 0.4–0.6
+    * for natural text): a growth curve that stays LINEAR means the
+    * corpus keeps minting types (OCR noise, serial numbers, boilerplate
+    * mutations — q291's Zipf alarm seen from the other side), while one
+    * that flattens early signals near-duplicate re-crawls. q281's Chao1
+    * asks "how much vocabulary is left"; this asks "how fast are we
+    * buying it" — the intake diagnostic per increment of corpus.
+    *
+    * Each term contributes to exactly ONE slice — its FIRST occurrence
+    * (min doc_id, then bucketed) — so vocabulary never double-counts;
+    * cumulative curves are a 10-row running sum. No global sort and no
+    * rank machinery: slices are equal-width doc_id bands off a 1-row
+    * min/max broadcast, so the whole operator is two corpus-keyed
+    * aggregates (first-occurrence per term; docs/tokens per bucket) and
+    * a 10-row window.
+    */
+  def q311HeapsGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+    def bucketed(df: DataFrame, idCol: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr(s"least(9L, ($idCol - mn) * 10 div span)"))
+    val perDoc = bucketed(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks")), "doc_id")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs_in"), sum(col("n_toks")).as("toks_in"))
+    val firstOcc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = bucketed(firstOcc, "first_doc")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the window runs over the ≤10-row bucket frame only
+    perDoc.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("docs_in"), col("toks_in"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("docs_cum", sum(col("docs_in")).over(w))
+      .withColumn("toks_cum", sum(col("toks_in")).over(w))
+      .withColumn("vocab_cum", sum(col("new_types")).over(w))
+      .withColumn("ttr_ppm",
+        expr("vocab_cum * 1000000L div toks_cum"))
+      .select(col("bucket"), col("docs_cum"), col("toks_cum"),
+        col("new_types"), col("vocab_cum"), col("ttr_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q311Oracle: String =
+    """WITH b AS (
+      |  SELECT MIN(doc_id) AS mn, MAX(doc_id) - MIN(doc_id) + 1 AS span
+      |  FROM documents),
+      |d AS (
+      |  SELECT least(9, (doc_id - mn) * 10 // span) AS bucket,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |  FROM documents CROSS JOIN b),
+      |pd AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS docs_in,
+      |    CAST(SUM(n_toks) AS BIGINT) AS toks_in
+      |  FROM d GROUP BY bucket),
+      |fo AS (
+      |  SELECT term, MIN(doc_id) AS first_doc
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |nt AS (
+      |  SELECT least(9, (first_doc - mn) * 10 // span) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS new_types
+      |  FROM fo CROSS JOIN b GROUP BY 1),
+      |j AS (
+      |  SELECT pd.bucket, docs_in, toks_in,
+      |    COALESCE(nt.new_types, 0) AS new_types
+      |  FROM pd LEFT JOIN nt ON nt.bucket = pd.bucket),
+      |c AS (
+      |  SELECT bucket, new_types,
+      |    SUM(docs_in) OVER (ORDER BY bucket) AS docs_cum,
+      |    SUM(toks_in) OVER (ORDER BY bucket) AS toks_cum,
+      |    SUM(new_types) OVER (ORDER BY bucket) AS vocab_cum
+      |  FROM j)
+      |SELECT bucket, CAST(docs_cum AS BIGINT) AS docs_cum,
+      |  CAST(toks_cum AS BIGINT) AS toks_cum, new_types,
+      |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+      |  CAST(CAST(vocab_cum AS HUGEINT) * 1000000
+      |    // CAST(toks_cum AS HUGEINT) AS BIGINT) AS ttr_ppm
+      |FROM c
+      |ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_heaps_growth"      -> (q311HeapsGrowth _),
     "q291_zipf_slope"        -> (q291ZipfSlope _),
     "q293_term_burstiness"   -> (q293TermBurstiness _),
     "q275_lang_fertility"    -> (q275LangFertility _),
@@ -1145,6 +1241,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q311_heaps_growth"      -> q311Oracle,
     "q291_zipf_slope"        -> q291Oracle,
     "q293_term_burstiness"   -> q293Oracle,
     "q275_lang_fertility"    -> q275Oracle,

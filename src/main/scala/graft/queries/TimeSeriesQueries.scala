@@ -897,7 +897,230 @@ object TimeSeriesQueries {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY d.day""".stripMargin
 
+  /** Shared daily spine for the backtest/cross-correlation pair
+    * (q312/q314): per (event_type, calendar day) the exact cents total,
+    * densified over the full [min, max] day range so lag arithmetic is
+    * calendar-true (a silent day reads as 0 cents, not as a skipped lag).
+    * `day_idx` is days since corpus start — integer, join- and
+    * lag-friendly. Scale shape: one corpus-keyed aggregate; the spine
+    * itself is |days|×|types|, time-bounded, not data-bounded.
+    */
+  private def dailyCentsSpine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+    val mm = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"), col("d0"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        expr("datediff(day, d0)").cast(LongType).as("day_idx"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST (q312) — the eval discipline for
+    * the monitoring tier: before trusting any anomaly threshold (q221)
+    * or drift alarm (q237), measure how predictable the series even IS.
+    * Per event type, forecast the LAST 7 days with the seasonal-naive
+    * rule x̂(t) = x(t−7) and score it with MASE (mean absolute scaled
+    * error): test error divided by the in-sample one-step naive error —
+    * the scale-free forecast metric that needs no float (both sums are
+    * exact cents; the ratio ships in ppm by cross-multiplied integer
+    * division). MASE < 1e6 means the weekly pattern beats a random-walk
+    * guess; ≫ 1e6 means "seasonality" is noise and any
+    * seasonal-baseline alert on this series is theater.
+    *
+    * Scale shape: rides [[dailyCentsSpine]] (one corpus aggregate);
+    * lags are windows over spine-sized per-type partitions (≤ |days|
+    * rows each — time-bounded, documented q221/q223 posture); output is
+    * |types| rows.
+    */
+  def q312MaseBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCentsSpine(spark, dir)
+    val nDays = daily.groupBy(col("event_type"))
+      .agg((max(col("day_idx")) + 1).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val lagged = daily
+      .withColumn("lag7", lag(col("cents"), 7).over(w))
+      .withColumn("lag1", lag(col("cents"), 1).over(w))
+      .join(broadcast(nDays), "event_type")
+    lagged.groupBy(col("event_type"), col("n_days"))
+      .agg(
+        sum(when(col("day_idx") >= col("n_days") - 7,
+          abs(col("cents") - col("lag7")))).as("sum_abs_err"),
+        sum(when(col("day_idx") < col("n_days") - 7 && col("day_idx") >= 1,
+          abs(col("cents") - col("lag1")))).as("sum_abs_naive"),
+        count(when(col("day_idx") < col("n_days") - 7 && col("day_idx") >= 1,
+          lit(1))).as("n_train_diffs"))
+      .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+        col("sum_abs_naive"), col("n_train_diffs"),
+        expr("CASE WHEN sum_abs_naive = 0 THEN NULL ELSE " +
+          "CAST(CAST(sum_abs_err AS DECIMAL(38,0)) * n_train_diffs " +
+          "* 1000000 div (7 * CAST(sum_abs_naive AS DECIMAL(38,0))) " +
+          "AS BIGINT) END").as("mase_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q312Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |mm AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |sp AS (
+      |  SELECT et.event_type,
+      |    CAST(date_diff('day', mm.d0, CAST(g AS DATE)) AS BIGINT)
+      |      AS day_idx
+      |  FROM (SELECT DISTINCT event_type FROM ev) et, mm,
+      |    UNNEST(generate_series(CAST(mm.d0 AS TIMESTAMP),
+      |      CAST(mm.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(g)),
+      |d AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', mm.d0, day) AS BIGINT) AS day_idx,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM ev, mm GROUP BY 1, 2),
+      |f AS (
+      |  SELECT sp.event_type, sp.day_idx, COALESCE(d.cents, 0) AS cents
+      |  FROM sp LEFT JOIN d
+      |    ON d.event_type = sp.event_type AND d.day_idx = sp.day_idx),
+      |n AS (
+      |  SELECT event_type, MAX(day_idx) + 1 AS n_days FROM f
+      |  GROUP BY event_type),
+      |l AS (
+      |  SELECT f.event_type, day_idx, cents, n.n_days,
+      |    lag(cents, 7) OVER (PARTITION BY f.event_type ORDER BY day_idx)
+      |      AS lag7,
+      |    lag(cents, 1) OVER (PARTITION BY f.event_type ORDER BY day_idx)
+      |      AS lag1
+      |  FROM f JOIN n USING (event_type)),
+      |s AS (
+      |  SELECT event_type, n_days,
+      |    CAST(SUM(CASE WHEN day_idx >= n_days - 7
+      |      THEN abs(cents - lag7) END) AS BIGINT) AS sum_abs_err,
+      |    CAST(SUM(CASE WHEN day_idx < n_days - 7 AND day_idx >= 1
+      |      THEN abs(cents - lag1) END) AS BIGINT) AS sum_abs_naive,
+      |    CAST(COUNT(CASE WHEN day_idx < n_days - 7 AND day_idx >= 1
+      |      THEN 1 END) AS BIGINT) AS n_train_diffs
+      |  FROM l GROUP BY event_type, n_days)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, sum_abs_err,
+      |  sum_abs_naive, n_train_diffs,
+      |  CASE WHEN sum_abs_naive = 0 THEN NULL ELSE
+      |    CAST(CAST(sum_abs_err AS HUGEINT) * n_train_diffs * 1000000
+      |      // (7 * CAST(sum_abs_naive AS HUGEINT)) AS BIGINT) END
+      |    AS mase_ppm
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
+  /** LEAD–LAG CROSS-CORRELATION SCREEN (q314) — which series PREDICTS
+    * which: for every ordered pair of event types and lag L ∈ 0..3 days,
+    * the Pearson correlation between x = A's daily cents at day t and
+    * y = B's at day t+L, reported EXACTLY as the integer covariance
+    * numerator's sign plus corr² in ppm (squares cross-multiplied —
+    * sqrt never happens, so both engines agree bit-for-bit; sign + r²
+    * carry the same decision content as r). A peak at L > 0 with
+    * positive sign means A leads B by L days — the signal behind
+    * alert-cascade root-causing and metric-dependency maps.
+    *
+    * Scale shape: rides the same [[dailyCentsSpine]]; the pair×lag
+    * frame is |types|²×4 rows built by a day_idx equi-join on the
+    * time-bounded spine — never a corpus-sized join. DECIMAL(38,0)
+    * promotion on every second-order product (q227/q283 discipline).
+    */
+  def q314LeadLagXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCentsSpine(spark, dir)
+    val a = daily.select(col("event_type").as("type_a"),
+      col("day_idx"), col("cents").as("x"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day_idx").as("day_b"), col("cents").as("y"))
+    val lags = Seq(0L, 1L, 2L, 3L)
+    a.withColumn("lag", explode(typedLit(lags)))
+      .join(b, col("day_b") === col("day_idx") + col("lag"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sum_xy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sum_xx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sum_yy"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sum_xy - " +
+          "CAST(sum_x AS DECIMAL(38,0)) * sum_y"))
+      .withColumn("den_x", expr(
+        "CAST(n AS DECIMAL(38,0)) * sum_xx - " +
+          "CAST(sum_x AS DECIMAL(38,0)) * sum_x"))
+      .withColumn("den_y", expr(
+        "CAST(n AS DECIMAL(38,0)) * sum_yy - " +
+          "CAST(sum_y AS DECIMAL(38,0)) * sum_y"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n"),
+        expr("CAST(sign(num) AS BIGINT)").as("corr_sign"),
+        expr("CASE WHEN den_x = 0 OR den_y = 0 THEN NULL ELSE " +
+          "CAST(num * num * 1000000 div (den_x * den_y) AS BIGINT) END")
+          .as("corr2_ppm"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  val q314Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |mm AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |sp AS (
+      |  SELECT et.event_type,
+      |    CAST(date_diff('day', mm.d0, CAST(g AS DATE)) AS BIGINT)
+      |      AS day_idx
+      |  FROM (SELECT DISTINCT event_type FROM ev) et, mm,
+      |    UNNEST(generate_series(CAST(mm.d0 AS TIMESTAMP),
+      |      CAST(mm.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(g)),
+      |d AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', mm.d0, day) AS BIGINT) AS day_idx,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM ev, mm GROUP BY 1, 2),
+      |f AS (
+      |  SELECT sp.event_type, sp.day_idx, COALESCE(d.cents, 0) AS cents
+      |  FROM sp LEFT JOIN d
+      |    ON d.event_type = sp.event_type AND d.day_idx = sp.day_idx),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(a.cents) AS BIGINT) AS sum_x,
+      |    CAST(SUM(b.cents) AS BIGINT) AS sum_y,
+      |    SUM(CAST(a.cents AS HUGEINT) * b.cents) AS sum_xy,
+      |    SUM(CAST(a.cents AS HUGEINT) * a.cents) AS sum_xx,
+      |    SUM(CAST(b.cents AS HUGEINT) * b.cents) AS sum_yy
+      |  FROM f a
+      |  CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS lag) l
+      |  JOIN f b ON b.day_idx = a.day_idx + l.lag
+      |    AND b.event_type <> a.event_type
+      |  GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT type_a, type_b, lag, n,
+      |    CAST(n AS HUGEINT) * sum_xy
+      |      - CAST(sum_x AS HUGEINT) * sum_y AS num,
+      |    CAST(n AS HUGEINT) * sum_xx
+      |      - CAST(sum_x AS HUGEINT) * sum_x AS den_x,
+      |    CAST(n AS HUGEINT) * sum_yy
+      |      - CAST(sum_y AS HUGEINT) * sum_y AS den_y
+      |  FROM p)
+      |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n,
+      |  CAST(sign(num) AS BIGINT) AS corr_sign,
+      |  CASE WHEN den_x = 0 OR den_y = 0 THEN NULL ELSE
+      |    CAST(num * num * 1000000 // (den_x * den_y) AS BIGINT) END
+      |    AS corr2_ppm
+      |FROM c
+      |ORDER BY type_a, type_b, lag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_mase_backtest"     -> (q312MaseBacktest _),
+    "q314_leadlag_xcorr"     -> (q314LeadLagXcorr _),
     "q303_peak_concurrency"  -> (q303PeakConcurrency _),
     "q299_life_table"        -> (q299LifeTable _),
     "q292_session_gap_sensitivity" -> (q292SessionGapSensitivity _),
@@ -914,6 +1137,8 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q312_mase_backtest"     -> q312Oracle,
+    "q314_leadlag_xcorr"     -> q314Oracle,
     "q303_peak_concurrency"  -> q303Oracle,
     "q299_life_table"        -> q299Oracle,
     "q292_session_gap_sensitivity" -> q292Oracle,

@@ -183,4 +183,35 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
       assert(BigInt(l) === v(dim.toInt), s"dim $dim diverges from replay")
     }
   }
+
+  test("q313: centroid drift replays driver-side — milli-means, cos² " +
+    "bounded by 1e6, dist² non-negative, every label present") {
+    val rows = SparkEntry.queries("q313_centroid_drift")(spark, sfDir)
+      .collect()
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.length === byLabel.size)
+    // driver-side milli-mean centroids (integer division, truncation
+    // toward zero exactly as both engines' div)
+    def milliMean(vs: Array[Array[Long]]): Array[BigInt] =
+      (0 until 64).map { d =>
+        val s = vs.map(v => BigInt(v(d))).sum * 1000
+        s / vs.length // BigInt division truncates like SQL div for our signs
+      }.toArray
+    val g = milliMean(vecs.map(_._2))
+    rows.foreach { r =>
+      val lbl = r.getAs[Long]("label")
+      val m = milliMean(byLabel(lbl).map(_._2))
+      val dot = (0 until 64).map(d => m(d) * g(d)).sum
+      val na2 = (0 until 64).map(d => m(d) * m(d)).sum
+      val nb2 = (0 until 64).map(d => g(d) * g(d)).sum
+      val dist2 = (0 until 64).map(d => (m(d) - g(d)) * (m(d) - g(d))).sum
+      assert(r.getAs[Long]("cos_sign") === dot.signum.toLong, s"sign: $r")
+      assert(r.getAs[Long]("dist2_mm") === dist2.toLong, s"dist2: $r")
+      if (na2 != 0 && nb2 != 0) {
+        val c2 = (dot * dot * 1000000 / (na2 * nb2)).toLong
+        assert(r.getAs[Long]("cos2_ppm") === c2, s"cos2: $r")
+        assert(c2 <= 1000000L, "Cauchy-Schwarz violated")
+      }
+    }
+  }
 }

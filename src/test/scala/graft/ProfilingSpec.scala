@@ -439,4 +439,37 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     val executed = li.as("a").join(li.as("b"), "k").count()
     assert(rows.map(_.getAs[Long]("actual_rows")).sum === executed)
   }
+
+  test("q310: KMV laws — saturated sketches are exact, the kth minimum is " +
+    "the true order statistic, the estimator replays, and the plan rides " +
+    "the GroupTopK operator") {
+    val df = ProfilingQueries.q310KmvDistinct(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val M = 1152921504606846976L // 2^60
+    rows.foreach { r =>
+      val (ret, exact, est) = (r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("kmv_est"))
+      assert(ret === math.min(64L, exact), s"retained wrong: $r")
+      if (ret < 64) assert(est === exact && r.getAs[Long]("err_ppm") === 0L,
+        s"saturated sketch must be exact: $r")
+      else assert(est ===
+        (BigInt(63) * M / r.getAs[Long]("kth_min")).toLong, s"estimator: $r")
+      assert(r.getAs[Long]("err_ppm") ===
+        math.abs(est - exact) * 1000000L / exact)
+    }
+    // one source's kth_min recomputed from the raw distinct hash set
+    val src = rows.head.getAs[String]("source")
+    val hs = Tables.documents(spark, sfDir)
+      .filter(col("source") === src)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("term"))
+      .select(expr(
+        "CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct().orderBy(col("h")).limit(64).collect().map(_.getLong(0))
+    assert(rows.head.getAs[Long]("kth_min") === hs.last)
+    // the k-smallest selection must be the bounded-heap operator, not a sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan.take(1500))
+  }
 }

@@ -277,4 +277,34 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val fanos = rows.map(_.getAs[Long]("fano_milli"))
     assert(fanos.max > fanos.min, "no burstiness spread in top-20 terms")
   }
+
+  test("q311: Heaps growth conservation — curves are non-decreasing, the " +
+    "final checkpoint carries the exact corpus totals, and every type " +
+    "is minted exactly once") {
+    import graft.functions.TextFunctions
+    val rows = SparkEntry.queries("q311_heaps_growth")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("docs_cum") < b.getAs[Long]("docs_cum") ||
+          a.getAs[Long]("docs_cum") == b.getAs[Long]("docs_cum"))
+        assert(a.getAs[Long]("vocab_cum") <= b.getAs[Long]("vocab_cum"))
+        assert(a.getAs[Long]("toks_cum") <= b.getAs[Long]("toks_cum"))
+      case _ => ()
+    }
+    val last = rows.last
+    val docs = Tables.documents(spark, sfDir)
+    assert(last.getAs[Long]("docs_cum") === docs.count())
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    assert(last.getAs[Long]("toks_cum") === toks.count())
+    // new_types partition the vocabulary: Σ new = final cumulative = |V|
+    assert(rows.map(_.getAs[Long]("new_types")).sum ===
+      last.getAs[Long]("vocab_cum"))
+    assert(last.getAs[Long]("vocab_cum") === toks.distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ttr_ppm") ===
+        r.getAs[Long]("vocab_cum") * 1000000L / r.getAs[Long]("toks_cum"))
+    }
+  }
 }

@@ -411,4 +411,84 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rows.length === byDay.size)
   }
+
+  /** Driver-side daily cents series per event type over the dense
+    * calendar spine — the reference both backtest specs replay against. */
+  private def dailySeries(): Map[String, Array[Long]] = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val n = java.time.temporal.ChronoUnit.DAYS.between(d0, d1).toInt + 1
+    ev.groupBy(_._1).map { case (t, rs) =>
+      val arr = Array.fill(n)(0L)
+      rs.foreach { case (_, d, c) =>
+        arr(java.time.temporal.ChronoUnit.DAYS.between(d0, d).toInt) += c
+      }
+      t -> arr
+    }
+  }
+
+  test("q312: MASE replays from a driver-side seasonal-naive backtest " +
+    "on the dense calendar series") {
+    val series = dailySeries()
+    val rows = SparkEntry.queries("q312_mase_backtest")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length === series.size)
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      val n = xs.length
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      val err = (n - 7 until n).map(t => math.abs(xs(t) - xs(t - 7))).sum
+      val naive = (1 until n - 7).map(t => math.abs(xs(t) - xs(t - 1))).sum
+      assert(r.getAs[Long]("sum_abs_err") === err)
+      assert(r.getAs[Long]("sum_abs_naive") === naive)
+      assert(r.getAs[Long]("n_train_diffs") === (n - 8).toLong)
+      if (naive == 0) assert(r.isNullAt(r.fieldIndex("mase_ppm")))
+      else assert(r.getAs[Long]("mase_ppm") ===
+        (BigInt(err) * (n - 8) * 1000000 / (BigInt(7) * naive)).toLong)
+    }
+  }
+
+  test("q314: cross-correlation laws — corr2 bounded by 1e6, lag-0 " +
+    "symmetry across the pair flip, and one pair replays driver-side") {
+    val series = dailySeries()
+    val rows = SparkEntry.queries("q314_leadlag_xcorr")(spark, sfDir)
+      .collect()
+    val types = series.keySet.toSeq.sorted
+    assert(rows.length === types.size * (types.size - 1) * 4)
+    val byKey = rows.map(r => ((r.getAs[String]("type_a"),
+      r.getAs[String]("type_b"), r.getAs[Long]("lag")), r)).toMap
+    rows.foreach { r =>
+      Option(r.getAs[Any]("corr2_ppm")).foreach(v =>
+        assert(v.asInstanceOf[Long] <= 1000000L, s"corr2 > 1: $r"))
+    }
+    // lag 0 is symmetric in the pair
+    for (a <- types; b <- types if a != b) {
+      val ab = byKey((a, b, 0L)); val ba = byKey((b, a, 0L))
+      assert(ab.getAs[Long]("corr_sign") === ba.getAs[Long]("corr_sign"))
+      assert(Option(ab.getAs[Any]("corr2_ppm")) ===
+        Option(ba.getAs[Any]("corr2_ppm")))
+    }
+    // replay (types(0), types(1), lag 1) driver-side
+    val (ta, tb) = (types(0), types(1))
+    val (xs, ys) = (series(ta), series(tb))
+    val n = xs.length - 1
+    val pairs = (0 until n).map(t => (BigInt(xs(t)), BigInt(ys(t + 1))))
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    val r = byKey((ta, tb, 1L))
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(r.getAs[Long]("corr_sign") === num.signum.toLong)
+    if (dx != 0 && dy != 0)
+      assert(r.getAs[Long]("corr2_ppm") ===
+        (num * num * 1000000 / (dx * dy)).toLong)
+  }
 }
