@@ -1495,7 +1495,73 @@ object AdvancedQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.p_event = p.p_event)
       |ORDER BY p_event, click_event""".stripMargin
 
+  /** MONTH-OVER-MONTH GROWTH DECOMPOSITION (q317) — the BI bridge
+    * chart, integer-exact: revenue change per ship-month split into a
+    * VOLUME effect (what the quantity change would have contributed at
+    * last month's realized price) and a PRICE/MIX effect (the rest).
+    * volume = Δq·r₀ div q₀ in cents (integer division, both engines
+    * truncate identically); price_mix = Δrev − volume, the RESIDUAL
+    * assignment — so the two effects sum to the exact revenue delta BY
+    * CONSTRUCTION, cent for cent, the property float decompositions
+    * lose to rounding. (The exact Δq·p₀ is a rational; flooring it and
+    * absorbing the remainder into price/mix is the q298
+    * largest-remainder discipline applied to a 2-way split.)
+    *
+    * Scale shape: one (month) aggregate over lineitem with map-side
+    * combine, then lag over the |months| frame — time-bounded, the
+    * q217 bar posture. Quantity carries as centi-units and money as
+    * cents so every intermediate is a long; products promote to
+    * DECIMAL(38,0).
+    */
+  def q317GrowthDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (dec2(col("l_quantity")) * 100).cast(LongType).as("cq"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("cq")).as("qty_c"),
+        sum(col("cents")).as("rev_c"))
+    val w = Window.orderBy(col("month"))
+    // |months| rows — the single-partition window is over the
+    // time-bounded monthly frame, never the corpus
+    monthly
+      .withColumn("q0", lag(col("qty_c"), 1).over(w))
+      .withColumn("r0", lag(col("rev_c"), 1).over(w))
+      .withColumn("d_rev", col("rev_c") - col("r0"))
+      .withColumn("vol_effect", expr(
+        "CAST(CAST(qty_c - q0 AS DECIMAL(38,0)) * r0 div q0 AS BIGINT)"))
+      .select(col("month"), col("n_items"), col("qty_c"), col("rev_c"),
+        col("d_rev"), col("vol_effect"),
+        (col("d_rev") - col("vol_effect")).as("price_mix_effect"))
+      .orderBy(col("month"))
+  }
+
+  val q317Oracle: String =
+    """WITH m AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS qty_c,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |l AS (
+      |  SELECT month, n_items, qty_c, rev_c,
+      |    lag(qty_c) OVER (ORDER BY month) AS q0,
+      |    lag(rev_c) OVER (ORDER BY month) AS r0
+      |  FROM m)
+      |SELECT month, n_items, qty_c, rev_c,
+      |  rev_c - r0 AS d_rev,
+      |  CAST(CAST(qty_c - q0 AS HUGEINT) * r0 // q0 AS BIGINT)
+      |    AS vol_effect,
+      |  (rev_c - r0) - CAST(CAST(qty_c - q0 AS HUGEINT) * r0 // q0
+      |    AS BIGINT) AS price_mix_effect
+      |FROM l
+      |ORDER BY month""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_growth_decomposition" -> (q317GrowthDecomposition _),
     "q298_attribution"      -> (q298Attribution _),
     "q257_windowed_funnel"   -> (q257WindowedFunnel _),
     "q258_transition_latency" -> (q258TransitionLatency _),
@@ -1529,6 +1595,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q317_growth_decomposition" -> q317Oracle,
     "q298_attribution"      -> q298Oracle,
     "q257_windowed_funnel"   -> q257Oracle,
     "q258_transition_latency" -> q258Oracle,

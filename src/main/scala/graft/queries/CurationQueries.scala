@@ -2661,7 +2661,70 @@ object CurationQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** SOURCE NOVELTY / REDUNDANCY AUDIT (q316) — how much of each
+    * source's content exists NOWHERE else: per source, its distinct
+    * trigram shingles, how many of them are corpus-unique (source
+    * df = 1), how many are shared, and the novelty ratio in ppm. The
+    * static complement of q305's greedy sequencing — q305 ranks sources
+    * by marginal additions in pick order; this prices every source's
+    * standalone redundancy in one report, the number that decides
+    * whether dropping a source loses content or only copies. Same
+    * shingle posting derivation as q305 (short docs collapse to one
+    * whole-text shingle), so the two audits agree on what "content"
+    * means.
+    *
+    * Scale shape: the distinct (source, shingle) posting (one
+    * aggregate), a shingle-keyed df count over it, and a source-keyed
+    * rollup of the join — every shuffle keyed on high-cardinality
+    * shingles or bounded sources; output is |sources| rows.
+    */
+  def q316SourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val posting = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          TextFunctions.tokens(col("text")), 3)).as("term"))
+      .distinct()
+    val df = posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("src_df"))
+    posting.join(df, "term")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("src_df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        (col("n_shingles") - col("n_unique")).as("n_shared"),
+        expr("n_unique * 1000000L div n_shingles").as("novelty_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q316Oracle: String =
+    """WITH d AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |posting AS (
+      |  SELECT DISTINCT source,
+      |    unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+      |      AS term
+      |  FROM d),
+      |df AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS src_df
+      |  FROM posting GROUP BY term)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN src_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(COUNT(*) - SUM(CASE WHEN src_df = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN src_df = 1 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM posting JOIN df USING (term)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_source_novelty"   -> (q316SourceNovelty _),
     "q305_greedy_coverage"  -> (q305GreedyCoverage _),
     "q282_eval_blast_radius"    -> (q282EvalBlastRadius _),
     "q284_effective_corpus"     -> (q284EffectiveCorpus _),
@@ -2700,6 +2763,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q316_source_novelty"       -> q316Oracle,
     "q305_greedy_coverage"      -> q305Oracle,
     "q282_eval_blast_radius"    -> q282Oracle,
     "q284_effective_corpus"     -> q284Oracle,

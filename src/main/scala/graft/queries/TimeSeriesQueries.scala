@@ -1118,9 +1118,70 @@ object TimeSeriesQueries {
       |FROM c
       |ORDER BY type_a, type_b, lag""".stripMargin
 
+  /** DAU / MAU STICKINESS (q315) — the canonical engagement ratio, made
+    * calendar-exact: for every day of the corpus span, the count of
+    * users active THAT day (DAU), the count active in the trailing
+    * 28-day window (MAU28), and stickiness = DAU/MAU in ppm. Rolling
+    * COUNT DISTINCT has no window-function form in either engine — the
+    * standard wrong answer sums daily DAUs (double-counting returnees).
+    * Here membership is materialized: the distinct (user, day) activity
+    * frame joins the day spine on a 0 ≤ d − active_day ≤ 27 band, and a
+    * distinct-per-day count collapses multi-day users — exact by
+    * construction.
+    *
+    * Scale shape: activity is one distinct aggregate (corpus-keyed);
+    * the band join fans each (user, active-day) row out ≤ 28× — a
+    * CONSTANT multiplier on a frame already collapsed to user×day, and
+    * the join key (day) is time-bounded. Nothing windows over users.
+    */
+  def q315DauMauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("aday"))
+      .filter(col("user_id").isNotNull)
+      .distinct()
+    val mm = active.agg(min(col("aday")).as("d0"), max(col("aday")).as("d1"))
+    val spine = broadcast(mm)
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+        .as("day"))
+    val dau = active.groupBy(col("aday").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = spine.join(active,
+        expr("datediff(day, aday) BETWEEN 0 AND 27"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau28"))
+    mau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("mau28"),
+        expr("coalesce(dau, 0L) * 1000000L div mau28").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val q315Oracle: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events
+      |  WHERE user_id IS NOT NULL),
+      |mm AS (SELECT MIN(aday) AS d0, MAX(aday) AS d1 FROM active),
+      |sp AS (
+      |  SELECT CAST(g AS DATE) AS day
+      |  FROM mm, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(g)),
+      |dau AS (
+      |  SELECT aday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM active GROUP BY aday),
+      |mau AS (
+      |  SELECT sp.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau28
+      |  FROM sp JOIN active a
+      |    ON date_diff('day', a.aday, sp.day) BETWEEN 0 AND 27
+      |  GROUP BY sp.day)
+      |SELECT m.day, COALESCE(d.dau, 0) AS dau, m.mau28,
+      |  COALESCE(d.dau, 0) * 1000000 // m.mau28 AS stickiness_ppm
+      |FROM mau m LEFT JOIN dau d ON d.day = m.day
+      |ORDER BY m.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q312_mase_backtest"     -> (q312MaseBacktest _),
     "q314_leadlag_xcorr"     -> (q314LeadLagXcorr _),
+    "q315_dau_mau"           -> (q315DauMauStickiness _),
     "q303_peak_concurrency"  -> (q303PeakConcurrency _),
     "q299_life_table"        -> (q299LifeTable _),
     "q292_session_gap_sensitivity" -> (q292SessionGapSensitivity _),
@@ -1139,6 +1200,7 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "q312_mase_backtest"     -> q312Oracle,
     "q314_leadlag_xcorr"     -> q314Oracle,
+    "q315_dau_mau"           -> q315Oracle,
     "q303_peak_concurrency"  -> q303Oracle,
     "q299_life_table"        -> q299Oracle,
     "q292_session_gap_sensitivity" -> q292Oracle,

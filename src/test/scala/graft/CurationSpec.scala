@@ -736,4 +736,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[String]("source") === top._2)
     assert(gains.head === top._1.toLong)
   }
+
+  test("q316: novelty partitions each source's shingles, corpus-unique " +
+    "mass reconciles globally, and one source replays driver-side") {
+    val rows = SparkEntry.queries("q316_source_novelty")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") + r.getAs[Long]("n_shared") ===
+        r.getAs[Long]("n_shingles"), s"partition broken: $r")
+      assert(r.getAs[Long]("novelty_ppm") ===
+        r.getAs[Long]("n_unique") * 1000000L / r.getAs[Long]("n_shingles"))
+    }
+    // global reconciliation from the raw posting
+    import org.apache.spark.sql.functions._
+    val posting = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.expressions.ShingleStrings.shingleStrings(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("term"))
+      .distinct().cache()
+    try {
+      val uniqueTotal = posting.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")).filter(col("df") === 1).count()
+      assert(rows.map(_.getAs[Long]("n_unique")).sum === uniqueTotal)
+      // one source end-to-end
+      val src = rows.head.getAs[String]("source")
+      val mine = posting.filter(col("source") === src)
+        .select(col("term")).collect().map(_.getString(0)).toSet
+      val others = posting.filter(col("source") =!= src)
+        .select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(rows.head.getAs[Long]("n_shingles") === mine.size.toLong)
+      assert(rows.head.getAs[Long]("n_unique") ===
+        (mine -- others).size.toLong)
+    } finally posting.unpersist()
+  }
 }

@@ -168,4 +168,33 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q317: the bridge balances — volume + price/mix = exact revenue " +
+    "delta every month, and one month replays driver-side") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q317_growth_decomposition")(spark, sfDir)
+      .collect().sortBy(_.getAs[String]("month"))
+    assert(rows.length >= 2)
+    // first month has no prior: all delta fields null
+    assert(rows.head.isNullAt(rows.head.fieldIndex("d_rev")))
+    rows.tail.foreach { r =>
+      assert(r.getAs[Long]("vol_effect") + r.getAs[Long]("price_mix_effect")
+        === r.getAs[Long]("d_rev"), s"bridge does not balance: $r")
+    }
+    // replay month #2 from raw lineitem
+    val monthly = Tables.lineitem(spark, sfDir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("long")).as("q"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("r"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val (m1, m2) = (monthly(0), monthly(1))
+    val vol = (BigInt(m2._2 - m1._2) * m1._3 / m1._2).toLong
+    val second = rows(1)
+    assert(second.getAs[String]("month") === m2._1)
+    assert(second.getAs[Long]("d_rev") === m2._3 - m1._3)
+    assert(second.getAs[Long]("vol_effect") === vol)
+  }
 }

@@ -491,4 +491,29 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("corr2_ppm") ===
         (num * num * 1000000 / (dx * dy)).toLong)
   }
+
+  test("q315: DAU never exceeds MAU, stickiness bounded by 1e6, and the " +
+    "last day's trailing-28 membership replays driver-side") {
+    val rows = SparkEntry.queries("q315_dau_mau")(spark, sfDir)
+      .collect().sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("mau28"), s"dau > mau: $r")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+      assert(r.getAs[Long]("stickiness_ppm") ===
+        r.getAs[Long]("dau") * 1000000L / r.getAs[Long]("mau28"))
+    }
+    val active = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val lastDay = rows.last.getAs[java.sql.Date]("day").toLocalDate
+    val mau = active.filter { case (_, d) =>
+      val gap = java.time.temporal.ChronoUnit.DAYS.between(d, lastDay)
+      gap >= 0 && gap <= 27
+    }.map(_._1).distinct.length
+    assert(rows.last.getAs[Long]("mau28") === mau.toLong)
+    val dau = active.count(_._2 == lastDay)
+    assert(rows.last.getAs[Long]("dau") === dau.toLong)
+  }
 }
