@@ -1560,8 +1560,103 @@ object AdvancedQueries {
       |FROM l
       |ORDER BY month""".stripMargin
 
+  /** SHIFT-SHARE DECOMPOSITION (q318) — the regional-economics classic
+    * made cent-exact: each (region, market-segment) cell's revenue
+    * change between the corpus's FIRST and LAST order year splits into
+    * a NATIONAL effect (what growing at the corpus-wide rate would have
+    * contributed), a MIX effect (the extra from the cell's segment
+    * growing faster/slower than the corpus), and a COMPETITIVE residual
+    * (the cell's own out/under-performance within its segment). The
+    * three effects telescope — national = ⌊r0·T1/T0⌋ − r0, mix =
+    * ⌊r0·S1/S0⌋ − ⌊r0·T1/T0⌋, competitive = r1 − ⌊r0·S1/S0⌋ — so they
+    * sum to the exact cent delta BY CONSTRUCTION (q317's residual
+    * discipline lifted to a 3-way split; every floored term appears
+    * once positive and once negative except the exact endpoints).
+    *
+    * Scale shape: the year endpoints come from a 1-row broadcast; the
+    * only corpus-sized shuffle is orders⋈customer on custkey (both
+    * frames pre-filtered to the two endpoint years); nation/region
+    * broadcast; segment totals and grand totals are tiny broadcast
+    * rollups of the 25-cell frame. All divisions have positive
+    * operands, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree exactly.
+    */
+  def q318ShiftShare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val yy = o.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_nationkey"))
+    val natReg = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name").as("region"))
+    val cell = o.crossJoin(broadcast(yy))
+      .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("region"), col("segment"))
+      .agg(sum(when(col("yr") === col("y0"), col("cents"))
+          .otherwise(lit(0L))).as("r0"),
+        sum(when(col("yr") === col("y1"), col("cents"))
+          .otherwise(lit(0L))).as("r1"))
+    val seg = cell.groupBy(col("segment"))
+      .agg(sum(col("r0")).as("s0"), sum(col("r1")).as("s1"))
+    val tot = cell.agg(sum(col("r0")).as("t0"), sum(col("r1")).as("t1"))
+    cell.join(broadcast(seg), Seq("segment"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nat_scaled",
+        expr("CAST(CAST(r0 AS DECIMAL(38,0)) * t1 div t0 AS BIGINT)"))
+      .withColumn("mix_scaled",
+        expr("CAST(CAST(r0 AS DECIMAL(38,0)) * s1 div s0 AS BIGINT)"))
+      .select(col("region"), col("segment"), col("r0"), col("r1"),
+        (col("r1") - col("r0")).as("d_rev"),
+        (col("nat_scaled") - col("r0")).as("national_effect"),
+        (col("mix_scaled") - col("nat_scaled")).as("mix_effect"),
+        (col("r1") - col("mix_scaled")).as("competitive_effect"))
+      .orderBy(col("region"), col("segment"))
+  }
+
+  val q318Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |yy AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM o),
+      |cell AS (
+      |  SELECT r_name AS region, c_mktsegment AS segment,
+      |    CAST(SUM(CASE WHEN yr = y0 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS r0,
+      |    CAST(SUM(CASE WHEN yr = y1 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS r1
+      |  FROM o CROSS JOIN yy
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE yr = y0 OR yr = y1
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT segment, SUM(r0) AS s0, SUM(r1) AS s1
+      |  FROM cell GROUP BY segment),
+      |tot AS (SELECT SUM(r0) AS t0, SUM(r1) AS t1 FROM cell),
+      |sc AS (
+      |  SELECT region, c.segment, r0, r1,
+      |    CAST(CAST(r0 AS HUGEINT) * t1 // t0 AS BIGINT) AS nat_scaled,
+      |    CAST(CAST(r0 AS HUGEINT) * s1 // s0 AS BIGINT) AS mix_scaled
+      |  FROM cell c JOIN seg ON c.segment = seg.segment CROSS JOIN tot)
+      |SELECT region, segment, r0, r1,
+      |  r1 - r0 AS d_rev,
+      |  nat_scaled - r0 AS national_effect,
+      |  mix_scaled - nat_scaled AS mix_effect,
+      |  r1 - mix_scaled AS competitive_effect
+      |FROM sc
+      |ORDER BY region, segment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_growth_decomposition" -> (q317GrowthDecomposition _),
+    "q318_shift_share"      -> (q318ShiftShare _),
     "q298_attribution"      -> (q298Attribution _),
     "q257_windowed_funnel"   -> (q257WindowedFunnel _),
     "q258_transition_latency" -> (q258TransitionLatency _),
@@ -1596,6 +1691,7 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "q317_growth_decomposition" -> q317Oracle,
+    "q318_shift_share"      -> q318Oracle,
     "q298_attribution"      -> q298Oracle,
     "q257_windowed_funnel"   -> q257Oracle,
     "q258_transition_latency" -> q258Oracle,

@@ -2723,8 +2723,126 @@ object CurationQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** NEYMAN-ALLOCATION SAMPLING PLAN (q320) — the survey-statistics
+    * answer to "how many rows should each stratum contribute to a
+    * 10 000-row audit sample": variance-optimal allocation n_h ∝
+    * N_h·σ_h, computed integer-exactly. The weight N_h·σ_h =
+    * √(N_h·Σx² − (Σx)²) — the integer variance numerator V_h is exact
+    * in DECIMAL(38,0) and its integer square root comes from a
+    * float-seeded ±2 correction cascade (r₀ = ⌊√V⌋ in double, then the
+    * greatest r ∈ [r₀−2, r₀+2] with r² ≤ V in exact decimal
+    * arithmetic — the float's last-ulp error cannot survive the exact
+    * comparisons, so both engines land on the true isqrt). Seats are
+    * assigned by largest remainder (q264's apportionment discipline):
+    * floors first, then the Σfloor-to-n deficit goes to the largest
+    * n·w_h mod W, ties to the earlier stratum. The proportional
+    * allocation (w = N_h) rides along for contrast — the visible gap
+    * IS the variance information.
+    *
+    * Scale shape: one |strata|-row aggregate over orders with map-side
+    * combine; everything after is window arithmetic over 5 rows.
+    */
+  def q320NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val n = lit(10000L)
+    val st = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("sum_c"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sum_c2"))
+      .withColumn("v_h", expr(
+        "CAST(n_h AS DECIMAL(38,0)) * sum_c2 " +
+          "- CAST(sum_c AS DECIMAL(38,0)) * sum_c"))
+      .withColumn("r0", expr(
+        "CAST(FLOOR(SQRT(CAST(v_h AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_h", greatest(lit(0L), col("r0") - 2 + expr(
+        """CASE
+          |  WHEN CAST(r0 + 2 AS DECIMAL(38,0)) * (r0 + 2) <= v_h THEN 4L
+          |  WHEN CAST(r0 + 1 AS DECIMAL(38,0)) * (r0 + 1) <= v_h THEN 3L
+          |  WHEN CAST(r0 AS DECIMAL(38,0)) * r0 <= v_h THEN 2L
+          |  WHEN CAST(r0 - 1 AS DECIMAL(38,0)) * (r0 - 1) <= v_h THEN 1L
+          |  ELSE 0L END""".stripMargin)))
+    def apportion(df: DataFrame, w: String, outCol: String): DataFrame = {
+      val tw = df.agg(sum(col(w)).as("__tw"))
+      val f = df.crossJoin(broadcast(tw))
+        .withColumn("__fl", expr(
+          s"CAST(CAST($w AS DECIMAL(38,0)) * 10000 div __tw AS BIGINT)"))
+        .withColumn("__rem", expr(
+          s"CAST(CAST($w AS DECIMAL(38,0)) * 10000 % __tw AS DECIMAL(38,0))"))
+      val used = f.agg(sum(col("__fl")).as("__used"))
+      f.crossJoin(broadcast(used))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__rem").desc, col("priority").asc)))
+        .withColumn(outCol,
+          col("__fl") + when(col("__rk") <= lit(10000L) - col("__used"), 1L)
+            .otherwise(0L))
+        .drop("__tw", "__fl", "__rem", "__used", "__rk")
+    }
+    val ney = apportion(st, "w_h", "alloc_neyman")
+    apportion(ney, "n_h", "alloc_prop")
+      .select(col("priority"), col("n_h"), col("sum_c"), col("w_h"),
+        col("alloc_neyman"), col("alloc_prop"))
+      .orderBy(col("priority"))
+  }
+
+  val q320Oracle: String =
+    """WITH st AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_c,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c2
+      |  FROM orders GROUP BY 1),
+      |v AS (
+      |  SELECT priority, n_h, sum_c,
+      |    CAST(n_h AS HUGEINT) * sum_c2
+      |      - CAST(sum_c AS HUGEINT) * sum_c AS v_h
+      |  FROM st),
+      |r AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(v_h AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM v),
+      |w AS (
+      |  SELECT priority, n_h, sum_c,
+      |    GREATEST(0, r0 - 2 + CASE
+      |      WHEN CAST(r0 + 2 AS HUGEINT) * (r0 + 2) <= v_h THEN 4
+      |      WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1) <= v_h THEN 3
+      |      WHEN CAST(r0 AS HUGEINT) * r0 <= v_h THEN 2
+      |      WHEN CAST(r0 - 1 AS HUGEINT) * (r0 - 1) <= v_h THEN 1
+      |      ELSE 0 END) AS w_h
+      |  FROM r),
+      |alloc_n AS (
+      |  SELECT *, CAST(CAST(w_h AS HUGEINT) * 10000
+      |      // (SELECT SUM(w_h) FROM w) AS BIGINT) AS fl_n,
+      |    CAST(w_h AS HUGEINT) * 10000 % (SELECT SUM(w_h) FROM w) AS rem_n
+      |  FROM w),
+      |seat_n AS (
+      |  SELECT *, fl_n + CASE WHEN
+      |      row_number() OVER (ORDER BY rem_n DESC, priority ASC)
+      |      <= 10000 - (SELECT SUM(fl_n) FROM alloc_n)
+      |    THEN 1 ELSE 0 END AS alloc_neyman
+      |  FROM alloc_n),
+      |alloc_p AS (
+      |  SELECT *, CAST(CAST(n_h AS HUGEINT) * 10000
+      |      // (SELECT SUM(n_h) FROM w) AS BIGINT) AS fl_p,
+      |    CAST(n_h AS HUGEINT) * 10000 % (SELECT SUM(n_h) FROM w) AS rem_p
+      |  FROM seat_n),
+      |seat_p AS (
+      |  SELECT *, fl_p + CASE WHEN
+      |      row_number() OVER (ORDER BY rem_p DESC, priority ASC)
+      |      <= 10000 - (SELECT SUM(fl_p) FROM alloc_p)
+      |    THEN 1 ELSE 0 END AS alloc_prop
+      |  FROM alloc_p)
+      |SELECT priority, n_h, sum_c,
+      |  CAST(w_h AS BIGINT) AS w_h,
+      |  CAST(alloc_neyman AS BIGINT) AS alloc_neyman,
+      |  CAST(alloc_prop AS BIGINT) AS alloc_prop
+      |FROM seat_p
+      |ORDER BY priority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_source_novelty"   -> (q316SourceNovelty _),
+    "q320_neyman_allocation" -> (q320NeymanAllocation _),
     "q305_greedy_coverage"  -> (q305GreedyCoverage _),
     "q282_eval_blast_radius"    -> (q282EvalBlastRadius _),
     "q284_effective_corpus"     -> (q284EffectiveCorpus _),
@@ -2764,6 +2882,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q316_source_novelty"       -> q316Oracle,
+    "q320_neyman_allocation"    -> q320Oracle,
     "q305_greedy_coverage"      -> q305Oracle,
     "q282_eval_blast_radius"    -> q282Oracle,
     "q284_effective_corpus"     -> q284Oracle,

@@ -1181,7 +1181,87 @@ object ProfilingQueries {
       |FROM est
       |ORDER BY source""".stripMargin
 
+  /** EXACT TWO-SAMPLE KOLMOGOROV–SMIRNOV DISTANCE (q319) — the
+    * sup-norm statistic q157's decile screen approximates: D =
+    * max over all values of |F_a(x) − F_b(x)| between two ingest
+    * batches (the deterministic order-key parity split, q157's
+    * convention), computed WITHOUT floats: the ECDFs are compared
+    * cross-multiplied — |cum_a·n_b − cum_b·n_a| — so the max, its
+    * location, and the ppm statistic are engine-exact. The 95%
+    * rejection verdict squares the numerator against
+    * c²·(n_a+n_b)·n_a·n_b with c² = 1.843881 scaled to ppm (exact in
+    * DECIMAL(38,0) up to ~10¹⁶ sample-size products — any realistic
+    * corpus; the oracle's HUGEINT is exact further still).
+    *
+    * Scale shape: one value-keyed aggregate collapses the corpus to
+    * the distinct-cents frame; both cumulative counts ride the
+    * distributed two-pass prefix sum (range exchange — no
+    * one-partition window); the max and its argmin location are a
+    * 1-row aggregate broadcast back. Output is ONE row.
+    */
+  def q319KsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val byv = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 2).as("par"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("par") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("par") === 1, 1L).otherwise(0L)).as("cb"))
+    val cum = graft.functions.PrefixSum.runningTotal(
+      graft.functions.PrefixSum.runningTotal(
+        byv.withColumn("g", lit("all")),
+        Seq("g"), Seq(col("cents").asc), "ca", "cum_a"),
+      Seq("g"), Seq(col("cents").asc), "cb", "cum_b")
+    val nn = byv.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val diffs = cum.crossJoin(broadcast(nn))
+      .withColumn("d_num", abs(
+        expr("CAST(cum_a AS DECIMAL(38,0)) * n_b")
+          - expr("CAST(cum_b AS DECIMAL(38,0)) * n_a")))
+    val dmax = diffs.agg(max(col("d_num")).as("d_max"))
+    diffs.join(broadcast(dmax), col("d_num") === col("d_max"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(min(col("cents")).as("at_cents"),
+        max(col("d_num")).as("dm"))
+      .select(col("n_a"), col("n_b"), col("at_cents"),
+        expr("CAST(dm * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+          "AS BIGINT)").as("ks_ppm"),
+        expr("""CAST(CASE WHEN dm * dm * 1000000 >
+          |  1843881 * CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b
+          |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_95"))
+  }
+
+  val q319Oracle: String =
+    """WITH byv AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT cents,
+      |    SUM(ca) OVER (ORDER BY cents) AS cum_a,
+      |    SUM(cb) OVER (ORDER BY cents) AS cum_b
+      |  FROM byv),
+      |nn AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM byv),
+      |d AS (
+      |  SELECT cents,
+      |    ABS(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+      |      AS d_num, n_a, n_b
+      |  FROM cum CROSS JOIN nn),
+      |mx AS (SELECT MAX(d_num) AS d_max FROM d)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  MIN(cents) AS at_cents,
+      |  CAST(MAX(d_num) * 1000000 // (CAST(n_a AS HUGEINT) * n_b)
+      |    AS BIGINT) AS ks_ppm,
+      |  CAST(CASE WHEN MAX(d_num) * MAX(d_num) * 1000000 >
+      |    1843881 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM d CROSS JOIN mx
+      |WHERE d_num = d_max
+      |GROUP BY n_a, n_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_ks_distance"     -> (q319KsDistance _),
     "q310_kmv_distinct"    -> (q310KmvDistinct _),
     "q302_join_card_estimate" -> (q302JoinCardEstimate _),
     "q290_good_turing"     -> (q290GoodTuring _),
@@ -1203,6 +1283,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q319_ks_distance"     -> q319Oracle,
     "q310_kmv_distinct"    -> q310Oracle,
     "q302_join_card_estimate" -> q302Oracle,
     "q290_good_turing"     -> q290Oracle,

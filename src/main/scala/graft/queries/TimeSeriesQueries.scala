@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -1178,7 +1179,74 @@ object TimeSeriesQueries {
       |FROM mau m LEFT JOIN dau d ON d.day = m.day
       |ORDER BY m.day""".stripMargin
 
+  /** ACTIVITY-STREAK HISTOGRAM (q321) — the engagement-depth
+    * distribution: for every user, consecutive-calendar-day activity
+    * runs via gaps-and-islands (island key = active day minus the
+    * per-user day rank — constant exactly within a consecutive run,
+    * q176's discipline applied PER ENTITY instead of per calendar), then
+    * two corpus rollups onto the streak-length axis: how many streaks
+    * of each exact length exist, and how many users PEAK at that length.
+    * The two marginals answer different product questions (volume of
+    * n-day runs vs depth of the user base) and reconcile against each
+    * other in the spec: Σ n_users_peak = |users|, Σ len·n_streaks =
+    * Σ active days.
+    *
+    * Scale shape: the window partitions by user_id — corpus-cardinality
+    * keys, every partition a handful of rows, nothing global; the two
+    * histograms aggregate onto the tiny streak-length axis and
+    * full-outer-join there. No single-partition anything.
+    */
+  def q321StreakHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("aday"))
+      .distinct()
+    val isl = active.withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("aday"))))
+      .withColumn("grp", date_sub(col("aday"), col("rn").cast("int")))
+    val streaks = isl.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val byLen = streaks.groupBy(col("len"))
+      .agg(count(lit(1)).as("n_streaks"))
+    val peak = streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_users_peak"))
+    byLen.join(peak, Seq("len"), "full_outer")
+      .select(col("len"),
+        coalesce(col("n_streaks"), lit(0L)).as("n_streaks"),
+        coalesce(col("n_users_peak"), lit(0L)).as("n_users_peak"))
+      .orderBy(col("len"))
+  }
+
+  val q321Oracle: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events
+      |  WHERE user_id IS NOT NULL),
+      |isl AS (
+      |  SELECT user_id, aday,
+      |    aday - CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY aday) AS INTEGER) AS grp
+      |  FROM active),
+      |streaks AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY user_id, grp),
+      |by_len AS (
+      |  SELECT len, CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |  FROM streaks GROUP BY len),
+      |peak AS (
+      |  SELECT len, CAST(COUNT(*) AS BIGINT) AS n_users_peak
+      |  FROM (SELECT user_id, MAX(len) AS len FROM streaks
+      |        GROUP BY user_id) GROUP BY len)
+      |SELECT COALESCE(b.len, p.len) AS len,
+      |  COALESCE(n_streaks, 0) AS n_streaks,
+      |  COALESCE(n_users_peak, 0) AS n_users_peak
+      |FROM by_len b FULL OUTER JOIN peak p ON b.len = p.len
+      |ORDER BY len""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_streak_histogram"  -> (q321StreakHistogram _),
     "q312_mase_backtest"     -> (q312MaseBacktest _),
     "q314_leadlag_xcorr"     -> (q314LeadLagXcorr _),
     "q315_dau_mau"           -> (q315DauMauStickiness _),
@@ -1198,6 +1266,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q321_streak_histogram"  -> q321Oracle,
     "q312_mase_backtest"     -> q312Oracle,
     "q314_leadlag_xcorr"     -> q314Oracle,
     "q315_dau_mau"           -> q315Oracle,

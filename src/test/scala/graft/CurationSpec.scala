@@ -771,4 +771,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         (mine -- others).size.toLong)
     } finally posting.unpersist()
   }
+
+  test("q320: Neyman weights are true integer sqrts of the variance " +
+    "numerator, both allocations seat exactly 10000, and variance-heavy " +
+    "strata gain seats over proportional") {
+    val rows = SparkEntry.queries("q320_neyman_allocation")(spark, sfDir)
+      .collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("alloc_neyman")).sum === 10000L)
+    assert(rows.map(_.getAs[Long]("alloc_prop")).sum === 10000L)
+    // replay every stratum's V_h and isqrt from raw cents
+    val byPri = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("p"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) =>
+        val cs = xs.map(x => BigInt(x._2))
+        val v = cs.length * cs.map(x => x * x).sum - cs.sum * cs.sum
+        (k, cs.length.toLong, cs.map(_.toLong).sum, v)
+      }.toSeq.sortBy(_._1)
+    rows.sortBy(_.getAs[String]("priority")).zip(byPri).foreach {
+      case (r, (p, n, sc, v)) =>
+        assert(r.getAs[String]("priority") === p)
+        assert(r.getAs[Long]("n_h") === n)
+        assert(r.getAs[Long]("sum_c") === sc)
+        val w = BigInt(r.getAs[Long]("w_h"))
+        assert(w * w <= v && (w + 1) * (w + 1) > v,
+          s"w_h is not isqrt(V): w=$w V=$v")
+    }
+    // seats track weight shares within 1 (largest-remainder property)
+    val tw = rows.map(_.getAs[Long]("w_h")).map(BigInt(_)).sum
+    rows.foreach { r =>
+      val exact = BigInt(r.getAs[Long]("w_h")) * 10000
+      val lo = (exact / tw).toLong
+      val got = r.getAs[Long]("alloc_neyman")
+      assert(got === lo || got === lo + 1, s"seating outside floor/ceil: $r")
+    }
+  }
 }

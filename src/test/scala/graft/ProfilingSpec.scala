@@ -472,4 +472,32 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GroupTopK"), plan.take(1500))
   }
+
+  test("q319: KS distance replays exactly driver-side - ECDF sup-norm, " +
+    "location, ppm and the 95% verdict") {
+    val row = SparkEntry.queries("q319_ks_distance")(spark, sfDir)
+      .collect().head
+    val vals = Tables.orders(spark, sfDir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"),
+        (col("o_orderkey") % 2).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = vals.filter(_._2 == 0L).map(_._1).sorted
+    val b = vals.filter(_._2 == 1L).map(_._1).sorted
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    val points = (a ++ b).distinct.sorted
+    val diffs = points.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      (v, (BigInt(ca) * b.length - BigInt(cb) * a.length).abs)
+    }
+    val dmax = diffs.map(_._2).max
+    assert(row.getAs[Long]("at_cents") ===
+      diffs.filter(_._2 == dmax).map(_._1).min)
+    assert(row.getAs[Long]("ks_ppm") ===
+      (dmax * 1000000 / (BigInt(a.length) * b.length)).toLong)
+    val reject = dmax * dmax * 1000000 >
+      BigInt(1843881) * (a.length + b.length) * a.length * b.length
+    assert(row.getAs[Long]("reject_95") === (if (reject) 1L else 0L))
+  }
 }

@@ -197,4 +197,45 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(second.getAs[Long]("d_rev") === m2._3 - m1._3)
     assert(second.getAs[Long]("vol_effect") === vol)
   }
+
+  test("q318: shift-share effects telescope to the exact cent delta per " +
+    "cell, cells recompose the corpus totals, and one cell replays") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q318_shift_share")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("national_effect") + r.getAs[Long]("mix_effect")
+        + r.getAs[Long]("competitive_effect") === r.getAs[Long]("d_rev"),
+        s"effects do not telescope: $r")
+      assert(r.getAs[Long]("d_rev") ===
+        r.getAs[Long]("r1") - r.getAs[Long]("r0"))
+    }
+    // cells recompose period totals; national effects sum to the exact
+    // corpus delta up to the per-cell floor remainders (0 ≤ loss < cells)
+    val t0 = rows.map(_.getAs[Long]("r0")).sum
+    val t1 = rows.map(_.getAs[Long]("r1")).sum
+    val natSum = rows.map(_.getAs[Long]("national_effect")).sum
+    assert(natSum <= t1 - t0 && natSum > t1 - t0 - rows.length)
+    // one cell end-to-end from raw tables
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val Array(y0, y1) = o.agg(min("yr"), max("yr")).collect()
+      .flatMap(r => Seq(r.getInt(0), r.getInt(1)))
+    val cell = rows.head
+    val keys = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === cell.getAs[String]("region") &&
+        col("c_mktsegment") === cell.getAs[String]("segment"))
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val mine = o.filter(col("yr").isin(y0, y1))
+      .collect().filter(r => keys.contains(r.getLong(0)))
+    assert(cell.getAs[Long]("r0") ===
+      mine.filter(_.getInt(1) == y0).map(_.getLong(2)).sum)
+    assert(cell.getAs[Long]("r1") ===
+      mine.filter(_.getInt(1) == y1).map(_.getLong(2)).sum)
+  }
 }

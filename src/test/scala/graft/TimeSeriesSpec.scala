@@ -516,4 +516,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val dau = active.count(_._2 == lastDay)
     assert(rows.last.getAs[Long]("dau") === dau.toLong)
   }
+
+  test("q321: streak marginals reconcile - peak counts cover every user, " +
+    "length-weighted streaks cover every active day, and one user's " +
+    "streak set replays driver-side") {
+    val rows = SparkEntry.queries("q321_streak_histogram")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val active = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val nUsers = active.map(_._1).distinct.length.toLong
+    assert(rows.map(_.getAs[Long]("n_users_peak")).sum === nUsers)
+    assert(rows.map(r => r.getAs[Long]("len") * r.getAs[Long]("n_streaks"))
+      .sum === active.length.toLong)
+    // replay one user's streaks
+    val uid = active.head._1
+    val days = active.filter(_._1 == uid).map(_._2).sortBy(_.toEpochDay)
+    val streaks = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+      case (acc, d) => acc match {
+        case (h :: t) :: rest if h.plusDays(1) == d => (d :: h :: t) :: rest
+        case _ => List(d) :: acc
+      }
+    }.map(_.length.toLong)
+    val myPeak = streaks.max
+    // the histogram must contain this user's peak bucket
+    assert(rows.exists(r => r.getAs[Long]("len") == myPeak &&
+      r.getAs[Long]("n_users_peak") >= 1L))
+  }
 }
