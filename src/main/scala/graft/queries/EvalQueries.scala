@@ -929,7 +929,106 @@ object EvalQueries {
        |ORDER BY eval_fold""".stripMargin
   }
 
+  /** KRIPPENDORFF'S ALPHA, NOMINAL (q324) — the multi-rater
+    * chance-corrected agreement coefficient q215's two-rater Cohen's
+    * kappa cannot express: three deterministic in-engine "annotators"
+    * label every document (length bucket, period-density bucket,
+    * word-count bucket — each a pure string/arithmetic expression so
+    * both engines derive bit-identical labels), and agreement is scored
+    * on the coincidence matrix. With a constant 3 raters per unit the
+    * whole statistic is integral: offpairs = Σ_u 2·(#disagreeing rater
+    * pairs), marginals n_c over all T = 3N ratings, and
+    *   α = 1 − offpairs·(T−1) / (2·(T² − Σn_c²))
+    * reported as the exact integer pair (alpha_num, alpha_den) plus a
+    * sign-split ppm. BIGINT is exact to T ≈ 3·10⁹ ratings; beyond that
+    * the same expressions promote to DECIMAL(38,0) (the q144/q270
+    * overflow discipline).
+    *
+    * Scale shape: one map over documents (no shuffle) → a 1-row
+    * disagreement aggregate; marginals collapse onto the 3-label axis
+    * via one hash-agg and cross to the 1-row frame. Output is ONE row.
+    */
+  def q324KrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = graft.Tables.documents(spark, dir).select(
+      expr("""CASE WHEN n_chars < 200 THEN 0L WHEN n_chars < 400 THEN 1L
+        ELSE 2L END""").as("r1"),
+      expr("""CASE
+        WHEN length(coalesce(text,'')) -
+             length(replace(coalesce(text,''), '.', '')) < 3 THEN 0L
+        WHEN length(coalesce(text,'')) -
+             length(replace(coalesce(text,''), '.', '')) < 6 THEN 1L
+        ELSE 2L END""").as("r2"),
+      expr("""CASE
+        WHEN length(coalesce(text,'')) -
+             length(replace(coalesce(text,''), ' ', '')) < 30 THEN 0L
+        WHEN length(coalesce(text,'')) -
+             length(replace(coalesce(text,''), ' ', '')) < 60 THEN 1L
+        ELSE 2L END""").as("r3"))
+    val dis = labeled.agg(
+      count(lit(1)).as("n_units"),
+      sum(expr("""2 * (CAST(r1 <> r2 AS BIGINT) + CAST(r1 <> r3 AS BIGINT)
+        + CAST(r2 <> r3 AS BIGINT))""")).as("offpairs"))
+    val marg = labeled
+      .select(explode(array(col("r1"), col("r2"), col("r3"))).as("lab"))
+      .groupBy(col("lab")).agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc")).as("t_total"),
+        sum(col("nc") * col("nc")).as("sumsq"))
+    dis.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("t_total"), col("offpairs"), col("sumsq"),
+        expr("2 * (t_total * t_total - sumsq) - offpairs * (t_total - 1)")
+          .as("alpha_num"),
+        expr("2 * (t_total * t_total - sumsq)").as("alpha_den"))
+      .withColumn("alpha_ppm",
+        expr("""CASE WHEN alpha_num >= 0
+          | THEN alpha_num * 1000000 div alpha_den
+          | ELSE -((-alpha_num) * 1000000 div alpha_den) END""".stripMargin))
+  }
+
+  val q324Oracle: String =
+    """WITH labeled AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+      |      ELSE 2 END AS r1,
+      |    CASE
+      |      WHEN length(COALESCE(text,'')) -
+      |           length(replace(COALESCE(text,''), '.', '')) < 3 THEN 0
+      |      WHEN length(COALESCE(text,'')) -
+      |           length(replace(COALESCE(text,''), '.', '')) < 6 THEN 1
+      |      ELSE 2 END AS r2,
+      |    CASE
+      |      WHEN length(COALESCE(text,'')) -
+      |           length(replace(COALESCE(text,''), ' ', '')) < 30 THEN 0
+      |      WHEN length(COALESCE(text,'')) -
+      |           length(replace(COALESCE(text,''), ' ', '')) < 60 THEN 1
+      |      ELSE 2 END AS r3
+      |  FROM documents),
+      |dis AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    CAST(SUM(2 * (CASE WHEN r1 <> r2 THEN 1 ELSE 0 END
+      |      + CASE WHEN r1 <> r3 THEN 1 ELSE 0 END
+      |      + CASE WHEN r2 <> r3 THEN 1 ELSE 0 END)) AS BIGINT) AS offpairs
+      |  FROM labeled),
+      |marg AS (
+      |  SELECT CAST(SUM(nc) AS BIGINT) AS t_total,
+      |    CAST(SUM(nc * nc) AS BIGINT) AS sumsq
+      |  FROM (SELECT lab, CAST(COUNT(*) AS BIGINT) AS nc
+      |        FROM (SELECT unnest([r1, r2, r3]) AS lab FROM labeled)
+      |        GROUP BY lab)),
+      |alpha AS (
+      |  SELECT n_units, t_total, offpairs, sumsq,
+      |    2 * (t_total * t_total - sumsq) - offpairs * (t_total - 1)
+      |      AS alpha_num,
+      |    2 * (t_total * t_total - sumsq) AS alpha_den
+      |  FROM dis CROSS JOIN marg)
+      |SELECT n_units, t_total, offpairs, sumsq, alpha_num, alpha_den,
+      |  CASE WHEN alpha_num >= 0
+      |    THEN CAST(alpha_num * 1000000 // alpha_den AS BIGINT)
+      |    ELSE -CAST((-alpha_num) * 1000000 // alpha_den AS BIGINT)
+      |  END AS alpha_ppm
+      |FROM alpha""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_krippendorff_alpha" -> (q324KrippendorffAlpha _),
     "q307_stump_crossval"  -> (q307StumpCrossVal _),
     "q289_conformal_calibration" -> (q289ConformalCalibration _),
     "q238_decision_stump"      -> (q238DecisionStump _),
@@ -941,6 +1040,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q324_krippendorff_alpha" -> q324Oracle,
     "q307_stump_crossval"  -> q307Oracle,
     "q289_conformal_calibration" -> q289Oracle,
     "q238_decision_stump"      -> q238Oracle,

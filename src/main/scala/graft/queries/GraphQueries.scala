@@ -655,7 +655,89 @@ object GraphQueries {
        |ORDER BY role, entity_key""".stripMargin
   }
 
+  /** DEGREE ASSORTATIVITY (q325) — do high-degree near-dup documents
+    * attach to other high-degree documents (template families chaining
+    * into super-clusters) or to low-degree ones (hub-and-spoke
+    * boilerplate)? Newman's degree-correlation coefficient over the
+    * confirmed near-dup graph, kept integral: with M edges and endpoint
+    * degrees (j,k),
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    * reported as the exact integer pair (r_num, r_den) plus sign-split
+    * ppm. A positive r on a dedup graph predicts that transitive
+    * closure will produce few giant components (the q280 over-merge
+    * risk); negative r predicts many small stars. DECIMAL(38,0)
+    * accumulation keeps the products exact past BIGINT edge counts.
+    *
+    * Scale shape: degree is one hash-agg over the doubled edge list;
+    * endpoint degrees arrive by two equi-joins of the edge frame
+    * against the corpus-cardinality degree frame (no broadcast needed,
+    * no fan-out); the four sums are a 1-row aggregate. Output is ONE
+    * row.
+    */
+  def q325DegreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val und = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = und.groupBy(col("id_a")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("id_a", "node")
+    val withDeg = pairs
+      .join(deg.select(col("node").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
+    val sums = withDeg.agg(
+      count(lit(1)).as("m_edges"),
+      sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("s_jk"),
+      sum(expr("CAST(da AS DECIMAL(38,0)) + db")).as("s_sum"),
+      sum(expr("CAST(da AS DECIMAL(38,0)) * da + CAST(db AS DECIMAL(38,0)) * db"))
+        .as("s_sq"))
+    sums.select(col("m_edges"),
+        col("s_jk").cast(LongType).as("s_jk"),
+        col("s_sum").cast(LongType).as("s_sum"),
+        col("s_sq").cast(LongType).as("s_sq"),
+        expr("CAST(4 * m_edges * s_jk - s_sum * s_sum AS DECIMAL(38,0))")
+          .as("rn_dec"),
+        expr("CAST(2 * m_edges * s_sq - s_sum * s_sum AS DECIMAL(38,0))")
+          .as("rd_dec"))
+      .select(col("m_edges"), col("s_jk"), col("s_sum"), col("s_sq"),
+        col("rn_dec").cast(LongType).as("r_num"),
+        col("rd_dec").cast(LongType).as("r_den"),
+        expr("""CAST(CASE WHEN rd_dec = 0 THEN 0
+          | WHEN rn_dec >= 0 THEN rn_dec * 1000000 div rd_dec
+          | ELSE -((-rn_dec) * 1000000 div rd_dec)
+          |END AS BIGINT)""".stripMargin).as("r_ppm"))
+  }
+
+  val q325Oracle: String =
+    s"""WITH p AS (SELECT id_a, id_b FROM (${SimilarityQueries.q36Oracle})),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY u),
+       |wd AS (
+       |  SELECT p.id_a, p.id_b, a.deg AS da, b.deg AS db
+       |  FROM p JOIN deg a ON a.node = p.id_a
+       |         JOIN deg b ON b.node = p.id_b),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+       |    SUM(CAST(da AS HUGEINT) * db) AS s_jk,
+       |    SUM(CAST(da AS HUGEINT) + db) AS s_sum,
+       |    SUM(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) AS s_sq
+       |  FROM wd),
+       |r AS (
+       |  SELECT m_edges, s_jk, s_sum, s_sq,
+       |    4 * m_edges * s_jk - s_sum * s_sum AS rn,
+       |    2 * m_edges * s_sq - s_sum * s_sum AS rd
+       |  FROM sums)
+       |SELECT m_edges, CAST(s_jk AS BIGINT) AS s_jk,
+       |  CAST(s_sum AS BIGINT) AS s_sum, CAST(s_sq AS BIGINT) AS s_sq,
+       |  CAST(rn AS BIGINT) AS r_num, CAST(rd AS BIGINT) AS r_den,
+       |  CAST(CASE WHEN rd = 0 THEN 0
+       |    WHEN rn >= 0 THEN rn * 1000000 // rd
+       |    ELSE -((-rn) * 1000000 // rd) END AS BIGINT) AS r_ppm
+       |FROM r""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_degree_assortativity" -> (q325DegreeAssortativity _),
     "q295_hits"               -> (q295Hits _),
     "q269_dedup_map"          -> (q269DedupMap _),
     "q141_neardup_components" -> (q141NearDupComponents _),
@@ -668,6 +750,7 @@ object GraphQueries {
     "q204_kcore"              -> (q204KCoreDecomposition _))
 
   val oracles: Map[String, String] = Map(
+    "q325_degree_assortativity" -> q325Oracle,
     "q295_hits"               -> q295Oracle,
     "q269_dedup_map"          -> q269Oracle,
     "q141_neardup_components" -> q141Oracle,

@@ -1260,7 +1260,84 @@ object ProfilingQueries {
       |WHERE d_num = d_max
       |GROUP BY n_a, n_b""".stripMargin
 
+  /** MANN–WHITNEY RANK-SUM AUDIT (q322) — the nonparametric
+    * one-source-vs-rest location test the q319 KS sup-norm complements:
+    * for every source, is its document-length distribution shifted
+    * against the remaining corpus? U counts cross-pairs won; kept
+    * doubled (u2 = 2·U) so midrank ties stay integral:
+    *   u2(s) = Σ_v a_s(v) · (2·B_below(v) + B_eq(v))
+    * with B = complement counts at the length value v. The effect size
+    * is the rank-biserial r = u2/(n_a·n_b) − 1, reported sign-split as
+    * ppm (truncate-toward-zero on |r| then re-sign, so Spark's `div`
+    * and DuckDB's `//` agree on negatives).
+    *
+    * Scale shape: the corpus collapses onto the distinct-length axis
+    * per source (one hash-agg); both cumulatives ride the distributed
+    * two-pass prefix sum ([[graft.functions.PrefixSum]] — the global
+    * one on a single group over the value axis, the per-source one
+    * range-partitioned by source); the complement's cumulative is
+    * DERIVED (global − own) rather than joined all-pairs, so no
+    * source×source blow-up. Output is one row per source.
+    */
+  def q322MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("a"))
+    val gv = hist.groupBy(col("v")).agg(sum(col("a")).as("g"))
+    val cumG = graft.functions.PrefixSum.runningTotal(
+      gv.withColumn("all", lit("all")),
+      Seq("all"), Seq(col("v").asc), "g", "cumg").drop("all")
+    val cumA = graft.functions.PrefixSum.runningTotal(
+      hist, Seq("source"), Seq(col("v").asc), "a", "cuma")
+    val joined = cumA.join(cumG, "v")
+    val perSource = joined.groupBy(col("source"))
+      .agg(
+        sum(expr("""CAST(a AS DECIMAL(38,0)) *
+          (2 * ((cumg - g) - (cuma - a)) + (g - a))""")).as("u2_dec"),
+        sum(col("a")).as("n_a"))
+    val nTot = hist.agg(sum(col("a")).as("n")) // 1 row
+    perSource.crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_a"),
+        (col("n") - col("n_a")).as("n_b"),
+        col("u2_dec").cast(LongType).as("u2"),
+        expr("""CAST(CASE WHEN u2_dec >= CAST(n_a AS DECIMAL(38,0)) * (n - n_a)
+          |  THEN  (u2_dec - CAST(n_a AS DECIMAL(38,0)) * (n - n_a)) * 1000000
+          |        div (CAST(n_a AS DECIMAL(38,0)) * (n - n_a))
+          |  ELSE -((CAST(n_a AS DECIMAL(38,0)) * (n - n_a) - u2_dec) * 1000000
+          |        div (CAST(n_a AS DECIMAL(38,0)) * (n - n_a)))
+          |END AS BIGINT)""".stripMargin).as("rb_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q322Oracle: String =
+    """WITH a AS (
+      |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v, CAST(SUM(a) AS BIGINT) AS g FROM a GROUP BY 1),
+      |cg AS (SELECT v, g, SUM(g) OVER (ORDER BY v) AS cumg FROM g),
+      |ca AS (SELECT source, v, a,
+      |         SUM(a) OVER (PARTITION BY source ORDER BY v) AS cuma
+      |       FROM a),
+      |j AS (SELECT ca.source, ca.a, ca.cuma, cg.g, cg.cumg
+      |      FROM ca JOIN cg ON ca.v = cg.v),
+      |u AS (SELECT source,
+      |        SUM(CAST(a AS HUGEINT) *
+      |          (2 * ((cumg - g) - (cuma - a)) + (g - a))) AS u2h,
+      |        CAST(SUM(a) AS BIGINT) AS n_a
+      |      FROM j GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM a)
+      |SELECT source, n_a, n - n_a AS n_b, CAST(u2h AS BIGINT) AS u2,
+      |  CAST(CASE WHEN u2h >= CAST(n_a AS HUGEINT) * (n - n_a)
+      |    THEN  (u2h - CAST(n_a AS HUGEINT) * (n - n_a)) * 1000000
+      |          // (CAST(n_a AS HUGEINT) * (n - n_a))
+      |    ELSE -((CAST(n_a AS HUGEINT) * (n - n_a) - u2h) * 1000000
+      |          // (CAST(n_a AS HUGEINT) * (n - n_a)))
+      |  END AS BIGINT) AS rb_ppm
+      |FROM u CROSS JOIN nn
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_mann_whitney"    -> (q322MannWhitney _),
     "q319_ks_distance"     -> (q319KsDistance _),
     "q310_kmv_distinct"    -> (q310KmvDistinct _),
     "q302_join_card_estimate" -> (q302JoinCardEstimate _),
@@ -1283,6 +1360,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q322_mann_whitney"    -> q322Oracle,
     "q319_ks_distance"     -> q319Oracle,
     "q310_kmv_distinct"    -> q310Oracle,
     "q302_join_card_estimate" -> q302Oracle,

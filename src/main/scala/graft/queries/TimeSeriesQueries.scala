@@ -1245,7 +1245,77 @@ object TimeSeriesQueries {
       |FROM by_len b FULL OUTER JOIN peak p ON b.len = p.len
       |ORDER BY len""".stripMargin
 
+  /** THEIL–SEN ROBUST TREND (q323) — the median-of-pairwise-slopes
+    * estimator that q283's exact OLS trend is NOT robust to: one
+    * corrupted day drags a least-squares slope arbitrarily, but moves
+    * the pairwise-slope median by at most one rank. Per event_type the
+    * daily-count series yields C(d,2) slopes (c2−c1)/(day2−day1); the
+    * LOWER MEDIAN is selected by rank over (double ratio, num, den) —
+    * the double is ORDERING ONLY (identical IEEE result in both
+    * engines), the reported slope stays the exact integer pair
+    * (med_num, med_den) of the selected row, so equal-ratio ties
+    * resolve to the same concrete fraction everywhere.
+    *
+    * Scale shape: events collapse to the (event_type × day) axis first
+    * — the pairwise self-join is O(d²) in the BOUNDED day axis per
+    * series, embarrassingly parallel across series, and never touches
+    * row-level data; the median rank is a window partitioned by
+    * event_type over that small pair frame. No global sort, no
+    * collect.
+    */
+  def q323TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val l = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+    val r = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+    val slopes = l.join(r, Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .select(col("event_type"),
+        (col("c2") - col("c1")).as("num"),
+        datediff(col("d2"), col("d1")).cast(LongType).as("den"))
+    val ranked = slopes.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy((col("num").cast("double") / col("den")).asc,
+            col("num").asc, col("den").asc)))
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    ranked.filter(col("rn") === expr("(np + 1) div 2"))
+      .join(nDays, "event_type")
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val q323Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT l.event_type, r.c - l.c AS num,
+      |    CAST(r.day - l.day AS BIGINT) AS den
+      |  FROM daily l JOIN daily r
+      |    ON r.event_type = l.event_type AND r.day > l.day),
+      |ranked AS (
+      |  SELECT event_type, num, den,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM slopes),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |       FROM daily GROUP BY 1)
+      |SELECT r.event_type, n_days, CAST(np AS BIGINT) AS n_pairs,
+      |  num AS med_num, den AS med_den
+      |FROM ranked r JOIN nd ON nd.event_type = r.event_type
+      |WHERE rn = (np + 1) // 2
+      |ORDER BY r.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_theil_sen"         -> (q323TheilSen _),
     "q321_streak_histogram"  -> (q321StreakHistogram _),
     "q312_mase_backtest"     -> (q312MaseBacktest _),
     "q314_leadlag_xcorr"     -> (q314LeadLagXcorr _),
@@ -1266,6 +1336,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q323_theil_sen"         -> q323Oracle,
     "q321_streak_histogram"  -> q321Oracle,
     "q312_mase_backtest"     -> q312Oracle,
     "q314_leadlag_xcorr"     -> q314Oracle,

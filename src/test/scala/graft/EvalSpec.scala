@@ -254,4 +254,42 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
         s"$lang coverage collapsed: $r")
     }
   }
+
+  test("q324: Krippendorff alpha replays from driver-side labels and the " +
+    "coincidence identities hold") {
+    val row = SparkEntry.queries("q324_krippendorff_alpha")(spark, sfDir)
+      .collect().head
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("n_chars"), coalesce(col("text"), lit("")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def b3(x: Long, lo: Long, hi: Long): Long =
+      if (x < lo) 0L else if (x < hi) 1L else 2L
+    val labels = docs.map { case (nc, t) =>
+      val periods = (t.length - t.replace(".", "").length).toLong
+      val spaces = (t.length - t.replace(" ", "").length).toLong
+      (b3(nc, 200, 400), b3(periods, 3, 6), b3(spaces, 30, 60))
+    }
+    val n = labels.length.toLong
+    assert(row.getAs[Long]("n_units") === n)
+    assert(row.getAs[Long]("t_total") === 3 * n)
+    val offpairs = labels.map { case (a, b, c) =>
+      2L * (Seq(a != b, a != c, b != c).count(identity))
+    }.sum
+    assert(row.getAs[Long]("offpairs") === offpairs)
+    val marg = labels.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map(_._2.length.toLong)
+    assert(row.getAs[Long]("sumsq") === marg.map(x => x * x).sum)
+    val t = 3 * n
+    val sumsq = marg.map(x => x * x).sum
+    val num = 2 * (t * t - sumsq) - offpairs * (t - 1)
+    val den = 2 * (t * t - sumsq)
+    assert(row.getAs[Long]("alpha_num") === num)
+    assert(row.getAs[Long]("alpha_den") === den)
+    // alpha <= 1 always; the three length-correlated raters must agree
+    // far above chance on synthetic prose (alpha > 0)
+    assert(num <= den && num > 0)
+    val ppm = if (num >= 0) BigInt(num) * 1000000 / den
+      else -(BigInt(-num) * 1000000 / den)
+    assert(BigInt(row.getAs[Long]("alpha_ppm")) === ppm)
+  }
 }

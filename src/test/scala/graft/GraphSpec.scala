@@ -270,4 +270,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         s"hub $src does not replay from authority scores")
     }
   }
+
+  test("q325: assortativity sums replay from the edge list, including the " +
+    "sum-of-degrees-squared identity") {
+    val row = SparkEntry.queries("q325_degree_assortativity")(spark, sfDir)
+      .collect().head
+    val pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "near-dup graph is empty at sf0.001")
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val m = pairs.length.toLong
+    assert(row.getAs[Long]("m_edges") === m)
+    val sJk = pairs.map { case (a, b) => BigInt(deg(a)) * deg(b) }.sum
+    val sSum = pairs.map { case (a, b) => BigInt(deg(a)) + deg(b) }.sum
+    val sSq = pairs.map { case (a, b) =>
+      BigInt(deg(a)) * deg(a) + BigInt(deg(b)) * deg(b) }.sum
+    assert(BigInt(row.getAs[Long]("s_jk")) === sJk)
+    assert(BigInt(row.getAs[Long]("s_sum")) === sSum)
+    assert(BigInt(row.getAs[Long]("s_sq")) === sSq)
+    // identity: summing (deg_u + deg_v) over undirected edges counts each
+    // node's degree exactly deg(v) times
+    assert(sSum === deg.values.map(d => BigInt(d) * d).sum)
+    val rNum = 4 * m * sJk - sSum * sSum
+    val rDen = 2 * m * sSq - sSum * sSum
+    assert(BigInt(row.getAs[Long]("r_num")) === rNum)
+    assert(BigInt(row.getAs[Long]("r_den")) === rDen)
+    assert(rDen >= 0)
+    val ppm = if (rDen == 0) BigInt(0)
+      else if (rNum >= 0) rNum * 1000000 / rDen
+      else -((-rNum) * 1000000 / rDen)
+    assert(BigInt(row.getAs[Long]("r_ppm")) === ppm)
+    assert(ppm.abs <= 1000000)
+  }
 }

@@ -500,4 +500,35 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       BigInt(1843881) * (a.length + b.length) * a.length * b.length
     assert(row.getAs[Long]("reject_95") === (if (reject) 1L else 0L))
   }
+
+  test("q322: Mann-Whitney u2 replays brute-force per source, and the " +
+    "marginals cover the corpus") {
+    val rows = SparkEntry.queries("q322_mann_whitney")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val na = r.getAs[Long]("n_a")
+      val nb = r.getAs[Long]("n_b")
+      assert(na + nb === n)
+      val mine = docs.filter(_._1 == s).map(_._2)
+      val rest = docs.filter(_._1 != s).map(_._2)
+      assert(na === mine.length.toLong && nb === rest.length.toLong)
+      // brute-force doubled U: 2 per strict win, 1 per tie
+      val u2 = (for (x <- mine; y <- rest) yield {
+        if (x > y) 2L else if (x == y) 1L else 0L
+      }).sum
+      assert(r.getAs[Long]("u2") === u2, s"u2 mismatch for $s")
+      val expPpm = {
+        val num = BigInt(u2) - BigInt(na) * nb
+        val den = BigInt(na) * nb
+        if (num >= 0) (num * 1000000 / den).toLong
+        else -(((-num) * 1000000) / den).toLong
+      }
+      assert(r.getAs[Long]("rb_ppm") === expPpm)
+    }
+  }
 }

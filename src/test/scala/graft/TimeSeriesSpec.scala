@@ -545,4 +545,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("len") == myPeak &&
       r.getAs[Long]("n_users_peak") >= 1L))
   }
+
+  test("q323: Theil-Sen pair count is C(n_days,2) and the lower-median " +
+    "slope replays driver-side per event_type") {
+    val rows = SparkEntry.queries("q323_theil_sen")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily.filter(_._1 == et)
+      val d = series.length.toLong
+      assert(r.getAs[Long]("n_days") === d)
+      assert(r.getAs[Long]("n_pairs") === d * (d - 1) / 2)
+      val slopes = (for {
+        (_, d1, c1) <- series; (_, d2, c2) <- series if d2 > d1
+      } yield (c2 - c1, d2 - d1)).sortBy { case (num, den) =>
+        (num.toDouble / den, num, den)
+      }
+      val (mn, md) = slopes(((slopes.length + 1) / 2) - 1)
+      assert(r.getAs[Long]("med_num") === mn, s"med_num mismatch for $et")
+      assert(r.getAs[Long]("med_den") === md, s"med_den mismatch for $et")
+    }
+  }
 }
