@@ -1375,7 +1375,84 @@ object MiningQueries {
       |ORDER BY co_docs DESC, term_a, term_b
       |LIMIT 100""".stripMargin
 
+  /** SEQUENTIAL TRIGRAM MINING (q326) — second-order navigation
+    * structure the q173 first-order transition matrix cannot see: every
+    * consecutive event-type TRIPLE within a user's timeline, counted two
+    * ways (raw occurrences; distinct-user support — the sequential-
+    * pattern-mining support notion that one hyperactive user cannot
+    * inflate), plus an exact first-order-Markov expectation test:
+    *   markov_ppm = occ(abc) · out(b) · 10⁶ div (n(ab) · n(bc))
+    * — above 10⁶ means the triple chains MORE than its two bigram links
+    * predict (a real 3-step funnel, not two coincidental hops).
+    *
+    * Scale shape: two `lead`s on the user-partitioned window (high-
+    * cardinality keys, the q173/q125 sanctioned shape); both the trigram
+    * and bigram aggregates collapse onto the |types|³ / |types|² axes;
+    * the Markov join runs on those tiny frames broadcast. Ties on ts
+    * break by event_id so both engines replay one total sequence.
+    */
+  def q326SequenceTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seq3 = ev
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+    val tri = seq3.filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("user_id")).as("support_users"))
+    val bi = seq3.filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("bf"), col("e2").as("bt"))
+      .agg(count(lit(1)).as("bn"))
+    val out2 = bi.groupBy(col("bf")).agg(sum(col("bn")).as("btot"))
+    tri
+      .join(broadcast(bi.select(col("bf").as("e1"), col("bt").as("e2"),
+        col("bn").as("n12"))), Seq("e1", "e2"))
+      .join(broadcast(bi.select(col("bf").as("e2"), col("bt").as("e3"),
+        col("bn").as("n23"))), Seq("e2", "e3"))
+      .join(broadcast(out2.select(col("bf").as("e2"), col("btot"))), Seq("e2"))
+      .select(col("e1"), col("e2"), col("e3"),
+        col("occurrences"), col("support_users"),
+        expr("""CAST(CAST(occurrences AS DECIMAL(38,0)) * btot * 1000000
+          div (CAST(n12 AS DECIMAL(38,0)) * n23) AS BIGINT)""")
+          .as("markov_ppm"))
+      .orderBy(col("e1"), col("e2"), col("e3"))
+  }
+
+  val q326Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS e1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e3
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |tri AS (
+      |  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS occurrences,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support_users
+      |  FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |bi AS (
+      |  SELECT e1 AS bf, e2 AS bt, CAST(COUNT(*) AS BIGINT) AS bn
+      |  FROM e WHERE e2 IS NOT NULL GROUP BY 1, 2),
+      |o2 AS (SELECT bf, CAST(SUM(bn) AS BIGINT) AS btot FROM bi GROUP BY 1)
+      |SELECT t.e1, t.e2, t.e3, t.occurrences, t.support_users,
+      |  CAST(CAST(t.occurrences AS HUGEINT) * o2.btot * 1000000
+      |    // (CAST(b12.bn AS HUGEINT) * b23.bn) AS BIGINT) AS markov_ppm
+      |FROM tri t
+      |JOIN bi b12 ON b12.bf = t.e1 AND b12.bt = t.e2
+      |JOIN bi b23 ON b23.bf = t.e2 AND b23.bt = t.e3
+      |JOIN o2 ON o2.bf = t.e2
+      |ORDER BY t.e1, t.e2, t.e3""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_sequence_trigrams" -> (q326SequenceTrigrams _),
     "q300_term_projection"  -> (q300TermProjection _),
     "q220_pmi_collocations" -> (q220PmiCollocations _),
     "q169_entity_resolution" -> (q169EntityResolution _),
@@ -1398,6 +1475,7 @@ object MiningQueries {
     "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
+    "q326_sequence_trigrams" -> q326Oracle,
     "q300_term_projection"  -> q300Oracle,
     "q220_pmi_collocations" -> q220Oracle,
     "q169_entity_resolution" -> q169Oracle,

@@ -1336,7 +1336,94 @@ object ProfilingQueries {
       |FROM u CROSS JOIN nn
       |ORDER BY source""".stripMargin
 
+  /** WALD–WOLFOWITZ RUNS TEST (q327) — the sequence-randomness check
+    * that completes the two-sample battery (q319 KS = distribution
+    * shape, q322 MWU = location, this = interleaving): sort both ingest
+    * batches (the q319 order-key parity split) into ONE deterministic
+    * total order by (cents, order key) and count maximal same-batch
+    * runs. Far fewer runs than the null mean 1 + 2n₁n₂/n means the
+    * batches occupy separate value bands; far more means systematic
+    * alternation. Everything is cross-multiplied integers: with
+    * diff = R·n − (n + 2n₁n₂) and Vnum = 2n₁n₂(2n₁n₂ − n), the 95%
+    * verdict is diff²·(n−1)·10⁶ > 3 841 600·Vnum (z² = 1.96²), exact in
+    * DECIMAL(38,0) to ~10¹⁵ rows per side. Ties across batches are
+    * resolved by the order-key tiebreak — the documented engine
+    * convention (the classical test assumes no ties; the deterministic
+    * total order makes the statistic well-defined and engine-exact).
+    *
+    * Scale shape: the global sequence position rides the distributed
+    * two-pass prefix sum (range exchange, no one-partition window);
+    * run boundaries come from an equi-join of the ranked frame against
+    * itself on rn = rn−1 (uniform Long key, perfectly balanced);
+    * everything after is a 1-row aggregate. Output is ONE row.
+    */
+  def q327RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").as("oid"),
+        (col("o_orderkey") % 2).as("par"))
+      .withColumn("one", lit(1L))
+      .withColumn("g", lit("all"))
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      base, Seq("g"), Seq(col("cents").asc, col("oid").asc), "one", "rn")
+      .select(col("rn"), col("par"))
+    val bounds = ranked
+      .join(ranked.select((col("rn") + 1).as("rn"), col("par").as("prev_par")),
+        "rn")
+      .agg(sum(when(col("par") =!= col("prev_par"), 1L).otherwise(0L))
+        .as("n_bounds"))
+    val nn = base.agg(
+      sum(when(col("par") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("par") === 1, 1L).otherwise(0L)).as("n2"))
+    bounds.crossJoin(broadcast(nn))
+      .select(col("n1"), col("n2"), (col("n_bounds") + 1).as("runs"))
+      .select(col("n1"), col("n2"), col("runs"),
+        expr("""CAST((n1 + n2 + 2 * CAST(n1 AS DECIMAL(38,0)) * n2) * 1000000
+          div (n1 + n2) AS BIGINT)""").as("runs_exp_ppm"),
+        expr("""CAST(CASE WHEN
+          |  CAST(runs * (n1 + n2) -
+          |    (n1 + n2 + 2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS DECIMAL(38,0))
+          |  * (runs * (n1 + n2) -
+          |    (n1 + n2 + 2 * CAST(n1 AS DECIMAL(38,0)) * n2))
+          |  * (n1 + n2 - 1) * 1000000 >
+          |  3841600 * (2 * CAST(n1 AS DECIMAL(38,0)) * n2)
+          |    * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - (n1 + n2))
+          |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_95"))
+  }
+
+  val q327Oracle: String =
+    """WITH base AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey AS oid, o_orderkey % 2 AS par
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT par, row_number() OVER (ORDER BY cents, oid) AS rn
+      |  FROM base),
+      |b AS (
+      |  SELECT CAST(SUM(CASE WHEN r.par <> p.par THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bounds
+      |  FROM ranked r JOIN ranked p ON p.rn = r.rn - 1),
+      |nn AS (
+      |  SELECT CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM base)
+      |SELECT n1, n2, n_bounds + 1 AS runs,
+      |  CAST((n1 + n2 + 2 * CAST(n1 AS HUGEINT) * n2) * 1000000
+      |    // (n1 + n2) AS BIGINT) AS runs_exp_ppm,
+      |  CAST(CASE WHEN
+      |    CAST((n_bounds + 1) * (n1 + n2) -
+      |      (n1 + n2 + 2 * CAST(n1 AS HUGEINT) * n2) AS HUGEINT)
+      |    * ((n_bounds + 1) * (n1 + n2) -
+      |      (n1 + n2 + 2 * CAST(n1 AS HUGEINT) * n2))
+      |    * (n1 + n2 - 1) * 1000000 >
+      |    3841600 * (2 * CAST(n1 AS HUGEINT) * n2)
+      |      * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2))
+      |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM b CROSS JOIN nn""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_runs_test"       -> (q327RunsTest _),
     "q322_mann_whitney"    -> (q322MannWhitney _),
     "q319_ks_distance"     -> (q319KsDistance _),
     "q310_kmv_distinct"    -> (q310KmvDistinct _),
@@ -1360,6 +1447,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q327_runs_test"       -> q327Oracle,
     "q322_mann_whitney"    -> q322Oracle,
     "q319_ks_distance"     -> q319Oracle,
     "q310_kmv_distinct"    -> q310Oracle,
