@@ -14,12 +14,14 @@ import graft.queries.{CurationQueries, GraphQueries, MiningQueries, SimilarityQu
   * The point of this object is the INTERMEDIATE-PERSISTENCE posture. Each
   * gate query is self-contained (its oracle must replay everything from the
   * raw corpus), so running the suite side by side re-derives shared work:
-  * the star contraction is rebuilt by q141, q184 and q269, and the corpus
-  * fingerprint pass by q216 and q236. A production run persists each shared
+  * the star contraction is rebuilt by q141, q184 and q269, the corpus
+  * fingerprint pass by q216 and q236, and the confirmed near-dup pair
+  * cascade by q141 AND q280. A production run persists each shared
   * intermediate ONCE and points every consumer at it via the established
-  * reuse confs (`spark.graft.folds.componentTable`,
-  * `spark.graft.winnow.pairTable`) — [[run]] does exactly that, paying ONE
-  * contraction and ONE fingerprint pass for the whole DAG.
+  * reuse confs (`spark.graft.neardup.pairTable`,
+  * `spark.graft.folds.componentTable`, `spark.graft.winnow.pairTable`) —
+  * [[run]] does exactly that, paying ONE pair confirm, ONE contraction and
+  * ONE fingerprint pass for the whole DAG.
   *
   * Result identity is the contract: [[run]] (composed, persisted
   * intermediates) and [[gateSummary]] (every stage re-derived, the oracle's
@@ -38,6 +40,7 @@ object CurationRun {
 
   val ComponentConf = "spark.graft.folds.componentTable"
   val PairConf = "spark.graft.winnow.pairTable"
+  val NearDupPairConf = SimilarityQueries.NearDupPairConf
 
   /** Checksum expressions per stage — valid in BOTH Spark SQL and DuckDB
     * (the shards stage needs a dialect-split md5-prefix read, stated
@@ -90,22 +93,40 @@ object CurationRun {
     (root.resolve("components").toString, root.resolve("winnow_pairs").toString)
   }
 
-  /** Composed mode: persist the two shared intermediates once, then build
-    * every downstream stage against them through the reuse confs. The
-    * confs are restored afterwards — the parquet scans are already baked
-    * into the returned frames' plans, so laziness is safe.
+  /** Staged location of the CONFIRMED NEAR-DUP PAIR frame (round 13):
+    * `confirmedNearDupPairs` is consumed at 16 call sites across the
+    * graph/eval/mining/similarity families, and before this conf existed a
+    * composed run still re-derived it inside q141 AND q280. Stage once,
+    * every consumer opens on the scan. */
+  def stagedNearDupPairPath(dir: String): String =
+    graft.util.Staging.dir("graft_curation_run", dir)
+      .resolve("neardup_pairs").toString
+
+  /** Composed mode: persist the three shared intermediates once, then
+    * build every downstream stage against them through the reuse confs.
+    * The confs are restored afterwards — the parquet scans are already
+    * baked into the returned frames' plans, so laziness is safe.
+    *
+    * Staging order matters: the confirmed-pair frame goes first, so even
+    * the component-staging write (q141) opens on the staged pair scan —
+    * one pair derivation for the whole DAG instead of two (q141 + q280).
     */
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (compPath, pairPath) = stagedPaths(dir)
-    GraphQueries.q141NearDupComponents(spark, dir)
-      .write.mode("overwrite").parquet(compPath)
-    SimilarityQueries.q216WinnowingFingerprints(spark, dir)
-      .write.mode("overwrite").parquet(pairPath)
+    val ndPairPath = stagedNearDupPairPath(dir)
+    SimilarityQueries.derivedNearDupPairs(spark, dir)
+      .write.mode("overwrite").parquet(ndPairPath)
+    val prevNd = spark.conf.getOption(NearDupPairConf)
+    spark.conf.set(NearDupPairConf, ndPairPath)
     val prevComp = spark.conf.getOption(ComponentConf)
     val prevPair = spark.conf.getOption(PairConf)
-    spark.conf.set(ComponentConf, compPath)
-    spark.conf.set(PairConf, pairPath)
     try {
+      GraphQueries.q141NearDupComponents(spark, dir)
+        .write.mode("overwrite").parquet(compPath)
+      SimilarityQueries.q216WinnowingFingerprints(spark, dir)
+        .write.mode("overwrite").parquet(pairPath)
+      spark.conf.set(ComponentConf, compPath)
+      spark.conf.set(PairConf, pairPath)
       val stages = Seq(
         ("components", spark.read.parquet(compPath), ComponentsChk),
         ("dedup_map", GraphQueries.q269DedupMap(spark, dir), DedupMapChk),
@@ -130,6 +151,10 @@ object CurationRun {
         case Some(v) => spark.conf.set(PairConf, v)
         case None => spark.conf.unset(PairConf)
       }
+      prevNd match {
+        case Some(v) => spark.conf.set(NearDupPairConf, v)
+        case None => spark.conf.unset(NearDupPairConf)
+      }
     }
   }
 
@@ -141,7 +166,8 @@ object CurationRun {
     */
   def gateSummary(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.getOption(ComponentConf).isEmpty &&
-      spark.conf.getOption(PairConf).isEmpty,
+      spark.conf.getOption(PairConf).isEmpty &&
+      spark.conf.getOption(NearDupPairConf).isEmpty,
       "gateSummary must run with the reuse confs unset")
     val stages = Seq(
       ("components", GraphQueries.q141NearDupComponents(spark, dir),

@@ -1577,9 +1577,12 @@ object AdvancedQueries {
     * only corpus-sized shuffle is orders⋈customer on custkey (both
     * frames pre-filtered to the two endpoint years); nation/region
     * broadcast; segment totals and grand totals are tiny broadcast
-    * rollups of the 25-cell frame. All divisions have positive
-    * operands, so Spark's truncating `div` and DuckDB's flooring `//`
-    * agree exactly.
+    * rollups of the 25-cell frame. Engine parity on integer division is
+    * unconditional here: Spark's `div` and DuckDB's integer `//` BOTH
+    * truncate toward zero (verified: -7 // 2 = -3 in DuckDB), so the
+    * effects agree exactly regardless of operand sign — positive
+    * operands are not a correctness requirement for div///, only for
+    * floor-vs-truncate semantics neither engine uses.
     */
   def q318ShiftShare(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -940,9 +940,11 @@ object EvalQueries {
     * pairs), marginals n_c over all T = 3N ratings, and
     *   α = 1 − offpairs·(T−1) / (2·(T² − Σn_c²))
     * reported as the exact integer pair (alpha_num, alpha_den) plus a
-    * sign-split ppm. BIGINT is exact to T ≈ 3·10⁹ ratings; beyond that
-    * the same expressions promote to DECIMAL(38,0) (the q144/q270
-    * overflow discipline).
+    * sign-split ppm. alpha_num/alpha_den are ~2·T² so BIGINT holds them
+    * to T ≈ 2.1·10⁹ ratings; the ppm product alpha_num·10⁶ would overflow
+    * BIGINT already at T ≈ 2·10⁶, so it is computed in DECIMAL(38,0) (the
+    * q144/q270 overflow discipline) and only the quotient — ppm-scaled,
+    * always < 10⁶ in magnitude — lands back in BIGINT.
     *
     * Scale shape: one map over documents (no shuffle) → a 1-row
     * disagreement aggregate; marginals collapse onto the 3-label axis
@@ -980,8 +982,10 @@ object EvalQueries {
         expr("2 * (t_total * t_total - sumsq)").as("alpha_den"))
       .withColumn("alpha_ppm",
         expr("""CASE WHEN alpha_num >= 0
-          | THEN alpha_num * 1000000 div alpha_den
-          | ELSE -((-alpha_num) * 1000000 div alpha_den) END""".stripMargin))
+          | THEN CAST(CAST(alpha_num AS DECIMAL(38,0)) * 1000000
+          |   div alpha_den AS BIGINT)
+          | ELSE -CAST(CAST(-alpha_num AS DECIMAL(38,0)) * 1000000
+          |   div alpha_den AS BIGINT) END""".stripMargin))
   }
 
   val q324Oracle: String =
@@ -1022,12 +1026,159 @@ object EvalQueries {
       |  FROM dis CROSS JOIN marg)
       |SELECT n_units, t_total, offpairs, sumsq, alpha_num, alpha_den,
       |  CASE WHEN alpha_num >= 0
-      |    THEN CAST(alpha_num * 1000000 // alpha_den AS BIGINT)
-      |    ELSE -CAST((-alpha_num) * 1000000 // alpha_den AS BIGINT)
+      |    THEN CAST(CAST(alpha_num AS HUGEINT) * 1000000 // alpha_den
+      |      AS BIGINT)
+      |    ELSE -CAST(CAST(-alpha_num AS HUGEINT) * 1000000 // alpha_den
+      |      AS BIGINT)
       |  END AS alpha_ppm
       |FROM alpha""".stripMargin
 
+  /** McNEMAR'S TEST (q330) — the paired-rater disagreement test that
+    * completes the agreement battery (q215 kappa = chance-corrected
+    * agreement level, q324 alpha = multi-rater reliability, this =
+    * "do the two raters disagree in a BIASED direction?"): only the
+    * discordant cells matter — b (A-yes/B-no) vs c (A-no/B-yes) — and
+    * under the null they split evenly. Raters are the suite's
+    * deterministic in-engine annotators (length ≥ 300 chars vs
+    * word-count ≥ 45): correlated, deliberately not identical.
+    * Everything is integer-exact: χ²_ppm = (b−c)²·10⁶ div (b+c), the
+    * continuity-corrected variant uses max(|b−c|−1, 0), and the 95%
+    * verdict cross-multiplies against χ²₁ = 3.841459 as
+    * (b−c)²·10⁶ > 3841459·(b+c). NULL statistics when b+c = 0 (no
+    * discordant pairs — the test is undefined, loudly not 0).
+    *
+    * Scale shape: one shuffle-free map over documents → a 1-row
+    * aggregate with map-side combine. Output is ONE row.
+    */
+  def q330McNemar(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("ra"),
+        when(size(graft.functions.TextFunctions.tokens(col("text"))) >= 45,
+          1L).otherwise(0L).as("rb"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(expr("CASE WHEN ra = 1 AND rb = 1 THEN 1L ELSE 0L END"))
+          .as("n_both"),
+        sum(expr("CASE WHEN ra = 1 AND rb = 0 THEN 1L ELSE 0L END"))
+          .as("b_discord"),
+        sum(expr("CASE WHEN ra = 0 AND rb = 1 THEN 1L ELSE 0L END"))
+          .as("c_discord"),
+        sum(expr("CASE WHEN ra = 0 AND rb = 0 THEN 1L ELSE 0L END"))
+          .as("n_neither"))
+      .select(col("n_units"), col("n_both"), col("b_discord"),
+        col("c_discord"), col("n_neither"),
+        expr("""CASE WHEN b_discord + c_discord = 0 THEN NULL
+          | ELSE CAST(CAST(b_discord - c_discord AS DECIMAL(38,0))
+          |   * (b_discord - c_discord) * 1000000
+          |   div (b_discord + c_discord) AS BIGINT)
+          |END""".stripMargin).as("chi2_ppm"),
+        expr("""CASE WHEN b_discord + c_discord = 0 THEN NULL
+          | ELSE CAST(CAST(GREATEST(ABS(b_discord - c_discord) - 1, 0L)
+          |   AS DECIMAL(38,0))
+          |   * GREATEST(ABS(b_discord - c_discord) - 1, 0L) * 1000000
+          |   div (b_discord + c_discord) AS BIGINT)
+          |END""".stripMargin).as("chi2_cc_ppm"),
+        expr("""CAST(CASE WHEN b_discord + c_discord > 0 AND
+          |  CAST(b_discord - c_discord AS DECIMAL(38,0))
+          |    * (b_discord - c_discord) * 1000000 >
+          |  3841459 * CAST(b_discord + c_discord AS DECIMAL(38,0))
+          |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_95"))
+
+  val q330Oracle: String =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 45
+      |      THEN 1 ELSE 0 END AS rb
+      |  FROM documents),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_both,
+      |    CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_discord,
+      |    CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_discord,
+      |    CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_neither
+      |  FROM r)
+      |SELECT n_units, n_both, b_discord, c_discord, n_neither,
+      |  CASE WHEN b_discord + c_discord = 0 THEN NULL
+      |    ELSE CAST(CAST(b_discord - c_discord AS HUGEINT)
+      |      * (b_discord - c_discord) * 1000000
+      |      // (b_discord + c_discord) AS BIGINT)
+      |  END AS chi2_ppm,
+      |  CASE WHEN b_discord + c_discord = 0 THEN NULL
+      |    ELSE CAST(CAST(GREATEST(ABS(b_discord - c_discord) - 1, 0)
+      |      AS HUGEINT)
+      |      * GREATEST(ABS(b_discord - c_discord) - 1, 0) * 1000000
+      |      // (b_discord + c_discord) AS BIGINT)
+      |  END AS chi2_cc_ppm,
+      |  CAST(CASE WHEN b_discord + c_discord > 0 AND
+      |    CAST(b_discord - c_discord AS HUGEINT)
+      |      * (b_discord - c_discord) * 1000000 >
+      |    3841459 * CAST(b_discord + c_discord AS HUGEINT)
+      |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM agg""".stripMargin
+
+  /** AVERAGE PRECISION (q331) — the ranking-quality summary that
+    * completes q208's AUC: AUC prices pairwise ordering, AP prices the
+    * TOP of the ranking (each relevant doc contributes the precision at
+    * its own rank — exactly what a curation pipeline skimming the top
+    * of a quality ranking experiences). Ranks come from the
+    * deterministic total order (score DESC, doc_id ASC); each relevant
+    * rank k contributes P@k = cumrel(k)·10⁶ div k, and
+    * ap_ppm = Σ contributions div R. Truncated-division contributions
+    * are the documented convention (both engines compute the identical
+    * sequence, so parity is exact; the alternative — rational-sum AP —
+    * overflows any fixed decimal at corpus scale). prior_ppm = R·10⁶
+    * div n rides along: AP of a random ranking, the number AP must
+    * beat to mean anything.
+    *
+    * Scale shape: the global rank and the relevance cumulative both
+    * ride the distributed two-pass prefix sum (range exchange on
+    * (score, doc_id) — no one-partition window); everything after is
+    * a 1-row aggregate. Output is ONE row.
+    */
+  def q331AveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val j = scoreLabel(spark, dir)
+      .withColumn("g", lit(0)).withColumn("one", lit(1L))
+    val ord = Seq(col("score_sum").desc, col("doc_id").asc)
+    val ranked = graft.functions.PrefixSum.runningTotal(
+      graft.functions.PrefixSum.runningTotal(j, Seq("g"), ord, "one", "rk"),
+      Seq("g"), ord, "y", "cumrel")
+    ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1L,
+          expr("CAST(cumrel AS DECIMAL(38,0)) * 1000000 div rk"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("sp"))
+      .select(col("n"), col("n_pos"),
+        expr("CASE WHEN n_pos = 0 THEN NULL " +
+          "ELSE CAST(sp div n_pos AS BIGINT) END").as("ap_ppm"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("prior_ppm"))
+  }
+
+  val q331Oracle: String =
+    s"""WITH $scoreLabelCtes,
+       |ranked AS (
+       |  SELECT y,
+       |    ROW_NUMBER() OVER (ORDER BY score_sum DESC, doc_id ASC) AS rk,
+       |    SUM(y) OVER (ORDER BY score_sum DESC, doc_id ASC) AS cumrel
+       |  FROM j)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CASE WHEN SUM(y) = 0 THEN NULL
+       |    ELSE CAST(SUM(CASE WHEN y = 1
+       |      THEN CAST(cumrel AS HUGEINT) * 1000000 // rk
+       |      ELSE 0 END) // SUM(y) AS BIGINT)
+       |  END AS ap_ppm,
+       |  CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS prior_ppm
+       |FROM ranked""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_mcnemar"         -> (q330McNemar _),
+    "q331_average_precision" -> (q331AveragePrecision _),
     "q324_krippendorff_alpha" -> (q324KrippendorffAlpha _),
     "q307_stump_crossval"  -> (q307StumpCrossVal _),
     "q289_conformal_calibration" -> (q289ConformalCalibration _),
@@ -1040,6 +1191,8 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q330_mcnemar"         -> q330Oracle,
+    "q331_average_precision" -> q331Oracle,
     "q324_krippendorff_alpha" -> q324Oracle,
     "q307_stump_crossval"  -> q307Oracle,
     "q289_conformal_calibration" -> q289Oracle,

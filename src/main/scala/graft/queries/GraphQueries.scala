@@ -130,6 +130,72 @@ object GraphQueries {
        |ORDER BY spine.doc_id""".stripMargin
   }
 
+  /** QUALITY-CANONICAL DEDUP MAP (q333) — q269's map with the survivor
+    * rule a production pipeline actually wants: inside each near-dup
+    * cluster, keep the HIGHEST-QUALITY member (longest text, doc_id
+    * tie-break), not the smallest id. min-id survival (q269/q141's rule)
+    * is the right CLUSTERING convention — the label must be order-free
+    * and mergeable — but the wrong CURATION one: a cluster's shortest
+    * stub can carry the smallest id, and keep-the-stub throws away the
+    * best copy of every duplicated document. Label and survivor are
+    * therefore decoupled: components still label by min id (so the
+    * contraction stays reusable via the componentTable conf), and the
+    * survivor is a per-component argmax by (length(text) DESC, doc_id
+    * ASC) — deterministic, engine-exact, no floats.
+    *
+    * Scale shape: one star contraction (or the staged component scan via
+    * `spark.graft.folds.componentTable` — and the pair cascade under it
+    * honors `spark.graft.neardup.pairTable`); the survivor pick is one
+    * per-component hash-agg (single-pass max(struct)); the map is the
+    * corpus spine left-joined twice. Output is corpus-sized by design.
+    */
+  def q333QualityCanonicalMap(spark: SparkSession, dir: String): DataFrame = {
+    val comp = (spark.conf.getOption("spark.graft.folds.componentTable") match {
+      case Some(path) => spark.read.parquet(path)
+      case None => q141NearDupComponents(spark, dir)
+    }).select(col("doc_id"), col("component"))
+    val docs = SimilarityQueries.docsWithPlants(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("qual"))
+    val surv = docs.join(comp, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("qual"),
+        (-col("doc_id")).as("negid"), col("doc_id").as("id")))
+        .getField("id").as("canonical_id"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(surv, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q333 oracle: q141's closure CTEs, a per-component argmax survivor,
+    * then the corpus spine with identity rows for singletons. */
+  val q333Oracle: String = {
+    val cut = q141Oracle.indexOf("siz AS")
+    val ctes = q141Oracle.take(cut)
+    s"""${ctes}qual AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS q FROM docs_p),
+       |mem AS (
+       |  SELECT lab.doc_id, lab.component, q
+       |  FROM lab JOIN qual USING (doc_id)),
+       |surv AS (
+       |  SELECT component, doc_id AS canonical_id FROM (
+       |    SELECT component, doc_id, row_number() OVER (
+       |      PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn
+       |    FROM mem)
+       |  WHERE rn = 1),
+       |spine AS (SELECT doc_id FROM docs_p)
+       |SELECT spine.doc_id,
+       |  COALESCE(surv.canonical_id, spine.doc_id) AS canonical_id,
+       |  spine.doc_id = COALESCE(surv.canonical_id, spine.doc_id) AS keep
+       |FROM spine
+       |LEFT JOIN lab ON lab.doc_id = spine.doc_id
+       |LEFT JOIN surv ON surv.component = lab.component
+       |ORDER BY spine.doc_id""".stripMargin
+  }
+
   /** Integer-exact PageRank over the customer↔supplier graph (an edge per
     * distinct customer–supplier order relationship from orders⋈lineitem,
     * taken in both directions so the chain has no dangling mass). Ranks
@@ -740,10 +806,10 @@ object GraphQueries {
     "q325_degree_assortativity" -> (q325DegreeAssortativity _),
     "q295_hits"               -> (q295Hits _),
     "q269_dedup_map"          -> (q269DedupMap _),
+    "q333_quality_canonical_map" -> (q333QualityCanonicalMap _),
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
-    "q271_frontier_components" -> (q271FrontierComponents _),
     "q308_incr_components_prod" -> (q308IncrComponentsProd _),
     "q280_cluster_cohesion"   -> (q280ClusterCohesion _),
     "q200_triangle_census"    -> (q200TriangleCensus _),
@@ -753,16 +819,20 @@ object GraphQueries {
     "q325_degree_assortativity" -> q325Oracle,
     "q295_hits"               -> q295Oracle,
     "q269_dedup_map"          -> q269Oracle,
+    "q333_quality_canonical_map" -> q333Oracle,
     "q141_neardup_components" -> q141Oracle,
     "q142_pagerank"           -> q142Oracle,
     // identical full-closure oracle by design: incremental merge must
     // equal the from-scratch clustering
     "q150_incremental_components" -> q141Oracle,
-    // same identical-to-full-closure contract, now with untouched-
-    // component passthrough on the Spark side
-    "q271_frontier_components" -> q141Oracle,
     // production path reads the persisted base index; answer contract is
-    // still exact equality with the from-scratch closure
+    // still exact equality with the from-scratch closure. q271 (the same
+    // frontier merge with the base index derived in-query) was RETIRED
+    // from the gate in round 13 — its 11.3 s row was pure oracle-
+    // composition overhead (a second star contraction) duplicating
+    // coverage this q308 row + GraphSpec's q271≡q141 and q308≡q271
+    // invariants already carry; the operator itself remains (q308 calls
+    // it). Decision record: PLANS.md §round-13.
     "q308_incr_components_prod" -> q141Oracle,
     "q280_cluster_cohesion"   -> q280Oracle,
     "q200_triangle_census"    -> q200Oracle,

@@ -1422,7 +1422,150 @@ object ProfilingQueries {
       |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
       |FROM b CROSS JOIN nn""".stripMargin
 
+  /** SPEARMAN RANK CORRELATION, TIE-AWARE (q328) — per source, the
+    * monotone association between document length in characters and in
+    * tokens: the nonparametric complement to q226's Pearson covariance
+    * (rank correlation survives the heavy-tailed length distributions a
+    * web corpus actually has, where one 10 MB page dominates a Pearson
+    * moment). Ties get MIDRANKS, kept integral by doubling:
+    *   r2(v) = 2·cum(v) − c(v) + 1   (= 2× the average rank over the tie)
+    * Pearson on the doubled midranks is then exact integer moments:
+    *   num = n·Σxy − Σx·Σy,  dx = n·Σxx − Σx²,  dy = n·Σyy − Σy²
+    * and ρ_ppm = sign-split num·10⁶ div (isqrt(dx)·isqrt(dy)) with the
+    * q320 float-seeded ±2-corrected integer sqrt — so both engines land
+    * on the identical truncated ppm (isqrt(dx)·isqrt(dy) ≠ isqrt(dx·dy),
+    * but BOTH sides compute the same expression, and keeping the sqrts
+    * separate bounds each operand under DECIMAL(38,0): dx,dy ≤ 4n⁴ holds
+    * BIGINT→DECIMAL exactness to n ≈ 4·10⁹ docs/source, vs n ≤ 4·10⁴ if
+    * the product were rooted). NULL when either axis is constant in a
+    * source (ρ undefined), loudly not 0.
+    *
+    * Scale shape: each axis collapses to the per-source distinct-value
+    * frame (one hash-agg), midranks ride the distributed two-pass prefix
+    * sum partitioned by source; two (source, value) equi-joins hang the
+    * doubled midranks back on the corpus; one |sources|-row moment
+    * aggregate ends it. No one-partition window, nothing all-pairs.
+    */
+  def q328SpearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("vx"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast(LongType).as("vy"))
+    def rank2(axis: String, out: String): DataFrame = {
+      val h = docs.groupBy(col("source"), col(axis))
+        .agg(count(lit(1)).as("c"))
+      graft.functions.PrefixSum.runningTotal(
+          h, Seq("source"), Seq(col(axis).asc), "c", "cum")
+        .select(col("source"), col(axis),
+          (lit(2L) * col("cum") - col("c") + lit(1L)).as(out))
+    }
+    val m = docs
+      .join(rank2("vx", "r2x"), Seq("source", "vx"))
+      .join(rank2("vy", "r2y"), Seq("source", "vy"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(expr("CAST(r2x AS DECIMAL(38,0)) * r2y")).as("sxy"),
+        sum(expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).as("sxx"),
+        sum(expr("CAST(r2y AS DECIMAL(38,0)) * r2y")).as("syy"))
+      .withColumn("num", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("dx", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("dy", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+    def isqrt(v: String, out: String)(df: DataFrame): DataFrame = df
+      .withColumn("__r0",
+        expr(s"CAST(FLOOR(SQRT(CAST($v AS DOUBLE))) AS BIGINT)"))
+      .withColumn(out, greatest(lit(0L), col("__r0") - 2 + expr(
+        s"""CASE
+           |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= $v THEN 4L
+           |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= $v THEN 3L
+           |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= $v THEN 2L
+           |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= $v THEN 1L
+           |  ELSE 0L END""".stripMargin)))
+      .drop("__r0")
+    // |num| <= sqrt(dx*dy) (Cauchy–Schwarz) but wx*wy TRUNCATES each sqrt,
+    // so near |rho| = 1 the quotient can overshoot 10^6 by O(1/sqrt(d))
+    // ppm — clamp the magnitude so the invariant |rho_ppm| <= 10^6 holds
+    // by construction (identically in both engines)
+    isqrt("dy", "wy")(isqrt("dx", "wx")(m))
+      .select(col("source"), col("n_docs"),
+        expr("""CASE WHEN wx = 0 OR wy = 0 THEN NULL
+          | WHEN num >= 0 THEN LEAST(CAST(num * 1000000
+          |   div (CAST(wx AS DECIMAL(38,0)) * wy) AS BIGINT), 1000000L)
+          | ELSE -LEAST(CAST((-num) * 1000000
+          |   div (CAST(wx AS DECIMAL(38,0)) * wy) AS BIGINT), 1000000L)
+          |END""".stripMargin).as("rho_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q328Oracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS vx,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS vy
+      |  FROM documents),
+      |hx AS (SELECT source, vx, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM d GROUP BY 1, 2),
+      |rx AS (SELECT source, vx,
+      |         CAST(2 * SUM(c) OVER (PARTITION BY source ORDER BY vx)
+      |           - c + 1 AS BIGINT) AS r2x
+      |       FROM hx),
+      |hy AS (SELECT source, vy, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM d GROUP BY 1, 2),
+      |ry AS (SELECT source, vy,
+      |         CAST(2 * SUM(c) OVER (PARTITION BY source ORDER BY vy)
+      |           - c + 1 AS BIGINT) AS r2y
+      |       FROM hy),
+      |m AS (
+      |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    SUM(CAST(r2x AS HUGEINT)) AS sx, SUM(CAST(r2y AS HUGEINT)) AS sy,
+      |    SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+      |    SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+      |    SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+      |  FROM d
+      |  JOIN rx ON rx.source = d.source AND rx.vx = d.vx
+      |  JOIN ry ON ry.source = d.source AND ry.vy = d.vy
+      |  GROUP BY 1),
+      |nd AS (
+      |  SELECT source, n_docs,
+      |    n_docs * sxy - sx * sy AS num,
+      |    n_docs * sxx - sx * sx AS dx,
+      |    n_docs * syy - sy * sy AS dy
+      |  FROM m),
+      |r0s AS (
+      |  SELECT *,
+      |    CAST(FLOOR(SQRT(CAST(dx AS DOUBLE))) AS BIGINT) AS r0x,
+      |    CAST(FLOOR(SQRT(CAST(dy AS DOUBLE))) AS BIGINT) AS r0y
+      |  FROM nd),
+      |w AS (
+      |  SELECT source, n_docs, num,
+      |    GREATEST(0, r0x - 2 + CASE
+      |      WHEN CAST(r0x + 2 AS HUGEINT) * (r0x + 2) <= dx THEN 4
+      |      WHEN CAST(r0x + 1 AS HUGEINT) * (r0x + 1) <= dx THEN 3
+      |      WHEN CAST(r0x AS HUGEINT) * r0x <= dx THEN 2
+      |      WHEN CAST(r0x - 1 AS HUGEINT) * (r0x - 1) <= dx THEN 1
+      |      ELSE 0 END) AS wx,
+      |    GREATEST(0, r0y - 2 + CASE
+      |      WHEN CAST(r0y + 2 AS HUGEINT) * (r0y + 2) <= dy THEN 4
+      |      WHEN CAST(r0y + 1 AS HUGEINT) * (r0y + 1) <= dy THEN 3
+      |      WHEN CAST(r0y AS HUGEINT) * r0y <= dy THEN 2
+      |      WHEN CAST(r0y - 1 AS HUGEINT) * (r0y - 1) <= dy THEN 1
+      |      ELSE 0 END) AS wy
+      |  FROM r0s)
+      |SELECT source, n_docs,
+      |  CASE WHEN wx = 0 OR wy = 0 THEN NULL
+      |    WHEN num >= 0 THEN LEAST(CAST(num * 1000000
+      |      // (CAST(wx AS HUGEINT) * wy) AS BIGINT), 1000000)
+      |    ELSE -LEAST(CAST((-num) * 1000000
+      |      // (CAST(wx AS HUGEINT) * wy) AS BIGINT), 1000000)
+      |  END AS rho_ppm
+      |FROM w
+      |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_spearman_corr"   -> (q328SpearmanCorr _),
     "q327_runs_test"       -> (q327RunsTest _),
     "q322_mann_whitney"    -> (q322MannWhitney _),
     "q319_ks_distance"     -> (q319KsDistance _),
@@ -1447,6 +1590,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q328_spearman_corr"   -> q328Oracle,
     "q327_runs_test"       -> q327Oracle,
     "q322_mann_whitney"    -> q322Oracle,
     "q319_ks_distance"     -> q319Oracle,

@@ -1314,7 +1314,177 @@ object TimeSeriesQueries {
       |WHERE rn = (np + 1) // 2
       |ORDER BY r.event_type""".stripMargin
 
+  /** SINGLE CHANGEPOINT DETECTION (q329) — binary segmentation's first
+    * split: per event_type, the day boundary that minimizes total
+    * within-segment variance of the daily count series — the drift
+    * LOCALIZER that complements q237's CUSUM (which says "drifted", not
+    * "when"). For a split after position i of d days, each segment's
+    * within-SSE is kept exact and SCALED by its length:
+    *   a = n_seg·Σx² − (Σx)²   (= n_seg² · variance, integer-exact)
+    * and the selection minimizes a1/n1 + a2/n2. The double-valued
+    * ratio is ORDERING ONLY (the q323 Theil–Sen discipline: both
+    * engines compute the identical two IEEE divisions and one add, with
+    * a deterministic day tie-break); everything REPORTED is the exact
+    * integer (a1, a2, n1, n2) of the selected split.
+    *
+    * Scale shape: events collapse to the bounded (event_type × day)
+    * axis first; prefix sums ride a window partitioned by event_type
+    * over that tiny frame; candidate evaluation is one pass over the
+    * same frame joined to a |types|-row total. Nothing row-scale past
+    * the first aggregate.
+    */
+  def q329Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val pre = daily
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(w))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("t1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("t2"))
+    val cand = pre.join(tot, "event_type")
+      .filter(col("i") < col("n_days"))
+      .withColumn("a1", expr(
+        "i * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("a2", expr(
+        "(n_days - i) * (t2 - s2) - CAST(t1 - s1 AS DECIMAL(38,0)) * (t1 - s1)"))
+      .withColumn("cost",
+        expr("CAST(a1 AS DOUBLE) / i + CAST(a2 AS DOUBLE) / (n_days - i)"))
+    cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cost").asc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("split_day"),
+        col("i").as("n_left"), (col("n_days") - col("i")).as("n_right"),
+        col("a1").cast(LongType).as("sse_left_scaled"),
+        col("a2").cast(LongType).as("sse_right_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val q329Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, day, c,
+      |    CAST(row_number() OVER
+      |      (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+      |    SUM(CAST(c AS HUGEINT) * c) OVER
+      |      (PARTITION BY event_type ORDER BY day) AS s2
+      |  FROM daily),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS t1, SUM(CAST(c AS HUGEINT) * c) AS t2
+      |  FROM daily GROUP BY 1),
+      |cand AS (
+      |  SELECT pre.event_type, pre.day, pre.i, tot.n_days,
+      |    i * s2 - CAST(s1 AS HUGEINT) * s1 AS a1,
+      |    (n_days - i) * (t2 - s2)
+      |      - CAST(t1 - s1 AS HUGEINT) * (t1 - s1) AS a2,
+      |    CAST(i * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / i
+      |      + CAST((n_days - i) * (t2 - s2)
+      |          - CAST(t1 - s1 AS HUGEINT) * (t1 - s1) AS DOUBLE)
+      |        / (n_days - i) AS cost
+      |  FROM pre JOIN tot ON tot.event_type = pre.event_type
+      |  WHERE i < n_days),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cost, day) AS rn
+      |  FROM cand)
+      |SELECT event_type, n_days, day AS split_day,
+      |  i AS n_left, n_days - i AS n_right,
+      |  CAST(a1 AS BIGINT) AS sse_left_scaled,
+      |  CAST(a2 AS BIGINT) AS sse_right_scaled
+      |FROM best WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** TIME-WEIGHTED AVERAGE (TWAP, q332) — per (event_type, day), the
+    * value average weighted by how LONG each observation was current
+    * (the finance/monitoring staple the arithmetic mean corrupts: a
+    * burst of 100 cheap ticks in one second must not outweigh one
+    * price that held for an hour). Each event's weight is the
+    * microsecond gap to the next event of the same (type, day), ties
+    * broken by event_id (the suite's deterministic total order); the
+    * day's last observation closes no segment (no fabricated
+    * end-of-day duration). twap_cents = Σ(cents·dur_us) div Σdur_us —
+    * integer-exact; the unweighted mean_cents rides along so the
+    * burst bias is visible as (mean − twap).
+    *
+    * Scale shape: one lead() on the (event_type, day)-partitioned
+    * window (many bounded partitions — the q217 OHLC posture), then
+    * one hash-agg onto the bounded type×day axis. NULL (not a crash,
+    * not 0) when a day's events all share one timestamp.
+    */
+  def q332Twap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("unix_micros(ts)").as("tsus"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tsus").asc, col("event_id").asc)
+    ev.withColumn("dur_us", lead(col("tsus"), 1).over(w) - col("tsus"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("dur_us").isNotNull, 1L).otherwise(0L))
+          .as("n_segments"),
+        sum(col("cents")).as("sum_cents"),
+        sum(coalesce(col("dur_us"), lit(0L))).as("sum_dur_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * coalesce(dur_us, 0)"))
+          .as("wsum"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("n_segments"), col("sum_dur_us"),
+        expr("""CASE WHEN sum_dur_us = 0 THEN NULL
+          | WHEN wsum >= 0 THEN CAST(wsum div sum_dur_us AS BIGINT)
+          | ELSE -CAST((-wsum) div sum_dur_us AS BIGINT)
+          |END""".stripMargin).as("twap_cents"),
+        expr("""CASE WHEN sum_cents >= 0
+          | THEN sum_cents div n_events
+          | ELSE -((-sum_cents) div n_events)
+          |END""".stripMargin).as("mean_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q332Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    epoch_us(ts) AS tsus, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |seg AS (
+      |  SELECT event_type, day, cents,
+      |    lead(tsus) OVER (PARTITION BY event_type, day
+      |      ORDER BY tsus, event_id) - tsus AS dur_us
+      |  FROM ev),
+      |agg AS (
+      |  SELECT event_type, day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN dur_us IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_segments,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |    CAST(SUM(COALESCE(dur_us, 0)) AS BIGINT) AS sum_dur_us,
+      |    SUM(CAST(cents AS HUGEINT) * COALESCE(dur_us, 0)) AS wsum
+      |  FROM seg GROUP BY 1, 2)
+      |SELECT event_type, day, n_events, n_segments, sum_dur_us,
+      |  CASE WHEN sum_dur_us = 0 THEN NULL
+      |    WHEN wsum >= 0 THEN CAST(wsum // sum_dur_us AS BIGINT)
+      |    ELSE -CAST((-wsum) // sum_dur_us AS BIGINT)
+      |  END AS twap_cents,
+      |  CASE WHEN sum_cents >= 0 THEN sum_cents // n_events
+      |    ELSE -((-sum_cents) // n_events)
+      |  END AS mean_cents
+      |FROM agg
+      |ORDER BY event_type, day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_changepoint"       -> (q329Changepoint _),
+    "q332_twap"              -> (q332Twap _),
     "q323_theil_sen"         -> (q323TheilSen _),
     "q321_streak_histogram"  -> (q321StreakHistogram _),
     "q312_mase_backtest"     -> (q312MaseBacktest _),
@@ -1336,6 +1506,8 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q329_changepoint"       -> q329Oracle,
+    "q332_twap"              -> q332Oracle,
     "q323_theil_sen"         -> q323Oracle,
     "q321_streak_histogram"  -> q321Oracle,
     "q312_mase_backtest"     -> q312Oracle,

@@ -62,6 +62,35 @@ class CurationRunSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("staged near-dup pair frame: consumers scan it and stay identical") {
+    val ndPath = CurationRun.stagedNearDupPairPath(sfDir)
+    SimilarityQueries.derivedNearDupPairs(spark, sfDir)
+      .write.mode("overwrite").parquet(ndPath)
+    // gate-mode baselines FIRST (conf unset): the raw-derivation results
+    val compGate = GraphQueries.q141NearDupComponents(spark, sfDir)
+      .collect().toSeq
+    val assortGate = GraphQueries.q325DegreeAssortativity(spark, sfDir)
+      .collect().toSeq
+    spark.conf.set(CurationRun.NearDupPairConf, ndPath)
+    try {
+      // every consumer's plan must OPEN on the staged scan (no shingle /
+      // minhash / band-join re-derivation behind it) …
+      val stagingRoot = "graft_curation_run"
+      val compPlan = GraphQueries.q141NearDupComponents(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(compPlan.contains(stagingRoot), compPlan.take(2000))
+      assert(!compPlan.contains("minhash"), compPlan.take(2000))
+      val assortPlan = GraphQueries.q325DegreeAssortativity(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(assortPlan.contains(stagingRoot), assortPlan.take(2000))
+      // … and stay result-identical to the raw derivation
+      assert(GraphQueries.q141NearDupComponents(spark, sfDir)
+        .collect().toSeq === compGate)
+      assert(GraphQueries.q325DegreeAssortativity(spark, sfDir)
+        .collect().toSeq === assortGate)
+    } finally spark.conf.unset(CurationRun.NearDupPairConf)
+  }
+
   test("q270: gateSummary refuses to run half-composed") {
     spark.conf.set(CurationRun.PairConf, "/tmp/nonexistent")
     try {

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry ↔ docs synchronization gate (round 13).
+  *
+  * Twice in a row (q307 in round 11, q326/q327 in round 12) new registry
+  * queries landed without their SURVEY §2.B′ / COVERAGE.md rows and with a
+  * stale README count — drift a verdict item kept catching one round late.
+  * This spec makes the drift a TEST failure at commit time instead:
+  *
+  *  - every `SparkEntry.queries` key must appear in COVERAGE.md, either as
+  *    the full key (`q326_sequence_trigrams`) or as its bare id (`q326`,
+  *    word-bounded — the Tier A/B tables cite gate queries by id);
+  *  - every key's bare id must appear in SURVEY.md OR the full key in
+  *    COVERAGE.md must sit on a row that names it (the §2.B′ addendum keys
+  *    rows by id; Tier A/B rows are descriptive, so the id-level check runs
+  *    only for q90+ — the addendum range — where one row per query is the
+  *    documented contract);
+  *  - README's stated query count must equal `SparkEntry.queries.size` and
+  *    its stated id range must end at the actual max id;
+  *  - every `oracleSql` key must be a registry key (an oracle with no query
+  *    can never be exercised — it would silently rot).
+  *
+  * The spec reads the repo files relative to the working directory, which
+  * is the repo root under sbt — the same convention BenchGateSpec uses for
+  * bench.json.
+  */
+class DocsSyncSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val keys: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+  private def idOf(k: String): Int = k.drop(1).takeWhile(_.isDigit).toInt
+
+  test("every registry key is named in COVERAGE.md (full key or bare id)") {
+    val cov = read("COVERAGE.md")
+    val missing = keys.filterNot { k =>
+      cov.contains(k) ||
+        ("""(?<![0-9a-zA-Z_])q""" + idOf(k) + """(?![0-9])""").r
+          .findFirstIn(cov).isDefined
+    }
+    assert(missing.isEmpty,
+      s"COVERAGE.md has no row naming: ${missing.mkString(", ")}")
+  }
+
+  test("every addendum-tier (q90+) registry id is named in SURVEY.md §2") {
+    val sur = read("SURVEY.md")
+    val missing = keys.filter(idOf(_) >= 90).filterNot { k =>
+      ("""(?<![0-9a-zA-Z_])q""" + idOf(k) + """(?![0-9])""").r
+        .findFirstIn(sur).isDefined
+    }
+    assert(missing.isEmpty,
+      s"SURVEY.md §2.B' has no row naming: ${missing.mkString(", ")}")
+  }
+
+  test("README's stated count and id range match the registry") {
+    val readme = read("README.md")
+    val m = """(\d+) verifiable queries \(q01[–-]q(\d+)""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README.md no longer states 'NNN verifiable queries (q01–qMMM'"))
+    val statedCount = m.group(1).toInt
+    val statedMax = m.group(2).toInt
+    val actualMax = keys.map(idOf).max
+    assert(statedCount == keys.size,
+      s"README says $statedCount queries; registry has ${keys.size}")
+    assert(statedMax == actualMax,
+      s"README says range ends at q$statedMax; registry max is q$actualMax")
+  }
+
+  test("every oracleSql key has a registry query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries with no registry query: ${orphans.mkString(", ")}")
+  }
+}

@@ -292,4 +292,46 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       else -(BigInt(-num) * 1000000 / den)
     assert(BigInt(row.getAs[Long]("alpha_ppm")) === ppm)
   }
+
+  test("q330: McNemar cells conserve the corpus and the discordant counts " +
+    "replay driver-side") {
+    val row = SparkEntry.queries("q330_mcnemar")(spark, sfDir).collect().head
+    val cells = Seq("n_both", "b_discord", "c_discord", "n_neither")
+      .map(row.getAs[Long])
+    assert(cells.sum === row.getAs[Long]("n_units"))
+    val raters = Tables.documents(spark, sfDir)
+      .select(col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0) >= 300, r.getLong(1) >= 45))
+    assert(row.getAs[Long]("b_discord") ===
+      raters.count { case (a, b) => a && !b }.toLong)
+    assert(row.getAs[Long]("c_discord") ===
+      raters.count { case (a, b) => !a && b }.toLong)
+    val (b, c) = (row.getAs[Long]("b_discord"), row.getAs[Long]("c_discord"))
+    if (b + c > 0) {
+      val chi2 = BigInt(b - c) * (b - c) * 1000000 / (b + c)
+      assert(BigInt(row.getAs[Long]("chi2_ppm")) === chi2)
+      assert(row.getAs[Long]("reject_95") ===
+        (if (BigInt(b - c) * (b - c) * 1000000 > BigInt(3841459) * (b + c)) 1L
+         else 0L))
+    }
+  }
+
+  test("q331: AP is a valid ppm, beats-or-meets nothing it shouldn't, and " +
+    "its class counts agree with q208's") {
+    val ap = SparkEntry.queries("q331_average_precision")(spark, sfDir)
+      .collect().head
+    val auc = SparkEntry.queries("q208_auc_exact")(spark, sfDir)
+      .collect().head
+    assert(ap.getAs[Long]("n_pos") === auc.getAs[Long]("n_pos"))
+    assert(ap.getAs[Long]("n") ===
+      auc.getAs[Long]("n_pos") + auc.getAs[Long]("n_neg"))
+    val apPpm = ap.getAs[Long]("ap_ppm")
+    val prior = ap.getAs[Long]("prior_ppm")
+    assert(apPpm >= 0 && apPpm <= 1000000)
+    assert(prior >= 0 && prior <= 1000000)
+    // prevalence replay: prior = n_pos * 1e6 div n
+    assert(prior === BigInt(ap.getAs[Long]("n_pos")) * 1000000 /
+      ap.getAs[Long]("n"))
+  }
 }

@@ -304,4 +304,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(BigInt(row.getAs[Long]("r_ppm")) === ppm)
     assert(ppm.abs <= 1000000)
   }
+
+  test("q333: the quality canonical is each component's argmax by " +
+    "(length, -id), singletons self-survive, and keep counts match q269") {
+    val map333 = SparkEntry.queries("q333_quality_canonical_map")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val comp = GraphQueries.q141NearDupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted corpus quality: base docs + the %5 twins with one more token
+    val qual = {
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), length(col("text")).cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      (base ++ base.collect { case (id, q) if id % 5 == 0 =>
+        (id + 10000000L, q + 7L) }).toMap // " zz9end" adds 7 chars
+    }
+    assert(map333.keySet === qual.keySet)
+    // clustered docs: canonical = argmax (qual desc, id asc) of the component
+    comp.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).toSeq
+      val expect = ids.minBy(id => (-qual(id), id))
+      ids.foreach { id =>
+        assert(map333(id)._1 === expect, s"canonical mismatch for $id")
+        assert(map333(id)._2 === (id == expect))
+      }
+    }
+    // singletons self-survive
+    map333.foreach { case (id, (canon, keep)) =>
+      if (!comp.contains(id)) { assert(canon === id); assert(keep) } }
+    // same survivor COUNT as q269 (different survivors, same cardinality)
+    val keep269 = SparkEntry.queries("q269_dedup_map")(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(map333.values.count(_._2).toLong === keep269)
+  }
 }

@@ -531,4 +531,49 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("rb_ppm") === expPpm)
     }
   }
+
+  test("q328: Spearman rho replays driver-side (doubled midranks + exact " +
+    "isqrt) and stays in [-1e6, 1e6]") {
+    val rows = SparkEntry.queries("q328_spearman_corr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) assert(math.abs(r.getLong(2)) <= 1000000L) }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      var cum = 0L
+      vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        .map { case (v, c) => cum += c; v -> (2 * cum - c + 1) }.toMap
+    }
+    def isqrt(v: BigInt): BigInt =
+      if (v <= 0) BigInt(0) else {
+        var r = BigInt(math.sqrt(v.toDouble).toLong)
+        while (r * r > v) r -= 1
+        while ((r + 1) * (r + 1) <= v) r += 1
+        r
+      }
+    rows.foreach { row =>
+      val src = row.getString(0)
+      val mine = docs.filter(_._1 == src)
+      assert(row.getLong(1) === mine.length.toLong)
+      val rx = rank2(mine.map(_._2)); val ry = rank2(mine.map(_._3))
+      val n = BigInt(mine.length)
+      val xs = mine.map(d => BigInt(rx(d._2)))
+      val ys = mine.map(d => BigInt(ry(d._3)))
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.lazyZip(ys).map(_ * _).sum
+      val num = n * sxy - sx * sy
+      val wx = isqrt(n * xs.map(a => a * a).sum - sx * sx)
+      val wy = isqrt(n * ys.map(a => a * a).sum - sy * sy)
+      if (wx == 0 || wy == 0) assert(row.isNullAt(2), s"$src expected NULL")
+      else {
+        // the engine clamps the truncated-sqrt overshoot at 1e6
+        val q = ((num.abs * 1000000) / (wx * wy)).min(BigInt(1000000))
+        val expect = if (num >= 0) q.toLong else -q.toLong
+        assert(row.getLong(2) === expect, s"rho mismatch for $src")
+      }
+    }
+  }
 }

@@ -573,4 +573,72 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("med_den") === md, s"med_den mismatch for $et")
     }
   }
+
+  test("q329: split partitions the day axis, and the best split replays " +
+    "driver-side from daily counts") {
+    val rows = SparkEntry.queries("q329_changepoint")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val nDays = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") === nDays)
+      val series = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+      assert(series.length.toLong === nDays)
+      def a(seg: Seq[Long]): BigInt = {
+        val s1 = seg.map(BigInt(_)).sum
+        BigInt(seg.length) * seg.map(x => BigInt(x) * x).sum - s1 * s1
+      }
+      // replay the argmin over every split with the same cost ordering
+      val best = (1 until series.length).map { i =>
+        val (l, rr) = series.map(_._3).splitAt(i)
+        val (a1, a2) = (a(l), a(rr))
+        val cost = a1.toDouble / i + a2.toDouble / (series.length - i)
+        (cost, series(i - 1)._2, i, a1, a2)
+      }.minBy(t => (t._1, t._2.toEpochDay))
+      assert(r.getAs[java.sql.Date]("split_day").toLocalDate === best._2,
+        s"split mismatch for $et")
+      assert(r.getAs[Long]("n_left") === best._3.toLong)
+      assert(BigInt(r.getAs[Long]("sse_left_scaled")) === best._4)
+      assert(BigInt(r.getAs[Long]("sse_right_scaled")) === best._5)
+    }
+  }
+
+  test("q332: every (type, day) has n_segments = n_events - 1, twap sits " +
+    "inside the day's cent range, and one group replays exactly") {
+    val rows = SparkEntry.queries("q332_twap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_segments") === r.getAs[Long]("n_events") - 1) }
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("unix_micros(ts)").as("tsus"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // replay the group with the most events (the interesting one)
+    val target = rows.maxBy(_.getAs[Long]("n_events"))
+    val et = target.getString(0)
+    val day = target.getAs[java.sql.Date]("day").toLocalDate
+    val g = ev.filter(e => e._1 == et && e._2 == day)
+      .sortBy(e => (e._3, e._4))
+    val segs = g.zip(g.tail).map { case (a, b) => (a._5, b._3 - a._3) }
+    val sumDur = segs.map(_._2).sum
+    assert(target.getAs[Long]("sum_dur_us") === sumDur)
+    if (sumDur > 0) {
+      val wsum = segs.map { case (c, d) => BigInt(c) * d }.sum
+      val expect = if (wsum >= 0) (wsum / sumDur).toLong
+        else -((-wsum) / sumDur).toLong
+      assert(target.getAs[Long]("twap_cents") === expect)
+      val cs = segs.map(_._1)
+      assert(expect >= cs.min && expect <= cs.max)
+    }
+  }
 }
