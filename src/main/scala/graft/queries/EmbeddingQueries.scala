@@ -550,7 +550,73 @@ object EmbeddingQueries {
       |FROM agg
       |ORDER BY label""".stripMargin
 
+  /** EMBEDDING ANISOTROPY AUDIT (q336) — the degenerate-space detector:
+    * a healthy embedding cloud has its mean vector near the origin
+    * relative to typical vector energy; anisotropic (cone-shaped) spaces
+    * — the classic failure of contrastive training collapse — have
+    * ||μ||² a large fraction of E||v||², which silently inflates every
+    * cosine similarity the ANN tier computes. On the 1/16 quantized grid
+    * everything is integer-exact: per-dimension milli-means
+    * m_d = s_d·1000 div n (q313's convention; both engines truncate
+    * toward zero), A = Σ m_d² (milli²), B = Σ||q||²·10⁶ div n (the same
+    * milli² scale), anisotropy_ppm = A·10⁶ div B. Near 0 = isotropic;
+    * near 10⁶ = the mean direction carries the cloud's whole energy.
+    *
+    * Scale shape: one posexplode + (dim)-keyed aggregate (64 cells) for
+    * the means; one row-level ||q||² aggregate with map-side combine.
+    * Output is ONE row.
+    */
+  def q336EmbeddingAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val g = gridded(spark, dir)
+    val dims = g.select(posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+      .withColumn("m", expr("s * 1000 div n"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("a_mm2"))
+    val energy = g.select(
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("e2"))
+      .agg(sum(expr("CAST(e2 AS DECIMAL(38,0))")).as("sum_e2"))
+    dims.crossJoin(broadcast(energy))
+      .withColumn("b_mm2", expr("sum_e2 * 1000000 div n_vecs"))
+      .select(col("n_vecs"),
+        expr("CAST(a_mm2 AS BIGINT)").as("mean_norm2_mm2"),
+        expr("CAST(b_mm2 AS BIGINT)").as("avg_energy_mm2"),
+        expr("""CASE WHEN b_mm2 = 0 THEN NULL
+          | ELSE CAST(a_mm2 * 1000000 div b_mm2 AS BIGINT)
+          |END""".stripMargin).as("anisotropy_ppm"))
+  }
+
+  val q336Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(q[i + 1]) AS BIGINT) AS s
+      |  FROM v, UNNEST(range(0, 64)) AS a(i)
+      |  GROUP BY 1),
+      |mm AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+      |    SUM(CAST(s * 1000 // n AS HUGEINT) * (s * 1000 // n)) AS a_mm2
+      |  FROM dims),
+      |en AS (
+      |  SELECT SUM(CAST(list_sum(list_transform(q, x -> x * x))
+      |    AS HUGEINT)) AS sum_e2
+      |  FROM v)
+      |SELECT n_vecs,
+      |  CAST(a_mm2 AS BIGINT) AS mean_norm2_mm2,
+      |  CAST(sum_e2 * 1000000 // n_vecs AS BIGINT) AS avg_energy_mm2,
+      |  CASE WHEN sum_e2 * 1000000 // n_vecs = 0 THEN NULL
+      |    ELSE CAST(a_mm2 * 1000000 // (sum_e2 * 1000000 // n_vecs)
+      |      AS BIGINT)
+      |  END AS anisotropy_ppm
+      |FROM mm CROSS JOIN en""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_embedding_anisotropy" -> (q336EmbeddingAnisotropy _),
     "q313_centroid_drift" -> (q313CentroidDrift _),
     "q301_power_iteration"  -> (q301PowerIteration _),
     "q286_label_cell_occupancy" -> (q286LabelCellOccupancy _),
@@ -560,6 +626,7 @@ object EmbeddingQueries {
     "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "q336_embedding_anisotropy" -> q336Oracle,
     "q313_centroid_drift" -> q313Oracle,
     "q301_power_iteration"  -> q301Oracle,
     "q286_label_cell_occupancy" -> q286Oracle,

@@ -1218,7 +1218,135 @@ object TextQueries {
       |FROM c
       |ORDER BY bucket""".stripMargin
 
+  /** BOILERPLATE PHRASE MINING (q334) — the exact-phrase complement to
+    * q220's PMI collocations: consecutive token TRIPLES (order matters —
+    * q300's co-occurrence and q220's bigram lift are both blind to
+    * adjacency beyond two words) counted as raw occurrences AND distinct-
+    * doc support. A trigram phrase repeated verbatim across many
+    * documents is boilerplate (navigation chrome, license headers,
+    * template scaffolding) — the strip-list a curation pipeline feeds its
+    * cleaner. support_ppm = n_docs·10⁶ div corpus size makes the
+    * threshold portable across corpus versions.
+    *
+    * Scale shape: two lead()s on the doc-partitioned position window
+    * (high-cardinality keys, the q326 shape on text); the phrase
+    * aggregate collapses onto the observed-trigram axis (far below
+    * token volume); top-50 is a TakeOrdered, not a global sort.
+    */
+  def q334BoilerplatePhrases(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val tri = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .withColumn("w3", lead(col("w"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w2"), col("w3")).as("phrase"))
+    val nDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .agg(count(lit(1)).as("n_corpus"))
+    tri.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .crossJoin(broadcast(nDocs))
+      .select(col("phrase"), col("n_occurrences"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div n_corpus " +
+          "AS BIGINT)").as("support_ppm"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("phrase").asc)
+      .limit(50)
+  }
+
+  val q334Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |tri AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS phrase
+      |  FROM d, UNNEST(range(1, len(t) - 1)) AS r(i)),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM d),
+      |agg AS (
+      |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM tri GROUP BY 1
+      |  HAVING COUNT(DISTINCT doc_id) >= 3)
+      |SELECT phrase, n_occurrences, n_docs,
+      |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // n_corpus AS BIGINT)
+      |    AS support_ppm
+      |FROM agg CROSS JOIN nn
+      |ORDER BY n_docs DESC, n_occurrences DESC, phrase ASC
+      |LIMIT 50""".stripMargin
+
+  /** CONTENT-DEFINED CHUNKING (q335) — Rabin-style chunk boundaries for
+    * storage-dedup and RAG splitters: a token ENDS its chunk when its
+    * content hash ≡ 0 (mod 16), so chunk boundaries move WITH the
+    * content — inserting one sentence shifts only the chunk it lands
+    * in, unlike q101's fixed-stride windows where one insertion
+    * re-chunks the whole document (the rsync/LBFS argument). Expected
+    * chunk length is the modulus (16 tokens); the emitted histogram of
+    * realized chunk lengths is the operator's audit surface (a spike
+    * at 1 or a heavy tail means the hash or modulus is wrong for the
+    * token distribution).
+    *
+    * Scale shape: tokenize + one cumulative sum on the doc-partitioned
+    * position window assigns chunk ids; chunk lengths collapse onto
+    * the (doc, chunk) axis and then onto the bounded length axis.
+    * Output is the length histogram — tiny by construction.
+    */
+  def q335CdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("b", when(
+        expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 16")
+          === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val lens = toks
+      .withColumn("chunk", sum(col("b")).over(w) - col("b"))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_len"))
+    val tot = lens.agg(count(lit(1)).as("n_total"))
+    lens.groupBy(col("chunk_len"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .crossJoin(broadcast(tot))
+      .select(col("chunk_len"), col("n_chunks"),
+        expr("CAST(CAST(n_chunks AS DECIMAL(38,0)) * 1000000 div n_total " +
+          "AS BIGINT)").as("share_ppm"))
+      .orderBy(col("chunk_len"))
+  }
+
+  val q335Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |tok AS (
+      |  SELECT doc_id, i AS pos, t[i] AS w,
+      |    CASE WHEN CAST('0x' || substr(md5(t[i]), 1, 8) AS BIGINT) % 16 = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM d, UNNEST(range(1, len(t) + 1)) AS r(i)),
+      |ch AS (
+      |  SELECT doc_id, pos, b,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk
+      |  FROM tok),
+      |lens AS (
+      |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS chunk_len
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lens)
+      |SELECT chunk_len, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // n_total AS BIGINT)
+      |    AS share_ppm
+      |FROM lens CROSS JOIN tot
+      |GROUP BY chunk_len, n_total
+      |ORDER BY chunk_len""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_boilerplate_phrases" -> (q334BoilerplatePhrases _),
+    "q335_cdc_chunking"      -> (q335CdcChunking _),
     "q311_heaps_growth"      -> (q311HeapsGrowth _),
     "q291_zipf_slope"        -> (q291ZipfSlope _),
     "q293_term_burstiness"   -> (q293TermBurstiness _),
@@ -1241,6 +1369,8 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q334_boilerplate_phrases" -> q334Oracle,
+    "q335_cdc_chunking"      -> q335Oracle,
     "q311_heaps_growth"      -> q311Oracle,
     "q291_zipf_slope"        -> q291Oracle,
     "q293_term_burstiness"   -> q293Oracle,

@@ -1482,7 +1482,62 @@ object TimeSeriesQueries {
       |FROM agg
       |ORDER BY event_type, day""".stripMargin
 
+  /** LATE-EVENT / OUT-OF-ORDER AUDIT (q337) — the measurement that SIZES
+    * a streaming watermark instead of guessing it: within each user's
+    * ARRIVAL order (event_id — the ingest sequence), how far does event
+    * time run backwards? lateness = running-max(event time) − event time,
+    * exactly the quantity a `withWatermark` delay must exceed for the
+    * stateful operators (q73/q81/q242…) not to drop the event. Emitted as
+    * a fixed bucket histogram (on-time, ≤1 s, ≤10 s, ≤1 min, ≤10 min,
+    * beyond) plus the global maximum — the number to set the delay from.
+    *
+    * Scale shape: one running max on the user-partitioned arrival-order
+    * window (high-cardinality keys, the q321/q326 sanctioned shape);
+    * the histogram collapses onto 6 fixed buckets. Output ≤ 7 rows.
+    */
+  def q337LateEventAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev.withColumn("late_us", max(col("tsus")).over(w) - col("tsus"))
+    late.groupBy(expr("""CASE
+        | WHEN late_us = 0 THEN 0L
+        | WHEN late_us <= 1000000 THEN 1L
+        | WHEN late_us <= 10000000 THEN 2L
+        | WHEN late_us <= 60000000 THEN 3L
+        | WHEN late_us <= 600000000 THEN 4L
+        | ELSE 5L END""".stripMargin).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("bucket"))
+  }
+
+  val q337Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsus
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |late AS (
+      |  SELECT MAX(tsus) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tsus
+      |    AS late_us
+      |  FROM ev)
+      |SELECT CAST(CASE
+      |    WHEN late_us = 0 THEN 0
+      |    WHEN late_us <= 1000000 THEN 1
+      |    WHEN late_us <= 10000000 THEN 2
+      |    WHEN late_us <= 60000000 THEN 3
+      |    WHEN late_us <= 600000000 THEN 4
+      |    ELSE 5 END AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM late
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_late_event_audit"  -> (q337LateEventAudit _),
     "q329_changepoint"       -> (q329Changepoint _),
     "q332_twap"              -> (q332Twap _),
     "q323_theil_sen"         -> (q323TheilSen _),
@@ -1506,6 +1561,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q337_late_event_audit"  -> q337Oracle,
     "q329_changepoint"       -> q329Oracle,
     "q332_twap"              -> q332Oracle,
     "q323_theil_sen"         -> q323Oracle,

@@ -214,4 +214,27 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q336: anisotropy replays driver-side on the grid and is a valid ppm") {
+    val row = SparkEntry.queries("q336_embedding_anisotropy")(spark, sfDir)
+      .collect().head
+    val n = BigInt(vecs.length)
+    assert(row.getAs[Long]("n_vecs") === vecs.length.toLong)
+    // BigInt `/` truncates toward zero — the same convention as Spark's
+    // `div` and DuckDB's `//`, so no sign-split is needed
+    val dims = vecs.head._2.indices.map { d =>
+      (vecs.map(v => BigInt(v._2(d))).sum * 1000) / n
+    }
+    val a = dims.map(m => m * m).sum
+    val e2 = vecs.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+    val b = (e2 * 1000000) / n
+    assert(BigInt(row.getAs[Long]("mean_norm2_mm2")) === a)
+    assert(BigInt(row.getAs[Long]("avg_energy_mm2")) === b)
+    if (b != 0) {
+      val ppm = (a * 1000000) / b
+      assert(BigInt(row.getAs[Long]("anisotropy_ppm")) === ppm)
+      assert(ppm >= 0 && ppm <= 1000000,
+        s"anisotropy out of range: $ppm")
+    }
+  }
 }

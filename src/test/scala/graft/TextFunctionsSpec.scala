@@ -307,4 +307,50 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("vocab_cum") * 1000000L / r.getAs[Long]("toks_cum"))
     }
   }
+
+  test("q334: phrases meet the support floor, occurrences bound docs, and " +
+    "the top phrase replays driver-side") {
+    val rows = SparkEntry.queries("q334_boilerplate_phrases")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 3)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    // replay the top phrase's counts from raw tokens
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val top = rows.head
+    val phrase = top.getString(0)
+    val hits = docs.map { case (id, t) =>
+      id -> t.sliding(3).count(_.mkString(" ") == phrase)
+    }.filter(_._2 > 0)
+    assert(top.getAs[Long]("n_occurrences") === hits.map(_._2).sum.toLong)
+    assert(top.getAs[Long]("n_docs") === hits.length.toLong)
+    // nothing with more doc support was skipped
+    val allTri = docs.flatMap { case (id, t) =>
+      if (t.length >= 3) t.sliding(3).map(g => (g.mkString(" "), id)).toSeq
+      else Nil }
+    val bestSupport = allTri.distinct.groupBy(_._1).values.map(_.size).max
+    assert(top.getAs[Long]("n_docs") === bestSupport.toLong)
+  }
+
+  test("q335: chunk lengths conserve the token count and shares are a " +
+    "valid ppm partition") {
+    val rows = SparkEntry.queries("q335_cdc_chunking")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalChunks = rows.map(_.getAs[Long]("n_chunks")).sum
+    val totalTokens = rows
+      .map(r => r.getAs[Long]("chunk_len") * r.getAs[Long]("n_chunks")).sum
+    val expectTokens = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(totalTokens === expectTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") ===
+        BigInt(r.getAs[Long]("n_chunks")) * 1000000 / totalChunks) }
+  }
 }

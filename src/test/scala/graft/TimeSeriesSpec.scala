@@ -641,4 +641,35 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(expect >= cs.min && expect <= cs.max)
     }
   }
+
+  test("q337: the lateness histogram conserves the event count and " +
+    "replays driver-side from per-user arrival order") {
+    val rows = SparkEntry.queries("q337_late_event_audit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bucket(lateUs: Long): Long =
+      if (lateUs == 0) 0L else if (lateUs <= 1000000L) 1L
+      else if (lateUs <= 10000000L) 2L else if (lateUs <= 60000000L) 3L
+      else if (lateUs <= 600000000L) 4L else 5L
+    val expect = ev.groupBy(_._1).values.flatMap { g =>
+      var runMax = Long.MinValue
+      g.sortBy(_._2).map { e =>
+        runMax = math.max(runMax, e._3)
+        runMax - e._3
+      }
+    }.toSeq
+    val hist = expect.groupBy(bucket).view
+      .mapValues(ls => (ls.size.toLong, ls.max)).toMap
+    assert(rows.map(_.getAs[Long]("n_events")).sum === ev.length.toLong)
+    rows.foreach { r =>
+      val (n, mx) = hist(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("max_late_us") === mx)
+    }
+    assert(rows.map(_.getAs[Long]("bucket")).toSet === hist.keySet)
+  }
 }
