@@ -186,10 +186,17 @@ object StreamingOps extends Serializable {
     * by the checkpoint, so this must be set before `start()`); results are
     * partitioning-independent. At production scale this knob RISES with
     * state volume — it is per-query, which is exactly the point.
+    *
+    * Default measured in round 13 on an idle box over the 15-query
+    * streaming subset at sf0.1: 8 → 31.4 s, 4 → 27.8 s (every stateful
+    * query improved; the stream-stream joins most, −20–30%, since they
+    * commit FOUR stores per partition per batch), 2 → 28.0 s with q211
+    * regressing (its per-batch signature work wants the parallelism).
+    * 4 is the knee at gate scale.
     */
   private def drainToTable(
       spark: SparkSession, out: DataFrame, queryName: String,
-      outputMode: String, statePartitions: Int = 8): DataFrame = {
+      outputMode: String, statePartitions: Int = 4): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
