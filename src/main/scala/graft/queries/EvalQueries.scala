@@ -1176,7 +1176,87 @@ object EvalQueries {
        |    AS prior_ppm
        |FROM ranked""".stripMargin
 
+  /** YOUDEN OPTIMAL THRESHOLD (q338) — the operating point q208's AUC
+    * deliberately doesn't pick: the score cut t maximizing
+    * J = TPR − FPR, scanned over every DISTINCT score with "positive ⇔
+    * score > t" semantics. Everything cross-multiplies: J's numerator is
+    * j_num(t) = TP·N_neg − FP·N_pos (exact BIGINT→DECIMAL), ties resolve
+    * to the SMALLEST threshold (the more-sensitive cut), and
+    * j_ppm = j_num·10⁶ div (P·N). This is how a curation pipeline turns
+    * a scored corpus into a keep/drop rule with a defensible cut.
+    *
+    * Scale shape: the corpus collapses to the distinct-score frame
+    * (bounded by the score RANGE, a model constant — q208's argument);
+    * the cumulative is the distributed prefix sum; the argmax is a
+    * window over that bounded frame. Output is ONE row.
+    */
+  def q338YoudenThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = scoreLabel(spark, dir)
+      .groupBy(col("score_sum"))
+      .agg(sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("ng"))
+      .withColumn("g", lit(0))
+    val cum = graft.functions.PrefixSum
+      .runningTotal(graft.functions.PrefixSum.runningTotal(
+        byScore, Seq("g"), Seq(col("score_sum").asc), "p", "cump"),
+        Seq("g"), Seq(col("score_sum").asc), "ng", "cumn")
+    val tot = byScore.agg(sum(col("p")).as("np"), sum(col("ng")).as("nn"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("tp", col("np") - col("cump"))
+      .withColumn("fp", col("nn") - col("cumn"))
+      .withColumn("j_num", expr(
+        "CAST(tp AS DECIMAL(38,0)) * nn - CAST(fp AS DECIMAL(38,0)) * np"))
+    j.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("j_num").desc, col("score_sum").asc)))
+      .filter(col("rn") === 1)
+      .select(col("score_sum").as("threshold"), col("np").as("n_pos"),
+        col("nn").as("n_neg"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"), (col("nn") - col("fp")).as("tn"),
+        expr("""CASE WHEN np = 0 OR nn = 0 THEN NULL
+          | WHEN j_num >= 0 THEN CAST(j_num * 1000000
+          |   div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
+          | ELSE -CAST((-j_num) * 1000000
+          |   div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
+          |END""".stripMargin).as("j_ppm"))
+  }
+
+  val q338Oracle: String =
+    s"""WITH $scoreLabelCtes,
+       |g AS (
+       |  SELECT score_sum, CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS ng
+       |  FROM j GROUP BY score_sum),
+       |cum AS (
+       |  SELECT score_sum, p, ng,
+       |    SUM(p) OVER (ORDER BY score_sum) AS cump,
+       |    SUM(ng) OVER (ORDER BY score_sum) AS cumn
+       |  FROM g),
+       |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+       |  CAST(SUM(ng) AS BIGINT) AS nn FROM g),
+       |jj AS (
+       |  SELECT score_sum, np, nn,
+       |    np - cump AS tp, nn - cumn AS fp,
+       |    CAST(np - cump AS HUGEINT) * nn
+       |      - CAST(nn - cumn AS HUGEINT) * np AS j_num
+       |  FROM cum CROSS JOIN tot),
+       |best AS (
+       |  SELECT *, row_number() OVER (ORDER BY j_num DESC, score_sum ASC)
+       |    AS rn
+       |  FROM jj)
+       |SELECT score_sum AS threshold, np AS n_pos, nn AS n_neg,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(np - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+       |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+       |    WHEN j_num >= 0 THEN CAST(j_num * 1000000
+       |      // (CAST(np AS HUGEINT) * nn) AS BIGINT)
+       |    ELSE -CAST((-j_num) * 1000000
+       |      // (CAST(np AS HUGEINT) * nn) AS BIGINT)
+       |  END AS j_ppm
+       |FROM best WHERE rn = 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_youden_threshold" -> (q338YoudenThreshold _),
     "q330_mcnemar"         -> (q330McNemar _),
     "q331_average_precision" -> (q331AveragePrecision _),
     "q324_krippendorff_alpha" -> (q324KrippendorffAlpha _),
@@ -1191,6 +1271,7 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q338_youden_threshold" -> q338Oracle,
     "q330_mcnemar"         -> q330Oracle,
     "q331_average_precision" -> q331Oracle,
     "q324_krippendorff_alpha" -> q324Oracle,

@@ -1564,7 +1564,92 @@ object ProfilingQueries {
       |FROM w
       |ORDER BY source""".stripMargin
 
+  /** COCHRAN–ARMITAGE TREND TEST (q339) — the ORDERED complement to
+    * q219's χ² independence screen: χ² asks "does keep rate differ by
+    * length bucket AT ALL?"; this asks "does it trend MONOTONICALLY with
+    * length?" — the dose-response question a curation pipeline actually
+    * has (is my quality gate a hidden length filter?). Buckets are fixed
+    * char-length quartile bins with scores w = 0..3; with K total keeps
+    * over N docs, everything cross-multiplies:
+    *   t_num = N·Σ(w·k) − K·Σ(w·n)          (= N·T, exact)
+    *   v_num = K·(N−K)·(N·Σ(w²·n) − (Σ(w·n))²)   (= N³·Var(T), exact)
+    *   z² verdict: t_num²·N·10⁶ > 3 841 459·v_num
+    * DECIMAL(38,0) holds t_num² to N ≈ 1.7·10⁹ docs; past that the test
+    * runs per-shard (documented bound, the q324 discipline).
+    *
+    * Scale shape: one map over documents (bucket + keep label join) →
+    * a 4-row bucket aggregate → ONE output row. The keep label reuses
+    * q78's gate rule (one corpus pass with map-side combine).
+    */
+  def q339CochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val y = CurationQueries.q78QualityRepetition(spark, dir)
+      .select(col("doc_id"),
+        col("keep").cast("int").cast(LongType).as("k"))
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("""CASE WHEN n_chars < 150 THEN 0L WHEN n_chars < 300 THEN 1L
+          | WHEN n_chars < 450 THEN 2L ELSE 3L END""".stripMargin).as("w"))
+      .join(y, "doc_id")
+    val cells = b.groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("kk"))
+    cells.agg(
+        sum(col("n")).as("n_docs"), sum(col("kk")).as("n_keep"),
+        sum(col("w") * col("kk")).as("swk"),
+        sum(col("w") * col("n")).as("swn"),
+        sum(col("w") * col("w") * col("n")).as("sw2n"))
+      .select(col("n_docs"), col("n_keep"), col("swk"), col("swn"),
+        expr("""CAST(n_docs AS DECIMAL(38,0)) * swk
+          | - CAST(n_keep AS DECIMAL(38,0)) * swn""".stripMargin)
+          .cast(LongType).as("t_num"),
+        expr("""CAST(CASE WHEN
+          |  CAST(CAST(n_docs AS DECIMAL(38,0)) * swk
+          |    - CAST(n_keep AS DECIMAL(38,0)) * swn AS DECIMAL(38,0))
+          |  * (CAST(n_docs AS DECIMAL(38,0)) * swk
+          |    - CAST(n_keep AS DECIMAL(38,0)) * swn)
+          |  * n_docs * 1000000 >
+          |  3841459 * CAST(n_keep AS DECIMAL(38,0)) * (n_docs - n_keep)
+          |  * (CAST(n_docs AS DECIMAL(38,0)) * sw2n
+          |    - CAST(swn AS DECIMAL(38,0)) * swn)
+          |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_95"))
+  }
+
+  /** q339 oracle: q78's existing keep-rule oracle embedded as a
+    * subquery (the q270 wrapper pattern — DuckDB accepts a WITH inside
+    * a FROM), so the label can never drift from the gate rule. */
+  val q339Oracle: String =
+    s"""WITH y AS (
+      |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS k FROM (
+      |${CurationQueries.q78Oracle}
+      |  )),
+      |b AS (
+      |  SELECT CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+      |    WHEN n_chars < 450 THEN 2 ELSE 3 END AS w, k
+      |  FROM documents JOIN y USING (doc_id)),
+      |cells AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT)
+      |    AS kk
+      |  FROM b GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(kk) AS BIGINT) AS n_keep,
+      |    CAST(SUM(w * kk) AS BIGINT) AS swk,
+      |    CAST(SUM(w * n) AS BIGINT) AS swn,
+      |    CAST(SUM(w * w * n) AS BIGINT) AS sw2n
+      |  FROM cells)
+      |SELECT n_docs, n_keep, swk, swn,
+      |  CAST(CAST(n_docs AS HUGEINT) * swk
+      |    - CAST(n_keep AS HUGEINT) * swn AS BIGINT) AS t_num,
+      |  CAST(CASE WHEN
+      |    (CAST(n_docs AS HUGEINT) * swk - CAST(n_keep AS HUGEINT) * swn)
+      |    * (CAST(n_docs AS HUGEINT) * swk - CAST(n_keep AS HUGEINT) * swn)
+      |    * n_docs * 1000000 >
+      |    3841459 * CAST(n_keep AS HUGEINT) * (n_docs - n_keep)
+      |    * (CAST(n_docs AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn)
+      |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM agg""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_cochran_armitage" -> (q339CochranArmitage _),
     "q328_spearman_corr"   -> (q328SpearmanCorr _),
     "q327_runs_test"       -> (q327RunsTest _),
     "q322_mann_whitney"    -> (q322MannWhitney _),
@@ -1590,6 +1675,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q339_cochran_armitage" -> q339Oracle,
     "q328_spearman_corr"   -> q328Oracle,
     "q327_runs_test"       -> q327Oracle,
     "q322_mann_whitney"    -> q322Oracle,

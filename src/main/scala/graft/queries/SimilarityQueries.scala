@@ -2040,7 +2040,73 @@ object SimilarityQueries {
        |ORDER BY id_a""".stripMargin
   }
 
+  /** DEDUP THRESHOLD SENSITIVITY CURVE (q341) — the tuning table behind
+    * the 0.8 that every near-dup query hardcodes: confirmed pairs
+    * re-scored with INTEGER Jaccard (|∩|·10⁶ div |∪| on the trigram-hash
+    * sets — no doubles) and bucketed at 25 000-ppm steps over
+    * [0.8, 1.0], with a descending cumulative so each row reads "if the
+    * threshold were t, this many pairs survive". A cliff between
+    * adjacent buckets means the corpus has a natural threshold; a flat
+    * tail means the current cut is arbitrary and the operator says by
+    * how much. The curve is restricted to ≥ 0.8 BECAUSE that is where
+    * the 8×4 banding's recall is total on the gate corpus (q36's proof)
+    * — below it LSH candidate recall is probabilistic and the exhaustive
+    * oracle would not match.
+    *
+    * Scale shape: pairs come from [[confirmedNearDupPairs]] (so the
+    * staged `spark.graft.neardup.pairTable` is honored); two set joins
+    * hang the shingle sets back on; buckets collapse to ≤ 9 rows and
+    * the cumulative window runs on that tiny frame.
+    */
+  def q341DedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ids = confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val sets = docsWithPlants(spark, dir)
+      .select(col("doc_id"),
+        graft.expressions.ShingleHashes.shingleHashes(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+    val scored = ids
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+          .as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast(LongType).as("uni"))
+      .withColumn("jppm", expr("inter * 1000000L div uni"))
+    val buckets = scored
+      .groupBy(expr("(jppm div 25000) * 25000").as("bucket_ppm"))
+      .agg(count(lit(1)).as("n_pairs"))
+    buckets.withColumn("cum_pairs",
+        sum(col("n_pairs")).over(Window.orderBy(col("bucket_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket_ppm"))
+  }
+
+  val q341Oracle: String =
+    s"""WITH $oracleDocsTri,
+       |scored AS (
+       |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+       |      AS uni
+       |  FROM dl a JOIN dl b
+       |    ON b.doc_id > a.doc_id
+       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)),
+       |kept AS (
+       |  SELECT inter * 1000000 // uni AS jppm
+       |  FROM scored WHERE inter * 5 >= uni * 4),
+       |buckets AS (
+       |  SELECT CAST((jppm // 25000) * 25000 AS BIGINT) AS bucket_ppm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM kept GROUP BY 1)
+       |SELECT bucket_ppm, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY bucket_ppm DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_pairs
+       |FROM buckets
+       |ORDER BY bucket_ppm""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_dedup_threshold_curve" -> (q341DedupThresholdCurve _),
     "q304_mutual_nn"      -> (q304MutualNn _),
     "q273_pair_features"          -> (q273PairFeatures _),
     "q268_syndication_matrix"     -> (q268SyndicationMatrix _),
@@ -2073,6 +2139,7 @@ object SimilarityQueries {
     "q85_ann_ivf_int_trained" -> (q85AnnIvfIntTrained _))
 
   val oracles: Map[String, String] = Map(
+    "q341_dedup_threshold_curve" -> q341Oracle,
     "q304_mutual_nn"      -> q304Oracle,
     "q273_pair_features"          -> q273Oracle,
     "q268_syndication_matrix"     -> q268Oracle,

@@ -1281,16 +1281,18 @@ object TextQueries {
       |ORDER BY n_docs DESC, n_occurrences DESC, phrase ASC
       |LIMIT 50""".stripMargin
 
-  /** CONTENT-DEFINED CHUNKING (q335) — Rabin-style chunk boundaries for
-    * storage-dedup and RAG splitters: a token ENDS its chunk when its
-    * content hash ≡ 0 (mod 16), so chunk boundaries move WITH the
-    * content — inserting one sentence shifts only the chunk it lands
-    * in, unlike q101's fixed-stride windows where one insertion
-    * re-chunks the whole document (the rsync/LBFS argument). Expected
-    * chunk length is the modulus (16 tokens); the emitted histogram of
-    * realized chunk lengths is the operator's audit surface (a spike
-    * at 1 or a heavy tail means the hash or modulus is wrong for the
-    * token distribution).
+  /** CHUNK-LENGTH DISTRIBUTION AUDIT (q335) — the audit surface q186's
+    * content-defined chunker doesn't emit: q186 proves the RE-SYNC
+    * property (a prepended token re-synchronizes within one window, so
+    * chunk dedup survives shifts) but says nothing about the LENGTH
+    * distribution the boundary rule realizes — and a CDC deployment
+    * lives or dies on that histogram (a spike at length 1 or a heavy
+    * tail means the hash or modulus is wrong for the token
+    * distribution, forcing min/max-size clamps). This operator chunks
+    * on the simplest rule in the family (single-token hash ≡ 0 mod 16,
+    * expected length = the modulus) and emits the realized-length
+    * histogram with ppm shares — the geometric-vs-realized comparison
+    * that tunes the modulus before q186's windowed rule ships.
     *
     * Scale shape: tokenize + one cumulative sum on the doc-partitioned
     * position window assigns chunk ids; chunk lengths collapse onto

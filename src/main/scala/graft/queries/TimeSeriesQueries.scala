@@ -1536,7 +1536,77 @@ object TimeSeriesQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** MEDIAN ABSOLUTE DEVIATION (q340) — the robust scale estimate that
+    * completes the robust-statistics kit (q323 Theil–Sen = robust trend,
+    * q272 winsorized mean = robust level, this = robust SPREAD): per
+    * event_type over the daily-count series, MAD = median(|c − median(c)|)
+    * — the band one corrupted day cannot widen, unlike the q228
+    * dispersion index whose variance it anchors. Lower-median convention
+    * on both passes ((n+1) div 2 with a day tie-break), everything
+    * integer, no floats anywhere. mad = 0 loudly means "more than half
+    * the days are identical", not an error.
+    *
+    * Scale shape: events collapse to the bounded type×day axis; both
+    * median selections are windows partitioned by event_type over that
+    * tiny frame; the deviation pass joins the 1-row-per-type median
+    * back by broadcast. Output is one row per event_type.
+    */
+  def q340MadScale(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol).asc, col("day").asc)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out),
+          col("__n").as(out + "_n"))
+    }
+    val med = lowerMedian(daily, "c", "median_daily")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("c") - col("median_daily")))
+    lowerMedian(dev, "d", "mad_daily")
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("median_daily_n").as("n_days"),
+        col("median_daily"), col("mad_daily"))
+      .orderBy(col("event_type"))
+  }
+
+  val q340Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, c AS median_daily, n AS n_days FROM (
+      |    SELECT event_type, day, c,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY c, day)
+      |        AS rn,
+      |      CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |    FROM daily)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT daily.event_type, daily.day,
+      |    ABS(daily.c - med.median_daily) AS d
+      |  FROM daily JOIN med ON med.event_type = daily.event_type),
+      |mad AS (
+      |  SELECT event_type, d AS mad_daily FROM (
+      |    SELECT event_type, day, d,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY d, day)
+      |        AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT med.event_type, n_days, median_daily, mad_daily
+      |FROM med JOIN mad ON mad.event_type = med.event_type
+      |ORDER BY med.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_mad_scale"         -> (q340MadScale _),
     "q337_late_event_audit"  -> (q337LateEventAudit _),
     "q329_changepoint"       -> (q329Changepoint _),
     "q332_twap"              -> (q332Twap _),
@@ -1561,6 +1631,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q340_mad_scale"         -> q340Oracle,
     "q337_late_event_audit"  -> q337Oracle,
     "q329_changepoint"       -> q329Oracle,
     "q332_twap"              -> q332Oracle,

@@ -187,16 +187,18 @@ object StreamingOps extends Serializable {
     * partitioning-independent. At production scale this knob RISES with
     * state volume — it is per-query, which is exactly the point.
     *
-    * Default measured in round 13 on an idle box over the 15-query
-    * streaming subset at sf0.1: 8 → 31.4 s, 4 → 27.8 s (every stateful
-    * query improved; the stream-stream joins most, −20–30%, since they
-    * commit FOUR stores per partition per batch), 2 → 28.0 s with q211
-    * regressing (its per-batch signature work wants the parallelism).
-    * 4 is the knee at gate scale.
+    * Round-13 measurement, idle box, 15-query streaming subset at
+    * sf0.1: the knee DEPENDS ON THE SESSION'S CORE COUNT. At 4 cores,
+    * 8 partitions → 31.4 s vs 4 → 27.8 s (commit overhead dominates
+    * when partitions outnumber cores); at the driver's 32 cores, 8 →
+    * 28.5 s vs 4 → 28.9 s — a wash, with the per-query deltas mixed.
+    * The default stays 8 (the driver benches at 32 cores, where it is
+    * not worse and keeps more state parallelism headroom); the
+    * parameter remains the per-query tuning surface either way.
     */
   private def drainToTable(
       spark: SparkSession, out: DataFrame, queryName: String,
-      outputMode: String, statePartitions: Int = 4): DataFrame = {
+      outputMode: String, statePartitions: Int = 8): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {

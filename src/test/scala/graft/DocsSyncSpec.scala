@@ -75,4 +75,16 @@ class DocsSyncSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql entries with no registry query: ${orphans.mkString(", ")}")
   }
+
+  test("every registry query has an oracle (no silent rows-only gates)") {
+    // since q74's round-11 retirement the whole registry is exact-oracle
+    // gated; a query registered without its oracleSql entry silently
+    // downgrades to the driver's rows-only check — exactly how q341
+    // almost shipped in round 13. Keep this list EMPTY.
+    val allowedRowsOnly = Set.empty[String]
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
+    assert(missing.isEmpty,
+      s"registry queries with no oracle: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -334,4 +334,24 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(prior === BigInt(ap.getAs[Long]("n_pos")) * 1000000 /
       ap.getAs[Long]("n"))
   }
+
+  test("q338: the confusion matrix conserves both classes, J replays from " +
+    "it, and the optimum dominates the trivial thresholds") {
+    val r = SparkEntry.queries("q338_youden_threshold")(spark, sfDir)
+      .collect().head
+    val (np, nn) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === np)
+    assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") === nn)
+    val jNum = BigInt(r.getAs[Long]("tp")) * nn -
+      BigInt(r.getAs[Long]("fp")) * np
+    val jPpm = if (jNum >= 0) (jNum * 1000000 / (BigInt(np) * nn)).toLong
+      else -(((-jNum) * 1000000) / (BigInt(np) * nn)).toLong
+    assert(r.getAs[Long]("j_ppm") === jPpm)
+    // "classify nothing positive" scores J = 0, so the optimum is >= 0
+    assert(r.getAs[Long]("j_ppm") >= 0 && r.getAs[Long]("j_ppm") <= 1000000)
+    // class counts agree with q208's
+    val auc = SparkEntry.queries("q208_auc_exact")(spark, sfDir)
+      .collect().head
+    assert(np === auc.getAs[Long]("n_pos") && nn === auc.getAs[Long]("n_neg"))
+  }
 }

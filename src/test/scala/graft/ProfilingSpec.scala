@@ -576,4 +576,35 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q339: Cochran-Armitage cells and verdict replay driver-side from " +
+    "the q78 keep labels") {
+    val r = SparkEntry.queries("q339_cochran_armitage")(spark, sfDir)
+      .collect().head
+    val keep = graft.queries.CurationQueries
+      .q78QualityRepetition(spark, sfDir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(x => x.getLong(0) -> (if (x.getBoolean(1)) 1L else 0L)).toMap
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { x =>
+        val w = if (x.getLong(1) < 150) 0L else if (x.getLong(1) < 300) 1L
+          else if (x.getLong(1) < 450) 2L else 3L
+        (w, keep(x.getLong(0)))
+      }
+    val n = cells.length.toLong
+    val k = cells.map(_._2).sum
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("n_keep") === k)
+    val swk = cells.map { case (w, y) => w * y }.sum
+    val swn = cells.map(_._1).sum
+    val sw2n = cells.map { case (w, _) => w * w }.sum
+    assert(r.getAs[Long]("swk") === swk)
+    assert(r.getAs[Long]("swn") === swn)
+    val tNum = BigInt(n) * swk - BigInt(k) * swn
+    assert(BigInt(r.getAs[Long]("t_num")) === tNum)
+    val reject = tNum * tNum * n * 1000000 >
+      BigInt(3841459) * k * (n - k) * (BigInt(n) * sw2n - BigInt(swn) * swn)
+    assert(r.getAs[Long]("reject_95") === (if (reject) 1L else 0L))
+  }
 }

@@ -503,4 +503,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         s"pair $r cosine mismatch vs $expect")
     }
   }
+
+  test("q341: buckets partition the confirmed pair set, the cumulative " +
+    "telescopes, and every bucket sits in the exact-recall region") {
+    val rows = SparkEntry.queries("q341_dedup_threshold_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bucket_ppm"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket_ppm") >= 800000L)
+      assert(r.getAs[Long]("bucket_ppm") <= 1000000L)
+    }
+    // cumulative telescopes: cum(b) = n(b) + cum(next higher bucket)
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo.getAs[Long]("cum_pairs") ===
+        lo.getAs[Long]("n_pairs") + hi.getAs[Long]("cum_pairs"))
+    }
+    assert(rows.last.getAs[Long]("cum_pairs") ===
+      rows.last.getAs[Long]("n_pairs"))
+    // the curve covers exactly the q36 confirmed pair set
+    val q36Pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .count()
+    assert(rows.head.getAs[Long]("cum_pairs") === q36Pairs)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === q36Pairs)
+  }
 }

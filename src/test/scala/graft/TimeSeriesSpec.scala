@@ -672,4 +672,26 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("bucket")).toSet === hist.keySet)
   }
+
+  test("q340: both lower medians replay driver-side per event_type") {
+    val rows = SparkEntry.queries("q340_mad_scale")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def lowerMed[A](xs: Seq[(Long, A)])(implicit o: Ordering[(Long, A)]): Long =
+      xs.sorted(o).apply((xs.length + 1) / 2 - 1)._1
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).map(e => (e._3, e._2.toEpochDay))
+      assert(r.getAs[Long]("n_days") === series.length.toLong)
+      val med = lowerMed(series)
+      assert(r.getAs[Long]("median_daily") === med)
+      val devs = daily.filter(_._1 == et)
+        .map(e => (math.abs(e._3 - med), e._2.toEpochDay))
+      assert(r.getAs[Long]("mad_daily") === lowerMed(devs), s"MAD for $et")
+    }
+  }
 }
