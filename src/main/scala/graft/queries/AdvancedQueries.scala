@@ -1657,7 +1657,80 @@ object AdvancedQueries {
       |FROM sc
       |ORDER BY region, segment""".stripMargin
 
+  /** FIRST/LAST-TOUCH ATTRIBUTION (q343) — the marketing-analytics split
+    * q257's funnel and q279's retention don't answer: when a user's
+    * activity carries value, WHICH event type gets the credit? Two
+    * standard models side by side per event_type: first-touch (the type
+    * of the user's earliest event claims the user's whole value) and
+    * last-touch (the latest event's type claims it), with user counts —
+    * the divergence between the two columns IS the attribution
+    * sensitivity a channel report must disclose. Deterministic
+    * endpoints via (ts, event_id) struct argmin/argmax (q217's OHLC
+    * recipe); value in exact cents.
+    *
+    * Scale shape: ONE per-user aggregate (min/max struct + decimal sum,
+    * all map-side combinable), then two rollups onto the bounded
+    * event-type axis, full-outer-joined there. No window, no self-join.
+    */
+  def q343TouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_touch"),
+        sum(col("cents")).as("user_cents"))
+    val first = perUser.groupBy(col("first_touch").as("event_type"))
+      .agg(count(lit(1)).as("n_users_first"),
+        sum(col("user_cents")).as("first_touch_cents"))
+    val last = perUser.groupBy(col("last_touch").as("event_type"))
+      .agg(count(lit(1)).as("n_users_last"),
+        sum(col("user_cents")).as("last_touch_cents"))
+    first.join(last, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_users_first"), lit(0L)).as("n_users_first"),
+        coalesce(col("first_touch_cents"), lit(0L)).as("first_touch_cents"),
+        coalesce(col("n_users_last"), lit(0L)).as("n_users_last"),
+        coalesce(col("last_touch_cents"), lit(0L)).as("last_touch_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q343Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |pu AS (
+      |  SELECT user_id,
+      |    (min({'t': ts, 'e': event_id, 'y': event_type})).y AS first_touch,
+      |    (max({'t': ts, 'e': event_id, 'y': event_type})).y AS last_touch,
+      |    CAST(SUM(cents) AS BIGINT) AS user_cents
+      |  FROM ev GROUP BY user_id),
+      |f AS (
+      |  SELECT first_touch AS event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users_first,
+      |    CAST(SUM(user_cents) AS BIGINT) AS first_touch_cents
+      |  FROM pu GROUP BY 1),
+      |l AS (
+      |  SELECT last_touch AS event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users_last,
+      |    CAST(SUM(user_cents) AS BIGINT) AS last_touch_cents
+      |  FROM pu GROUP BY 1)
+      |SELECT COALESCE(f.event_type, l.event_type) AS event_type,
+      |  COALESCE(n_users_first, 0) AS n_users_first,
+      |  COALESCE(first_touch_cents, 0) AS first_touch_cents,
+      |  COALESCE(n_users_last, 0) AS n_users_last,
+      |  COALESCE(last_touch_cents, 0) AS last_touch_cents
+      |FROM f FULL OUTER JOIN l ON l.event_type = f.event_type
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_touch_attribution" -> (q343TouchAttribution _),
     "q317_growth_decomposition" -> (q317GrowthDecomposition _),
     "q318_shift_share"      -> (q318ShiftShare _),
     "q298_attribution"      -> (q298Attribution _),
@@ -1693,6 +1766,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q343_touch_attribution" -> q343Oracle,
     "q317_growth_decomposition" -> q317Oracle,
     "q318_shift_share"      -> q318Oracle,
     "q298_attribution"      -> q298Oracle,

@@ -196,6 +196,98 @@ object GraphQueries {
        |ORDER BY spine.doc_id""".stripMargin
   }
 
+  /** CLUSTER DEPTH AUDIT (q342) — the hop-census that separates clique
+    * clusters from chain-merges BEFORE keep-one deletion: q280's density
+    * says how many confirmed pairs a cluster has, q325's assortativity
+    * says whether hubs attach to hubs, but neither says how FAR members
+    * sit from the canonical survivor — and a member 3+ hops out is
+    * related to its canonical only through a daisy chain of pairwise
+    * matches, the classic boilerplate over-merge. BFS from each
+    * component's canonical (= label = min member id) with a fixed 3-hop
+    * unroll: per component, members at hop 1 / 2 / 3 and beyond.
+    * beyond > 0 is the audit flag.
+    *
+    * Scale shape: the BFS runs on the PAIR graph (output-bounded, far
+    * below corpus size) as three join+anti-join rounds — a fixed unroll,
+    * one declarative plan, no driver iteration; counts collapse per
+    * component. Honors the componentTable/neardup-pairTable reuse confs
+    * transitively.
+    */
+  def q342ClusterDepth(spark: SparkSession, dir: String): DataFrame = {
+    // pair generation and contraction are each materialized ONCE
+    // (localCheckpoint, q204's discipline): the three BFS rounds and
+    // four count joins below would otherwise replay the MinHash cascade
+    // per reference
+    val comp = (spark.conf.getOption("spark.graft.folds.componentTable") match {
+      case Some(path) => spark.read.parquet(path)
+      case None => q141NearDupComponents(spark, dir)
+    }).select(col("doc_id"), col("component"), col("n_members"))
+      .localCheckpoint(true)
+    val p = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val e = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    def expand(frontier: DataFrame, seen: DataFrame): DataFrame =
+      frontier.join(e, frontier("node") === e("u"))
+        .select(col("v").as("node")).distinct()
+        .join(seen, Seq("node"), "left_anti")
+    val l0 = comp.select(col("component").as("node")).distinct()
+    val l1 = expand(l0, l0)
+    val l2 = expand(l1, l0.unionByName(l1))
+    val l3 = expand(l2, l0.unionByName(l1).unionByName(l2))
+    def counted(df: DataFrame, name: String): DataFrame =
+      df.join(comp.select(col("doc_id").as("node"), col("component")), "node")
+        .groupBy(col("component")).agg(count(lit(1)).as(name))
+    comp.groupBy(col("component")).agg(max(col("n_members")).as("n_members"))
+      .join(counted(l1, "n_hop1"), Seq("component"), "left")
+      .join(counted(l2, "n_hop2"), Seq("component"), "left")
+      .join(counted(l3, "n_hop3"), Seq("component"), "left")
+      .select(col("component"), col("n_members"),
+        coalesce(col("n_hop1"), lit(0L)).as("n_hop1"),
+        coalesce(col("n_hop2"), lit(0L)).as("n_hop2"),
+        coalesce(col("n_hop3"), lit(0L)).as("n_hop3"))
+      .withColumn("n_beyond",
+        col("n_members") - 1 - col("n_hop1") - col("n_hop2") - col("n_hop3"))
+      .orderBy(col("component"))
+  }
+
+  /** q342 oracle: q141's closure CTEs + a min-level BFS recursive CTE
+    * capped at 3 hops. */
+  val q342Oracle: String = {
+    val cut = q141Oracle.indexOf("siz AS")
+    val ctes = q141Oracle.take(cut)
+    s"""${ctes}siz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |       FROM lab GROUP BY component),
+       |bfs AS (
+       |  SELECT component AS node, component, 0 AS lvl
+       |  FROM (SELECT DISTINCT component FROM lab)
+       |  UNION
+       |  SELECT e.v, b.component, b.lvl + 1
+       |  FROM bfs b JOIN e ON e.u = b.node
+       |  WHERE b.lvl < 3),
+       |lev AS (
+       |  SELECT node, component, CAST(MIN(lvl) AS BIGINT) AS lvl
+       |  FROM bfs GROUP BY 1, 2),
+       |hops AS (
+       |  SELECT component,
+       |    CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hop1,
+       |    CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hop2,
+       |    CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hop3
+       |  FROM lev GROUP BY component)
+       |SELECT siz.component, n_members,
+       |  COALESCE(n_hop1, 0) AS n_hop1,
+       |  COALESCE(n_hop2, 0) AS n_hop2,
+       |  COALESCE(n_hop3, 0) AS n_hop3,
+       |  n_members - 1 - COALESCE(n_hop1, 0) - COALESCE(n_hop2, 0)
+       |    - COALESCE(n_hop3, 0) AS n_beyond
+       |FROM siz LEFT JOIN hops ON hops.component = siz.component
+       |ORDER BY siz.component""".stripMargin
+  }
+
   /** Integer-exact PageRank over the customer↔supplier graph (an edge per
     * distinct customer–supplier order relationship from orders⋈lineitem,
     * taken in both directions so the chain has no dangling mass). Ranks
@@ -807,6 +899,7 @@ object GraphQueries {
     "q295_hits"               -> (q295Hits _),
     "q269_dedup_map"          -> (q269DedupMap _),
     "q333_quality_canonical_map" -> (q333QualityCanonicalMap _),
+    "q342_cluster_depth"      -> (q342ClusterDepth _),
     "q141_neardup_components" -> (q141NearDupComponents _),
     "q142_pagerank"           -> (q142PageRank _),
     "q150_incremental_components" -> (q150IncrementalComponents _),
@@ -820,6 +913,7 @@ object GraphQueries {
     "q295_hits"               -> q295Oracle,
     "q269_dedup_map"          -> q269Oracle,
     "q333_quality_canonical_map" -> q333Oracle,
+    "q342_cluster_depth"      -> q342Oracle,
     "q141_neardup_components" -> q141Oracle,
     "q142_pagerank"           -> q142Oracle,
     // identical full-closure oracle by design: incremental merge must

@@ -338,4 +338,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .filter(col("keep")).count()
     assert(map333.values.count(_._2).toLong === keep269)
   }
+
+  test("q342: the hop census replays a driver-side BFS and conserves " +
+    "every component's membership") {
+    val rows = SparkEntry.queries("q342_cluster_depth")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val comp = GraphQueries.q141NearDupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val pairs = SparkEntry.queries("q36_dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val members = comp.filter(_._2 == c).map(_._1).toSet
+      assert(r.getAs[Long]("n_members") === members.size.toLong)
+      // BFS from the canonical (= the component label)
+      var seen = Set(c)
+      var frontier = Set(c)
+      val levels = (1 to 3).map { _ =>
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+        next.size.toLong
+      }
+      assert(r.getAs[Long]("n_hop1") === levels(0), s"hop1 of $c")
+      assert(r.getAs[Long]("n_hop2") === levels(1), s"hop2 of $c")
+      assert(r.getAs[Long]("n_hop3") === levels(2), s"hop3 of $c")
+      assert(r.getAs[Long]("n_beyond") ===
+        members.size - 1 - levels.sum)
+      assert(r.getAs[Long]("n_beyond") >= 0)
+    }
+  }
 }

@@ -238,4 +238,39 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(cell.getAs[Long]("r1") ===
       mine.filter(_.getInt(1) == y1).map(_.getLong(2)).sum)
   }
+
+  test("q343: both attribution models conserve total cents and users, " +
+    "and one user's endpoints replay from raw events") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q343_touch_attribution")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val totalCents = ev.map(_._5).sum
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    assert(rows.map(_.getAs[Long]("first_touch_cents")).sum === totalCents)
+    assert(rows.map(_.getAs[Long]("last_touch_cents")).sum === totalCents)
+    assert(rows.map(_.getAs[Long]("n_users_first")).sum === nUsers)
+    assert(rows.map(_.getAs[Long]("n_users_last")).sum === nUsers)
+    // full driver-side replay of BOTH rollups
+    val perUser = ev.groupBy(_._1).values.map { g =>
+      (g.minBy(e => (e._2, e._3))._4, g.maxBy(e => (e._2, e._3))._4,
+        g.map(_._5).sum)
+    }.toSeq
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val f = perUser.filter(_._1 == t)
+      val l = perUser.filter(_._2 == t)
+      assert(r.getAs[Long]("n_users_first") === f.length.toLong, s"nf $t")
+      assert(r.getAs[Long]("first_touch_cents") === f.map(_._3).sum, s"fc $t")
+      assert(r.getAs[Long]("n_users_last") === l.length.toLong, s"nl $t")
+      assert(r.getAs[Long]("last_touch_cents") === l.map(_._3).sum, s"lc $t")
+    }
+  }
 }
