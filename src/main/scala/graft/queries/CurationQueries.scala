@@ -2840,7 +2840,178 @@ object CurationQueries {
       |FROM seat_p
       |ORDER BY priority""".stripMargin
 
+  /** ERASURE IMPACT PLAN (q344) — the manifest a right-to-be-forgotten
+    * pipeline must produce BEFORE it deletes anything: for a batch of
+    * erasure subjects (here the deterministic c_custkey ≡ 0 mod 97
+    * request list; identities linked across tables by the shared id —
+    * the identity-resolution step a real deployment runs first), how
+    * many rows fall in each table, touching how many subjects, carrying
+    * how much monetary value. The plan is the review/rollback artifact;
+    * the deletes themselves are A15's executed-upsert machinery
+    * (`store.JdbcStore`) pointed at these row sets.
+    *
+    * Scale shape: the subject list is a broadcast semi-join into every
+    * fact scan (never the other way); lineitem resolves through its
+    * orders FK with the subject filter pushed onto the orders side
+    * first, so the big table joins against an already-subject-only
+    * order-key set. Output is one row per table.
+    */
+  def q344ErasurePlan(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("sid"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(subjects), col("c_custkey") === col("sid"))
+      .agg(countDistinct(col("sid")).as("n_subjects"),
+        count(lit(1)).as("n_rows"), lit(0L).as("cents"))
+      .select(lit("customer").as("table_name"), col("n_subjects"),
+        col("n_rows"), col("cents"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(subjects), col("o_custkey") === col("sid"))
+    val ordPlan = ord
+      .agg(countDistinct(col("sid")).as("n_subjects"),
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .select(lit("orders").as("table_name"), col("n_subjects"),
+        col("n_rows"), col("cents"))
+    val li = Tables.lineitem(spark, dir)
+      .join(ord.select(col("o_orderkey"), col("sid")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(countDistinct(col("sid")).as("n_subjects"),
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      .select(lit("lineitem").as("table_name"), col("n_subjects"),
+        col("n_rows"), col("cents"))
+    val ev = Tables.events(spark, dir)
+      .join(broadcast(subjects), col("user_id") === col("sid"))
+      .agg(countDistinct(col("sid")).as("n_subjects"),
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(lit("events").as("table_name"), col("n_subjects"),
+        col("n_rows"), col("cents"))
+    cust.unionByName(ordPlan).unionByName(li).unionByName(ev)
+      .select(col("table_name"), col("n_subjects"), col("n_rows"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .orderBy(col("table_name"))
+  }
+
+  val q344Oracle: String =
+    """WITH subjects AS (
+      |  SELECT c_custkey AS sid FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (
+      |  SELECT 'customer' AS table_name,
+      |    CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_subjects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS cents
+      |  FROM customer JOIN subjects ON c_custkey = sid),
+      |o AS (
+      |  SELECT 'orders' AS table_name,
+      |    CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_subjects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN subjects ON o_custkey = sid),
+      |l AS (
+      |  SELECT 'lineitem' AS table_name,
+      |    CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_subjects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)),
+      |      0) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN subjects ON o_custkey = sid),
+      |e AS (
+      |  SELECT 'events' AS table_name,
+      |    CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_subjects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0)
+      |      AS BIGINT) AS cents
+      |  FROM events JOIN subjects ON user_id = sid)
+      |SELECT * FROM c UNION ALL SELECT * FROM o
+      |UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+      |ORDER BY table_name""".stripMargin
+
+  /** CORPUS SNAPSHOT DIFF (q345) — the dataset-versioning audit run
+    * between two corpus versions before a retrain: which documents were
+    * ADDED, REMOVED, CHANGED, UNCHANGED, and how the character mass
+    * moved. The "previous snapshot" is synthesized deterministically
+    * in-query (the suite's planted-twin discipline): additions are the
+    * doc_id ≡ 3 mod 17 class (absent from old), removals are synthetic
+    * old-only rows at doc_id + 2·10⁷ for the ≡ 7 mod 29 class, and
+    * changes are the ≡ 5 mod 23 class whose old text carried a
+    * ' legacy' suffix. Change detection compares md5(text) — the
+    * content-hash convention a real snapshot diff uses so it never
+    * shuffles document bodies.
+    *
+    * Scale shape: one full-outer join on doc_id between two corpus
+    * scans (both sides hash-keyed, no bodies past the md5), collapsed
+    * onto the 4-value change axis. Output is ≤ 4 rows.
+    */
+  def q345SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val oldBase = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 === 5, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+    val oldRemoved = docs.filter(col("doc_id") % 29 === 7)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val old = oldBase.unionByName(oldRemoved)
+      .select(col("doc_id"), md5(col("text")).as("h_old"),
+        length(col("text")).cast(LongType).as("chars_old"))
+    val neu = docs
+      .select(col("doc_id"), md5(col("text")).as("h_new"),
+        length(col("text")).cast(LongType).as("chars_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        coalesce(col("chars_old"), lit(0L)).as("co"),
+        coalesce(col("chars_new"), lit(0L)).as("cn"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("co")).as("chars_old"),
+        sum(col("cn")).as("chars_new"))
+      .orderBy(col("change_type"))
+  }
+
+  val q345Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+      |old AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 23 = 5 THEN text || ' legacy'
+      |      ELSE text END) AS h_old,
+      |    CAST(length(CASE WHEN doc_id % 23 = 5 THEN text || ' legacy'
+      |      ELSE text END) AS BIGINT) AS chars_old
+      |  FROM docs WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, md5(text),
+      |    CAST(length(text) AS BIGINT)
+      |  FROM docs WHERE doc_id % 29 = 7),
+      |neu AS (
+      |  SELECT doc_id, md5(text) AS h_new,
+      |    CAST(length(text) AS BIGINT) AS chars_new
+      |  FROM docs),
+      |d AS (
+      |  SELECT CASE
+      |      WHEN h_old IS NULL THEN 'added'
+      |      WHEN h_new IS NULL THEN 'removed'
+      |      WHEN h_old <> h_new THEN 'changed'
+      |      ELSE 'unchanged' END AS change_type,
+      |    COALESCE(chars_old, 0) AS co, COALESCE(chars_new, 0) AS cn
+      |  FROM old FULL OUTER JOIN neu USING (doc_id))
+      |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(co) AS BIGINT) AS chars_old,
+      |  CAST(SUM(cn) AS BIGINT) AS chars_new
+      |FROM d GROUP BY 1
+      |ORDER BY change_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_erasure_plan" -> (q344ErasurePlan _),
+    "q345_snapshot_diff" -> (q345SnapshotDiff _),
     "q316_source_novelty"   -> (q316SourceNovelty _),
     "q320_neyman_allocation" -> (q320NeymanAllocation _),
     "q305_greedy_coverage"  -> (q305GreedyCoverage _),
@@ -2881,6 +3052,8 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q344_erasure_plan" -> q344Oracle,
+    "q345_snapshot_diff" -> q345Oracle,
     "q316_source_novelty"       -> q316Oracle,
     "q320_neyman_allocation"    -> q320Oracle,
     "q305_greedy_coverage"      -> q305Oracle,

@@ -1605,7 +1605,63 @@ object TimeSeriesQueries {
       |FROM med JOIN mad ON mad.event_type = med.event_type
       |ORDER BY med.event_type""".stripMargin
 
+  /** SESSION-COHERENT TRACE SAMPLING (q346) — the observability
+    * sampler that keeps analyses valid: sampling EVENTS at p% shreds
+    * every session, funnel, and streak (each survives with probability
+    * p^length); sampling USERS at p% keeps every retained user's
+    * timeline whole, so any per-user analysis runs unbiased on the
+    * sample. Membership is md5-keyed on user_id (q276's content-stable
+    * holdout discipline — a re-run, a re-shard, or a new day cannot
+    * change who is sampled; ~1/20 of users). The audit output is the
+    * per-type census: sampled vs total events and the realized ppm —
+    * how far the 5% user sample drifts from 5% of EVENTS per type is
+    * exactly the heavy-user skew a trace consumer must know about.
+    *
+    * Scale shape: one deterministic md5 predicate on the scan (no join
+    * for membership), two hash-aggs onto the bounded type axis joined
+    * there. The sampled stream itself is the filter — this query is
+    * its audit.
+    */
+  def q346TraceSample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .withColumn("sampled",
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) % 20") === 0)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        countDistinct(col("user_id")).as("n_users_total"),
+        countDistinct(when(col("sampled"), col("user_id")))
+          .as("n_users_sampled"))
+      .select(col("event_type"), col("n_total"), col("n_sampled"),
+        col("n_users_total"), col("n_users_sampled"),
+        expr("CAST(CAST(n_sampled AS DECIMAL(38,0)) * 1000000 div n_total " +
+          "AS BIGINT)").as("event_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q346Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 20 = 0 AS sampled
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total,
+      |  CAST(COUNT(DISTINCT CASE WHEN sampled THEN user_id END) AS BIGINT)
+      |    AS n_users_sampled,
+      |  CAST(CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS event_ppm
+      |FROM ev GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_trace_sample"      -> (q346TraceSample _),
     "q340_mad_scale"         -> (q340MadScale _),
     "q337_late_event_audit"  -> (q337LateEventAudit _),
     "q329_changepoint"       -> (q329Changepoint _),
@@ -1631,6 +1687,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q346_trace_sample"      -> q346Oracle,
     "q340_mad_scale"         -> q340Oracle,
     "q337_late_event_audit"  -> q337Oracle,
     "q329_changepoint"       -> q329Oracle,

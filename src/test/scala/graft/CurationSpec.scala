@@ -808,4 +808,49 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(got === lo || got === lo + 1, s"seating outside floor/ceil: $r")
     }
   }
+
+  test("q344: every table's erasure impact replays from the subject list") {
+    val rows = SparkEntry.queries("q344_erasure_plan")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem", "events"))
+    val subjects = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 97 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows("customer").getAs[Long]("n_rows") === subjects.size.toLong)
+    assert(rows("customer").getAs[Long]("cents") === 0L)
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(o => subjects.contains(o._2))
+    assert(rows("orders").getAs[Long]("n_rows") === ords.length.toLong)
+    assert(rows("orders").getAs[Long]("cents") === ords.map(_._3).sum)
+    assert(rows("orders").getAs[Long]("n_subjects") ===
+      ords.map(_._2).distinct.length.toLong)
+    val okeys = ords.map(_._1).toSet
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(l => okeys.contains(l._1))
+    assert(rows("lineitem").getAs[Long]("n_rows") === li.length.toLong)
+    assert(rows("lineitem").getAs[Long]("cents") === li.map(_._2).sum)
+  }
+
+  test("q345: the four diff classes replay from the residue rules and " +
+    "partition old ∪ new") {
+    val rows = SparkEntry.queries("q345_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val added = ids.count(_ % 17 == 3).toLong
+    val removed = ids.count(_ % 29 == 7).toLong
+    val changed = ids.count(d => d % 17 != 3 && d % 23 == 5).toLong
+    val unchanged = ids.length - added - changed
+    assert(rows.getOrElse("added", 0L) === added)
+    assert(rows.getOrElse("removed", 0L) === removed)
+    assert(rows.getOrElse("changed", 0L) === changed)
+    assert(rows.getOrElse("unchanged", 0L) === unchanged)
+  }
 }

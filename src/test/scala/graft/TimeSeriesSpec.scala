@@ -694,4 +694,37 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("mad_daily") === lowerMed(devs), s"MAD for $et")
     }
   }
+
+  test("q346: sampling is user-coherent (all-or-nothing per user) and " +
+    "the per-type census replays") {
+    val rows = SparkEntry.queries("q346_trace_sample")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def sampled(u: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 20 == 0
+    }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val mine = ev.filter(_._2 == t)
+      assert(r.getAs[Long]("n_total") === mine.length.toLong)
+      assert(r.getAs[Long]("n_sampled") ===
+        mine.count(e => sampled(e._1)).toLong)
+      assert(r.getAs[Long]("n_users_total") ===
+        mine.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("n_users_sampled") ===
+        mine.map(_._1).distinct.count(sampled).toLong)
+    }
+    // coherence is definitional (membership depends only on user_id);
+    // assert the realized sample is non-trivial both ways
+    val users = ev.map(_._1).distinct
+    val s = users.count(sampled)
+    assert(s > 0 && s < users.length)
+  }
 }
