@@ -1451,7 +1451,114 @@ object MiningQueries {
       |JOIN o2 ON o2.bf = t.e2
       |ORDER BY t.e1, t.e2, t.e3""".stripMargin
 
+  /** SESSION MARKET-BASKET ANALYSIS (q347) — association mining where
+    * the basket is a SESSION (q45's 30-minute-gap semantics), not a
+    * document: which event types co-occur within one visit, with the
+    * full support / confidence / lift battery in exact ppm. q300's
+    * co-occurrence and q220's PMI mine document text; this mines
+    * BEHAVIOR — "users who do A in a session also do B" is the
+    * recommendation/causation-screen primitive. Lift cross-multiplies
+    * (pair·N·10⁶ div (n_a·n_b)) so no probability is ever a float;
+    * sessions with ties on ts are safe because a tied row can never
+    * open a session (is_new = 0 regardless of tie order).
+    *
+    * Scale shape: sessionization is the lag+cumsum pair on the
+    * user-partitioned window (q45's rewrite); baskets collapse to
+    * distinct (session, type); the pair join is session-keyed with
+    * fan-out bounded by |types|² per session; everything after lives
+    * on the ≤ C(|types|, 2) axis. Output ≤ 10 rows.
+    */
+  def q347SessionBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+    val sess = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("is_new", when(lag(col("ts"), 1).over(w).isNull ||
+        col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"),
+        1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val items = sess.select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+    val nSess = items.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = items.alias("x")
+      .join(items.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.sid") === col("y.sid") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 div n_sessions " +
+          "AS BIGINT)").as("support_ppm"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 div n_a " +
+          "AS BIGINT)").as("conf_a_to_b_ppm"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 div n_b " +
+          "AS BIGINT)").as("conf_b_to_a_ppm"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000 " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q347Oracle: String =
+    """WITH brk AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brk),
+      |items AS (
+      |  SELECT DISTINCT user_id, sid, event_type FROM sess),
+      |ns AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, sid FROM items)),
+      |pt AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      |  FROM items GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM items x JOIN items y
+      |    ON x.user_id = y.user_id AND x.sid = y.sid
+      |   AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab, a.n_t AS n_a, b.n_t AS n_b,
+      |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // n_sessions AS BIGINT)
+      |    AS support_ppm,
+      |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // a.n_t AS BIGINT)
+      |    AS conf_a_to_b_ppm,
+      |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // b.n_t AS BIGINT)
+      |    AS conf_b_to_a_ppm,
+      |  CAST(CAST(n_ab AS HUGEINT) * n_sessions * 1000000
+      |    // (CAST(a.n_t AS HUGEINT) * b.n_t) AS BIGINT) AS lift_ppm
+      |FROM p
+      |JOIN pt a ON a.event_type = type_a
+      |JOIN pt b ON b.event_type = type_b
+      |CROSS JOIN ns
+      |ORDER BY type_a, type_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_session_baskets" -> (q347SessionBaskets _),
     "q326_sequence_trigrams" -> (q326SequenceTrigrams _),
     "q300_term_projection"  -> (q300TermProjection _),
     "q220_pmi_collocations" -> (q220PmiCollocations _),
@@ -1475,6 +1582,7 @@ object MiningQueries {
     "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
+    "q347_session_baskets" -> q347Oracle,
     "q326_sequence_trigrams" -> q326Oracle,
     "q300_term_projection"  -> q300Oracle,
     "q220_pmi_collocations" -> q220Oracle,

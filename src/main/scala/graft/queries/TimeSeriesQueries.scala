@@ -1660,7 +1660,79 @@ object TimeSeriesQueries {
       |FROM ev GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  /** ACTIVATION REPORT (q348) — the "aha moment" analysis growth teams
+    * run that q279's cohort retention can't answer: retention says WHEN
+    * users come back; this says WHICH first-day behavior predicts that
+    * they do. Per event_type: how many users performed it on their
+    * FIRST calendar day, how many of those returned on any later day,
+    * and the activation rate in exact ppm — the type with the highest
+    * lift over the baseline is the onboarding action to optimize. The
+    * baseline rides along as the all-users row (event_type = '__all').
+    *
+    * Scale shape: one per-user aggregate (min ts → first day, max day >
+    * first day → returned flag, map-side combinable); first-day
+    * (user, type) pairs collapse distinct; one broadcast join of the
+    * tiny user-flag frame… no — the flag frame is user-cardinality, so
+    * the join is user-keyed and shuffles once; rollup lands on the
+    * bounded type axis. No window anywhere.
+    */
+  def q348ActivationReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .withColumn("returned",
+        when(col("last_day") > col("first_day"), 1L).otherwise(0L))
+    val firstDayActs = ev.join(users, "user_id")
+      .filter(col("day") === col("first_day"))
+      .select(col("user_id"), col("event_type"), col("returned"))
+      .distinct()
+    val perType = firstDayActs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("returned")).as("n_returned"))
+    val overall = users.agg(count(lit(1)).as("n_users"),
+        sum(col("returned")).as("n_returned"))
+      .select(lit("__all").as("event_type"), col("n_users"),
+        col("n_returned"))
+    perType.unionByName(overall)
+      .select(col("event_type"), col("n_users"), col("n_returned"),
+        expr("CAST(CAST(n_returned AS DECIMAL(38,0)) * 1000000 " +
+          "div n_users AS BIGINT)").as("activation_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q348Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |users AS (
+      |  SELECT user_id, MIN(day) AS first_day,
+      |    CASE WHEN MAX(day) > MIN(day) THEN 1 ELSE 0 END AS returned
+      |  FROM ev GROUP BY 1),
+      |fda AS (
+      |  SELECT DISTINCT ev.user_id, ev.event_type, users.returned
+      |  FROM ev JOIN users ON users.user_id = ev.user_id
+      |  WHERE ev.day = users.first_day),
+      |pt AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(returned) AS BIGINT) AS n_returned
+      |  FROM fda GROUP BY 1
+      |  UNION ALL
+      |  SELECT '__all', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(returned) AS BIGINT)
+      |  FROM users)
+      |SELECT event_type, n_users, n_returned,
+      |  CAST(CAST(n_returned AS HUGEINT) * 1000000 // n_users AS BIGINT)
+      |    AS activation_ppm
+      |FROM pt
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_activation_report" -> (q348ActivationReport _),
     "q346_trace_sample"      -> (q346TraceSample _),
     "q340_mad_scale"         -> (q340MadScale _),
     "q337_late_event_audit"  -> (q337LateEventAudit _),
@@ -1687,6 +1759,7 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q348_activation_report" -> q348Oracle,
     "q346_trace_sample"      -> q346Oracle,
     "q340_mad_scale"         -> q340Oracle,
     "q337_late_event_audit"  -> q337Oracle,

@@ -395,4 +395,41 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
       r.getAs[String]("term_a"), r.getAs[String]("term_b"))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("q347: session baskets replay driver-side (30-min-gap sessions, " +
+    "pair counts, lift) and obey the support laws") {
+    val rows = SparkEntry.queries("q347_session_baskets")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // driver-side sessionization: 30-minute gap on each user's timeline
+    val baskets = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(_._2)
+      var sid = 0L; var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev >= 30L * 60 * 1000000)
+          sid += 1
+        prev = e._2
+        ((e._1, sid), e._3)
+      }
+    }.toSeq.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val nSess = baskets.length.toLong
+    def nT(t: String) = baskets.count(_.contains(t)).toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val nab = baskets.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("n_ab") === nab, s"n_ab for ($a,$b)")
+      assert(r.getAs[Long]("n_a") === nT(a))
+      assert(r.getAs[Long]("n_b") === nT(b))
+      assert(nab <= math.min(nT(a), nT(b)))
+      assert(r.getAs[Long]("support_ppm") ===
+        BigInt(nab) * 1000000 / nSess)
+      assert(r.getAs[Long]("lift_ppm") ===
+        (BigInt(nab) * nSess * 1000000 / (BigInt(nT(a)) * nT(b))).toLong)
+    }
+  }
 }

@@ -727,4 +727,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val s = users.count(sampled)
     assert(s > 0 && s < users.length)
   }
+
+  test("q348: activation counts replay per type and the __all baseline " +
+    "covers every user") {
+    val rows = SparkEntry.queries("q348_activation_report")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      val first = g.map(_._2.toEpochDay).min
+      val returned = g.exists(_._2.toEpochDay > first)
+      (u, first, returned, g.filter(_._2.toEpochDay == first)
+        .map(_._3).toSet)
+    }.toSeq
+    val all = rows("__all")
+    assert(all.getAs[Long]("n_users") === perUser.length.toLong)
+    assert(all.getAs[Long]("n_returned") ===
+      perUser.count(_._3).toLong)
+    rows.filterKeys(_ != "__all").foreach { case (t, r) =>
+      val acted = perUser.filter(_._4.contains(t))
+      assert(r.getAs[Long]("n_users") === acted.length.toLong, s"users $t")
+      assert(r.getAs[Long]("n_returned") === acted.count(_._3).toLong)
+      assert(r.getAs[Long]("activation_ppm") ===
+        BigInt(acted.count(_._3)) * 1000000 / acted.length)
+      assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_users"))
+    }
+  }
 }
