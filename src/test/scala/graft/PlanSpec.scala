@@ -363,4 +363,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q344: every fact joins the erasure subject list by BROADCAST — " +
+    "the subject frame never drives a shuffle of a fact table") {
+    val p = plan("q344_erasure_plan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q345: the snapshot diff carries md5 hashes, not document bodies, " +
+    "across its one full-outer exchange") {
+    val p = plan("q345_snapshot_diff")
+    // the post-scan projections hash immediately; `text` must not appear
+    // in any Exchange's output schema (it appears only inside scans and
+    // the md5 projections directly above them)
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, p.take(2000))
+    exchanges.foreach(e => assert(!e.contains("text"), e))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q347: session baskets never plan a cartesian — the pair join is " +
+    "session-keyed (the only nested-loop is the sanctioned 1-row " +
+    "n_sessions broadcast)") {
+    val p = plan("q347_session_baskets")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the basket self-join must be an equi-join on (user, sid)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toList
+    bnlj.foreach(j => assert(j.contains("Cross"),
+      s"only the 1-row cross broadcast is allowed: $j"))
+    assert(bnlj.size <= 1, p.take(3000))
+  }
+
+  test("q335/q334: the chunking and phrase windows partition by doc_id — " +
+    "no one-partition window over the corpus") {
+    Seq("q335_cdc_chunking", "q334_boilerplate_phrases").foreach { q =>
+      val p = plan(q)
+      val windows = "Window [^\\n]*".r.findAllIn(p).toList
+      windows.foreach { w =>
+        assert(w.contains("doc_id"), s"$q window not doc-partitioned: $w")
+      }
+    }
+  }
+
 }
