@@ -1657,6 +1657,111 @@ object AdvancedQueries {
       |FROM sc
       |ORDER BY region, segment""".stripMargin
 
+  /** FUNNEL LATENCY PERCENTILES (q349) — the timing q257's windowed
+    * funnel counts but never measures: for each converting transition
+    * (view→click, click→purchase under the same 24 h windows), the
+    * exact min / lower-median / p90 / max latency in whole seconds.
+    * "How long does conversion take" drives attribution-window and
+    * retargeting choices; a vanity funnel without it picks windows
+    * blind. Ranks are exact: the latency axis is BOUNDED by the
+    * conversion window (≤ 86 400 distinct seconds), so the per-second
+    * histogram + one distributed prefix sum give exact order
+    * statistics with no corpus-sized sort — median = smallest second
+    * with cum ≥ (n+1) div 2, p90 = smallest with 10·cum ≥ 9·n (the
+    * ceil-rank convention, identical in both engines).
+    *
+    * Scale shape: q257's per-stage keyed aggregates; latencies collapse
+    * onto the ≤ 86 400-second axis; the cumulative rides the
+    * distributed prefix sum; ONE row per transition.
+    */
+  def q349FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstWithin(evType: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t") &&
+          col("ts") <= col("prev_t") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val clicks = firstWithin("click", views)
+    val purchases = firstWithin("purchase", clicks)
+    def latencies(from: DataFrame, to: DataFrame): DataFrame =
+      to.join(from.select(col("user_id"), col("t").as("t0")), "user_id")
+        .select(expr("(unix_micros(t) - unix_micros(t0)) div 1000000")
+          .as("lat_s"))
+    def stats(name: String, lat: DataFrame): DataFrame = {
+      val h = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("c"))
+        .withColumn("g", lit(0))
+      val cum = PrefixSum.runningTotal(
+        h, Seq("g"), Seq(col("lat_s").asc), "c", "cum")
+      val n = h.agg(sum(col("c")).as("n"))
+      cum.crossJoin(broadcast(n))
+        .agg(max(col("n")).as("n_converted"),
+          min(col("lat_s")).as("min_s"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lat_s")))
+            .as("median_s"),
+          min(when(col("cum") * 10 >= expr("9 * n"), col("lat_s")))
+            .as("p90_s"),
+          max(col("lat_s")).as("max_s"))
+        .select(lit(name).as("transition"), col("n_converted"),
+          col("min_s"), col("median_s"), col("p90_s"), col("max_s"))
+    }
+    stats("a_view_to_click", latencies(views, clicks))
+      .unionByName(stats("b_click_to_purchase", latencies(clicks, purchases)))
+      .orderBy(col("transition"))
+  }
+
+  val q349Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t
+      |    AND e.ts <= v.t + INTERVAL '24 hours'
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |    AND e.ts <= c.t + INTERVAL '24 hours'
+      |  GROUP BY 1),
+      |lat1 AS (
+      |  SELECT (epoch_us(c.t) - epoch_us(v.t)) // 1000000 AS lat_s
+      |  FROM c JOIN v ON v.user_id = c.user_id),
+      |lat2 AS (
+      |  SELECT (epoch_us(p.t) - epoch_us(c.t)) // 1000000 AS lat_s
+      |  FROM p JOIN c ON c.user_id = p.user_id),
+      |h1 AS (SELECT lat_s, CAST(COUNT(*) AS BIGINT) AS c FROM lat1
+      |       GROUP BY 1),
+      |h2 AS (SELECT lat_s, CAST(COUNT(*) AS BIGINT) AS c FROM lat2
+      |       GROUP BY 1),
+      |cum1 AS (SELECT lat_s, c, SUM(c) OVER (ORDER BY lat_s) AS cum,
+      |         SUM(c) OVER () AS n FROM h1),
+      |cum2 AS (SELECT lat_s, c, SUM(c) OVER (ORDER BY lat_s) AS cum,
+      |         SUM(c) OVER () AS n FROM h2),
+      |s1 AS (
+      |  SELECT 'a_view_to_click' AS transition,
+      |    CAST(MAX(n) AS BIGINT) AS n_converted,
+      |    MIN(lat_s) AS min_s,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN lat_s END) AS median_s,
+      |    MIN(CASE WHEN cum * 10 >= 9 * n THEN lat_s END) AS p90_s,
+      |    MAX(lat_s) AS max_s
+      |  FROM cum1),
+      |s2 AS (
+      |  SELECT 'b_click_to_purchase' AS transition,
+      |    CAST(MAX(n) AS BIGINT) AS n_converted,
+      |    MIN(lat_s) AS min_s,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN lat_s END) AS median_s,
+      |    MIN(CASE WHEN cum * 10 >= 9 * n THEN lat_s END) AS p90_s,
+      |    MAX(lat_s) AS max_s
+      |  FROM cum2)
+      |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |ORDER BY transition""".stripMargin
+
   /** FIRST/LAST-TOUCH ATTRIBUTION (q343) — the marketing-analytics split
     * q257's funnel and q279's retention don't answer: when a user's
     * activity carries value, WHICH event type gets the credit? Two
@@ -1730,6 +1835,7 @@ object AdvancedQueries {
       |ORDER BY event_type""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_funnel_latency" -> (q349FunnelLatency _),
     "q343_touch_attribution" -> (q343TouchAttribution _),
     "q317_growth_decomposition" -> (q317GrowthDecomposition _),
     "q318_shift_share"      -> (q318ShiftShare _),
@@ -1766,6 +1872,7 @@ object AdvancedQueries {
     "q61_dedup_content_hash" -> (q61DedupContentHash _))
 
   val oracles: Map[String, String] = Map(
+    "q349_funnel_latency" -> q349Oracle,
     "q343_touch_attribution" -> q343Oracle,
     "q317_growth_decomposition" -> q317Oracle,
     "q318_shift_share"      -> q318Oracle,

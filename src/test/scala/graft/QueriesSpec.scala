@@ -273,4 +273,26 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("last_touch_cents") === l.map(_._3).sum, s"lc $t")
     }
   }
+
+  test("q349: latency order statistics are consistent and the converted " +
+    "counts agree with q257's funnel") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q349_funnel_latency")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ===
+      Set("a_view_to_click", "b_click_to_purchase"))
+    rows.values.foreach { r =>
+      val (mn, md, p90, mx) = (r.getAs[Long]("min_s"),
+        r.getAs[Long]("median_s"), r.getAs[Long]("p90_s"),
+        r.getAs[Long]("max_s"))
+      assert(mn <= md && md <= p90 && p90 <= mx, s"order stats: $r")
+      assert(mn >= 0 && mx <= 86400L, s"window bound: $r")
+    }
+    val funnel = SparkEntry.queries("q257_windowed_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(rows("a_view_to_click").getAs[Long]("n_converted") ===
+      funnel("b_click"))
+    assert(rows("b_click_to_purchase").getAs[Long]("n_converted") ===
+      funnel("c_purchase"))
+  }
 }
