@@ -28,7 +28,8 @@ object SparkEntry {
       CorpusQueries.registry ++ EvalQueries.registry ++
       TimeSeriesQueries.registry ++ EmbeddingQueries.registry ++
       ProfilingQueries.registry ++ graft.pipeline.CurationRun.registry ++
-      graft.pipeline.RetrievalRun.registry
+      graft.pipeline.RetrievalRun.registry ++
+      graft.pipeline.DedupAuditRun.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       CorpusQueries.oracles ++ EvalQueries.oracles ++
       TimeSeriesQueries.oracles ++ EmbeddingQueries.oracles ++
       ProfilingQueries.oracles ++ graft.pipeline.CurationRun.oracles ++
-      graft.pipeline.RetrievalRun.oracles
+      graft.pipeline.RetrievalRun.oracles ++
+      graft.pipeline.DedupAuditRun.oracles
 }
