@@ -67,12 +67,37 @@ object Bench {
   /** Prior-round bench baseline: per-query seconds, the names that FAILED
     * there (a query whose prior number is a time-to-throw must not be
     * diffed — "now succeeds, slower than it used to crash" is not a
-    * regression), and the prior calibration-probe minimum (the box-speed
-    * anchor the normalized gate divides by). */
+    * regression), the prior calibration-probe minimum (the box-speed
+    * anchor the normalized gate divides by), and the core count the
+    * baseline was taken at (None for pre-round-14 baselines that did not
+    * record it). */
   private[graft] case class PriorBench(
       times: Map[String, Double],
       failed: Set[String],
-      calibMin: Option[Double])
+      calibMin: Option[Double],
+      cpus: Option[Int])
+
+  /** CORE-COUNT GATE (round 14): whether the per-query regression gate may
+    * adjudicate at all, and why not if it can't. The round-13 incident: a
+    * sweep taken at 8 cores was diffed against a 32-core baseline and
+    * manufactured three "regressions" that cost half a session to
+    * adjudicate — and the calibration probe provably cannot catch this
+    * class (it is I/O-dominated and core-count-insensitive, so the drift
+    * statistic stays flat while every shuffle-heavy query legitimately
+    * runs 2–4× slower on a quarter of the cores). A contended box voids
+    * the gate for the same reason it always has. Baselines that predate
+    * the `cpus` field are grandfathered: with no recorded core count
+    * there is nothing to compare, so the gate proceeds as before. */
+  private[graft] def gateStatus(
+      priorCpus: Option[Int],
+      runCpus: Option[Int],
+      contended: Boolean): (Boolean, String) =
+    if (contended) (false, "voided: contended (calibration drift > 1.5x)")
+    else (priorCpus, runCpus) match {
+      case (Some(p), Some(c)) if p != c =>
+        (false, s"voided: cpus mismatch (baseline $p cores, run $c)")
+      case _ => (true, "active")
+    }
 
   /** Extract the body of the FIRST `"key":{...}` / `"key":[...]` group in
     * `txt`, anchored on the MATCHING close bracket (brace-depth scan, not
@@ -111,8 +136,10 @@ object Bench {
         val vs = raw"[0-9][0-9.eE+-]*".r.findAllIn(body).map(_.toDouble).toSeq
         if (vs.isEmpty) None else Some(vs.min)
       }
-      PriorBench(times, failed, calibMin)
-    } catch { case _: Exception => PriorBench(Map.empty, Set.empty, None) }
+      val cpus = raw""""cpus":([0-9]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+      PriorBench(times, failed, calibMin, cpus)
+    } catch { case _: Exception => PriorBench(Map.empty, Set.empty, None, None) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -266,7 +293,12 @@ object Bench {
     // across both stretches is real load, not flake) and the min over all
     // attempts is the recorded time. Real regressions (code-caused) survive
     // the retry by construction; one-stretch spikes do not.
-    val provisional = if (contended) Seq.empty
+    // current core count for the gate (local[*] or other non-numeric
+    // masters read as unknown — the gate then proceeds, same as a
+    // pre-round-14 baseline with no recorded cpus)
+    val cpusNum = scala.util.Try(cpus.toInt).toOption
+    val (gateOk0, _) = gateStatus(prior.cpus, cpusNum, contended)
+    val provisional = if (!gateOk0) Seq.empty
       else results.flatMap { case (n, s) => flagged(n, s) }
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalTimes = scala.collection.mutable.LinkedHashMap(results: _*)
@@ -310,8 +342,11 @@ object Bench {
     // say contended:false with drift > 1.5 and regressions adjudicated on
     // a box the series itself indicts
     val contendedFinal = calib.max / calib.min > 1.5
+    val (gateOk, gateReason) = gateStatus(prior.cpus, cpusNum, contendedFinal)
+    if (!gateOk)
+      System.err.println(s"[bench] regression gate $gateReason")
     val regressions =
-      if (contendedFinal) Seq.empty
+      if (!gateOk) Seq.empty
       else provisional.flatMap { case (name, _, _, _) =>
         flagged(name, finalTimes(name))
       }
@@ -329,13 +364,24 @@ object Bench {
     val total = finalTimes.valuesIterator.sum
     val drift = calib.max / calib.min
     val calibJson = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contendedFinal,"retried":$retriedJson,"regressions":$regJson,"regression_baseline":$regBase,"sf":"$sfDir"}"""
+    val cpusJson = cpusNum.map(_.toString).getOrElse("\"" + cpus + "\"")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contendedFinal,"gate":"$gateReason","retried":$retriedJson,"regressions":$regJson,"regression_baseline":$regBase,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.
     spark.stop()
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    // A CONTENDED run never overwrites the committed clean baseline — the
+    // round-13 close committed a drift-3.57 attempt over the 294 s clean
+    // baseline exactly this way, poisoning the next round's regression
+    // priors. The indicted run is preserved at bench.contended.json for
+    // the record; bench.json only ever carries box-certified numbers.
+    if (only.isEmpty) {
+      val out = if (contendedFinal) "bench.contended.json" else "bench.json"
+      if (contendedFinal)
+        System.err.println(
+          "[bench] contended run: writing bench.contended.json, keeping bench.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    }
     println(json)
     System.out.flush()
   }

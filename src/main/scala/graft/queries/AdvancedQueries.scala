@@ -1778,8 +1778,13 @@ object AdvancedQueries {
     * event-type axis, full-outer-joined there. No window, no self-join.
     */
   def q343TouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    // event_type IS NOT NULL mirrors the sibling event queries: a NULL
+    // type would surface as two distinct NULL-keyed rows out of the
+    // full-outer join whose relative order under ORDER BY event_type is
+    // unspecified in both engines — latent hash flake, filtered at scan
     val perUser = Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -1809,7 +1814,8 @@ object AdvancedQueries {
     """WITH ev AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
       |pu AS (
       |  SELECT user_id,
       |    (min({'t': ts, 'e': event_id, 'y': event_type})).y AS first_touch,

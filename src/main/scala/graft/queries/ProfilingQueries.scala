@@ -1435,10 +1435,16 @@ object ProfilingQueries {
     * q320 float-seeded ±2-corrected integer sqrt — so both engines land
     * on the identical truncated ppm (isqrt(dx)·isqrt(dy) ≠ isqrt(dx·dy),
     * but BOTH sides compute the same expression, and keeping the sqrts
-    * separate bounds each operand under DECIMAL(38,0): dx,dy ≤ 4n⁴ holds
-    * BIGINT→DECIMAL exactness to n ≈ 4·10⁹ docs/source, vs n ≤ 4·10⁴ if
-    * the product were rooted). NULL when either axis is constant in a
-    * source (ρ undefined), loudly not 0.
+    * separate bounds each operand under DECIMAL(38,0): dx,dy ≤ 4n⁴ stays
+    * representable to n ≈ 4·10⁹ docs/source, vs n ≤ 4·10⁴ if the product
+    * were rooted. The float-seeded ±2 isqrt correction guarantees the
+    * TRUE integer sqrt only while sqrt(dx)·2⁻⁵⁴ ≤ 2, i.e. dx ≲ 1.3·10³³
+    * — n ≈ 4·10⁸ docs/source; beyond that the seed can drift outside the
+    * ±2 cascade, but ENGINE PARITY survives arbitrarily far: both sides
+    * seed from the same correctly-rounded double sqrt of the same
+    * integer and apply the same correction, so the truncated ppm stays
+    * identical even where it is no longer the exact isqrt). NULL when
+    * either axis is constant in a source (ρ undefined), loudly not 0.
     *
     * Scale shape: each axis collapses to the per-source distinct-value
     * frame (one hash-agg), midranks ride the distributed two-pass prefix

@@ -52,16 +52,23 @@ object StreamingOps extends Serializable {
     * The marker keys on the SOURCE FILE's (size, mtime) fingerprint in
     * addition to the caller's key (round 13): a plain dir-string marker
     * would keep saying "done" after the source parquet is rewritten
-    * mid-session — or after another process rewrites the shared-tmpdir
-    * staging path — and silently stream stale bytes. A source rewrite now
-    * changes the fingerprint, misses the marker, and re-stages.
+    * mid-session and silently stream stale bytes. A source rewrite now
+    * changes the fingerprint, misses the marker, and re-stages. The guard
+    * is scoped to SOURCE rewrites only — a foreign process clobbering the
+    * staged files themselves still matches the marker (fingerprinting the
+    * staged slices too would cost a stat per gate per construction for a
+    * failure mode nothing in this sandbox produces). A source parquet
+    * that has gone missing re-stages rather than throwing on the stat:
+    * the write itself then raises the real, actionable read error.
     */
   private def stagedOnce(spark: SparkSession, marker: String, key: String,
       srcs: java.nio.file.Path*)(write: => Unit): Unit = {
     val fp = srcs.map { p =>
-      val a = java.nio.file.Files.readAttributes(
-        p, classOf[java.nio.file.attribute.BasicFileAttributes])
-      s"${a.size}:${a.lastModifiedTime.toMillis}"
+      try {
+        val a = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"${a.size}:${a.lastModifiedTime.toMillis}"
+      } catch { case _: java.io.IOException => "absent" }
     }.mkString(key + "|", ",", "")
     if (!spark.conf.getOption(marker).contains(fp)) {
       write

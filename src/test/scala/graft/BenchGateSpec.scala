@@ -44,9 +44,48 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("absent or malformed file yields an empty baseline, not a throw") {
     val missing = java.nio.file.Paths.get("/does/not/exist/bench.json")
-    assert(Bench.priorBench(missing) === Bench.PriorBench(Map.empty, Set.empty, None))
+    assert(Bench.priorBench(missing) ===
+      Bench.PriorBench(Map.empty, Set.empty, None, None))
     val junk = write("{not json at all")
     val b = Bench.priorBench(junk)
-    assert(b.times.isEmpty && b.failed.isEmpty && b.calibMin.isEmpty)
+    assert(b.times.isEmpty && b.failed.isEmpty && b.calibMin.isEmpty && b.cpus.isEmpty)
+  }
+
+  test("priorBench parses the baseline's cpus; absent field reads None") {
+    val withCpus = write(
+      """{"metric":"total","value":1.0,"unit":"sec","cpus":32,
+        |"queries":{"q01":1.0},"failed":[],"calibration":[1.0]}""".stripMargin)
+    assert(Bench.priorBench(withCpus).cpus === Some(32))
+    val without = write(
+      """{"queries":{"q01":1.0},"failed":[],"calibration":[1.0]}""")
+    assert(Bench.priorBench(without).cpus === None)
+  }
+
+  // CORE-COUNT GATE (round 14): the r13 incident — a sweep taken at a
+  // different core count than the baseline manufactured three phantom
+  // regressions, and the calibration probe cannot catch it (the probe is
+  // I/O-dominated and core-count-insensitive, so drift stays < 1.5x while
+  // every shuffle-heavy query legitimately runs slower on fewer cores).
+  // These cases prove a mismatched-cpus run produces NO regression flags
+  // and says why in the emitted gate reason.
+  test("gate is voided with a named reason when run cpus != baseline cpus") {
+    val (ok, reason) = Bench.gateStatus(Some(32), Some(8), contended = false)
+    assert(!ok)
+    assert(reason === "voided: cpus mismatch (baseline 32 cores, run 8)")
+  }
+
+  test("gate stays active on matching cpus, and on unknown cpus either side") {
+    assert(Bench.gateStatus(Some(32), Some(32), contended = false) ===
+      ((true, "active")))
+    // pre-round-14 baseline with no cpus field: nothing to compare
+    assert(Bench.gateStatus(None, Some(32), contended = false)._1)
+    // non-numeric master (local[*]): unknown run cpus, gate proceeds
+    assert(Bench.gateStatus(Some(32), None, contended = false)._1)
+  }
+
+  test("contention voids the gate regardless of core-count agreement") {
+    val (ok, reason) = Bench.gateStatus(Some(32), Some(32), contended = true)
+    assert(!ok)
+    assert(reason.startsWith("voided: contended"))
   }
 }
