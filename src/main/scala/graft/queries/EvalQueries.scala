@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** In-engine MODEL EVALUATION over the curation suite's own classifier:
   * the reliability diagram and the exact ROC-AUC of q136's quality scorer
@@ -1255,7 +1255,414 @@ object EvalQueries {
        |  END AS j_ppm
        |FROM best WHERE rn = 1""".stripMargin
 
+  /** Sign-split integral division `a/b` (b > 0) as a SQL fragment: both
+    * engines truncate TOWARD ZERO on the absolute value and re-sign, so
+    * Spark's `div` (Java semantics) and DuckDB's `//` (floor semantics)
+    * agree on negative numerators — the q322 convention, factored. */
+  private def sdiv(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
+
+  /** MULTI-CLASS CONFUSION SUITE (q351) — the basic eval table the suite's
+    * single-number metrics (q208 AUC, q215 κ, q331 AP, q338 J) all
+    * presuppose but none emits: per-class true/false positives and
+    * misses of the q33 language-ID predictor judged against the corpus's
+    * `lang` label, with precision / recall / F1 in exact ppm, plus the
+    * pooled micro row (`~micro`, which for single-label multi-class is
+    * accuracy on all three metrics). A class appears if it occurs as a
+    * label OR as a prediction — an over-predicted junk class must not
+    * vanish from the report just because nothing is labeled with it.
+    *
+    * Scale shape: ONE corpus scan into a (label, pred) hash-aggregate;
+    * everything after lives on the ≤(|langs|+1)² contingency frame —
+    * class axis is model-bounded, not corpus-bounded. No joins touch the
+    * corpus.
+    */
+  def q351ConfusionSuite(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Tables.documents(spark, dir)
+      .select(col("lang").as("label"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    val byLabel = cells.groupBy(col("label").as("cls"))
+      .agg(sum(col("n")).as("n_label"))
+    val byPred = cells.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val diag = cells.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp0"))
+    val per = byLabel.join(byPred, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("n_label"), lit(0L)).as("n_label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp0"), lit(0L)).as("tp"))
+    val micro = per.agg(
+        lit("~micro").as("cls"),
+        sum(col("n_label")).as("n_label"), sum(col("n_pred")).as("n_pred"),
+        sum(col("tp")).as("tp"))
+    per.unionByName(micro)
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_label") - col("tp"))
+      .select(col("cls"), col("n_label"), col("n_pred"),
+        col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div (tp + fp) AS BIGINT)" +
+          " END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div (tp + fn) AS BIGINT)" +
+          " END").as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE " +
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 2000000" +
+          " div (2 * tp + fp + fn) AS BIGINT) END").as("f1_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  val q351Oracle: String =
+    s"""WITH p AS (
+       |  SELECT lang AS label, ${TextQueries.langPredSql} AS pred
+       |  FROM documents),
+       |cells AS (
+       |  SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2),
+       |bl AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS n_label
+       |       FROM cells GROUP BY 1),
+       |bp AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+       |       FROM cells GROUP BY 1),
+       |dg AS (SELECT label AS cls, n AS tp0 FROM cells WHERE label = pred),
+       |per AS (
+       |  SELECT COALESCE(bl.cls, bp.cls) AS cls,
+       |    COALESCE(n_label, 0) AS n_label,
+       |    COALESCE(n_pred, 0) AS n_pred,
+       |    COALESCE(tp0, 0) AS tp
+       |  FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls
+       |  LEFT JOIN dg ON dg.cls = COALESCE(bl.cls, bp.cls)),
+       |rows2 AS (
+       |  SELECT cls, n_label, n_pred, tp FROM per
+       |  UNION ALL
+       |  SELECT '~micro', CAST(SUM(n_label) AS BIGINT),
+       |    CAST(SUM(n_pred) AS BIGINT), CAST(SUM(tp) AS BIGINT)
+       |  FROM per)
+       |SELECT cls, n_label, n_pred, tp,
+       |  n_pred - tp AS fp, n_label - tp AS fn,
+       |  CASE WHEN n_pred = 0 THEN NULL
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // n_pred AS BIGINT)
+       |  END AS precision_ppm,
+       |  CASE WHEN n_label = 0 THEN NULL
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // n_label AS BIGINT)
+       |  END AS recall_ppm,
+       |  CASE WHEN n_pred + n_label = 0 THEN NULL
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 2000000
+       |      // (n_pred + n_label) AS BIGINT)
+       |  END AS f1_ppm
+       |FROM rows2
+       |ORDER BY cls""".stripMargin
+
+  /** CALIBRATION-GAP / ECE AUDIT (q352) — q207's reliability deciles
+    * turned into the scalar every model card quotes: per score decile,
+    * the gap between the scorer's min-max-normalized confidence and the
+    * observed positive rate, and as the `bin = -1` summary row the
+    * EXPECTED CALIBRATION ERROR — the doc-weighted mean absolute gap,
+    * computed from UNtruncated per-bin sums so the summary is exact, not
+    * a rounding of rounded bins. Confidence is the affine rank-free
+    * map conf_ppm = (score − min)·10⁶ div (max − min) (0 when the score
+    * is constant): calibration is judged on what an affine consumer of
+    * the raw score would read as probability.
+    *
+    * Scale shape: the global rank rides the distributed two-pass prefix
+    * sum (q207's scaffold); min/max is a 1-row broadcast; bins are a
+    * 10-row frame and the summary a 1-row aggregate over it.
+    */
+  def q352CalibrationGap(spark: SparkSession, dir: String): DataFrame = {
+    val j = scoreLabel(spark, dir)
+      .withColumn("g", lit(0)).withColumn("one", lit(1L))
+    val span = j.agg(min(col("score_sum")).as("lo"),
+      max(col("score_sum")).as("hi"))
+    val conf = graft.functions.PrefixSum
+      .runningTotal(j, Seq("g"),
+        Seq(col("score_sum").asc, col("doc_id").asc), "one", "rk")
+      .crossJoin(broadcast(span))
+      .withColumn("conf_ppm", expr(
+        "CASE WHEN hi = lo THEN 0L ELSE CAST(CAST(score_sum - lo " +
+          "AS DECIMAL(38,0)) * 1000000 div (hi - lo) AS BIGINT) END"))
+    val total = j.agg(count(lit(1)).as("n"))
+    val bins = conf.crossJoin(broadcast(total))
+      .withColumn("bin", expr("((rk - 1) * 10) div n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("conf_ppm")).as("sum_conf"))
+    val perBin = bins.select(col("bin"), col("n_docs"), col("n_pos"),
+      expr("sum_conf div n_docs").as("avg_conf_ppm"),
+      expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n_docs" +
+        " AS BIGINT)").as("pos_ppm"),
+      expr("CAST(abs(sum_conf - 1000000 * n_pos) div n_docs AS BIGINT)")
+        .as("gap_ppm"))
+    val ece = bins.agg(
+        lit(-1L).as("bin"),
+        sum(col("n_docs")).as("n_docs"), sum(col("n_pos")).as("n_pos"),
+        expr("sum(sum_conf) div sum(n_docs)").as("avg_conf_ppm"),
+        expr("CAST(CAST(sum(n_pos) AS DECIMAL(38,0)) * 1000000" +
+          " div sum(n_docs) AS BIGINT)").as("pos_ppm"),
+        expr("CAST(sum(abs(sum_conf - 1000000 * n_pos))" +
+          " div sum(n_docs) AS BIGINT)").as("gap_ppm"))
+    perBin.select(col("bin").cast(LongType).as("bin"), col("n_docs"),
+        col("n_pos"), col("avg_conf_ppm"), col("pos_ppm"), col("gap_ppm"))
+      .unionByName(ece)
+      .orderBy(col("bin"))
+  }
+
+  val q352Oracle: String =
+    s"""WITH $scoreLabelCtes,
+       |sp AS (SELECT MIN(score_sum) AS lo, MAX(score_sum) AS hi FROM j),
+       |r AS (
+       |  SELECT doc_id, score_sum, y,
+       |    ROW_NUMBER() OVER (ORDER BY score_sum, doc_id) AS rk,
+       |    COUNT(*) OVER () AS n,
+       |    CASE WHEN hi = lo THEN 0
+       |      ELSE CAST(CAST(score_sum - lo AS HUGEINT) * 1000000
+       |        // (hi - lo) AS BIGINT) END AS conf_ppm
+       |  FROM j CROSS JOIN sp),
+       |bins AS (
+       |  SELECT (rk - 1) * 10 // n AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf
+       |  FROM r GROUP BY 1),
+       |both2 AS (
+       |  SELECT bin, n_docs, n_pos,
+       |    CAST(sum_conf // n_docs AS BIGINT) AS avg_conf_ppm,
+       |    CAST(CAST(n_pos AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |      AS pos_ppm,
+       |    CAST(ABS(sum_conf - 1000000 * n_pos) // n_docs AS BIGINT)
+       |      AS gap_ppm
+       |  FROM bins
+       |  UNION ALL
+       |  SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_pos) AS BIGINT),
+       |    CAST(SUM(sum_conf) // SUM(n_docs) AS BIGINT),
+       |    CAST(CAST(SUM(n_pos) AS HUGEINT) * 1000000
+       |      // SUM(n_docs) AS BIGINT),
+       |    CAST(SUM(ABS(sum_conf - 1000000 * n_pos))
+       |      // SUM(n_docs) AS BIGINT)
+       |  FROM bins)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, avg_conf_ppm,
+       |  pos_ppm, gap_ppm
+       |FROM both2 ORDER BY bin""".stripMargin
+
+  /** The experiment frame behind q353/q354: per (user, deterministic
+    * treatment arm = user_id % 2), exact-cent activity sums split at the
+    * dataset's midpoint timestamp into a PRE-period covariate x and a
+    * POST-period metric y — the standard A/B layout synthesized from the
+    * events table with no randomness (re-runs produce the same arms). */
+  private def experimentFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cut = ev.agg(expr(
+      "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("cut_us"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(expr("unix_micros(ts) < cut_us"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(expr("unix_micros(ts) >= cut_us"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("t", expr("user_id % 2"))
+  }
+
+  /** Oracle twin of [[experimentFrame]]. */
+  private val experimentCtes: String =
+    """ev AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |cut AS (
+      |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut_us
+      |  FROM ev),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 AS t,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < cut_us THEN cents ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= cut_us THEN cents ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM ev CROSS JOIN cut GROUP BY 1, 2)""".stripMargin
+
+  /** CUPED VARIANCE REDUCTION (q353) — the controlled-experiment
+    * estimator (Deng et al., WSDM'13 — public literature): the treatment
+    * effect on the post-period metric y, adjusted by the pre-period
+    * covariate x with the pooled regression coefficient
+    * θ = Cov(x,y)/Var(x). Everything is exact integer moments on cents:
+    * θ in sign-split ppm from the cross-multiplied num/den, the raw and
+    * CUPED-adjusted treat−control mean differences in micro-cents
+    * (θ·x̄-difference cleared through one more sign-split div). The
+    * adjusted difference is the number an experimentation platform
+    * ships; the raw−adjusted spread is the pre-period imbalance CUPED
+    * removed.
+    *
+    * Scale shape: one per-user aggregate (map-side combinable) and ONE
+    * 1-row moment aggregate carrying both the pooled moments and the
+    * per-arm conditional sums — no second pass, no join. At any corpus
+    * size the reduce state is a dozen DECIMAL(38) cells.
+    */
+  def q353Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val d = "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    val nm = "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    experimentFrame(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("t") === 1, col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(col("t") === 0, col("x")).otherwise(0L)).as("sx_c"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("sy_c"))
+      .withColumn("n_ctrl", expr("n - n_treat"))
+      .withColumn("theta_ppm", expr(
+        s"CASE WHEN $d = 0 THEN NULL ELSE CAST(" +
+          sdiv(s"($nm) * 1000000", d, "div") + " AS BIGINT) END"))
+      .withColumn("diff_raw_micro", expr("CAST(" +
+        sdiv("CAST(sy_t AS DECIMAL(38,0)) * 1000000", "n_treat", "div") +
+        " - " +
+        sdiv("CAST(sy_c AS DECIMAL(38,0)) * 1000000", "n_ctrl", "div") +
+        " AS BIGINT)"))
+      .withColumn("xdiff_micro", expr("CAST(" +
+        sdiv("CAST(sx_t AS DECIMAL(38,0)) * 1000000", "n_treat", "div") +
+        " - " +
+        sdiv("CAST(sx_c AS DECIMAL(38,0)) * 1000000", "n_ctrl", "div") +
+        " AS BIGINT)"))
+      .withColumn("diff_cuped_micro", expr(
+        "CASE WHEN theta_ppm IS NULL THEN NULL ELSE CAST(diff_raw_micro - " +
+          sdiv("CAST(theta_ppm AS DECIMAL(38,0)) * xdiff_micro",
+            "1000000", "div") + " AS BIGINT) END"))
+      .select(col("n").as("n_users"), col("n_treat"), col("n_ctrl"),
+        col("theta_ppm"), col("diff_raw_micro"), col("diff_cuped_micro"))
+  }
+
+  val q353Oracle: String = {
+    val d = "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+    val nm = "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy"
+    s"""WITH $experimentCtes,
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_treat,
+       |    CAST(SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+       |    CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+       |    CAST(SUM(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+       |    CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c
+       |  FROM pu),
+       |e AS (
+       |  SELECT n, n_treat, n - n_treat AS n_ctrl,
+       |    CASE WHEN $d = 0 THEN NULL ELSE CAST(
+       |      ${sdiv(s"($nm) * 1000000", d, "//")} AS BIGINT) END
+       |      AS theta_ppm,
+       |    CAST(${sdiv("CAST(sy_t AS HUGEINT) * 1000000", "n_treat", "//")}
+       |      - ${sdiv("CAST(sy_c AS HUGEINT) * 1000000", "n - n_treat", "//")}
+       |      AS BIGINT) AS diff_raw_micro,
+       |    CAST(${sdiv("CAST(sx_t AS HUGEINT) * 1000000", "n_treat", "//")}
+       |      - ${sdiv("CAST(sx_c AS HUGEINT) * 1000000", "n - n_treat", "//")}
+       |      AS BIGINT) AS xdiff_micro
+       |  FROM m)
+       |SELECT n AS n_users, n_treat, n_ctrl, theta_ppm, diff_raw_micro,
+       |  CASE WHEN theta_ppm IS NULL THEN NULL ELSE
+       |    CAST(diff_raw_micro - ${sdiv(
+             "CAST(theta_ppm AS HUGEINT) * xdiff_micro", "1000000", "//")}
+       |      AS BIGINT) END AS diff_cuped_micro
+       |FROM e""".stripMargin
+  }
+
+  /** MINIMUM-DETECTABLE-EFFECT AUDIT (q354) — the power calculation an
+    * experimentation platform runs BEFORE assigning traffic: per event
+    * type, given the observed per-event value variance, the smallest
+    * absolute treat−control difference a 50/50 split of this volume can
+    * detect at α = .05 two-sided with 80% power. The closed form
+    * MDE = (z_{α/2}+z_β)·σ·√(4/n) = 2·2.8016·√(varnum/n)/n with
+    * varnum = n·Σc² − (Σc)² is computed entirely in integers: one
+    * truncating div, the float-seeded ±2-corrected isqrt (q320's), one
+    * scale multiply — identical in both engines. `mde_rel_ppm` divides
+    * by the observed mean so flat low-value event types read as the
+    * (large) relative lift they'd actually need.
+    *
+    * Scale shape: ONE map-side-combinable aggregate onto the bounded
+    * event-type axis; the isqrt and ratio arithmetic run on that
+    * |types|-row frame. Nothing else touches the corpus.
+    */
+  def q354MdeAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .withColumn("varnum", expr(
+        "CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("v", expr("varnum div n"))
+      .withColumn("__r0",
+        expr("CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", greatest(lit(0L), col("__r0") - 2 + expr(
+        """CASE
+          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= v THEN 4L
+          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= v THEN 3L
+          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= v THEN 2L
+          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= v THEN 1L
+          |  ELSE 0L END""".stripMargin)))
+      .withColumn("mde_micro", expr(
+        "CAST(CAST(w AS DECIMAL(38,0)) * 5603200 div n AS BIGINT)"))
+      .withColumn("mean_micro", expr("CAST(" +
+        sdiv("CAST(s1 AS DECIMAL(38,0)) * 1000000", "n", "div") +
+        " AS BIGINT)"))
+      .select(col("event_type"), col("n").as("n_events"), col("mean_micro"),
+        col("mde_micro"),
+        expr("CASE WHEN mean_micro = 0 THEN NULL ELSE " +
+          "CAST(CAST(mde_micro AS DECIMAL(38,0)) * 1000000" +
+          " div abs(mean_micro) AS BIGINT) END").as("mde_rel_ppm"))
+      .orderBy(col("event_type"))
+
+  val q354Oracle: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s1, SUM(CAST(c AS HUGEINT) * c) AS s2
+       |  FROM e GROUP BY 1),
+       |vv AS (
+       |  SELECT event_type, n, s1,
+       |    (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) // n AS v
+       |  FROM m),
+       |r0s AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) AS r0
+       |  FROM vv),
+       |w AS (
+       |  SELECT event_type, n, s1,
+       |    GREATEST(0, r0 - 2 + CASE
+       |      WHEN CAST(r0 + 2 AS HUGEINT) * (r0 + 2) <= v THEN 4
+       |      WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1) <= v THEN 3
+       |      WHEN CAST(r0 AS HUGEINT) * r0 <= v THEN 2
+       |      WHEN CAST(r0 - 1 AS HUGEINT) * (r0 - 1) <= v THEN 1
+       |      ELSE 0 END) AS w
+       |  FROM r0s),
+       |f AS (
+       |  SELECT event_type, n, s1,
+       |    CAST(CAST(w AS HUGEINT) * 5603200 // n AS BIGINT) AS mde_micro,
+       |    CAST(${sdiv("CAST(s1 AS HUGEINT) * 1000000", "n", "//")}
+       |      AS BIGINT) AS mean_micro
+       |  FROM w)
+       |SELECT event_type, n AS n_events, mean_micro, mde_micro,
+       |  CASE WHEN mean_micro = 0 THEN NULL ELSE
+       |    CAST(CAST(mde_micro AS HUGEINT) * 1000000
+       |      // ABS(mean_micro) AS BIGINT) END AS mde_rel_ppm
+       |FROM f ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_confusion_suite" -> (q351ConfusionSuite _),
+    "q352_calibration_gap" -> (q352CalibrationGap _),
+    "q353_cuped"           -> (q353Cuped _),
+    "q354_mde_audit"       -> (q354MdeAudit _),
     "q338_youden_threshold" -> (q338YoudenThreshold _),
     "q330_mcnemar"         -> (q330McNemar _),
     "q331_average_precision" -> (q331AveragePrecision _),
@@ -1271,6 +1678,10 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q351_confusion_suite" -> q351Oracle,
+    "q352_calibration_gap" -> q352Oracle,
+    "q353_cuped"           -> q353Oracle,
+    "q354_mde_audit"       -> q354Oracle,
     "q338_youden_threshold" -> q338Oracle,
     "q330_mcnemar"         -> q330Oracle,
     "q331_average_precision" -> q331Oracle,

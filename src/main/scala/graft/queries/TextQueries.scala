@@ -64,7 +64,11 @@ object TextQueries {
         }: _*)
       .orderBy(col("doc_id"))
 
-  val q33Oracle: String = {
+  /** DuckDB twin of [[graft.functions.TextFunctions.langId]]: the
+    * stopword-hit CASE cascade as a SQL scalar over a `text` column —
+    * shared by q33's gate and q351's confusion suite so both oracles
+    * replay the IDENTICAL predictor. */
+  private[queries] def langPredSql: String = {
     def hits(words: Seq[String]): String =
       s"len(list_filter($toksSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
     val h = langProfiles.map { case (l, ws) => l -> hits(ws) }.toMap
@@ -77,8 +81,16 @@ object TextQueries {
         langs.drop(i + 1).map(e => s"${h(l)} >= ${h(e)}")
       s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
     }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  val q33Oracle: String = {
+    def hits(words: Seq[String]): String =
+      s"len(list_filter($toksSql, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+    val h = langProfiles.map { case (l, ws) => l -> hits(ws) }.toMap
+    val langs = langProfiles.map(_._1)
     s"""SELECT doc_id, lang AS lang_label,
-       |  CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_pred,
+       |  $langPredSql AS lang_pred,
        |  ${langs.map(l => s"CAST(${h(l)} AS INTEGER) AS hits_$l").mkString(",\n  ")}
        |FROM documents
        |ORDER BY doc_id""".stripMargin

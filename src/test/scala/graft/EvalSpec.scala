@@ -354,4 +354,144 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(np === auc.getAs[Long]("n_pos") && nn === auc.getAs[Long]("n_neg"))
   }
+
+  test("q351: confusion suite replays from a driver-side lang-id rerun — " +
+    "cells conserve the corpus and F1 is the exact ppm harmonic mean") {
+    val profiles = graft.functions.TextFunctions.langProfiles
+    def predict(text: String): String = {
+      val toks = text.trim.split("\\s+")
+      val hits = profiles.map { case (l, ws) =>
+        l -> toks.count(ws.contains) }
+      val langs = hits.map(_._1)
+      langs.zipWithIndex.collectFirst { case (l, i)
+        if hits.take(i).forall(hits(i)._2 > _._2) &&
+           hits.drop(i + 1).forall(hits(i)._2 >= _._2) => l }
+        .getOrElse("und")
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), predict(r.getString(1))))
+    val rows = SparkEntry.queries("q351_confusion_suite")(spark, sfDir)
+      .collect()
+    val micro = rows.filter(_.getString(0) == "~micro")
+    assert(micro.length === 1)
+    val per = rows.filterNot(_.getString(0) == "~micro")
+    // conservation: label and pred counts both sum to the corpus
+    assert(per.map(_.getAs[Long]("n_label")).sum === docs.length.toLong)
+    assert(per.map(_.getAs[Long]("n_pred")).sum === docs.length.toLong)
+    assert(micro.head.getAs[Long]("tp") ===
+      docs.count { case (l, p) => l == p }.toLong)
+    per.foreach { r =>
+      val cls = r.getString(0)
+      val tp = docs.count { case (l, p) => l == cls && p == cls }.toLong
+      val nl = docs.count(_._1 == cls).toLong
+      val np2 = docs.count(_._2 == cls).toLong
+      assert(r.getAs[Long]("tp") === tp, s"tp $cls")
+      assert(r.getAs[Long]("fp") === np2 - tp, s"fp $cls")
+      assert(r.getAs[Long]("fn") === nl - tp, s"fn $cls")
+      if (np2 + nl > 0)
+        assert(r.getAs[Long]("f1_ppm") === 2000000L * tp / (np2 + nl),
+          s"f1 $cls")
+    }
+  }
+
+  test("q352: per-bin gaps and the ECE summary replay driver-side from " +
+    "the raw score/label frame (untruncated sums)") {
+    val rows = SparkEntry.queries("q352_calibration_gap")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val sl = scoreLabel.sortBy(t => (t._2, t._1)) // (doc, score, y)
+    val n = sl.length.toLong
+    val lo = sl.map(_._2).min; val hi = sl.map(_._2).max
+    def conf(s: Long): Long =
+      if (hi == lo) 0L else (BigInt(s - lo) * 1000000 / (hi - lo)).toLong
+    val binned = sl.zipWithIndex.groupBy { case (_, i) => i.toLong * 10 / n }
+    val expect = binned.toSeq.sortBy(_._1).map { case (b, ds) =>
+      val nPos = ds.map(_._1._3).sum
+      val sumConf = ds.map(d => conf(d._1._2)).sum
+      (b, ds.length.toLong, nPos, sumConf)
+    }
+    val perBin = rows.filter(_.getAs[Long]("bin") >= 0)
+    assert(perBin.map(_.getAs[Long]("bin")).toSeq === expect.map(_._1))
+    perBin.zip(expect).foreach { case (r, (b, nd, npos, sconf)) =>
+      assert(r.getAs[Long]("n_docs") === nd, s"bin $b")
+      assert(r.getAs[Long]("n_pos") === npos, s"bin $b")
+      assert(r.getAs[Long]("avg_conf_ppm") === sconf / nd, s"bin $b")
+      assert(r.getAs[Long]("gap_ppm") ===
+        (sconf - 1000000L * npos).abs / nd, s"bin $b")
+    }
+    val ece = rows.filter(_.getAs[Long]("bin") == -1L).head
+    assert(ece.getAs[Long]("n_docs") === n)
+    assert(ece.getAs[Long]("gap_ppm") ===
+      expect.map { case (_, _, npos, sconf) =>
+        (sconf - 1000000L * npos).abs }.sum / n)
+  }
+
+  test("q353: CUPED theta and both mean differences replay in BigInt " +
+    "from the raw events, and adjustment removes pre-period imbalance") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val byUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u % 2, es.filter(_._2 < cut).map(_._3).sum,
+        es.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    val n = BigInt(byUser.size)
+    val sx = byUser.map(e => BigInt(e._2)).sum
+    val sy = byUser.map(e => BigInt(e._3)).sum
+    val sxy = byUser.map(e => BigInt(e._2) * e._3).sum
+    val sxx = byUser.map(e => BigInt(e._2) * e._2).sum
+    def sdiv(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) a / b else -((-a) / b)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val r = SparkEntry.queries("q353_cuped")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_users") === byUser.size.toLong)
+    val t = byUser.filter(_._1 == 1); val c = byUser.filter(_._1 == 0)
+    assert(r.getAs[Long]("n_treat") === t.size.toLong)
+    if (den == 0) assert(r.isNullAt(r.fieldIndex("theta_ppm")))
+    else {
+      val theta = sdiv(num * 1000000, den)
+      assert(BigInt(r.getAs[Long]("theta_ppm")) === theta)
+      val diffRaw =
+        sdiv(t.map(e => BigInt(e._3)).sum * 1000000, t.size) -
+        sdiv(c.map(e => BigInt(e._3)).sum * 1000000, c.size)
+      val xdiff =
+        sdiv(t.map(e => BigInt(e._2)).sum * 1000000, t.size) -
+        sdiv(c.map(e => BigInt(e._2)).sum * 1000000, c.size)
+      assert(BigInt(r.getAs[Long]("diff_raw_micro")) === diffRaw)
+      assert(BigInt(r.getAs[Long]("diff_cuped_micro")) ===
+        diffRaw - sdiv(theta * xdiff, 1000000))
+    }
+  }
+
+  test("q354: MDE replays in BigInt (variance numerator, isqrt, scale) " +
+    "and shrinks with volume as 1/sqrt(n)") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    def isqrt(v: BigInt): BigInt =
+      if (v <= 0) BigInt(0) else {
+        var r = BigInt(math.sqrt(v.toDouble).toLong)
+        while (r * r > v) r -= 1
+        while ((r + 1) * (r + 1) <= v) r += 1
+        r
+      }
+    val rows = SparkEntry.queries("q354_mde_audit")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val cs = ev.filter(_._1 == ty).map(t => BigInt(t._2))
+      val n = BigInt(cs.length)
+      assert(r.getAs[Long]("n_events") === cs.length.toLong)
+      val varnum = n * cs.map(c => c * c).sum - cs.sum * cs.sum
+      val w = isqrt(varnum / n)
+      assert(BigInt(r.getAs[Long]("mde_micro")) === w * 5603200 / n,
+        s"mde $ty")
+    }
+  }
 }
