@@ -1450,7 +1450,7 @@ object EvalQueries {
     * dataset's midpoint timestamp into a PRE-period covariate x and a
     * POST-period metric y — the standard A/B layout synthesized from the
     * events table with no randomness (re-runs produce the same arms). */
-  private def experimentFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def experimentFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
@@ -1469,7 +1469,7 @@ object EvalQueries {
   }
 
   /** Oracle twin of [[experimentFrame]]. */
-  private val experimentCtes: String =
+  private[queries] val experimentCtes: String =
     """ev AS (
       |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events

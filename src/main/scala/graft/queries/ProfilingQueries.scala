@@ -1654,7 +1654,291 @@ object ProfilingQueries {
       |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
       |FROM agg""".stripMargin
 
+  /** Sign-split integral division (b > 0): truncate |a|/b toward zero and
+    * re-sign — Spark `div` and DuckDB `//` disagree on negative
+    * numerators, this makes them agree (q322's convention, factored). */
+  private def sdiv(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
+
+  /** KRUSKAL–WALLIS H TEST (q355) — the k-group completion of the rank
+    * battery (q322 MWU is two-group location, q328 Spearman is two-axis
+    * association; this asks: do the SOURCES differ in document-length
+    * location, jointly?). Doubled global midranks keep ties integral
+    * (q328's recipe on one global axis); with R2_i = Σ doubled ranks of
+    * group i,
+    *   H = 3·Σ_i(R2_i²/n_i)/(n(n+1)) − 3(n+1)
+    * (the classical 12/(n(n+1))·ΣR_i²/n_i − 3(n+1) with R = R2/2), and
+    * the tie correction divides by C = 1 − Σ(t³−t)/(n³−n). Reported in
+    * exact milli with per-group truncation on R2_i²/n_i — documented,
+    * identical in both engines, and bounded by k/(n(n+1)) absolute error
+    * against the real-valued statistic. The 95% verdict reads a χ²
+    * critical-value ladder for df ≤ 8 (NULL beyond — the corpus has 4
+    * sources; the ladder is data, not logic). R2_i² caps the DECIMAL(38)
+    * budget at ~4n³ — exact to n ≈ 10¹¹ docs.
+    *
+    * Scale shape: one corpus hash-agg onto the distinct-length axis, the
+    * distributed two-pass prefix sum for midranks, one (source, length)
+    * equi-join to hang ranks back, then a |sources|-row aggregate and a
+    * 1-row rollup. Nothing all-pairs, no one-partition window.
+    */
+  def q355KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val h = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("g", lit(0))
+    val r2 = graft.functions.PrefixSum
+      .runningTotal(h, Seq("g"), Seq(col("v").asc), "c", "cum")
+      .select(col("v"), col("c"),
+        (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+    val perGroup = docs.join(r2.select(col("v"), col("r2")), "v")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_i"), sum(col("r2")).as("rr2"))
+    val ties = r2.agg(sum(
+      expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("t3"))
+    perGroup.agg(
+        sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+        sum(expr("CAST(rr2 AS DECIMAL(38,0)) * rr2 div n_i")).as("t"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_milli", expr(
+        "CAST(3000 * t div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " - 3000 * (n + 1) AS BIGINT)"))
+      .withColumn("h_adj_milli", expr(
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - t3 = 0 THEN NULL" +
+          " ELSE CAST(" +
+          sdiv("CAST(h_milli AS DECIMAL(38,0)) * " +
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n)",
+            "CAST(n AS DECIMAL(38,0)) * n * n - n - t3", "div") +
+          " AS BIGINT) END"))
+      .withColumn("df", col("k") - 1)
+      .withColumn("crit_milli", expr(
+        """CASE df WHEN 1 THEN 3841L WHEN 2 THEN 5991L WHEN 3 THEN 7815L
+          | WHEN 4 THEN 9488L WHEN 5 THEN 11070L WHEN 6 THEN 12592L
+          | WHEN 7 THEN 14067L WHEN 8 THEN 15507L ELSE NULL END"""
+          .stripMargin))
+      .select(col("n"), col("k"), col("h_milli"), col("h_adj_milli"),
+        col("df"),
+        expr("CASE WHEN crit_milli IS NULL OR h_adj_milli IS NULL THEN NULL" +
+          " WHEN h_adj_milli > crit_milli THEN 1L ELSE 0L END")
+          .as("reject_95"))
+  }
+
+  val q355Oracle: String =
+    s"""WITH d AS (SELECT source, n_chars AS v FROM documents),
+       |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+       |r AS (SELECT v, c,
+       |        CAST(2 * SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS r2
+       |      FROM h),
+       |pg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i,
+       |    CAST(SUM(r2) AS BIGINT) AS rr2
+       |  FROM d JOIN r ON r.v = d.v GROUP BY 1),
+       |tt AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM r),
+       |m AS (
+       |  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS k,
+       |    SUM(CAST(rr2 AS HUGEINT) * rr2 // n_i) AS t
+       |  FROM pg),
+       |e AS (
+       |  SELECT n, k, t3,
+       |    CAST(3000 * t // (CAST(n AS HUGEINT) * (n + 1))
+       |      - 3000 * (n + 1) AS BIGINT) AS h_milli,
+       |    k - 1 AS df
+       |  FROM m CROSS JOIN tt),
+       |f AS (
+       |  SELECT n, k, h_milli,
+       |    CASE WHEN CAST(n AS HUGEINT) * n * n - n - t3 = 0 THEN NULL
+       |      ELSE CAST(${sdiv(
+             "CAST(h_milli AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n)",
+             "CAST(n AS HUGEINT) * n * n - n - t3", "//")} AS BIGINT)
+       |    END AS h_adj_milli,
+       |    df,
+       |    CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+       |      WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+       |      WHEN 7 THEN 14067 WHEN 8 THEN 15507 ELSE NULL END
+       |      AS crit_milli
+       |  FROM e)
+       |SELECT n, k, h_milli, h_adj_milli, CAST(df AS BIGINT) AS df,
+       |  CAST(CASE WHEN crit_milli IS NULL OR h_adj_milli IS NULL THEN NULL
+       |    WHEN h_adj_milli > crit_milli THEN 1 ELSE 0 END AS BIGINT)
+       |    AS reject_95
+       |FROM f""".stripMargin
+
+  /** WILCOXON SIGNED-RANK TEST (q356) — the PAIRED location test the
+    * battery lacked (q322 is unpaired two-sample, q330 McNemar is paired
+    * BINARY): did per-user activity value shift between the pre and post
+    * halves of the window, judged on the same users? Zero differences
+    * drop (the classical convention); |d| gets doubled midranks (q328's
+    * tie recipe); W2± = Σ doubled ranks over positive/negative d. With
+    * D = W2+ − W2− and the tie-corrected variance folded to integers,
+    *   z² = 3·D² / (2n(n+1)(2n+1) − Σ(t³−t))
+    * and the 95% two-sided verdict is 3·D²·10⁶ > 3 841 600·V — exact in
+    * DECIMAL(38,0) to n ≈ 10⁹ paired users. The rank-biserial effect
+    * size D/(n(n+1)) is reported sign-split in ppm.
+    *
+    * Scale shape: one per-user aggregate (map-side combinable) builds
+    * the pairs; |d| collapses to its distinct-value axis for the
+    * distributed prefix-sum midranks; one equi-join hangs them back and
+    * ONE row comes out.
+    */
+  def q356WilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = EvalQueries.experimentFrame(spark, dir)
+      .select((col("y") - col("x")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("d"), abs(col("d")).as("ad"))
+    val h = pairs.groupBy(col("ad")).agg(count(lit(1)).as("c"))
+      .withColumn("g", lit(0))
+    val r2 = graft.functions.PrefixSum
+      .runningTotal(h, Seq("g"), Seq(col("ad").asc), "c", "cum")
+      .select(col("ad"), col("c"),
+        (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+    val ties = r2.agg(sum(
+      expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("t3"))
+    pairs.join(r2.select(col("ad"), col("r2")), "ad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
+        sum(when(col("d") < 0, col("r2")).otherwise(0L)).as("w2_minus"))
+      .crossJoin(broadcast(ties))
+      .withColumn("dd", col("w2_plus") - col("w2_minus"))
+      .withColumn("vnum", expr(
+        "2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - t3"))
+      .select(col("n").as("n_pairs"), col("w2_plus"), col("w2_minus"),
+        expr("CAST(" + sdiv("CAST(dd AS DECIMAL(38,0)) * 1000000",
+          "CAST(n AS DECIMAL(38,0)) * (n + 1)", "div") +
+          " AS BIGINT)").as("rb_ppm"),
+        expr("CASE WHEN vnum = 0 THEN NULL WHEN " +
+          "3 * CAST(dd AS DECIMAL(38,0)) * dd * 1000000 > 3841600 * vnum" +
+          " THEN 1L ELSE 0L END").as("reject_95"))
+  }
+
+  val q356Oracle: String =
+    s"""WITH ${EvalQueries.experimentCtes},
+       |pd AS (SELECT y - x AS d, ABS(y - x) AS ad FROM pu
+       |       WHERE y - x <> 0),
+       |h AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS c FROM pd GROUP BY 1),
+       |r AS (SELECT ad, c,
+       |        CAST(2 * SUM(c) OVER (ORDER BY ad) - c + 1 AS BIGINT) AS r2
+       |      FROM h),
+       |tt AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM r),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+       |      AS w2_plus,
+       |    CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT)
+       |      AS w2_minus
+       |  FROM pd JOIN r ON r.ad = pd.ad),
+       |e AS (
+       |  SELECT n, w2_plus, w2_minus, w2_plus - w2_minus AS dd,
+       |    2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - t3 AS vnum
+       |  FROM m CROSS JOIN tt)
+       |SELECT n AS n_pairs, w2_plus, w2_minus,
+       |  CAST(${sdiv("CAST(dd AS HUGEINT) * 1000000",
+           "CAST(n AS HUGEINT) * (n + 1)", "//")} AS BIGINT) AS rb_ppm,
+       |  CAST(CASE WHEN vnum = 0 THEN NULL
+       |    WHEN 3 * CAST(dd AS HUGEINT) * dd * 1000000 > 3841600 * vnum
+       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+       |FROM e""".stripMargin
+
+  /** CRAMÉR'S V (q357) — the effect-size the q219 χ² drift screen stops
+    * short of: HOW STRONGLY are source and language associated, on the
+    * [0, 1] scale that survives corpus growth (χ² itself scales with n;
+    * V = √(χ²/(n·min(r−1, c−1))) does not). χ² is computed cell-exact
+    * with cross-multiplied integers — for every (source, lang) cell of
+    * the FULL margin cross (absent observed cells contribute their
+    * expectation):
+    *   χ²·10³ = Σ sdiv((o·n − r_i·c_j)²·1000, n·r_i·c_j)
+    * (per-cell milli truncation, identical both engines), then
+    * v_ppm = isqrt(χ²milli·10⁹ div (n·min(r−1,c−1))) via the ±2-corrected
+    * isqrt. (o·n − r·c)² bounds the DECIMAL(38) budget at n⁴ — exact to
+    * n ≈ 10⁸ docs; engine parity survives beyond (same truncations both
+    * sides).
+    *
+    * Scale shape: one corpus hash-agg to the (source, lang) contingency;
+    * margins are two rollups of it; the margin cross join is
+    * |sources|×|langs| — model-bounded, not corpus-bounded. ONE row out.
+    */
+  def q357CramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val full = rm.crossJoin(cm)
+      .join(cells, Seq("source", "lang"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    full.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("source")).as("n_rows"),
+        countDistinct(col("lang")).as("n_cols"),
+        sum(expr(
+          "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)" +
+            " * (CAST(o AS DECIMAL(38,0)) * n" +
+            " - CAST(r AS DECIMAL(38,0)) * c) * 1000" +
+            " div (CAST(n AS DECIMAL(38,0)) * r * c)")).as("chi2_milli_d"))
+      .withColumn("m", expr(
+        "CAST(least(n_rows - 1, n_cols - 1) AS DECIMAL(38,0))"))
+      .withColumn("v2", expr(
+        "CASE WHEN m = 0 THEN NULL ELSE" +
+          " chi2_milli_d * 1000000000 div (CAST(n AS DECIMAL(38,0)) * m)" +
+          " END"))
+      .withColumn("__r0",
+        expr("CAST(FLOOR(SQRT(CAST(v2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", greatest(lit(0L), col("__r0") - 2 + expr(
+        """CASE
+          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= v2 THEN 4L
+          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= v2 THEN 3L
+          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= v2 THEN 2L
+          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= v2 THEN 1L
+          |  ELSE 0L END""".stripMargin)))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        expr("CAST(chi2_milli_d AS BIGINT)").as("chi2_milli"),
+        expr("CASE WHEN v2 IS NULL THEN NULL ELSE least(w, 1000000L) END")
+          .as("v_ppm"))
+  }
+
+  val q357Oracle: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |full2 AS (
+      |  SELECT rm.source, cm.lang, rm.r, cm.c, COALESCE(cells.o, 0) AS o
+      |  FROM rm CROSS JOIN cm
+      |  LEFT JOIN cells ON cells.source = rm.source AND cells.lang = cm.lang),
+      |agg AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_cols,
+      |    SUM((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000
+      |      // (CAST(n AS HUGEINT) * r * c)) AS chi2_milli_h
+      |  FROM full2 CROSS JOIN tot),
+      |vv AS (
+      |  SELECT n, n_rows, n_cols, chi2_milli_h,
+      |    CASE WHEN LEAST(n_rows - 1, n_cols - 1) = 0 THEN NULL
+      |      ELSE chi2_milli_h * 1000000000
+      |        // (CAST(n AS HUGEINT) * LEAST(n_rows - 1, n_cols - 1)) END
+      |      AS v2
+      |  FROM agg),
+      |r0s AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(v2 AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM vv)
+      |SELECT n, n_rows, n_cols, CAST(chi2_milli_h AS BIGINT) AS chi2_milli,
+      |  CAST(CASE WHEN v2 IS NULL THEN NULL ELSE LEAST(
+      |    GREATEST(0, r0 - 2 + CASE
+      |      WHEN CAST(r0 + 2 AS HUGEINT) * (r0 + 2) <= v2 THEN 4
+      |      WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1) <= v2 THEN 3
+      |      WHEN CAST(r0 AS HUGEINT) * r0 <= v2 THEN 2
+      |      WHEN CAST(r0 - 1 AS HUGEINT) * (r0 - 1) <= v2 THEN 1
+      |      ELSE 0 END), 1000000) END AS BIGINT) AS v_ppm
+      |FROM r0s""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_kruskal_wallis"  -> (q355KruskalWallis _),
+    "q356_wilcoxon_signed" -> (q356WilcoxonSignedRank _),
+    "q357_cramers_v"       -> (q357CramersV _),
     "q339_cochran_armitage" -> (q339CochranArmitage _),
     "q328_spearman_corr"   -> (q328SpearmanCorr _),
     "q327_runs_test"       -> (q327RunsTest _),
@@ -1681,6 +1965,9 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q355_kruskal_wallis"  -> q355Oracle,
+    "q356_wilcoxon_signed" -> q356Oracle,
+    "q357_cramers_v"       -> q357Oracle,
     "q339_cochran_armitage" -> q339Oracle,
     "q328_spearman_corr"   -> q328Oracle,
     "q327_runs_test"       -> q327Oracle,

@@ -607,4 +607,118 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       BigInt(3841459) * k * (n - k) * (BigInt(n) * sw2n - BigInt(swn) * swn)
     assert(r.getAs[Long]("reject_95") === (if (reject) 1L else 0L))
   }
+
+  private def isqrtB(v: BigInt): BigInt =
+    if (v <= 0) BigInt(0) else {
+      var r = BigInt(math.sqrt(v.toDouble).toLong)
+      while (r * r > v) r -= 1
+      while ((r + 1) * (r + 1) <= v) r += 1
+      r
+    }
+
+  test("q355: Kruskal-Wallis H replays driver-side (global doubled " +
+    "midranks, per-group truncation, tie correction, critical ladder)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var cum = 0L
+    val r2 = docs.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      .map { case (v, c) => cum += c; (v, c, 2 * cum - c + 1) }
+    val rank = r2.map(t => t._1 -> BigInt(t._3)).toMap
+    val t3 = r2.map { case (_, c, _) => BigInt(c) * c * c - c }.sum
+    val groups = docs.groupBy(_._1).toSeq.map { case (_, ds) =>
+      (BigInt(ds.length), ds.map(d => rank(d._2)).sum) }
+    val n = groups.map(_._1).sum
+    val k = groups.size
+    val t = groups.map { case (ni, rr2) => rr2 * rr2 / ni }.sum
+    val hMilli = 3000 * t / (n * (n + 1)) - 3000 * (n + 1)
+    val denom = n * n * n - n - t3
+    val r = SparkEntry.queries("q355_kruskal_wallis")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(r.getAs[Long]("k") === k.toLong)
+    assert(BigInt(r.getAs[Long]("h_milli")) === hMilli)
+    if (denom != 0) {
+      val num = hMilli * (n * n * n - n)
+      val hAdj = if (num >= 0) num / denom else -((-num) / denom)
+      assert(BigInt(r.getAs[Long]("h_adj_milli")) === hAdj)
+      val crit = Map(1 -> 3841L, 2 -> 5991L, 3 -> 7815L, 4 -> 9488L,
+        5 -> 11070L, 6 -> 12592L, 7 -> 14067L, 8 -> 15507L)
+      crit.get(k - 1) match {
+        case Some(cv) => assert(r.getAs[Long]("reject_95") ===
+          (if (hAdj > cv) 1L else 0L))
+        case None => assert(r.isNullAt(r.fieldIndex("reject_95")))
+      }
+    }
+  }
+
+  test("q356: Wilcoxon signed-rank replays driver-side from raw events " +
+    "(zero-diffs dropped, doubled midranks on |d|, tie-corrected verdict)") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val ds = ev.groupBy(_._1).values.map { es =>
+      es.filter(_._2 >= cut).map(_._3).sum -
+        es.filter(_._2 < cut).map(_._3).sum
+    }.filter(_ != 0L).toSeq
+    var cum = 0L
+    val r2 = ds.map(math.abs).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      .map { case (v, c) => cum += c; (v, c, 2 * cum - c + 1) }
+    val rank = r2.map(t => t._1 -> BigInt(t._3)).toMap
+    val t3 = r2.map { case (_, c, _) => BigInt(c) * c * c - c }.sum
+    val n = BigInt(ds.length)
+    val w2p = ds.filter(_ > 0).map(d => rank(math.abs(d))).sum
+    val w2m = ds.filter(_ < 0).map(d => rank(math.abs(d))).sum
+    val r = SparkEntry.queries("q356_wilcoxon_signed")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") === ds.length.toLong)
+    assert(BigInt(r.getAs[Long]("w2_plus")) === w2p)
+    assert(BigInt(r.getAs[Long]("w2_minus")) === w2m)
+    // the doubled ranks of nonzero diffs must sum to n(n+1)
+    assert(w2p + w2m === n * (n + 1))
+    val dd = w2p - w2m
+    val rb = if (dd >= 0) dd * 1000000 / (n * (n + 1))
+      else -((-dd) * 1000000 / (n * (n + 1)))
+    assert(BigInt(r.getAs[Long]("rb_ppm")) === rb)
+    val vnum = 2 * n * (n + 1) * (2 * n + 1) - t3
+    if (vnum != 0)
+      assert(r.getAs[Long]("reject_95") ===
+        (if (3 * dd * dd * 1000000 > 3841600 * vnum) 1L else 0L))
+  }
+
+  test("q357: chi2 and Cramer's V replay driver-side over the full margin " +
+    "cross, and V is a valid ppm in [0, 1e6]") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = BigInt(docs.length)
+    val cells = docs.groupBy(identity).view.mapValues(d => BigInt(d.length))
+    val rm = docs.groupBy(_._1).view.mapValues(d => BigInt(d.length)).toMap
+    val cm = docs.groupBy(_._2).view.mapValues(d => BigInt(d.length)).toMap
+    val chi2Milli = (for { (s, rv) <- rm.toSeq; (l, cv) <- cm.toSeq } yield {
+      val o = cells.getOrElse((s, l), BigInt(0))
+      val num = (o * n - rv * cv) * (o * n - rv * cv) * 1000
+      num / (n * rv * cv)
+    }).sum
+    val row = SparkEntry.queries("q357_cramers_v")(spark, sfDir)
+      .collect().head
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(row.getAs[Long]("n_rows") === rm.size.toLong)
+    assert(row.getAs[Long]("n_cols") === cm.size.toLong)
+    assert(BigInt(row.getAs[Long]("chi2_milli")) === chi2Milli)
+    val m = BigInt(math.min(rm.size - 1, cm.size - 1))
+    if (m > 0) {
+      val v2 = chi2Milli * 1000000000L / (n * m)
+      val expect = isqrtB(v2).min(BigInt(1000000))
+      assert(BigInt(row.getAs[Long]("v_ppm")) === expect)
+      assert(row.getAs[Long]("v_ppm") >= 0 &&
+        row.getAs[Long]("v_ppm") <= 1000000L)
+    }
+  }
 }
