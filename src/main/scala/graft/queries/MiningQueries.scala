@@ -1557,7 +1557,200 @@ object MiningQueries {
       |CROSS JOIN ns
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** MARKOV STATIONARY DISTRIBUTION (q359) — where q173's transition
+    * matrix says how users MOVE, this says where they SETTLE: the
+    * long-run occupancy of each event type under the observed
+    * click-stream chain, by three unrolled power-iteration steps (the
+    * q301 discipline — fixed iteration count, so the whole computation
+    * is one declarative plan with no driver loop). All arithmetic is
+    * exact integers: the row-stochastic matrix is scaled to ppm with a
+    * truncating div per cell, each step is
+    *   raw(t) = ⌊Σ_s w(s)·p(s,t) / 10⁶⌋,  w'(t) = ⌊raw(t)·10⁶ / Σraw⌋
+    * (sum-renormalization keeps the vector a distribution despite the
+    * truncation bleed), and a state with no outgoing transitions gets
+    * the self-loop row (the absorbing convention, documented — the
+    * alternative, dropping it, silently deletes probability mass).
+    *
+    * Scale shape: the per-user lead window is the sanctioned
+    * high-cardinality window (q173); everything after lives on the
+    * |types|- and |types|²-row frames — model-bounded. Three unrolled
+    * tiny joins, one row per state out.
+    */
+  def q359MarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("s"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val states = ev.select(col("event_type").as("state")).distinct()
+    val rowsum = states.join(
+        trans.groupBy(col("s").as("state")).agg(sum(col("c")).as("rs")),
+        Seq("state"), "left_outer")
+      .withColumn("rs", coalesce(col("rs"), lit(0L)))
+    val p = trans.join(broadcast(rowsum
+        .select(col("state").as("s"), col("rs"))), "s")
+      .select(col("s"), col("t"),
+        expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div rs AS BIGINT)")
+          .as("p"))
+      .unionByName(rowsum.filter(col("rs") === 0L)
+        .select(col("state").as("s"), col("state").as("t"),
+          lit(1000000L).as("p")))
+    var v = states.withColumn("w", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val raw = v.join(p, col("state") === col("s"))
+        .groupBy(col("t"))
+        .agg(expr("sum(CAST(w AS DECIMAL(38,0)) * p) div 1000000")
+          .as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      v = states.join(raw.crossJoin(broadcast(tot))
+          .select(col("t").as("state"),
+            expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 div tot" +
+              " AS BIGINT)").as("w")),
+          Seq("state"), "left_outer")
+        .withColumn("w", coalesce(col("w"), lit(0L)))
+    }
+    rowsum.join(v, "state")
+      .select(col("state").as("event_type"),
+        col("rs").as("out_transitions"), col("w").as("pi_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q359Oracle: String = {
+    // one unrolled iteration: vPrev(state, w) -> vNext(state, w)
+    def step(prev: String, next: String): String =
+      s"""${next}raw AS (
+         |  SELECT p.t, CAST(SUM(CAST(v.w AS HUGEINT) * p.p) // 1000000
+         |    AS BIGINT) AS raw
+         |  FROM $prev v JOIN p ON p.s = v.state GROUP BY 1),
+         |${next}tot AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot
+         |  FROM ${next}raw),
+         |$next AS (
+         |  SELECT st.state,
+         |    COALESCE(CAST(CAST(r.raw AS HUGEINT) * 1000000 // tot
+         |      AS BIGINT), 0) AS w
+         |  FROM states st
+         |  LEFT JOIN ${next}raw r ON r.t = st.state
+         |  CROSS JOIN ${next}tot)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |trans AS (
+       |  SELECT event_type AS s, to_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |states AS (SELECT DISTINCT event_type AS state FROM e),
+       |rowsum AS (
+       |  SELECT st.state, COALESCE(rs.rs, 0) AS rs
+       |  FROM states st LEFT JOIN (
+       |    SELECT s AS state, CAST(SUM(c) AS BIGINT) AS rs
+       |    FROM trans GROUP BY 1) rs ON rs.state = st.state),
+       |p AS (
+       |  SELECT trans.s, trans.t,
+       |    CAST(CAST(c AS HUGEINT) * 1000000 // rs AS BIGINT) AS p
+       |  FROM trans JOIN rowsum ON rowsum.state = trans.s
+       |  UNION ALL
+       |  SELECT state, state, 1000000 FROM rowsum WHERE rs = 0),
+       |v0 AS (SELECT state, CAST(1000000 AS BIGINT) AS w FROM states),
+       |${step("v0", "v1")},
+       |${step("v1", "v2")},
+       |${step("v2", "v3")}
+       |SELECT r.state AS event_type, r.rs AS out_transitions,
+       |  v3.w AS pi_ppm
+       |FROM rowsum r JOIN v3 ON v3.state = r.state
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** CO-PURCHASE AFFINITY PAIRS (q360) — common-neighbor link prediction
+    * over the customer↔part bipartite graph (the collaborative-filter /
+    * audience-overlap primitive): customer pairs sharing purchased
+    * parts, scored by shared-part count and the Jaccard of their
+    * (governed) part sets. The per-part fan-out is capped at 32
+    * customers by md5 order BEFORE the pair join — the q213/q300
+    * occupancy-governor discipline that bounds every part's contribution
+    * at C(32,2) pairs, making total pair volume linear in |parts| by
+    * construction instead of quadratic in a hub part's audience. Top 100
+    * pairs under a deterministic total order (common desc, jaccard desc,
+    * then ids) keep the gated output audit-sized.
+    *
+    * Scale shape: one distinct projection of the order fact join, a
+    * per-part capped window (partition = one part's buyers — the cap's
+    * own enforcement site), the capped self-join bounded by cap² per
+    * part, a TakeOrdered top-100. Degrees are post-cap, so Jaccard is
+    * over the governed postings (the q300 convention).
+    */
+  def q360CopurchaseAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val capped = cp
+      .withColumn("rk", row_number().over(Window.partitionBy(col("part"))
+        .orderBy(expr("md5(concat(cast(cust AS STRING), '_', " +
+          "cast(part AS STRING)))"), col("cust"))))
+      .filter(col("rk") <= 32).drop("rk")
+    val deg = capped.groupBy(col("cust")).agg(count(lit(1)).as("d"))
+    val pairs = capped.alias("x")
+      .join(capped.alias("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(deg.select(col("cust").as("cust_a"),
+        col("d").as("d_a"))), "cust_a")
+      .join(broadcast(deg.select(col("cust").as("cust_b"),
+        col("d").as("d_b"))), "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("n_common"), col("d_a"),
+        col("d_b"),
+        expr("CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000" +
+          " div (d_a + d_b - n_common) AS BIGINT)").as("jaccard_ppm"))
+      .orderBy(col("n_common").desc, col("jaccard_ppm").desc,
+        col("cust_a").asc, col("cust_b").asc)
+      .limit(100)
+  }
+
+  val q360Oracle: String =
+    """WITH cp AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |capped AS (
+      |  SELECT cust, part FROM (
+      |    SELECT cust, part, ROW_NUMBER() OVER (PARTITION BY part
+      |      ORDER BY md5(CAST(cust AS VARCHAR) || '_' ||
+      |        CAST(part AS VARCHAR)), cust) AS rk
+      |    FROM cp) WHERE rk <= 32),
+      |deg AS (
+      |  SELECT cust, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.cust AS cust_a, y.cust AS cust_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM capped x JOIN capped y
+      |    ON x.part = y.part AND x.cust < y.cust
+      |  GROUP BY 1, 2)
+      |SELECT cust_a, cust_b, n_common, a.d AS d_a, b.d AS d_b,
+      |  CAST(CAST(n_common AS HUGEINT) * 1000000
+      |    // (a.d + b.d - n_common) AS BIGINT) AS jaccard_ppm
+      |FROM pairs
+      |JOIN deg a ON a.cust = cust_a
+      |JOIN deg b ON b.cust = cust_b
+      |ORDER BY n_common DESC,
+      |  CAST(CAST(n_common AS HUGEINT) * 1000000
+      |    // (a.d + b.d - n_common) AS BIGINT) DESC, cust_a, cust_b
+      |LIMIT 100""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q359_markov_stationary" -> (q359MarkovStationary _),
+    "q360_copurchase_affinity" -> (q360CopurchaseAffinity _),
     "q347_session_baskets" -> (q347SessionBaskets _),
     "q326_sequence_trigrams" -> (q326SequenceTrigrams _),
     "q300_term_projection"  -> (q300TermProjection _),
@@ -1582,6 +1775,8 @@ object MiningQueries {
     "q186_cdc_chunking"      -> (q186ContentDefinedChunking _))
 
   val oracles: Map[String, String] = Map(
+    "q359_markov_stationary" -> q359Oracle,
+    "q360_copurchase_affinity" -> q360Oracle,
     "q347_session_baskets" -> q347Oracle,
     "q326_sequence_trigrams" -> q326Oracle,
     "q300_term_projection"  -> q300Oracle,

@@ -1358,7 +1358,74 @@ object TextQueries {
       |GROUP BY chunk_len, n_total
       |ORDER BY chunk_len""".stripMargin
 
+  /** READABILITY SCORES (q358) — the curation-filter classic the quality
+    * battery (q32 composite, q135 fluency, q136 classifier) lacked: the
+    * Flesch reading-ease and Flesch–Kincaid grade formulas over exact
+    * integer counts, per source. Words are whitespace tokens (the suite
+    * convention), sentences are maximal [.!?]+ runs, syllables are the
+    * standard vowel-group proxy ([aeiouyAEIOUY]+ runs — groups cannot
+    * span whitespace, so the corpus-level count equals the per-word
+    * sum). Both scores are reported in exact milli with the documented
+    * truncating divisions on the aggregate ratios:
+    *   flesch_milli = 206 835 − ⌊1015·W/S⌋ − ⌊84 600·Y/W⌋
+    *   fk_grade_milli = ⌊390·W/S⌋ + ⌊11 800·Y/W⌋ − 15 590
+    * (Flesch 1948 / Kincaid 1975 constants ×1000). S and W floor at 1
+    * per source so a punctuation-free source reads as one long sentence
+    * instead of a division by zero.
+    *
+    * Scale shape: three codegen'd regexp counts in ONE corpus
+    * projection, one map-side-combinable rollup onto the source axis.
+    * No joins, no windows.
+    */
+  def q358Readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        tokenCount(col("text")).cast(LongType).as("w"),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast(LongType).as("s"),
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+          .cast(LongType).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+      .withColumn("sw", expr("greatest(1L, n_words)"))
+      .withColumn("ss", expr("greatest(1L, n_sentences)"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        expr("CAST(206835 - CAST(1015 AS DECIMAL(38,0)) * n_words div ss" +
+          " - CAST(84600 AS DECIMAL(38,0)) * n_syllables div sw" +
+          " AS BIGINT)").as("flesch_milli"),
+        expr("CAST(CAST(390 AS DECIMAL(38,0)) * n_words div ss" +
+          " + CAST(11800 AS DECIMAL(38,0)) * n_syllables div sw - 15590" +
+          " AS BIGINT)").as("fk_grade_milli"))
+      .orderBy(col("source"))
+
+  val q358Oracle: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len($toksSql) AS BIGINT) AS w,
+       |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+       |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+       |      AS y
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(w) AS BIGINT) AS n_words,
+       |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+       |    CAST(SUM(y) AS BIGINT) AS n_syllables
+       |  FROM d GROUP BY 1)
+       |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       |  CAST(206835
+       |    - CAST(1015 AS HUGEINT) * n_words // GREATEST(1, n_sentences)
+       |    - CAST(84600 AS HUGEINT) * n_syllables // GREATEST(1, n_words)
+       |    AS BIGINT) AS flesch_milli,
+       |  CAST(CAST(390 AS HUGEINT) * n_words // GREATEST(1, n_sentences)
+       |    + CAST(11800 AS HUGEINT) * n_syllables // GREATEST(1, n_words)
+       |    - 15590 AS BIGINT) AS fk_grade_milli
+       |FROM m ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_readability" -> (q358Readability _),
     "q334_boilerplate_phrases" -> (q334BoilerplatePhrases _),
     "q335_cdc_chunking"      -> (q335CdcChunking _),
     "q311_heaps_growth"      -> (q311HeapsGrowth _),
@@ -1383,6 +1450,7 @@ object TextQueries {
     "q35_fingerprint"  -> (q35Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q358_readability" -> q358Oracle,
     "q334_boilerplate_phrases" -> q334Oracle,
     "q335_cdc_chunking"      -> q335Oracle,
     "q311_heaps_growth"      -> q311Oracle,

@@ -432,4 +432,84 @@ class MiningSpec extends AnyFunSuite with SparkSpec {
         (BigInt(nab) * nSess * 1000000 / (BigInt(nT(a)) * nT(b))).toLong)
     }
   }
+
+  test("q359: stationary distribution replays the 3 unrolled iterations " +
+    "in BigInt, sums to ~1e6, and zero-out-degree states self-loop") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(p => BigInt(p.size)).toMap
+    val states = ev.map(_._4).distinct.sorted
+    val rowsum = states.map(s =>
+      s -> trans.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    val p = scala.collection.mutable.Map.empty[(String, String), BigInt]
+    trans.foreach { case ((a, b), c) =>
+      p((a, b)) = c * 1000000 / rowsum(a) }
+    rowsum.collect { case (s, rs) if rs == 0 => p((s, s)) = BigInt(1000000) }
+    var v = states.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 3) {
+      val raw = states.map { t =>
+        t -> states.map(s => v(s) * p.getOrElse((s, t), BigInt(0))).sum /
+          1000000 }.toMap
+      val tot = raw.values.sum
+      v = states.map(t => t -> raw(t) * 1000000 / tot).toMap
+    }
+    val rows = SparkEntry.queries("q359_markov_stationary")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === states)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(BigInt(r.getAs[Long]("out_transitions")) === rowsum(s))
+      assert(BigInt(r.getAs[Long]("pi_ppm")) === v(s), s"pi $s")
+    }
+    val mass = rows.map(_.getAs[Long]("pi_ppm")).sum
+    assert(mass > 1000000L - rows.length && mass <= 1000000L,
+      s"mass $mass not within truncation bleed of 1e6")
+  }
+
+  test("q360: the md5 cap, pair counts and Jaccard replay driver-side, " +
+    "no pair exceeds min degree, and the top-100 order is deterministic") {
+    val cp = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val capped = cp.groupBy(_._2).toSeq.flatMap { case (part, cs) =>
+      cs.sortBy(c => (md5hex(s"${c._1}_$part"), c._1)).take(32)
+        .map(c => (c._1, part))
+    }
+    val deg = capped.groupBy(_._1).view.mapValues(v => v.size.toLong).toMap
+    val byPart = capped.groupBy(_._2)
+    val pairCounts = byPart.values.flatMap { ps =>
+      val cs = ps.map(_._1).sorted
+      for (i <- cs.indices; j <- (i + 1) until cs.length)
+        yield (cs(i), cs(j))
+    }.groupBy(identity).view.mapValues(v => v.size.toLong).toMap
+    val rows = SparkEntry.queries("q360_copurchase_affinity")(spark, sfDir)
+      .collect()
+    assert(rows.length === math.min(100, pairCounts.size))
+    // the result must be exactly the driver-side top-100 under the total
+    // order (common desc, jaccard desc, cust_a, cust_b)
+    val scored = pairCounts.toSeq.map { case ((a, b), c) =>
+      val j = c * 1000000L / (deg(a) + deg(b) - c)
+      (a, b, c, j)
+    }.sortBy { case (a, b, c, j) => (-c, -j, a, b) }.take(100)
+    rows.zip(scored).foreach { case (r, (a, b, c, j)) =>
+      assert(r.getAs[Long]("cust_a") === a)
+      assert(r.getAs[Long]("cust_b") === b)
+      assert(r.getAs[Long]("n_common") === c)
+      assert(r.getAs[Long]("jaccard_ppm") === j)
+      assert(c <= math.min(deg(a), deg(b)))
+    }
+  }
 }

@@ -353,4 +353,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("share_ppm") ===
         BigInt(r.getAs[Long]("n_chunks")) * 1000000 / totalChunks) }
   }
+
+  test("q358: readability counts and both milli scores replay driver-side " +
+    "from raw regex counts per source") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = SparkEntry.queries("q358_readability")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src).map(_._2)
+      val w = mine.map(_.trim.split("\\s+").length.toLong).sum
+      val sCount = mine.map("[.!?]+".r.findAllIn(_).length.toLong).sum
+      val y = mine.map("[aeiouyAEIOUY]+".r.findAllIn(_).length.toLong).sum
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("n_words") === w, s"words $src")
+      assert(r.getAs[Long]("n_sentences") === sCount, s"sentences $src")
+      assert(r.getAs[Long]("n_syllables") === y, s"syllables $src")
+      val ss = math.max(1L, sCount); val sw = math.max(1L, w)
+      assert(r.getAs[Long]("flesch_milli") ===
+        206835L - 1015L * w / ss - 84600L * y / sw, s"flesch $src")
+      assert(r.getAs[Long]("fk_grade_milli") ===
+        390L * w / ss + 11800L * y / sw - 15590L, s"fk $src")
+    }
+  }
 }
