@@ -1595,22 +1595,31 @@ object CurationQueries {
   def q194TokenBudgetMixture(spark: SparkSession, dir: String): DataFrame =
     mixturePlan(spark, dir).orderBy(col("source"))
 
-  /** The per-source recipe frame behind q194 (reported directly) and
-    * q198 (which MATERIALIZES the plan into per-doc copy counts). */
-  private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
-    val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
-      .map(_.toLong).getOrElse(MixtureTokenBudget)
+  /** Per-source BPE-subword + keep-label rollup — the frame q194's
+    * proportional plan, q198's materialization and q365's temperature
+    * plan all start from: (source, n_docs, n_kept, source_subwords,
+    * kept_subwords). */
+  private[queries] def perSourceSubwords(
+      spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         graft.expressions.BpeTokenCount.bpeTokenCount(
           TextFunctions.tokens(col("text")), TextQueries.BpeVocab).as("nsw"))
     val qual = q78QualityRepetition(spark, dir).select(col("doc_id"), col("keep"))
-    val per = toks.join(qual, "doc_id")
+    toks.join(qual, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("nsw")).as("source_subwords"),
         sum(when(col("keep"), col("nsw")).otherwise(0L)).as("kept_subwords"))
+  }
+
+  /** The per-source recipe frame behind q194 (reported directly) and
+    * q198 (which MATERIALIZES the plan into per-doc copy counts). */
+  private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
+      .map(_.toLong).getOrElse(MixtureTokenBudget)
+    val per = perSourceSubwords(spark, dir)
     val tot = per.agg(sum(col("n_kept")).as("total_kept_docs"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_kept"),
@@ -1759,9 +1768,13 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
-  val q194Oracle: String = {
+  /** Shared oracle CTE chain (caller must open with `WITH RECURSIVE`):
+    * BPE subword counts + q78 keep labels rolled up per source, ending in
+    * `per(source, n_docs, n_kept, source_subwords, kept_subwords)` — the
+    * SQL twin of [[perSourceSubwords]], used by q194 and q365. */
+  private[queries] val perSourceSubwordCtes: String = {
     val vocabRows = TextQueries.BpeVocab.map(p => s"('$p')").mkString(", ")
-    s"""WITH RECURSIVE d AS (
+    s"""d AS (
        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents),
        |w AS (
@@ -1808,7 +1821,11 @@ object CurationQueries {
        |    CAST(SUM(CASE WHEN q.keep THEN c.nsw ELSE 0 END) AS BIGINT)
        |      AS kept_subwords
        |  FROM d JOIN counts c USING (doc_id) JOIN qual q USING (doc_id)
-       |  GROUP BY d.source),
+       |  GROUP BY d.source)""".stripMargin
+  }
+
+  val q194Oracle: String =
+    s"""WITH RECURSIVE $perSourceSubwordCtes,
        |tot AS (SELECT SUM(n_kept) AS total_kept_docs FROM per)
        |SELECT source, n_docs, n_kept, source_subwords, kept_subwords,
        |  CAST(CAST(n_kept AS HUGEINT) * 1000000 // total_kept_docs AS BIGINT)
@@ -1820,7 +1837,6 @@ object CurationQueries {
        |      * 1000000 // kept_subwords AS BIGINT) END AS epochs_ppm
        |FROM per, tot
        |ORDER BY source""".stripMargin
-  }
 
   /** DUPLICATE-CHUNK FRACTION (q199) — the Gopher duplicate-line rule,
     * distinct from q78's OVERLAPPING-n-gram repetition ratio: the text is
@@ -3009,7 +3025,109 @@ object CurationQueries {
       |FROM d GROUP BY 1
       |ORDER BY change_type""".stripMargin
 
+  /** TEMPERATURE-SCALED MIXTURE (q365) — the multilingual-training
+    * sampling recipe (Devlin et al.'s mBERT exponent / Conneau et al.'s
+    * τ-sampling — public literature) beside q194's proportional plan:
+    * source weights ∝ (kept subwords)^τ with τ = ½, so low-resource
+    * sources are UPsampled relative to their share and heavyweights
+    * flattened — the exponent is exact because τ = ½ is the
+    * ±2-corrected integer sqrt. The token budget is then apportioned by
+    * LARGEST REMAINDER (q233's house method): base_i = ⌊B·w_i/W⌋ and the
+    * ≤|sources|−1 leftover tokens go to the largest fractional
+    * remainders (ties by source name), so Σ alloc = B EXACTLY — a
+    * mixture that claims to allocate B and allocates B±k is an
+    * off-by-an-epoch bug downstream.
+    *
+    * Scale shape: the corpus collapses to the per-source frame
+    * (perSourceSubwords — one tokenize + rollup); the isqrt, remainder
+    * rank (a window over the ≤|sources|-row frame) and allocation all
+    * live on that tiny axis.
+    */
+  def q365TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = MixtureTokenBudget
+    val per = perSourceSubwords(spark, dir)
+      .select(col("source"), col("n_kept"), col("kept_subwords"))
+    val withW = per
+      .withColumn("__r0", expr(
+        "CAST(FLOOR(SQRT(CAST(kept_subwords AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", greatest(lit(0L), col("__r0") - 2 + expr(
+        """CASE
+          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2)
+          |    <= kept_subwords THEN 4L
+          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1)
+          |    <= kept_subwords THEN 3L
+          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= kept_subwords THEN 2L
+          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1)
+          |    <= kept_subwords THEN 1L
+          |  ELSE 0L END""".stripMargin)))
+      .drop("__r0")
+    val tot = withW.agg(sum(col("weight")).as("ww"))
+    val quota = withW.crossJoin(broadcast(tot))
+      .withColumn("base", expr(
+        s"CAST(CAST(weight AS DECIMAL(38,0)) * $budget div ww AS BIGINT)"))
+      .withColumn("rem", expr(
+        s"CAST(CAST(weight AS DECIMAL(38,0)) * $budget % ww AS BIGINT)"))
+    val leftover = quota.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    quota
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_kept"), col("kept_subwords"),
+        col("weight"),
+        expr("CAST(CAST(weight AS DECIMAL(38,0)) * 1000000 div ww" +
+          " AS BIGINT)").as("share_ppm"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L)
+          .otherwise(0L)).as("tokens_alloc"))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN kept_subwords = 0 THEN NULL ELSE " +
+          "CAST(CAST(tokens_alloc AS DECIMAL(38,0)) * 1000000" +
+          " div kept_subwords AS BIGINT) END"))
+      .orderBy(col("source"))
+  }
+
+  val q365Oracle: String =
+    s"""WITH RECURSIVE $perSourceSubwordCtes,
+       |r0s AS (
+       |  SELECT source, n_kept, kept_subwords,
+       |    CAST(FLOOR(SQRT(CAST(kept_subwords AS DOUBLE))) AS BIGINT) AS r0
+       |  FROM per),
+       |ws AS (
+       |  SELECT source, n_kept, kept_subwords,
+       |    GREATEST(0, r0 - 2 + CASE
+       |      WHEN CAST(r0 + 2 AS HUGEINT) * (r0 + 2) <= kept_subwords THEN 4
+       |      WHEN CAST(r0 + 1 AS HUGEINT) * (r0 + 1) <= kept_subwords THEN 3
+       |      WHEN CAST(r0 AS HUGEINT) * r0 <= kept_subwords THEN 2
+       |      WHEN CAST(r0 - 1 AS HUGEINT) * (r0 - 1) <= kept_subwords THEN 1
+       |      ELSE 0 END) AS weight
+       |  FROM r0s),
+       |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS ww FROM ws),
+       |quota AS (
+       |  SELECT source, n_kept, kept_subwords, weight, ww,
+       |    CAST(CAST(weight AS HUGEINT) * $MixtureTokenBudget // ww
+       |      AS BIGINT) AS base,
+       |    CAST(CAST(weight AS HUGEINT) * $MixtureTokenBudget % ww
+       |      AS BIGINT) AS rem
+       |  FROM ws CROSS JOIN tot),
+       |lo AS (SELECT $MixtureTokenBudget - CAST(SUM(base) AS BIGINT)
+       |         AS leftover FROM quota),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank
+       |  FROM quota)
+       |SELECT source, n_kept, kept_subwords, weight,
+       |  CAST(CAST(weight AS HUGEINT) * 1000000 // ww AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS tokens_alloc,
+       |  CASE WHEN kept_subwords = 0 THEN NULL ELSE
+       |    CAST(CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+       |      AS HUGEINT) * 1000000 // kept_subwords AS BIGINT) END
+       |    AS epochs_ppm
+       |FROM rk CROSS JOIN lo
+       |ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_temperature_mixture" -> (q365TemperatureMixture _),
     "q344_erasure_plan" -> (q344ErasurePlan _),
     "q345_snapshot_diff" -> (q345SnapshotDiff _),
     "q316_source_novelty"   -> (q316SourceNovelty _),
@@ -3052,6 +3170,7 @@ object CurationQueries {
     "q82_vec_quantize"       -> (q82VecQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "q365_temperature_mixture" -> q365Oracle,
     "q344_erasure_plan" -> q344Oracle,
     "q345_snapshot_diff" -> q345Oracle,
     "q316_source_novelty"       -> q316Oracle,

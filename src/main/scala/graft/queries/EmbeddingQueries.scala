@@ -615,7 +615,184 @@ object EmbeddingQueries {
       |  END AS anisotropy_ppm
       |FROM mm CROSS JOIN en""".stripMargin
 
+  /** Sign-split integral division (q322's convention, factored here for
+    * the silhouette arithmetic): truncate |a|/b toward zero, re-sign. */
+  private def sdiv(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
+
+  /** MMR DIVERSIFIED TOP-K (q361) — maximal marginal relevance (Carbonell
+    * & Goldstein '98), the re-ranking every RAG retriever bolts onto a
+    * plain cosine top-k: greedily pick 5 results where each pick
+    * maximizes 0.7·relevance − 0.3·max-similarity-to-already-picked —
+    * relevance alone returns five near-duplicates of the query's
+    * neighborhood; the penalty buys coverage. Query = vector 0 (the q40
+    * fixed-query convention). The greedy is UNROLLED (fixed k, q305's
+    * discipline): five argmax rounds, each a ≤4-row broadcast
+    * cross-score + TakeOrdered(1) + anti-join, one declarative plan, no
+    * driver loop. Cosines are the q40-proven bit-match of DuckDB's
+    * list_cosine_similarity; the 0.7/0.3 blend is the same two IEEE ops
+    * in both engines, ties break by vid.
+    *
+    * Scale shape: relevance is ONE broadcast projection over the corpus;
+    * each round rescans only the candidate frame (corpus-sized but
+    * join-free scoring against ≤4 broadcast vectors). Output is 5 rows.
+    */
+  def q361MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Similarity.{cosine, toDouble}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val cands0 = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id").as("vid"), col("v"),
+        cosine(col("qv"), col("v")).as("rel"))
+    def pickOf(scored: DataFrame, k: Int): DataFrame =
+      scored.orderBy(col("score").desc, col("vid").asc).limit(1)
+        .select(lit(k.toLong).as("pick"), col("vid"), col("v"),
+          col("rel"), col("score"))
+    var selected = pickOf(cands0.withColumn("score", col("rel")), 1)
+    var cands = cands0.join(selected.select("vid"), Seq("vid"), "left_anti")
+    for (k <- 2 to 5) {
+      val maxsim = cands
+        .crossJoin(broadcast(selected.select(col("v").as("sv"))))
+        .withColumn("s2", cosine(col("v"), col("sv")))
+        .groupBy(col("vid")).agg(max(col("s2")).as("maxsim"))
+      val scored = cands.join(maxsim, "vid")
+        .withColumn("score",
+          col("rel") * lit(0.7) - col("maxsim") * lit(0.3))
+      val p = pickOf(scored, k)
+      selected = selected.unionByName(p)
+      cands = cands.join(p.select("vid"), Seq("vid"), "left_anti")
+    }
+    selected.select(col("pick"), col("vid"),
+        round(col("rel"), 6).as("rel"),
+        round(col("score"), 6).as("mmr_score"))
+      .orderBy(col("pick"))
+  }
+
+  val q361Oracle: String = {
+    // round k: candidates = c0 minus picks 1..k-1; the selected set for
+    // the penalty is the union of the prior pick CTEs
+    def sel(k: Int): String =
+      (1 until k).map(i => s"SELECT vid, v FROM p$i").mkString(" UNION ALL ")
+    def round(k: Int): String =
+      s"""m$k AS (
+         |  SELECT c.vid, MAX(list_cosine_similarity(c.v, s.v)) AS maxsim
+         |  FROM c0 c CROSS JOIN (${sel(k)}) s
+         |  WHERE c.vid NOT IN (SELECT vid FROM (${sel(k)}))
+         |  GROUP BY 1),
+         |p$k AS (
+         |  SELECT $k AS pick, c.vid, c.v, c.rel,
+         |    c.rel * 0.7 - m$k.maxsim * 0.3 AS score
+         |  FROM c0 c JOIN m$k ON m$k.vid = c.vid
+         |  ORDER BY score DESC, c.vid LIMIT 1)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |c0 AS (
+       |  SELECT vec_id AS vid, v.v AS v,
+       |    list_cosine_similarity(qv, v.v) AS rel
+       |  FROM v CROSS JOIN q WHERE vec_id <> 0),
+       |p1 AS (
+       |  SELECT 1 AS pick, vid, v, rel, rel AS score
+       |  FROM c0 ORDER BY score DESC, vid LIMIT 1),
+       |${(2 to 5).map(round).mkString(",\n")}
+       |SELECT CAST(pick AS BIGINT) AS pick, vid,
+       |  ROUND(rel, 6) AS rel, ROUND(score, 6) AS mmr_score
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+       |  UNION ALL SELECT * FROM p5)
+       |ORDER BY pick""".stripMargin
+  }
+
+  /** SIMPLIFIED SILHOUETTE (q362) — the cluster-quality score for the
+    * IVF index the ANN tier (q42/q85) routes through: per vector, a =
+    * squared grid distance to its OWN (nearest) centroid, b = to the
+    * second-nearest, s = (b−a)/max(a,b) in sign-split ppm — the
+    * centroid-based silhouette variant (point-to-point means are
+    * quadratic; against centroids the score is exact and linear). On the
+    * 1/16 integer grid every distance is an exact integer, so both
+    * engines agree bit-for-bit. Centroids are the first-8-vectors gate
+    * convention (q85's c0; the TRAINED index scores the same way).
+    * s = 0 when a = b = 0 (a vector exactly on two centroids),
+    * documented rather than NULL so the per-cluster mean stays total.
+    *
+    * Scale shape: an 8-row broadcast cross, the per-vector 8-row window
+    * (partition = one vector's centroid distances — bounded by k, not
+    * the corpus), then one rollup onto the ≤k cluster axis.
+    */
+  def q362Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = gridded(spark, dir).select(col("vec_id"), col("q"))
+    val cents = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("cq"))
+    val d2 = v.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L," +
+          " (acc, e) -> acc + e)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val ab = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("own"),
+        max(when(col("rn") === 1, col("d2"))).as("a"),
+        max(when(col("rn") === 2, col("d2"))).as("b"))
+    val s = ab.withColumn("s_ppm", expr(
+      "CASE WHEN greatest(a, b) = 0 THEN 0L ELSE CAST(" +
+        sdiv("(b - a) * 1000000", "greatest(a, b)", "div") +
+        " AS BIGINT) END"))
+    s.groupBy(col("own").as("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s_ppm")).as("sum_s"),
+        min(col("s_ppm")).as("min_s_ppm"),
+        max(col("s_ppm")).as("max_s_ppm"))
+      .select(col("cid"), col("n_members"),
+        expr("CAST(" + sdiv("sum_s", "n_members", "div") + " AS BIGINT)")
+          .as("mean_s_ppm"),
+        col("min_s_ppm"), col("max_s_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val q362Oracle: String =
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 16 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, q AS cq
+       |      FROM g WHERE vec_id < 8),
+       |d AS (
+       |  SELECT g.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, len(g.q) + 1),
+       |      i -> (g.q[i] - c.cq[i]) * (g.q[i] - c.cq[i]))) AS BIGINT)
+       |      AS d2
+       |  FROM g CROSS JOIN c),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cid) AS rn
+       |  FROM d),
+       |ab AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cid END) AS own,
+       |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a,
+       |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b
+       |  FROM r WHERE rn <= 2 GROUP BY 1),
+       |s AS (
+       |  SELECT own,
+       |    CASE WHEN GREATEST(a, b) = 0 THEN 0
+       |      ELSE ${sdiv("(b - a) * 1000000", "GREATEST(a, b)", "//")} END
+       |      AS s_ppm
+       |  FROM ab)
+       |SELECT own AS cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(${sdiv("SUM(s_ppm)", "COUNT(*)", "//")} AS BIGINT)
+       |    AS mean_s_ppm,
+       |  CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
+       |  CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
+       |FROM s GROUP BY 1 ORDER BY cid""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_mmr_rerank" -> (q361MmrRerank _),
+    "q362_silhouette" -> (q362Silhouette _),
     "q336_embedding_anisotropy" -> (q336EmbeddingAnisotropy _),
     "q313_centroid_drift" -> (q313CentroidDrift _),
     "q301_power_iteration"  -> (q301PowerIteration _),
@@ -626,6 +803,8 @@ object EmbeddingQueries {
     "q241_hard_negatives"       -> (q241HardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "q361_mmr_rerank" -> q361Oracle,
+    "q362_silhouette" -> q362Oracle,
     "q336_embedding_anisotropy" -> q336Oracle,
     "q313_centroid_drift" -> q313Oracle,
     "q301_power_iteration"  -> q301Oracle,

@@ -1935,7 +1935,156 @@ object ProfilingQueries {
       |      ELSE 0 END), 1000000) END AS BIGINT) AS v_ppm
       |FROM r0s""".stripMargin
 
+  /** L-DIVERSITY AUDIT (q363) — the attribute-disclosure check
+    * k-anonymity (q287) provably misses: a 100-member equivalence class
+    * is k-safe, but if all 100 share ONE sensitive value the attacker
+    * learns it without re-identifying anyone. Per quasi-identifier class
+    * (nation, market segment — deliberately coarser than q287's QI so
+    * classes are populated): the class size, the number of DISTINCT
+    * sensitive values (the l in l-diversity; sensitive attribute =
+    * $1000 account-balance bucket, the linkage target), the top single
+    * value's share in exact ppm (the recursive-(c,l) precursor
+    * statistic), and the l < 3 risk flag.
+    *
+    * Scale shape: one (QI, sensitive)-keyed aggregate (map-side
+    * combined), re-aggregated to the QI axis with a max-struct for the
+    * top share. Two shuffles on shrinking cardinalities, |QI classes|
+    * rows out.
+    */
+  def q363LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_k"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("l_distinct"),
+        expr("CAST(CAST(top_cnt AS DECIMAL(38,0)) * 1000000" +
+          " div class_size AS BIGINT)").as("top_share_ppm"),
+        (col("l_distinct") < 3).as("at_risk_l3"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val q363Oracle: String =
+    """WITH sv AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(SUM(cnt) AS BIGINT) AS class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  CAST(CAST(MAX(cnt) AS HUGEINT) * 1000000 // SUM(cnt) AS BIGINT)
+      |    AS top_share_ppm,
+      |  COUNT(*) < 3 AS at_risk_l3
+      |FROM sv GROUP BY 1, 2
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** T-CLOSENESS AUDIT (q364) — the distribution-disclosure check
+    * l-diversity (q363) still misses: a class can hold 5 distinct
+    * balance buckets yet skew so far from the corpus-wide distribution
+    * that membership alone leaks wealth. Per QI class, the exact
+    * 1-D Earth Mover's Distance between the class's and the global
+    * distribution over the ORDERED $1000 balance-bucket axis — for
+    * ordered 1-D histograms EMD is just the summed |cumulative
+    * difference|, so the whole statistic is cross-multiplied integers:
+    *   D_b = cum_class(b)·N − cum_global(b)·n_class
+    *   t_ppm = (Σ_{b<last} |D_b|)·10⁶ div ((m−1)·n_class·N)
+    * (the standard (m−1) normalization makes t = 1 the all-mass-at-
+    * opposite-ends worst case). Flagged at t > 0.2 — the threshold the
+    * t-closeness literature ships as its running example.
+    *
+    * Scale shape: one (QI, bucket) aggregate; the class×bucket spine is
+    * the QI-axis cross join with the bounded bucket axis (both
+    * model-bounded); cumulative sums ride per-class windows over ≤m
+    * rows. |QI classes| rows out.
+    */
+  def q364TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_k"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = sv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n_class"))
+    val buckets = sv.groupBy(col("bal_k")).agg(sum(col("cnt")).as("g"))
+    val tot = buckets.agg(sum(col("g")).as("n"),
+      count(lit(1)).as("m"))
+    val spine = classes.crossJoin(broadcast(buckets))
+      .join(sv, Seq("c_nationkey", "c_mktsegment", "bal_k"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("bal_k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+    spine
+      .withColumn("cumc", sum(col("cnt")).over(w))
+      .withColumn("cumg", sum(col("g")).over(w))
+      .withColumn("last_k", max(col("bal_k")).over(wAll))
+      .crossJoin(broadcast(tot))
+      .filter(col("bal_k") < col("last_k"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(max(col("n_class")).as("n_class"), max(col("n")).as("n"),
+        max(col("m")).as("m"),
+        sum(expr("abs(CAST(cumc AS DECIMAL(38,0)) * n" +
+          " - CAST(cumg AS DECIMAL(38,0)) * n_class)")).as("emd"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_class"),
+        expr("CAST(emd * 1000000 div ((m - 1)" +
+          " * CAST(n_class AS DECIMAL(38,0)) * n) AS BIGINT)").as("t_ppm"))
+      .withColumn("at_risk_t20", col("t_ppm") > 200000L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val q364Oracle: String =
+    """WITH sv AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment,
+      |          CAST(SUM(cnt) AS BIGINT) AS n_class
+      |        FROM sv GROUP BY 1, 2),
+      |bk AS (SELECT bal_k, CAST(SUM(cnt) AS BIGINT) AS g
+      |       FROM sv GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n,
+      |          CAST(COUNT(*) AS BIGINT) AS m FROM bk),
+      |spine AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_class,
+      |    bk.bal_k, bk.g, COALESCE(sv.cnt, 0) AS cnt
+      |  FROM cls CROSS JOIN bk
+      |  LEFT JOIN sv ON sv.c_nationkey = cls.c_nationkey
+      |    AND sv.c_mktsegment = cls.c_mktsegment AND sv.bal_k = bk.bal_k),
+      |cum AS (
+      |  SELECT *,
+      |    SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY bal_k) AS cumc,
+      |    SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY bal_k) AS cumg,
+      |    MAX(bal_k) OVER (PARTITION BY c_nationkey, c_mktsegment)
+      |      AS last_k
+      |  FROM spine),
+      |e AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(MAX(n_class) AS BIGINT) AS n_class,
+      |    SUM(ABS(CAST(cumc AS HUGEINT) * n - CAST(cumg AS HUGEINT)
+      |      * n_class)) AS emd,
+      |    MAX(n) AS n, MAX(m) AS m
+      |  FROM cum CROSS JOIN tot
+      |  WHERE bal_k < last_k
+      |  GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, n_class,
+      |  CAST(emd * 1000000 // ((m - 1) * CAST(n_class AS HUGEINT) * n)
+      |    AS BIGINT) AS t_ppm,
+      |  CAST(emd * 1000000 // ((m - 1) * CAST(n_class AS HUGEINT) * n)
+      |    AS BIGINT) > 200000 AS at_risk_t20
+      |FROM e
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_l_diversity"     -> (q363LDiversity _),
+    "q364_t_closeness"     -> (q364TCloseness _),
     "q355_kruskal_wallis"  -> (q355KruskalWallis _),
     "q356_wilcoxon_signed" -> (q356WilcoxonSignedRank _),
     "q357_cramers_v"       -> (q357CramersV _),
@@ -1965,6 +2114,8 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q363_l_diversity"     -> q363Oracle,
+    "q364_t_closeness"     -> q364Oracle,
     "q355_kruskal_wallis"  -> q355Oracle,
     "q356_wilcoxon_signed" -> q356Oracle,
     "q357_cramers_v"       -> q357Oracle,

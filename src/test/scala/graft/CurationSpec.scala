@@ -853,4 +853,44 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.getOrElse("changed", 0L) === changed)
     assert(rows.getOrElse("unchanged", 0L) === unchanged)
   }
+
+  test("q365: temperature weights are exact isqrts, the largest-remainder " +
+    "allocation replays driver-side, and the budget is conserved EXACTLY") {
+    def isqrt(v: BigInt): BigInt =
+      if (v <= 0) BigInt(0) else {
+        var r = BigInt(math.sqrt(v.toDouble).toLong)
+        while (r * r > v) r -= 1
+        while ((r + 1) * (r + 1) <= v) r += 1
+        r
+      }
+    val rows = SparkEntry.queries("q365_temperature_mixture")(spark, sfDir)
+      .collect()
+    val budget = graft.queries.CurationQueries.MixtureTokenBudget
+    assert(rows.map(_.getAs[Long]("tokens_alloc")).sum === budget,
+      "largest-remainder must conserve the budget exactly")
+    rows.foreach { r =>
+      assert(BigInt(r.getAs[Long]("weight")) ===
+        isqrt(BigInt(r.getAs[Long]("kept_subwords"))))
+    }
+    // replay the apportionment from the (source, weight) frame
+    val ws = rows.map(r =>
+      (r.getAs[String]("source"), BigInt(r.getAs[Long]("weight"))))
+    val totW = ws.map(_._2).sum
+    val base = ws.map { case (s, w) => (s, w * budget / totW,
+      w * budget % totW) }
+    val leftover = budget - base.map(_._2).sum.toLong
+    val winners = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val b = base.find(_._1 == s).get._2
+      val expect = b + (if (winners.contains(s)) 1 else 0)
+      assert(BigInt(r.getAs[Long]("tokens_alloc")) === expect, s"alloc $s")
+    }
+    // tau = 1/2 flattens: max/min allocation ratio must not exceed the
+    // proportional plan's max/min kept-subword ratio
+    val ks = rows.map(_.getAs[Long]("kept_subwords")).filter(_ > 0)
+    val al = rows.map(_.getAs[Long]("tokens_alloc")).filter(_ > 0)
+    assert(al.max.toDouble / al.min <= ks.max.toDouble / ks.min + 1e-9)
+  }
 }

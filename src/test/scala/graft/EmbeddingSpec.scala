@@ -237,4 +237,81 @@ class EmbeddingSpec extends AnyFunSuite with SparkSpec {
         s"anisotropy out of range: $ppm")
     }
   }
+
+  private def vecsById: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  test("q361: the greedy MMR selection replays driver-side with the " +
+    "sequential-fold cosine, and the 5 picks are distinct non-query ids") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vs = vecsById
+    val qv = vs(0L)
+    val rel = vs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(qv, v)) }
+    var selected = Vector.empty[(Long, Array[Double], Double, Double)]
+    for (k <- 1 to 5) {
+      val remaining = rel.filterNot(c => selected.exists(_._1 == c._1))
+      val scored = remaining.map { case (id, v, r) =>
+        val score = if (k == 1) r
+          else r * 0.7 - selected.map(s => cos(v, s._2)).max * 0.3
+        (id, v, r, score)
+      }
+      selected :+= scored.minBy { case (id, _, _, sc) => (-sc, id) }
+    }
+    val rows = SparkEntry.queries("q361_mmr_rerank")(spark, sfDir).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("pick")).toSeq === (1L to 5L))
+    rows.zip(selected).foreach { case (r, (id, _, rl, sc)) =>
+      assert(r.getAs[Long]("vid") === id, s"pick ${r.getAs[Long]("pick")}")
+      assert(r.getAs[Double]("rel") ===
+        BigDecimal(rl).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      assert(r.getAs[Double]("mmr_score") ===
+        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    assert(rows.map(_.getAs[Long]("vid")).distinct.length === 5)
+    assert(!rows.map(_.getAs[Long]("vid")).contains(0L))
+  }
+
+  test("q362: per-cluster silhouette replays driver-side on the integer " +
+    "grid and every score is a valid ppm in [-1e6, 1e6]") {
+    val vs = vecsById.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 16 + 0.5).toLong) }
+    val cents = vs.filter(_._1 < 8).toSeq.sortBy(_._1)
+      .map { case (id, q) => (id.toInt, q) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val per = vs.toSeq.map { case (_, q) =>
+      val ds = cents.map { case (cid, cq) => (d2(q, cq), cid) }.sorted
+      val (a, own) = ds.head; val (b, _) = ds(1)
+      val s = if (math.max(a, b) == 0) 0L else {
+        val num = (b - a) * 1000000L
+        if (num >= 0) num / math.max(a, b) else -((-num) / math.max(a, b))
+      }
+      (own, s)
+    }
+    val rows = SparkEntry.queries("q362_silhouette")(spark, sfDir).collect()
+    val byCid = per.groupBy(_._1)
+    assert(rows.map(_.getAs[Int]("cid")).toSeq ===
+      byCid.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val ss = byCid(r.getAs[Int]("cid")).map(_._2)
+      assert(r.getAs[Long]("n_members") === ss.length.toLong)
+      val sum = ss.sum
+      val mean = if (sum >= 0) sum / ss.length else -((-sum) / ss.length)
+      assert(r.getAs[Long]("mean_s_ppm") === mean)
+      assert(r.getAs[Long]("min_s_ppm") === ss.min)
+      assert(r.getAs[Long]("max_s_ppm") === ss.max)
+      ss.foreach(s => assert(math.abs(s) <= 1000000L))
+    }
+  }
 }

@@ -721,4 +721,56 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
         row.getAs[Long]("v_ppm") <= 1000000L)
     }
   }
+
+  test("q363: l-diversity replays driver-side from raw customer rows and " +
+    "the class partition conserves the table") {
+    val rows = SparkEntry.queries("q363_l_diversity")(spark, sfDir)
+      .collect()
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+      .as[(Int, String, Long)].collect()
+    assert(rows.map(_.getAs[Long]("class_size")).sum === cust.length.toLong)
+    rows.foreach { r =>
+      val mine = cust.filter(c =>
+        c._1 == r.getAs[Int]("c_nationkey") &&
+        c._2 == r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("class_size") === mine.length.toLong)
+      val byV = mine.groupBy(_._3).view.mapValues(_.size.toLong)
+      assert(r.getAs[Long]("l_distinct") === byV.size.toLong)
+      assert(r.getAs[Long]("top_share_ppm") ===
+        byV.values.max * 1000000L / mine.length)
+      assert(r.getAs[Boolean]("at_risk_l3") === (byV.size < 3))
+    }
+  }
+
+  test("q364: the 1-D EMD replays driver-side over the ordered bucket " +
+    "axis, t is a valid ppm, and a class equal to the global mix scores 0") {
+    val rows = SparkEntry.queries("q364_t_closeness")(spark, sfDir)
+      .collect()
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+      .as[(Int, String, Long)].collect()
+    val buckets = cust.map(_._3).distinct.sorted
+    val global = buckets.map(b => cust.count(_._3 == b).toLong)
+    val n = BigInt(cust.length)
+    val m = BigInt(buckets.length)
+    rows.foreach { r =>
+      val mine = cust.filter(c =>
+        c._1 == r.getAs[Int]("c_nationkey") &&
+        c._2 == r.getAs[String]("c_mktsegment"))
+      val nc = BigInt(mine.length)
+      assert(r.getAs[Long]("n_class") === mine.length.toLong)
+      var cumC = BigInt(0); var cumG = BigInt(0); var emd = BigInt(0)
+      buckets.init.zip(global.init).foreach { case (b, g) =>
+        cumC += mine.count(_._3 == b); cumG += g
+        emd += (cumC * n - cumG * nc).abs
+      }
+      val t = emd * 1000000 / ((m - 1) * nc * n)
+      assert(BigInt(r.getAs[Long]("t_ppm")) === t)
+      assert(t >= 0 && t <= 1000000)
+      assert(r.getAs[Boolean]("at_risk_t20") === (t > 200000))
+    }
+  }
 }
