@@ -87,4 +87,33 @@ class DocsSyncSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"registry queries with no oracle: ${missing.toSeq.sorted.mkString(", ")}")
   }
+
+  test("near-dup cascade consumers stay within the round-14 frozen " +
+    "inventory (PLANS.md gate-cost policy)") {
+    // POLICY (PLANS.md §Round-14 decisions): the 18 gate queries that
+    // re-derive the shingle→MinHash→band→confirm cascade from raw cost
+    // 21% of the bench sweep — priced and accepted, but CAPPED. A new
+    // `confirmedNearDupPairs(` call site means a new consumer of the
+    // pair cascade: it must route through the conf-aware helper (it does,
+    // if this greps it) AND its gate row must not re-derive content a
+    // q350 stage checksum already pins. If you add one deliberately,
+    // read the policy, justify the row in COVERAGE.md, then update this
+    // inventory.
+    val expected = Map(
+      "EvalQueries.scala" -> 1,
+      "GraphQueries.scala" -> 9,
+      "MiningQueries.scala" -> 2,
+      "SimilarityQueries.scala" -> 6)
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val actual = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".scala"))
+      .map { p =>
+        p.getFileName.toString ->
+          "confirmedNearDupPairs\\(".r.findAllIn(read(p.toString)).length
+      }.filter(_._2 > 0).toMap
+    assert(actual === expected,
+      "cascade consumer inventory changed — see PLANS.md round-14 " +
+        "gate-cost policy before adding a re-derivation site")
+  }
 }
