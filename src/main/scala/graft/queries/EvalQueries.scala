@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -1658,7 +1658,225 @@ object EvalQueries {
        |      // ABS(mean_micro) AS BIGINT) END AS mde_rel_ppm
        |FROM f ORDER BY event_type""".stripMargin
 
+  /** HORVITZ–THOMPSON ESTIMATION AUDIT (q366) — the estimator that makes
+    * the suite's deterministic samplers (q80/q127/q320/q346) USABLE for
+    * totals: sample events per stratum (= event type) at md5-derived
+    * unequal rates, inverse-probability-weight the sampled cents back up
+    * (HT: est = Σ sampled·10⁶/rate_ppm, one truncating div per stratum),
+    * and — because this corpus is small enough to know the truth — put
+    * the realized signed error in ppm next to it. At 100 TB the true
+    * column is unavailable and the estimate IS the report; the audit
+    * exists so the estimator ships pre-validated. Membership is the
+    * q134/q198 exact integer threshold (p32·10⁶ < rate·2³²), rates are
+    * 62 500·(1+md5(type) mod 8) ppm — deterministic, replayable, and
+    * deliberately unequal across strata so the weighting actually does
+    * something.
+    *
+    * Scale shape: ONE corpus scan with codegen'd md5 membership, one
+    * map-side-combinable rollup onto the bounded type axis. No joins.
+    */
+  def q366HorvitzThompson(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("62500 * (1 + CAST(conv(substring(md5(event_type), 1, 8)," +
+          " 16, 10) AS BIGINT) % 8)").as("rate_ppm"),
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)," +
+          " 16, 10) AS BIGINT)").as("p32"))
+      .withColumn("sampled", expr(
+        "CAST(p32 AS DECIMAL(38,0)) * 1000000 < " +
+          "CAST(rate_ppm AS DECIMAL(38,0)) * 4294967296"))
+      .groupBy(col("event_type"))
+      .agg(max(col("rate_ppm")).as("rate_ppm"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("cents")).as("true_cents"),
+        sum(when(col("sampled"), col("cents")).otherwise(0L)).as("sc"))
+      .withColumn("ht_cents", expr("CAST(" +
+        sdiv("CAST(sc AS DECIMAL(38,0)) * 1000000", "rate_ppm", "div") +
+        " AS BIGINT)"))
+      .select(col("event_type"), col("rate_ppm"), col("n_total"),
+        col("n_sampled"), col("true_cents"), col("ht_cents"),
+        expr("CASE WHEN true_cents = 0 THEN NULL ELSE CAST(" +
+          sdiv("CAST(ht_cents - true_cents AS DECIMAL(38,0)) * 1000000",
+            "abs(true_cents)", "div") + " AS BIGINT) END").as("err_ppm"))
+      .orderBy(col("event_type"))
+
+  val q366Oracle: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    62500 * (1 + CAST('0x' || substr(md5(event_type), 1, 8)
+       |      AS BIGINT) % 8) AS rate_ppm,
+       |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS p32
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |    AND event_id IS NOT NULL),
+       |m AS (
+       |  SELECT event_type, CAST(MAX(rate_ppm) AS BIGINT) AS rate_ppm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(CASE WHEN CAST(p32 AS HUGEINT) * 1000000 <
+       |      CAST(rate_ppm AS HUGEINT) * 4294967296 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_sampled,
+       |    CAST(SUM(cents) AS BIGINT) AS true_cents,
+       |    CAST(SUM(CASE WHEN CAST(p32 AS HUGEINT) * 1000000 <
+       |      CAST(rate_ppm AS HUGEINT) * 4294967296 THEN cents ELSE 0 END)
+       |      AS BIGINT) AS sc
+       |  FROM e GROUP BY 1),
+       |h AS (
+       |  SELECT *, CAST(${sdiv("CAST(sc AS HUGEINT) * 1000000",
+           "rate_ppm", "//")} AS BIGINT) AS ht_cents
+       |  FROM m)
+       |SELECT event_type, rate_ppm, n_total, n_sampled, true_cents,
+       |  ht_cents,
+       |  CASE WHEN true_cents = 0 THEN NULL ELSE CAST(
+       |    ${sdiv("CAST(ht_cents - true_cents AS HUGEINT) * 1000000",
+           "ABS(true_cents)", "//")} AS BIGINT) END AS err_ppm
+       |FROM h ORDER BY event_type""".stripMargin
+
+  /** QUANTILE TREATMENT EFFECTS (q367) — what q353's CUPED mean cannot
+    * show: WHERE in the outcome distribution the treatment acts. Per
+    * decile d ∈ 1..9, the exact per-arm lower quantile of the per-user
+    * post-period value (smallest v with 10·cum ≥ d·n — q349's rank
+    * convention) and their difference. A flat mean with positive tail
+    * QTEs is the classic "whales only" effect a mean-based readout
+    * ships blind.
+    *
+    * Scale shape: per-user aggregate → per-arm distinct-value histogram
+    * → distributed prefix sum partitioned by arm → a 9-row decile frame
+    * joined against the bounded cumulative frame. No corpus-wide
+    * window.
+    */
+  def q367QuantileEffects(spark: SparkSession, dir: String): DataFrame = {
+    val pu = experimentFrame(spark, dir).select(col("t"), col("y"))
+    val hist = pu.groupBy(col("t"), col("y")).agg(count(lit(1)).as("c"))
+    val cum = graft.functions.PrefixSum
+      .runningTotal(hist, Seq("t"), Seq(col("y").asc), "c", "cum")
+    val narm = hist.groupBy(col("t")).agg(sum(col("c")).as("n"))
+    val dec = spark.range(1, 10).select(col("id").as("d"))
+    cum.join(broadcast(narm), "t").crossJoin(broadcast(dec))
+      .filter(expr("10 * cum >= d * n"))
+      .groupBy(col("d"))
+      .agg(min(when(col("t") === 1, col("y"))).as("treat_v"),
+        min(when(col("t") === 0, col("y"))).as("ctrl_v"))
+      .select(col("d").as("decile"), col("treat_v"), col("ctrl_v"),
+        (col("treat_v") - col("ctrl_v")).as("qte_cents"))
+      .orderBy(col("decile"))
+  }
+
+  val q367Oracle: String =
+    s"""WITH $experimentCtes,
+       |h AS (SELECT t, y, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM pu GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT t, y, c, SUM(c) OVER (PARTITION BY t ORDER BY y) AS cum
+       |  FROM h),
+       |na AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+       |dec AS (SELECT unnest(range(1, 10)) AS d)
+       |SELECT CAST(d AS BIGINT) AS decile,
+       |  MIN(CASE WHEN t = 1 THEN y END) AS treat_v,
+       |  MIN(CASE WHEN t = 0 THEN y END) AS ctrl_v,
+       |  MIN(CASE WHEN t = 1 THEN y END) - MIN(CASE WHEN t = 0 THEN y END)
+       |    AS qte_cents
+       |FROM cum JOIN na USING (t) CROSS JOIN dec
+       |WHERE 10 * cum >= d * n
+       |GROUP BY d ORDER BY decile""".stripMargin
+
+  /** FAIRNESS SLICE AUDIT (q368) — the per-group disparity report a
+    * model card requires before the q136 classifier gates a corpus:
+    * per language slice, the selection rate (keep-decision = score ≥ 0),
+    * TPR and FPR against the q78 reference label, and the gaps vs the
+    * pooled rates — demographic-parity gap (selection) and the
+    * equalized-odds gap (max of |ΔTPR|, |ΔFPR|), all exact signed ppm.
+    * The `~all` row carries the pooled rates with zero gaps so the
+    * report is self-contained.
+    *
+    * Scale shape: one doc-keyed join hangs lang on the score/label
+    * frame; one rollup onto the bounded lang axis; the pooled row is a
+    * 1-row broadcast back onto it.
+    */
+  def q368FairnessSlices(spark: SparkSession, dir: String): DataFrame = {
+    val sl = scoreLabel(spark, dir)
+      .join(graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("y"),
+        (col("score_sum") >= 0L).cast("long").as("pred"))
+    def rates(df: DataFrame, key: Column): DataFrame = df
+      .groupBy(key.as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("pred")).as("n_sel"),
+        sum(col("pred") * col("y")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).as("fp"))
+      .withColumn("sel_ppm", expr(
+        "CAST(CAST(n_sel AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("tpr_ppm", expr("CASE WHEN n_pos = 0 THEN NULL ELSE " +
+        "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div n_pos AS BIGINT)" +
+        " END"))
+      .withColumn("fpr_ppm", expr("CASE WHEN n = n_pos THEN NULL ELSE " +
+        "CAST(CAST(fp AS DECIMAL(38,0)) * 1000000 div (n - n_pos)" +
+        " AS BIGINT) END"))
+    val per = rates(sl, col("lang"))
+    val all = rates(sl, lit("~all"))
+    val g = all.select(col("sel_ppm").as("g_sel"),
+      col("tpr_ppm").as("g_tpr"), col("fpr_ppm").as("g_fpr"))
+    per.crossJoin(broadcast(g))
+      .select(col("lang"), col("n"), col("n_pos"), col("sel_ppm"),
+        col("tpr_ppm"), col("fpr_ppm"),
+        (col("sel_ppm") - col("g_sel")).as("dp_gap_ppm"),
+        expr("greatest(abs(coalesce(tpr_ppm, g_tpr) - g_tpr)," +
+          " abs(coalesce(fpr_ppm, g_fpr) - g_fpr))").as("eo_gap_ppm"))
+      .unionByName(all.select(col("lang"), col("n"), col("n_pos"),
+        col("sel_ppm"), col("tpr_ppm"), col("fpr_ppm"),
+        lit(0L).as("dp_gap_ppm"), lit(0L).as("eo_gap_ppm")))
+      .orderBy(col("lang"))
+  }
+
+  val q368Oracle: String =
+    s"""WITH $scoreLabelCtes,
+       |sl AS (
+       |  SELECT d2.lang, j.y,
+       |    CASE WHEN j.score_sum >= 0 THEN 1 ELSE 0 END AS pred
+       |  FROM j JOIN documents d2 ON d2.doc_id = j.doc_id),
+       |per AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pred) AS BIGINT) AS n_sel,
+       |    CAST(SUM(pred * y) AS BIGINT) AS tp,
+       |    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp
+       |  FROM sl GROUP BY 1
+       |  UNION ALL
+       |  SELECT '~all', CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT),
+       |    CAST(SUM(pred) AS BIGINT), CAST(SUM(pred * y) AS BIGINT),
+       |    CAST(SUM(pred * (1 - y)) AS BIGINT)
+       |  FROM sl),
+       |r AS (
+       |  SELECT lang, n, n_pos,
+       |    CAST(CAST(n_sel AS HUGEINT) * 1000000 // n AS BIGINT)
+       |      AS sel_ppm,
+       |    CASE WHEN n_pos = 0 THEN NULL ELSE
+       |      CAST(CAST(tp AS HUGEINT) * 1000000 // n_pos AS BIGINT) END
+       |      AS tpr_ppm,
+       |    CASE WHEN n = n_pos THEN NULL ELSE
+       |      CAST(CAST(fp AS HUGEINT) * 1000000 // (n - n_pos) AS BIGINT)
+       |      END AS fpr_ppm
+       |  FROM per),
+       |g AS (SELECT sel_ppm AS g_sel, tpr_ppm AS g_tpr, fpr_ppm AS g_fpr
+       |      FROM r WHERE lang = '~all')
+       |SELECT lang, n, n_pos, sel_ppm, tpr_ppm, fpr_ppm,
+       |  CASE WHEN lang = '~all' THEN 0 ELSE sel_ppm - g_sel END
+       |    AS dp_gap_ppm,
+       |  CASE WHEN lang = '~all' THEN 0 ELSE
+       |    GREATEST(ABS(COALESCE(tpr_ppm, g_tpr) - g_tpr),
+       |      ABS(COALESCE(fpr_ppm, g_fpr) - g_fpr)) END AS eo_gap_ppm
+       |FROM r CROSS JOIN g
+       |ORDER BY lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_horvitz_thompson" -> (q366HorvitzThompson _),
+    "q367_quantile_effects" -> (q367QuantileEffects _),
+    "q368_fairness_slices"  -> (q368FairnessSlices _),
     "q351_confusion_suite" -> (q351ConfusionSuite _),
     "q352_calibration_gap" -> (q352CalibrationGap _),
     "q353_cuped"           -> (q353Cuped _),
@@ -1678,6 +1896,9 @@ object EvalQueries {
     "q215_cohens_kappa"        -> (q215CohensKappa _))
 
   val oracles: Map[String, String] = Map(
+    "q366_horvitz_thompson" -> q366Oracle,
+    "q367_quantile_effects" -> q367Oracle,
+    "q368_fairness_slices"  -> q368Oracle,
     "q351_confusion_suite" -> q351Oracle,
     "q352_calibration_gap" -> q352Oracle,
     "q353_cuped"           -> q353Oracle,

@@ -2082,7 +2082,93 @@ object ProfilingQueries {
       |FROM e
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** The columns q369 audits, with the physical sort key the table is
+    * assumed laid out in — RLE gain is a property of the ORDER, so the
+    * key is part of the candidate, not an afterthought. */
+  val EncodingCandidates: Seq[(String, String, Seq[String])] = Seq(
+    ("customer", "c_mktsegment",   Seq("c_custkey")),
+    ("lineitem", "l_linestatus",   Seq("l_orderkey", "l_linenumber")),
+    ("lineitem", "l_returnflag",   Seq("l_orderkey", "l_linenumber")),
+    ("orders",   "o_orderpriority", Seq("o_orderkey")))
+
+  /** ENCODING ADVISOR (q369) — the parquet/ORC encoding decision made
+    * from measurements instead of defaults: per candidate column, the
+    * exact run count in the table's physical key order (RLE's cost
+    * model), the distinct count (dictionary's), and both savings ratios
+    * (n−runs)/n and (n−ndv)/n in exact ppm, with the rule-based
+    * recommendation (RLE above 50% run savings, else dictionary above
+    * 50%, else plain). Complements q277 (file layout) and q297 (zone-map
+    * skipping): those choose WHERE bytes go, this chooses how they're
+    * WRITTEN.
+    *
+    * Scale shape: the global position rides the distributed two-pass
+    * prefix sum (q327's scaffold — range exchange, no one-partition
+    * window); run boundaries come from the rn = rn−1 self equi-join on
+    * a uniform Long key; ndv/count are one aggregate. Per column, three
+    * passes over one column's data; output is |candidates| rows.
+    */
+  def q369EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val perCol = EncodingCandidates.map { case (t, c, keys) =>
+      val base = Tables.load(spark, dir, t)
+        .select((keys.map(col) :+ col(c).cast("string").as("v")): _*)
+        .withColumn("g", lit(0)).withColumn("one", lit(1L))
+      val rk = graft.functions.PrefixSum
+        .runningTotal(base, Seq("g"), keys.map(col(_).asc), "one", "rn")
+        .select(col("rn"), col("v"))
+      val prev = rk.select((col("rn") + 1L).as("rn"), col("v").as("pv"))
+      val runs = rk.join(prev, Seq("rn"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          (sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
+            .otherwise(0L)) + 1L).as("runs"))
+      val ndv = base.agg(countDistinct(col("v")).as("ndv"))
+      runs.crossJoin(ndv)
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n"), col("runs"), col("ndv"))
+    }
+    perCol.reduce(_ unionByName _)
+      .withColumn("rle_savings_ppm", expr(
+        "CAST(CAST(n - runs AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("dict_savings_ppm", expr(
+        "CAST(CAST(n - ndv AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("recommendation", expr(
+        "CASE WHEN rle_savings_ppm >= 500000 THEN 'rle'" +
+          " WHEN dict_savings_ppm >= 500000 THEN 'dictionary'" +
+          " ELSE 'plain' END"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q369Oracle: String = {
+    def one(t: String, c: String, keys: Seq[String]): String =
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0
+         |    END) + 1 AS BIGINT) AS runs,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
+         |FROM (
+         |  SELECT CAST($c AS VARCHAR) AS v,
+         |    LAG(CAST($c AS VARCHAR)) OVER (ORDER BY ${keys.mkString(", ")})
+         |      AS pv
+         |  FROM $t)""".stripMargin
+    val parts = EncodingCandidates
+      .map { case (t, c, k) => s"(${one(t, c, k)})" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS ($parts)
+       |SELECT table_name, column_name, n, runs, ndv,
+       |  CAST(CAST(n - runs AS HUGEINT) * 1000000 // n AS BIGINT)
+       |    AS rle_savings_ppm,
+       |  CAST(CAST(n - ndv AS HUGEINT) * 1000000 // n AS BIGINT)
+       |    AS dict_savings_ppm,
+       |  CASE WHEN CAST(n - runs AS HUGEINT) * 1000000 // n >= 500000
+       |      THEN 'rle'
+       |    WHEN CAST(n - ndv AS HUGEINT) * 1000000 // n >= 500000
+       |      THEN 'dictionary'
+       |    ELSE 'plain' END AS recommendation
+       |FROM m
+       |ORDER BY table_name, column_name""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_encoding_advisor" -> (q369EncodingAdvisor _),
     "q363_l_diversity"     -> (q363LDiversity _),
     "q364_t_closeness"     -> (q364TCloseness _),
     "q355_kruskal_wallis"  -> (q355KruskalWallis _),
@@ -2114,6 +2200,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q369_encoding_advisor" -> q369Oracle,
     "q363_l_diversity"     -> q363Oracle,
     "q364_t_closeness"     -> q364Oracle,
     "q355_kruskal_wallis"  -> q355Oracle,

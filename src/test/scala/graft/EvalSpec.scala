@@ -494,4 +494,104 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
         s"mde $ty")
     }
   }
+
+  test("q366: HT membership, weights and signed error replay driver-side, " +
+    "and the estimator is exactly unbiased over md5 strata by replay") {
+    def p32(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s2.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString, 16)
+    }
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val rows = SparkEntry.queries("q366_horvitz_thompson")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val rate = 62500L * (1 + p32(ty) % 8)
+      assert(r.getAs[Long]("rate_ppm") === rate)
+      val mine = ev.filter(_._1 == ty)
+      val sampled = mine.filter(e =>
+        BigInt(p32(e._2.toString)) * 1000000 < BigInt(rate) * 4294967296L)
+      assert(r.getAs[Long]("n_total") === mine.length.toLong)
+      assert(r.getAs[Long]("n_sampled") === sampled.length.toLong)
+      val sc = sampled.map(e => BigInt(e._3)).sum
+      val ht = if (sc >= 0) sc * 1000000 / rate else -((-sc) * 1000000 / rate)
+      assert(BigInt(r.getAs[Long]("ht_cents")) === ht)
+      val truth = mine.map(e => BigInt(e._3)).sum
+      assert(BigInt(r.getAs[Long]("true_cents")) === truth)
+      if (truth != 0) {
+        val diff = ht - truth
+        val err = if (diff >= 0) diff * 1000000 / truth.abs
+          else -((-diff) * 1000000 / truth.abs)
+        assert(BigInt(r.getAs[Long]("err_ppm")) === err)
+      }
+    }
+  }
+
+  test("q367: each decile's per-arm quantile is the exact order statistic " +
+    "under the 10*cum >= d*n convention, and deciles are monotone") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val byArm = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (u % 2, es.filter(_._2 >= cut).map(_._3).sum) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def quantile(vs: Seq[Long], d: Long): Long = {
+      val n = vs.length.toLong
+      vs.zipWithIndex.collectFirst {
+        case (v, i) if 10L * (i + 1) >= d * n => v }.get
+    }
+    val rows = SparkEntry.queries("q367_quantile_effects")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (1L to 9L))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val tv = quantile(byArm(1L), d); val cv = quantile(byArm(0L), d)
+      assert(r.getAs[Long]("treat_v") === tv, s"treat d$d")
+      assert(r.getAs[Long]("ctrl_v") === cv, s"ctrl d$d")
+      assert(r.getAs[Long]("qte_cents") === tv - cv)
+    }
+    // order statistics are monotone in d per arm
+    val tvs = rows.map(_.getAs[Long]("treat_v"))
+    assert(tvs.zip(tvs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q368: slice rates replay from the score/label/lang frame, the " +
+    "~all row pools exactly, and gaps are zero on the pooled row") {
+    val langOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val sl = scoreLabel.map { case (id, s, y) =>
+      (langOf(id), y, if (s >= 0) 1L else 0L) }
+    val rows = SparkEntry.queries("q368_fairness_slices")(spark, sfDir)
+      .collect()
+    val all = rows.filter(_.getString(0) == "~all")
+    assert(all.length === 1)
+    assert(all.head.getAs[Long]("n") === sl.length.toLong)
+    assert(all.head.getAs[Long]("dp_gap_ppm") === 0L)
+    assert(all.head.getAs[Long]("eo_gap_ppm") === 0L)
+    val gSel = all.head.getAs[Long]("sel_ppm")
+    rows.filterNot(_.getString(0) == "~all").foreach { r =>
+      val mine = sl.filter(_._1 == r.getString(0))
+      assert(r.getAs[Long]("n") === mine.length.toLong)
+      val nSel = mine.map(_._3).sum
+      assert(r.getAs[Long]("sel_ppm") === nSel * 1000000L / mine.length)
+      assert(r.getAs[Long]("dp_gap_ppm") ===
+        r.getAs[Long]("sel_ppm") - gSel)
+      val nPos = mine.map(_._2).sum
+      if (nPos > 0) {
+        val tp = mine.filter(m => m._2 == 1L && m._3 == 1L).size.toLong
+        assert(r.getAs[Long]("tpr_ppm") === tp * 1000000L / nPos)
+      }
+    }
+  }
 }

@@ -773,4 +773,29 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("at_risk_t20") === (t > 200000))
     }
   }
+
+  test("q369: run and distinct counts replay driver-side in key order " +
+    "and the recommendation follows the 50% thresholds") {
+    val rows = SparkEntry.queries("q369_encoding_advisor")(spark, sfDir)
+      .collect()
+    assert(rows.length ===
+      ProfilingQueries.EncodingCandidates.size)
+    ProfilingQueries.EncodingCandidates.foreach { case (t, c, keys) =>
+      val r = rows.find(x => x.getString(0) == t && x.getString(1) == c).get
+      val vs = Tables.load(spark, sfDir, t)
+        .orderBy(keys.map(col(_).asc): _*)
+        .select(col(c).cast("string")).collect().map(_.getString(0))
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      val runs = 1L + vs.zip(vs.tail).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("runs") === runs, s"runs $t.$c")
+      assert(r.getAs[Long]("ndv") === vs.distinct.length.toLong)
+      val rle = (vs.length - runs) * 1000000L / vs.length
+      val dict = (vs.length - vs.distinct.length) * 1000000L / vs.length
+      assert(r.getAs[Long]("rle_savings_ppm") === rle)
+      assert(r.getAs[Long]("dict_savings_ppm") === dict)
+      val expect = if (rle >= 500000L) "rle"
+        else if (dict >= 500000L) "dictionary" else "plain"
+      assert(r.getAs[String]("recommendation") === expect)
+    }
+  }
 }
