@@ -2167,7 +2167,97 @@ object ProfilingQueries {
        |ORDER BY table_name, column_name""".stripMargin
   }
 
+  /** JOIN-ORDER COST AUDIT (q370) — q302's statistics trick extended to
+    * the optimizer's actual decision: for the customer⋈orders⋈lineitem
+    * chain, the EXACT intermediate cardinality of each join order,
+    * computed entirely from per-key count frames (|A⋈B| = Σ_k a(k)·b(k))
+    * without materializing a single joined fact row — the audit that
+    * says whether the cost model's chosen order was right, at any scale
+    * where executing the wrong order to find out would be the bug.
+    * Cost proxy = intermediate + final rows (the final term is shared,
+    * kept so each row is self-describing); is_best marks the winner,
+    * ties to the alphabetically first order.
+    *
+    * Scale shape: three per-key aggregates (map-side combined) and
+    * key-frame equi-joins — frames sized by DISTINCT KEYS, never by
+    * fact rows. Output is 2 rows.
+    */
+  def q370JoinOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.customer(spark, dir)
+      .groupBy(col("c_custkey").as("ck")).agg(count(lit(1)).as("c"))
+    val oc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("o"))
+    val ok = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck"))
+    val lc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("okey")).agg(count(lit(1)).as("l"))
+    // |C ⋈ O| on custkey
+    val co = cc.join(oc, "ck")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * o")).as("card"))
+    // |O ⋈ L| on orderkey
+    val ol = ok.join(lc, "okey")
+      .agg(sum(expr("CAST(l AS DECIMAL(38,0))")).as("card"))
+    // final |C ⋈ O ⋈ L| — per order: lineitems × customer multiplicity
+    val fin = ok.join(lc, "okey").join(cc, "ck")
+      .agg(sum(expr("CAST(l AS DECIMAL(38,0)) * c")).as("fin"))
+    val plans = co.crossJoin(ol.select(col("card").as("card_ol")))
+      .crossJoin(fin)
+      .select(
+        lit("a_customer_orders_first").as("join_order"),
+        expr("CAST(card AS BIGINT)").as("intermediate_rows"),
+        expr("CAST(fin AS BIGINT)").as("final_rows"))
+      .unionByName(co.select(col("card").as("card_co"))
+        .crossJoin(ol).crossJoin(fin)
+        .select(lit("b_orders_lineitem_first").as("join_order"),
+          expr("CAST(card AS BIGINT)").as("intermediate_rows"),
+          expr("CAST(fin AS BIGINT)").as("final_rows")))
+      .withColumn("cost_rows", col("intermediate_rows") + col("final_rows"))
+    val best = plans.agg(min(col("cost_rows")).as("best"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cost_rows")).orderBy(col("join_order").asc)
+    plans.crossJoin(broadcast(best))
+      .withColumn("rn", row_number().over(w))
+      .select(col("join_order"), col("intermediate_rows"),
+        col("final_rows"), col("cost_rows"),
+        (col("cost_rows") === col("best") && col("rn") === 1).as("is_best"))
+      .orderBy(col("join_order"))
+  }
+
+  val q370Oracle: String =
+    """WITH cc AS (SELECT c_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS c
+      |           FROM customer GROUP BY 1),
+      |oc AS (SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS o
+      |       FROM orders GROUP BY 1),
+      |ok AS (SELECT o_orderkey AS okey, o_custkey AS ck FROM orders),
+      |lc AS (SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS l
+      |       FROM lineitem GROUP BY 1),
+      |co AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * o) AS BIGINT) AS card
+      |       FROM cc JOIN oc USING (ck)),
+      |ol AS (SELECT CAST(SUM(CAST(l AS HUGEINT)) AS BIGINT) AS card
+      |       FROM ok JOIN lc USING (okey)),
+      |fin AS (SELECT CAST(SUM(CAST(l AS HUGEINT) * c) AS BIGINT) AS fin
+      |        FROM ok JOIN lc USING (okey) JOIN cc USING (ck)),
+      |plans AS (
+      |  SELECT 'a_customer_orders_first' AS join_order,
+      |    co.card AS intermediate_rows, fin.fin AS final_rows
+      |  FROM co CROSS JOIN fin
+      |  UNION ALL
+      |  SELECT 'b_orders_lineitem_first', ol.card, fin.fin
+      |  FROM ol CROSS JOIN fin),
+      |costed AS (
+      |  SELECT *, intermediate_rows + final_rows AS cost_rows FROM plans),
+      |best AS (SELECT MIN(cost_rows) AS best FROM costed),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cost_rows
+      |    ORDER BY join_order) AS rn
+      |  FROM costed)
+      |SELECT join_order, intermediate_rows, final_rows, cost_rows,
+      |  cost_rows = best AND rn = 1 AS is_best
+      |FROM rk CROSS JOIN best
+      |ORDER BY join_order""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_join_order_audit" -> (q370JoinOrderAudit _),
     "q369_encoding_advisor" -> (q369EncodingAdvisor _),
     "q363_l_diversity"     -> (q363LDiversity _),
     "q364_t_closeness"     -> (q364TCloseness _),
@@ -2200,6 +2290,7 @@ object ProfilingQueries {
     "q235_constraint_audit" -> (q235ConstraintAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q370_join_order_audit" -> q370Oracle,
     "q369_encoding_advisor" -> q369Oracle,
     "q363_l_diversity"     -> q363Oracle,
     "q364_t_closeness"     -> q364Oracle,

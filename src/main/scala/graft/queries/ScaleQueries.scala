@@ -756,7 +756,124 @@ object ScaleQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  /** Ring vnode positions for q371: shard s gets 32 virtual nodes at
+    * md5("shard_{s}_vnode_{v}") 32-bit prefixes — deterministic, so
+    * both engines inline the SAME ring as literals. Positions are
+    * collision-free for these fixed strings (asserted in ScaleSpec). */
+  private[graft] def ringVnodes(nShards: Int): Seq[(Long, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for (s <- 0 until nShards; v <- 0 until 32) yield {
+      val h = md.digest(s"shard_${s}_vnode_$v".getBytes("UTF-8"))
+      val pos = h.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (pos, s)
+    }).sortBy(_._1)
+  }
+
+  /** SHARD REBALANCE AUDIT (q371) — the migration-cost measurement behind
+    * the "consistent hashing" slide: growing a keyed store from 8 to 9
+    * shards, what fraction of keys MOVE under hash-mod placement vs a
+    * 32-vnode consistent-hash ring? Mod reshuffles ~(n/(n+1)) of all keys
+    * (every key whose h mod 8 ≠ h mod 9); the ring moves only the keys
+    * whose arc lands on the new shard's vnodes (~1/9) — the audit prices
+    * BOTH strategies on the real key population, with the post-migration
+    * worst shard share as the balance check (a ring that moves nothing
+    * but hot-spots one shard is not a win). Ring assignment = first
+    * vnode clockwise of the key's 32-bit md5 position (wrap to the
+    * ring's first vnode), evaluated as a codegen'd filter over the
+    * inlined literal ring — q41's inline-the-deterministic-constants
+    * discipline.
+    *
+    * Scale shape: one distinct-key projection, two pure-projection ring
+    * assignments (no join — the ring is a 288-struct literal), one
+    * rollup per strategy onto the bounded shard axis. Output is 2 rows.
+    */
+  def q371ShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    def ringExpr(ring: Seq[(Long, Int)]): String = {
+      val arr = ring.map { case (p, s) =>
+        s"named_struct('pos', ${p}L, 'shard', $s)" }.mkString(",")
+      s"coalesce(try_element_at(filter(array($arr), x -> x.pos >= h)," +
+        s" 1).shard, ${ring.head._2})"
+    }
+    val oldRing = ringVnodes(8)
+    val newRing = ringVnodes(9)
+    val keys = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT)"))
+    val assigned = keys
+      .withColumn("mod_old", expr("h % 8"))
+      .withColumn("mod_new", expr("h % 9"))
+      .withColumn("ring_old", expr(ringExpr(oldRing)).cast("long"))
+      .withColumn("ring_new", expr(ringExpr(newRing)).cast("long"))
+    def report(name: String, oldC: String, newC: String): DataFrame = {
+      val shares = assigned.groupBy(col(newC).as("shard"))
+        .agg(count(lit(1)).as("sn"))
+        .agg(max(col("sn")).as("max_sn"), sum(col("sn")).as("nk"))
+      assigned.agg(count(lit(1)).as("n_keys"),
+          sum(when(col(oldC) =!= col(newC), 1L).otherwise(0L))
+            .as("moved_keys"))
+        .crossJoin(broadcast(shares))
+        .select(lit(name).as("strategy"), col("n_keys"), col("moved_keys"),
+          expr("CAST(CAST(moved_keys AS DECIMAL(38,0)) * 1000000" +
+            " div n_keys AS BIGINT)").as("moved_ppm"),
+          expr("CAST(CAST(max_sn AS DECIMAL(38,0)) * 1000000 div nk" +
+            " AS BIGINT)").as("max_new_share_ppm"))
+    }
+    report("mod", "mod_old", "mod_new")
+      .unionByName(report("ring", "ring_old", "ring_new"))
+      .orderBy(col("strategy"))
+  }
+
+  val q371Oracle: String = {
+    def values(ring: Seq[(Long, Int)]): String =
+      ring.map { case (p, s) => s"($p, $s)" }.mkString(", ")
+    val oldRing = ringVnodes(8)
+    val newRing = ringVnodes(9)
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+       |k AS (
+       |  SELECT user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS h
+       |  FROM u),
+       |ro(pos, shard) AS (VALUES ${values(oldRing)}),
+       |rn2(pos, shard) AS (VALUES ${values(newRing)}),
+       |a AS (
+       |  SELECT k.user_id, k.h,
+       |    k.h % 8 AS mod_old, k.h % 9 AS mod_new,
+       |    CAST(COALESCE((SELECT r.shard FROM ro r WHERE r.pos >= k.h
+       |      ORDER BY r.pos LIMIT 1), ${oldRing.head._2}) AS BIGINT)
+       |      AS ring_old,
+       |    CAST(COALESCE((SELECT r.shard FROM rn2 r WHERE r.pos >= k.h
+       |      ORDER BY r.pos LIMIT 1), ${newRing.head._2}) AS BIGINT)
+       |      AS ring_new
+       |  FROM k),
+       |rep AS (
+       |  SELECT 'mod' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS moved_keys,
+       |    CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM a
+       |      GROUP BY mod_new)) AS BIGINT) AS max_sn
+       |  FROM a
+       |  UNION ALL
+       |  SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)
+       |      AS BIGINT),
+       |    CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM a
+       |      GROUP BY ring_new)) AS BIGINT)
+       |  FROM a)
+       |SELECT strategy, n_keys, moved_keys,
+       |  CAST(CAST(moved_keys AS HUGEINT) * 1000000 // n_keys AS BIGINT)
+       |    AS moved_ppm,
+       |  CAST(CAST(max_sn AS HUGEINT) * 1000000 // n_keys AS BIGINT)
+       |    AS max_new_share_ppm
+       |FROM rep ORDER BY strategy""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_shard_rebalance"    -> (q371ShardRebalance _),
     "q297_zonemap_skip"       -> (q297ZonemapSkip _),
     "q249_salt_plan"          -> (q249SaltPlan _),
     "q165_length_bucketed_batching" -> (q165LengthBucketedBatching _),
@@ -773,6 +890,7 @@ object ScaleQueries {
     "q92_zorder_cluster"  -> (q92ZorderCluster _))
 
   val oracles: Map[String, String] = Map(
+    "q371_shard_rebalance"    -> q371Oracle,
     "q297_zonemap_skip"       -> q297Oracle,
     "q249_salt_plan"          -> q249Oracle,
     "q165_length_bucketed_batching" -> q165Oracle,

@@ -798,4 +798,31 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[String]("recommendation") === expect)
     }
   }
+
+  test("q370: estimated intermediates equal the EXECUTED join counts and " +
+    "is_best marks the cheaper order") {
+    val rows = SparkEntry.queries("q370_join_order_audit")(spark, sfDir)
+      .collect()
+    assert(rows.length === 2)
+    val co = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey")).count()
+    val ol = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    val fin = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    val a = rows.find(_.getString(0) == "a_customer_orders_first").get
+    val b = rows.find(_.getString(0) == "b_orders_lineitem_first").get
+    assert(a.getAs[Long]("intermediate_rows") === co)
+    assert(b.getAs[Long]("intermediate_rows") === ol)
+    assert(a.getAs[Long]("final_rows") === fin)
+    assert(b.getAs[Long]("final_rows") === fin)
+    val best = rows.minBy(r => (r.getAs[Long]("cost_rows"), r.getString(0)))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_best") === (r eq best)) }
+  }
 }

@@ -313,4 +313,42 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(cal.getAs[Long]("n_skipped") > 0L)
     assert(cal.getAs[Long]("rows_scanned") < arr.getAs[Long]("rows_scanned"))
   }
+
+  test("q371: ring vnode positions are collision-free, assignments replay " +
+    "driver-side, and the ring moves far fewer keys than mod") {
+    val oldRing = graft.queries.ScaleQueries.ringVnodes(8)
+    val newRing = graft.queries.ScaleQueries.ringVnodes(9)
+    assert(oldRing.map(_._1).distinct.length === oldRing.length)
+    assert(newRing.map(_._1).distinct.length === newRing.length)
+    // oldRing vnodes are a subset of newRing (shards 0..7 unchanged), so
+    // a key moves on the ring ONLY to the new shard 8
+    def assign(ring: Seq[(Long, Int)], h: Long): Int =
+      ring.find(_._1 >= h).getOrElse(ring.head)._2
+    def p32(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s2.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString, 16)
+    }
+    val keys = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().as[Long].collect()
+    val hs = keys.map(u => p32(u.toString))
+    val modMoved = hs.count(h => h % 8 != h % 9).toLong
+    val ringMoved = hs.count(h =>
+      assign(oldRing, h) != assign(newRing, h)).toLong
+    hs.foreach { h =>
+      if (assign(oldRing, h) != assign(newRing, h))
+        assert(assign(newRing, h) === 8, "ring moves must target shard 8")
+    }
+    val rows = SparkEntry.queries("q371_shard_rebalance")(spark, sfDir)
+      .collect()
+    val m = rows.find(_.getString(0) == "mod").get
+    val r = rows.find(_.getString(0) == "ring").get
+    assert(m.getAs[Long]("n_keys") === keys.length.toLong)
+    assert(m.getAs[Long]("moved_keys") === modMoved)
+    assert(r.getAs[Long]("moved_keys") === ringMoved)
+    assert(r.getAs[Long]("moved_ppm") < m.getAs[Long]("moved_ppm"),
+      "consistent hashing must beat mod on migration volume")
+  }
 }
