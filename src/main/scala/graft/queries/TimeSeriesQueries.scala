@@ -1731,7 +1731,152 @@ object TimeSeriesQueries {
       |FROM pt
       |ORDER BY event_type""".stripMargin
 
+  /** HAAR WAVELET ENERGY DECOMPOSITION (q372) — which TIME SCALES carry
+    * the event stream's variance: the unnormalized Haar transform of the
+    * hourly count series (a[i] = x[2i]+x[2i+1], d[i] = x[2i]−x[2i+1],
+    * recursed 4 levels), reporting per level the detail-coefficient
+    * energy Σd² — d1 = hour-to-hour jitter, d4 = 16-hour swings, a4 =
+    * what's left (the trend). Everything is exact BIGINT arithmetic on
+    * counts, and the unnormalized transform obeys the Parseval-style
+    * invariant E(aℓ)+E(dℓ) = 2·E(aℓ₋₁) pinned in the spec. The window is
+    * the series' FIRST 512 hours on a dense zero-filled spine (a fixed
+    * power-of-two frame — the transform needs one; the tail beyond it is
+    * the next window in a production sweep).
+    *
+    * Scale shape: the corpus collapses to ≤512 spine rows in one
+    * hash-agg; the 4 unrolled pair-sum aggregations and the 5-row energy
+    * rollup are noise. No window functions at all.
+    */
+  def q372WaveletEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("c"))
+    val lo = counts.agg(min(col("hr")).as("h0"))
+    val spine = spark.range(0, 512).select(col("id").as("i"))
+      .crossJoin(broadcast(lo))
+    val x0 = spine.join(counts,
+        spine("i") + col("h0") === counts("hr"), "left_outer")
+      .select(col("i"), coalesce(col("c"), lit(0L)).as("a"))
+    def level(prev: DataFrame): DataFrame = prev
+      .groupBy(expr("i div 2").as("i"))
+      .agg(sum(col("a")).as("a"),
+        sum(when(expr("i % 2 = 0"), col("a")).otherwise(-col("a")))
+          .as("d"))
+    val l1 = level(x0); val l2 = level(l1.select(col("i"), col("a")))
+    val l3 = level(l2.select(col("i"), col("a")))
+    val l4 = level(l3.select(col("i"), col("a")))
+    def energy(df: DataFrame, name: String, c: String): DataFrame = df
+      .agg(count(lit(1)).as("n_coeffs"),
+        sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as("e"))
+      .select(lit(name).as("band"), col("n_coeffs"),
+        expr("CAST(e AS BIGINT)").as("energy"))
+    energy(l1, "d1", "d")
+      .unionByName(energy(l2, "d2", "d"))
+      .unionByName(energy(l3, "d3", "d"))
+      .unionByName(energy(l4, "d4", "d"))
+      .unionByName(energy(l4, "e_a4", "a"))
+      .orderBy(col("band"))
+  }
+
+  val q372Oracle: String = {
+    def level(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+         |      AS d
+         |  FROM $prev GROUP BY 1)""".stripMargin
+    def energy(src: String, name: String, c: String): String =
+      s"""SELECT '$name' AS band, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+         |  CAST(SUM(CAST($c AS HUGEINT) * $c) AS BIGINT) AS energy
+         |FROM $src""".stripMargin
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |lo AS (SELECT MIN(hr) AS h0 FROM counts),
+       |x0 AS (
+       |  SELECT sp.i, COALESCE(c.c, 0) AS a
+       |  FROM (SELECT unnest(range(0, 512)) AS i) sp
+       |  CROSS JOIN lo
+       |  LEFT JOIN counts c ON c.hr = sp.i + lo.h0),
+       |${level("x0", "l1")},
+       |${level("l1", "l2")},
+       |${level("l2", "l3")},
+       |${level("l3", "l4")}
+       |${Seq(energy("l1", "d1", "d"), energy("l2", "d2", "d"),
+           energy("l3", "d3", "d"), energy("l4", "d4", "d"),
+           energy("l4", "e_a4", "a")).mkString("\n", "\nUNION ALL\n", "")}
+       |ORDER BY band""".stripMargin
+  }
+
+  /** BOT-REGULARITY SCREEN (q373) — the behavioral data-cleaning pass a
+    * training pipeline runs before user events become features: a
+    * scripted client fires at machine-regular intervals, so the
+    * squared coefficient of variation of a user's inter-event gaps
+    *   cv² = (n·Σg² − (Σg)²) / (Σg)²
+    * sits near 0 where a human's is order 1. Exact cross-multiplied
+    * integers on microsecond gaps; flagged at cv² < 0.05 with ≥ 20
+    * events. The gate emits the 20 most-regular qualifying users
+    * (cv2_ppm asc, user_id) — the review queue, not a corpus dump.
+    *
+    * Scale shape: gaps ride the sanctioned per-user lag window (q173);
+    * one per-user aggregate, a TakeOrdered(20). The DECIMAL(38) budget
+    * holds to ~10¹² µs-scale gaps per user.
+    */
+  def q373BotRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("pv", lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .select(col("user_id"),
+        (expr("unix_micros(ts)") - col("pv")).as("g"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("s2"))
+      .filter(col("n_gaps") >= 19L && col("s") > 0L)
+      .select(col("user_id"), col("n_gaps"),
+        expr("s div n_gaps").as("mean_gap_us"),
+        expr("CAST((CAST(n_gaps AS DECIMAL(38,0)) * s2" +
+          " - CAST(s AS DECIMAL(38,0)) * s) * 1000000" +
+          " div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("cv2_ppm"))
+      .withColumn("bot_flag", col("cv2_ppm") < 50000L)
+      .orderBy(col("cv2_ppm").asc, col("user_id").asc)
+      .limit(20)
+  }
+
+  val q373Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS pv
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |g AS (SELECT user_id, t - pv AS g FROM e WHERE pv IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(g) AS BIGINT) AS s, SUM(CAST(g AS HUGEINT) * g) AS s2
+      |  FROM g GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |  CAST(s // n_gaps AS BIGINT) AS mean_gap_us,
+      |  CAST((CAST(n_gaps AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+      |    * 1000000 // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_ppm,
+      |  CAST((CAST(n_gaps AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+      |    * 1000000 // (CAST(s AS HUGEINT) * s) AS BIGINT) < 50000
+      |    AS bot_flag
+      |FROM m
+      |WHERE n_gaps >= 19 AND s > 0
+      |ORDER BY cv2_ppm, user_id
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_wavelet_energy" -> (q372WaveletEnergy _),
+    "q373_bot_regularity" -> (q373BotRegularity _),
     "q348_activation_report" -> (q348ActivationReport _),
     "q346_trace_sample"      -> (q346TraceSample _),
     "q340_mad_scale"         -> (q340MadScale _),
@@ -1759,6 +1904,8 @@ object TimeSeriesQueries {
     "q221_seasonal_anomaly" -> (q221SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q372_wavelet_energy" -> q372Oracle,
+    "q373_bot_regularity" -> q373Oracle,
     "q348_activation_report" -> q348Oracle,
     "q346_trace_sample"      -> q346Oracle,
     "q340_mad_scale"         -> q340Oracle,

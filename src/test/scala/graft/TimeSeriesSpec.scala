@@ -757,4 +757,67 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_users"))
     }
   }
+
+  test("q372: the Haar transform replays driver-side on the 512-hour " +
+    "spine and every level obeys the unnormalized Parseval invariant") {
+    val hrs = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 3600000000")).as[Long].collect()
+    val h0 = hrs.min
+    val counts = hrs.groupBy(identity).view.mapValues(_.size.toLong)
+    val x0 = (0L until 512L).map(i => counts.getOrElse(i + h0, 0L)).toArray
+    def step(a: Array[Long]): (Array[Long], Array[Long]) = {
+      val n = a.length / 2
+      (Array.tabulate(n)(i => a(2 * i) + a(2 * i + 1)),
+        Array.tabulate(n)(i => a(2 * i) - a(2 * i + 1)))
+    }
+    def e(a: Array[Long]): BigInt = a.map(v => BigInt(v) * v).sum
+    val (a1, d1) = step(x0); val (a2, d2) = step(a1)
+    val (a3, d3) = step(a2); val (a4, d4) = step(a3)
+    val expect = Map("d1" -> (256L, e(d1)), "d2" -> (128L, e(d2)),
+      "d3" -> (64L, e(d3)), "d4" -> (32L, e(d4)), "e_a4" -> (32L, e(a4)))
+    val rows = SparkEntry.queries("q372_wavelet_energy")(spark, sfDir)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, en) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_coeffs") === n, r.getString(0))
+      assert(BigInt(r.getAs[Long]("energy")) === en, r.getString(0))
+    }
+    // unnormalized Parseval per level: E(a_l) + E(d_l) = 2 E(a_{l-1})
+    assert(e(a1) + e(d1) === 2 * e(x0))
+    assert(e(a2) + e(d2) === 2 * e(a1))
+    assert(e(a3) + e(d3) === 2 * e(a2))
+    assert(e(a4) + e(d4) === 2 * e(a3))
+  }
+
+  test("q373: per-user gap cv2, the flag law, and the top-20 order " +
+    "replay driver-side") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val stats = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      if (gaps.length >= 19 && gaps.sum > 0) {
+        val n = BigInt(gaps.length); val s = gaps.map(BigInt(_)).sum
+        val s2 = gaps.map(g => BigInt(g) * g).sum
+        Some((u, gaps.length.toLong, (s / n).toLong,
+          ((n * s2 - s * s) * 1000000 / (s * s)).toLong))
+      } else None
+    }
+    val expect = stats.sortBy { case (u, _, _, cv2) => (cv2, u) }.take(20)
+    val rows = SparkEntry.queries("q373_bot_regularity")(spark, sfDir)
+      .collect()
+    assert(rows.length === math.min(20, stats.length))
+    rows.zip(expect).foreach { case (r, (u, n, mg, cv2)) =>
+      assert(r.getAs[Long]("user_id") === u)
+      assert(r.getAs[Long]("n_gaps") === n)
+      assert(r.getAs[Long]("mean_gap_us") === mg)
+      assert(r.getAs[Long]("cv2_ppm") === cv2)
+      assert(r.getAs[Boolean]("bot_flag") === (cv2 < 50000L))
+    }
+  }
 }
