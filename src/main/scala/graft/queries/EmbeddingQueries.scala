@@ -642,13 +642,20 @@ object EmbeddingQueries {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    // materialize ONCE: the relevance frame is re-consulted by every
+    // greedy round, and each pick's plan would otherwise nest every
+    // prior round's plan inside itself (re-deriving all corpus cosines
+    // per round — q342's BFS-unroll lesson). localCheckpoint truncates
+    // the lineage: rounds rescan a tiny cached frame instead.
     val cands0 = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
       .select(col("vec_id").as("vid"), col("v"),
         cosine(col("qv"), col("v")).as("rel"))
+      .localCheckpoint()
     def pickOf(scored: DataFrame, k: Int): DataFrame =
       scored.orderBy(col("score").desc, col("vid").asc).limit(1)
         .select(lit(k.toLong).as("pick"), col("vid"), col("v"),
           col("rel"), col("score"))
+        .localCheckpoint() // 1 row — kills the recursive pick nesting
     var selected = pickOf(cands0.withColumn("score", col("rel")), 1)
     var cands = cands0.join(selected.select("vid"), Seq("vid"), "left_anti")
     for (k <- 2 to 5) {
