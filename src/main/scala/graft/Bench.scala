@@ -141,6 +141,15 @@ object Bench {
       PriorBench(times, failed, calibMin, cpus)
     } catch { case _: Exception => PriorBench(Map.empty, Set.empty, None, None) }
 
+  /** Which file this run's JSON may land in: only a box-certified,
+    * core-comparable run touches the committed baseline; indicted runs
+    * quarantine to a side file (contention has priority in the name —
+    * a contended mismatched run is primarily a contended run). */
+  private[graft] def outFile(contended: Boolean, gateOk: Boolean): String =
+    if (contended) "bench.contended.json"
+    else if (!gateOk) "bench.mismatch.json"
+    else "bench.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -373,13 +382,17 @@ object Bench {
     // A CONTENDED run never overwrites the committed clean baseline — the
     // round-13 close committed a drift-3.57 attempt over the 294 s clean
     // baseline exactly this way, poisoning the next round's regression
-    // priors. The indicted run is preserved at bench.contended.json for
-    // the record; bench.json only ever carries box-certified numbers.
+    // priors. The same quarantine applies to a CORE-COUNT-MISMATCHED run
+    // (round-14 review): an uncontended 8-core sweep would otherwise
+    // overwrite the 32-core baseline with legitimately 2–4×-slower
+    // numbers — the identical poisoning via a different door. Indicted
+    // runs are preserved at bench.{contended,mismatch}.json for the
+    // record; bench.json only ever carries box-certified, core-comparable
+    // numbers.
     if (only.isEmpty) {
-      val out = if (contendedFinal) "bench.contended.json" else "bench.json"
-      if (contendedFinal)
-        System.err.println(
-          "[bench] contended run: writing bench.contended.json, keeping bench.json")
+      val out = outFile(contendedFinal, gateOk)
+      if (out != "bench.json")
+        System.err.println(s"[bench] $gateReason: writing $out, keeping bench.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     }
     println(json)

@@ -3045,23 +3045,14 @@ object CurationQueries {
     */
   def q365TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budget = MixtureTokenBudget
+    // honor the same budget override q194's proportional plan reads —
+    // two "same budget" recipes must not silently disagree on totals
+    // (gate mode leaves the conf unset, so the oracle's constant holds)
+    val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
+      .map(_.toLong).getOrElse(MixtureTokenBudget)
     val per = perSourceSubwords(spark, dir)
       .select(col("source"), col("n_kept"), col("kept_subwords"))
-    val withW = per
-      .withColumn("__r0", expr(
-        "CAST(FLOOR(SQRT(CAST(kept_subwords AS DOUBLE))) AS BIGINT)"))
-      .withColumn("weight", greatest(lit(0L), col("__r0") - 2 + expr(
-        """CASE
-          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2)
-          |    <= kept_subwords THEN 4L
-          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1)
-          |    <= kept_subwords THEN 3L
-          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= kept_subwords THEN 2L
-          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1)
-          |    <= kept_subwords THEN 1L
-          |  ELSE 0L END""".stripMargin)))
-      .drop("__r0")
+    val withW = per.transform(Exact.isqrtStage("kept_subwords", "weight"))
     val tot = withW.agg(sum(col("weight")).as("ww"))
     val quota = withW.crossJoin(broadcast(tot))
       .withColumn("base", expr(

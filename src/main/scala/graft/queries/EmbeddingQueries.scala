@@ -15,6 +15,8 @@ import graft.Tables
   * floats stop at the quantizer.
   */
 object EmbeddingQueries {
+  import Exact.sdiv
+
 
   /** embeddings quantized to the 1/16 grid, as LONG components. */
   private def gridded(spark: SparkSession, dir: String): DataFrame =
@@ -614,11 +616,6 @@ object EmbeddingQueries {
       |      AS BIGINT)
       |  END AS anisotropy_ppm
       |FROM mm CROSS JOIN en""".stripMargin
-
-  /** Sign-split integral division (q322's convention, factored here for
-    * the silhouette arithmetic): truncate |a|/b toward zero, re-sign. */
-  private def sdiv(a: String, b: String, op: String): String =
-    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
 
   /** MMR DIVERSIFIED TOP-K (q361) — maximal marginal relevance (Carbonell
     * & Goldstein '98), the re-ranking every RAG retriever bolts onto a

@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * not the corpus.
   */
 object EvalQueries {
+  import Exact.{sdiv, isqrtStage}
+
 
   /** score ⋈ label frame: q136's integer score against q78's boolean gate
     * as the 0/1 reference label — one doc-keyed equi-join. */
@@ -1255,13 +1257,6 @@ object EvalQueries {
        |  END AS j_ppm
        |FROM best WHERE rn = 1""".stripMargin
 
-  /** Sign-split integral division `a/b` (b > 0) as a SQL fragment: both
-    * engines truncate TOWARD ZERO on the absolute value and re-sign, so
-    * Spark's `div` (Java semantics) and DuckDB's `//` (floor semantics)
-    * agree on negative numerators — the q322 convention, factored. */
-  private def sdiv(a: String, b: String, op: String): String =
-    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
-
   /** MULTI-CLASS CONFUSION SUITE (q351) — the basic eval table the suite's
     * single-number metrics (q208 AUC, q215 κ, q331 AP, q338 J) all
     * presuppose but none emits: per-class true/false positives and
@@ -1456,8 +1451,11 @@ object EvalQueries {
         col("value").isNotNull)
       .select(col("user_id"), col("ts"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val cut = ev.agg(expr(
-      "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("cut_us"))
+    // FLOOR-div midpoint (Exact.fdiv): DuckDB's `// 2` floors while
+    // Spark's `div` truncates toward zero — they disagree when the
+    // min+max sum is negative and odd (pre-1970 data)
+    val cut = ev.agg(expr(Exact.fdiv(
+      "unix_micros(min(ts)) + unix_micros(max(ts))", "2")).as("cut_us"))
     ev.crossJoin(broadcast(cut))
       .groupBy(col("user_id"))
       .agg(
@@ -1600,15 +1598,7 @@ object EvalQueries {
       .withColumn("varnum", expr(
         "CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
       .withColumn("v", expr("varnum div n"))
-      .withColumn("__r0",
-        expr("CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT)"))
-      .withColumn("w", greatest(lit(0L), col("__r0") - 2 + expr(
-        """CASE
-          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= v THEN 4L
-          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= v THEN 3L
-          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= v THEN 2L
-          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= v THEN 1L
-          |  ELSE 0L END""".stripMargin)))
+      .transform(isqrtStage("v", "w"))
       .withColumn("mde_micro", expr(
         "CAST(CAST(w AS DECIMAL(38,0)) * 5603200 div n AS BIGINT)"))
       .withColumn("mean_micro", expr("CAST(" +

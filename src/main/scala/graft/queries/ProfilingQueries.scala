@@ -13,6 +13,8 @@ import graft.Tables
   * / consult-forever shape.
   */
 object ProfilingQueries {
+  import Exact.{sdiv, isqrtStage}
+
 
   /** FD candidates for q229: (table, determinant, dependent). Mixes
     * dependencies that genuinely hold in TPC-H-shaped data (key → any
@@ -1480,22 +1482,11 @@ object ProfilingQueries {
         "CAST(n_docs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("dy", expr(
         "CAST(n_docs AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
-    def isqrt(v: String, out: String)(df: DataFrame): DataFrame = df
-      .withColumn("__r0",
-        expr(s"CAST(FLOOR(SQRT(CAST($v AS DOUBLE))) AS BIGINT)"))
-      .withColumn(out, greatest(lit(0L), col("__r0") - 2 + expr(
-        s"""CASE
-           |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= $v THEN 4L
-           |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= $v THEN 3L
-           |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= $v THEN 2L
-           |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= $v THEN 1L
-           |  ELSE 0L END""".stripMargin)))
-      .drop("__r0")
     // |num| <= sqrt(dx*dy) (Cauchy–Schwarz) but wx*wy TRUNCATES each sqrt,
     // so near |rho| = 1 the quotient can overshoot 10^6 by O(1/sqrt(d))
     // ppm — clamp the magnitude so the invariant |rho_ppm| <= 10^6 holds
     // by construction (identically in both engines)
-    isqrt("dy", "wy")(isqrt("dx", "wx")(m))
+    isqrtStage("dy", "wy")(isqrtStage("dx", "wx")(m))
       .select(col("source"), col("n_docs"),
         expr("""CASE WHEN wx = 0 OR wy = 0 THEN NULL
           | WHEN num >= 0 THEN LEAST(CAST(num * 1000000
@@ -1653,12 +1644,6 @@ object ProfilingQueries {
       |    * (CAST(n_docs AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn)
       |  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
       |FROM agg""".stripMargin
-
-  /** Sign-split integral division (b > 0): truncate |a|/b toward zero and
-    * re-sign — Spark `div` and DuckDB `//` disagree on negative
-    * numerators, this makes them agree (q322's convention, factored). */
-  private def sdiv(a: String, b: String, op: String): String =
-    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
 
   /** KRUSKAL–WALLIS H TEST (q355) — the k-group completion of the rank
     * battery (q322 MWU is two-group location, q328 Spearman is two-axis
@@ -1880,15 +1865,7 @@ object ProfilingQueries {
         "CASE WHEN m = 0 THEN NULL ELSE" +
           " chi2_milli_d * 1000000000 div (CAST(n AS DECIMAL(38,0)) * m)" +
           " END"))
-      .withColumn("__r0",
-        expr("CAST(FLOOR(SQRT(CAST(v2 AS DOUBLE))) AS BIGINT)"))
-      .withColumn("w", greatest(lit(0L), col("__r0") - 2 + expr(
-        """CASE
-          |  WHEN CAST(__r0 + 2 AS DECIMAL(38,0)) * (__r0 + 2) <= v2 THEN 4L
-          |  WHEN CAST(__r0 + 1 AS DECIMAL(38,0)) * (__r0 + 1) <= v2 THEN 3L
-          |  WHEN CAST(__r0 AS DECIMAL(38,0)) * __r0 <= v2 THEN 2L
-          |  WHEN CAST(__r0 - 1 AS DECIMAL(38,0)) * (__r0 - 1) <= v2 THEN 1L
-          |  ELSE 0L END""".stripMargin)))
+      .transform(isqrtStage("v2", "w"))
       .select(col("n"), col("n_rows"), col("n_cols"),
         expr("CAST(chi2_milli_d AS BIGINT)").as("chi2_milli"),
         expr("CASE WHEN v2 IS NULL THEN NULL ELSE least(w, 1000000L) END")

@@ -35,6 +35,54 @@ object Exact {
   def out6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
   /** Money source column as a final output: exact 2-dec decimal → double. */
   def money(c: Column): Column = dec2(c).cast(DoubleType)
+
+  /** Sign-split integral division `a/b` (b > 0) as a SQL fragment: both
+    * engines truncate TOWARD ZERO on the absolute value and re-sign, so
+    * Spark's `div` (Java semantics) and DuckDB's `//` (floor semantics)
+    * agree on negative numerators — q322's convention, ONE definition
+    * (round-14 review: three drifting copies is how a sign bug ships). */
+  def sdiv(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
+
+  /** FLOOR division `⌊a/b⌋` (b > 0) as a Spark SQL fragment — matches
+    * DuckDB's `//` on NEGATIVE numerators where Spark's `div` truncates
+    * toward zero. For time bucketing (epoch µs → hour index) floor is
+    * the correct semantic AND the oracle's native one. */
+  def fdiv(a: String, b: String): String =
+    s"((($a) div ($b)) - (CASE WHEN ($a) % ($b) != 0 AND ($a) < 0" +
+      s" THEN 1 ELSE 0 END))"
+
+  /** Float-seeded ±2-corrected integer square root of column `v`
+    * (DECIMAL/BIGINT, ≥ 0) into LONG column `out` — the q320/q328
+    * construction, ONE definition for every consumer (q328, q354, q357,
+    * q365). Exact while √v·2⁻⁵⁴ ≤ 2 (v ≲ 1.3·10³³); beyond that engine
+    * PARITY still holds because the oracle replays the identical seed +
+    * cascade ([[isqrtSql]]). */
+  def isqrtStage(v: String, out: String)(df: DataFrame): DataFrame = df
+    .withColumn(s"__r0_$out",
+      expr(s"CAST(FLOOR(SQRT(CAST($v AS DOUBLE))) AS BIGINT)"))
+    .withColumn(out, greatest(lit(0L), col(s"__r0_$out") - 2 + expr(
+      s"""CASE
+         |  WHEN CAST(__r0_$out + 2 AS DECIMAL(38,0)) * (__r0_$out + 2)
+         |    <= $v THEN 4L
+         |  WHEN CAST(__r0_$out + 1 AS DECIMAL(38,0)) * (__r0_$out + 1)
+         |    <= $v THEN 3L
+         |  WHEN CAST(__r0_$out AS DECIMAL(38,0)) * __r0_$out <= $v THEN 2L
+         |  WHEN CAST(__r0_$out - 1 AS DECIMAL(38,0)) * (__r0_$out - 1)
+         |    <= $v THEN 1L
+         |  ELSE 0L END""".stripMargin)))
+    .drop(s"__r0_$out")
+
+  /** DuckDB twin of [[isqrtStage]]'s correction cascade, given the seed
+    * column `r0` (= FLOOR(SQRT(CAST(v AS DOUBLE)))) and the radicand
+    * `v` — splice into the oracle after staging r0 in a CTE. */
+  def isqrtSql(v: String, r0: String): String =
+    s"""GREATEST(0, $r0 - 2 + CASE
+       |      WHEN CAST($r0 + 2 AS HUGEINT) * ($r0 + 2) <= $v THEN 4
+       |      WHEN CAST($r0 + 1 AS HUGEINT) * ($r0 + 1) <= $v THEN 3
+       |      WHEN CAST($r0 AS HUGEINT) * $r0 <= $v THEN 2
+       |      WHEN CAST($r0 - 1 AS HUGEINT) * ($r0 - 1) <= $v THEN 1
+       |      ELSE 0 END)""".stripMargin
 }
 
 /** Tier-B relational operators: filters, projections, joins, aggregates

@@ -1748,9 +1748,12 @@ object TimeSeriesQueries {
     * rollup are noise. No window functions at all.
     */
   def q372WaveletEnergy(spark: SparkSession, dir: String): DataFrame = {
+    // FLOOR-div hour bucketing (Exact.fdiv): Spark's `div` truncates
+    // toward zero, DuckDB's `//` floors — they disagree on pre-1970
+    // timestamps, and floor is the correct bucketing semantic anyway
     val counts = Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
-      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .select(expr(Exact.fdiv("unix_micros(ts)", "3600000000")).as("hr"))
       .groupBy(col("hr")).agg(count(lit(1)).as("c"))
     val lo = counts.agg(min(col("hr")).as("h0"))
     val spine = spark.range(0, 512).select(col("id").as("i"))

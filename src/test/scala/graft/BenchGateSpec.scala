@@ -88,4 +88,21 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!ok)
     assert(reason.startsWith("voided: contended"))
   }
+
+  // WRITE QUARANTINE (round-14 review): only a box-certified,
+  // core-comparable run may overwrite the committed baseline. An
+  // uncontended run at the wrong core count produces legitimately
+  // 2-4x-different numbers — writing them to bench.json would be the
+  // round-13 poisoning through a different door.
+  test("only a clean, core-matched run writes bench.json; indicted runs " +
+    "quarantine to side files") {
+    assert(Bench.outFile(contended = false, gateOk = true) === "bench.json")
+    assert(Bench.outFile(contended = true, gateOk = true) ===
+      "bench.contended.json")
+    assert(Bench.outFile(contended = false, gateOk = false) ===
+      "bench.mismatch.json")
+    // contention has naming priority over a simultaneous mismatch
+    assert(Bench.outFile(contended = true, gateOk = false) ===
+      "bench.contended.json")
+  }
 }
