@@ -312,4 +312,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("Exact.sdiv matches sign-split truncating division and Exact.fdiv " +
+    "matches floor division for generated (a, b) incl. negatives") {
+    val pairs = samples(
+      Gen.zip(Gen.choose(-1000000L, 1000000L), Gen.choose(1L, 9999L)), 120)
+    // evaluate the SQL fragments through Spark itself — the property is
+    // about what the generated SQL MEANS, not about a Scala reimpl
+    val df = pairs.toDF("a", "b").selectExpr(
+      "a", "b",
+      graft.queries.Exact.sdiv("a", "b", "div") + " AS s",
+      graft.queries.Exact.fdiv("a", "b") + " AS f")
+    df.collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val expectS = if (a >= 0) a / b else -((-a) / b) // truncate to zero
+      assert(r.getAs[Long]("s") === expectS, s"sdiv($a, $b)")
+      assert(r.getAs[Long]("f") === Math.floorDiv(a, b), s"fdiv($a, $b)")
+    }
+  }
+
+  test("Exact.isqrtStage returns the true integer square root for " +
+    "generated radicands across magnitudes") {
+    val vs = samples(Gen.oneOf(
+      Gen.choose(0L, 1000L),
+      Gen.choose(0L, 4000000000L),
+      Gen.choose(0L, 4000000000000000000L)), 90)
+    val df = graft.queries.Exact.isqrtStage("v", "w")(vs.toDF("v"))
+    df.collect().foreach { r =>
+      val v = r.getAs[Long]("v"); val w = r.getAs[Long]("w")
+      assert(BigInt(w) * w <= BigInt(v), s"isqrt($v) = $w overshoots")
+      assert(BigInt(w + 1) * (w + 1) > BigInt(v), s"isqrt($v) = $w undershoots")
+    }
+  }
 }
