@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Dev-loop correctness harness (mimics the driver's oracle compare).
 
-Usage: python3 dev/check.py <verifyOutDir> <sfDir>
+Usage: python3 dev/check.py <verifyOutDir> <sfDir> [--staged-pairs <parquetDir>]
        python3 dev/check.py --bench-diff <oldBench.json> <newBench.json> [maxRatio]
        python3 dev/check.py --scale-check <smallSfBench.json> <bigSfBench.json> [maxRatio]
+
+--staged-pairs (sf0.1 replay only — NEVER for the sf0.01 gate): registers
+the engine-persisted confirmed-pair parquet as the `staged_pairs` DuckDB
+view and overlays oracle_sql_staged.json variants, so the cascade oracles
+skip only the quadratic from-raw candidate join (see StagedOracles.scala).
 
 Reads oracle_sql.json from the verify output dir, registers each testdata
 parquet as a DuckDB view, runs each oracle, and compares with the
@@ -58,11 +63,25 @@ def df_hash(df):
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, staged_pairs=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if staged_pairs:
+        # sf0.1 staged-replay mode (round 15): register the engine-persisted
+        # confirmed-pair parquet and overlay the staged oracle variants
+        # (quadratic candidate scan swapped for the staged read; pair
+        # precision + all downstream logic still re-derived from raw by
+        # DuckDB — see StagedOracles.scala). sf0.01 runs MUST NOT pass this
+        # flag: from-raw is the hard gate there.
+        con.execute("CREATE VIEW staged_pairs AS SELECT * FROM "
+                    f"read_parquet('{staged_pairs}/*.parquet')")
+        staged = json.load(open(f"{out_dir}/oracle_sql_staged.json"))
+        overlaid = sorted(set(staged) & set(oracles))
+        oracles.update({k: v for k, v in staged.items() if k in oracles})
+        print(f"== staged-replay mode: {len(overlaid)} oracle(s) overlaid: "
+              f"{', '.join(overlaid)} ==")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -188,4 +207,10 @@ if __name__ == "__main__":
     if sys.argv[1] == "--scale-check":
         ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
         sys.exit(scale_check(sys.argv[2], sys.argv[3], ratio))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    staged = None
+    argv = list(sys.argv[1:])
+    if "--staged-pairs" in argv:
+        i = argv.index("--staged-pairs")
+        staged = argv[i + 1]
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], staged_pairs=staged))

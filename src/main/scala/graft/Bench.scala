@@ -61,8 +61,53 @@ import org.apache.spark.sql.SparkSession
   *    prior number is a time-to-throw, not a baseline), and
   *  - `SPARK_GRAFT_ONLY=a,b` runs an adjudication subset with the same
   *    harness without overwriting bench.json.
+  *
+  * BASELINE-ADOPTION BAR (round 15): gating and adopting are now held to
+  * DIFFERENT drift standards. Voiding the gate at drift >= 1.5 is right for
+  * regression DIFFS (below it, the calibration normalization absorbs the
+  * sag). But round 14 committed a drift-1.4994 run as the new baseline —
+  * 0.04% under the void threshold — and its whole carried surface read
+  * +7.5% vs the prior clean run, so the NEXT round's gate would have
+  * diffed against priors inflated by near-threshold noise (a real
+  * regression up to that margin would hide inside the inflation; three
+  * queries drifted past 1.5x between "clean" baselines with no code
+  * change). The ratchet: a run just clean enough to gate was also clean
+  * enough to become the denominator. So adoption now requires drift <
+  * [[AdoptionDriftBar]] (1.2): a 1.2–1.5-drift run still gates (its own
+  * numbers are normalized), but quarantines to bench.noisy.json instead of
+  * overwriting the committed baseline.
   */
 object Bench {
+
+  /** Max calibration drift at which a run may OVERWRITE bench.json and
+    * become the next round's regression denominator. Stricter than the
+    * 1.5 gate-void bar by design — see the header's round-15 note. */
+  private[graft] val AdoptionDriftBar = 1.2
+
+  /** Whether this run's numbers may be adopted as the committed baseline,
+    * and why not if they can't. A run the gate voided (contention / cpus
+    * mismatch) is never adoptable; an active-gate run must additionally
+    * certify drift < 1.2. */
+  private[graft] def adoptionStatus(
+      drift: Double, gateOk: Boolean, gateReason: String): (Boolean, String) =
+    if (!gateOk) (false, s"declined: gate $gateReason")
+    else if (drift >= AdoptionDriftBar)
+      (false, f"declined: drift $drift%.4f >= $AdoptionDriftBar (gate active, baseline kept)")
+    else (true, "adopted")
+
+  /** Escape a string for embedding inside a JSON string literal (round-15
+    * advice: a quote/backslash in SPARK_GRAFT_CPUS previously flowed raw
+    * into the output, producing invalid JSON that priorBench would then
+    * silently read as an empty baseline). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** Prior-round bench baseline: per-query seconds, the names that FAILED
     * there (a query whose prior number is a time-to-throw must not be
@@ -142,12 +187,16 @@ object Bench {
     } catch { case _: Exception => PriorBench(Map.empty, Set.empty, None, None) }
 
   /** Which file this run's JSON may land in: only a box-certified,
-    * core-comparable run touches the committed baseline; indicted runs
-    * quarantine to a side file (contention has priority in the name —
-    * a contended mismatched run is primarily a contended run). */
-  private[graft] def outFile(contended: Boolean, gateOk: Boolean): String =
+    * core-comparable, ADOPTION-CLEAN (drift < 1.2) run touches the
+    * committed baseline; indicted runs quarantine to a side file
+    * (contention has priority in the name — a contended mismatched run is
+    * primarily a contended run; a 1.2–1.5-drift run gated but was too
+    * noisy to become the denominator → bench.noisy.json). */
+  private[graft] def outFile(
+      contended: Boolean, gateOk: Boolean, adopted: Boolean): String =
     if (contended) "bench.contended.json"
     else if (!gateOk) "bench.mismatch.json"
+    else if (!adopted) "bench.noisy.json"
     else "bench.json"
 
   def main(args: Array[String]): Unit = {
@@ -373,8 +422,9 @@ object Bench {
     val total = finalTimes.valuesIterator.sum
     val drift = calib.max / calib.min
     val calibJson = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
-    val cpusJson = cpusNum.map(_.toString).getOrElse("\"" + cpus + "\"")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contendedFinal,"gate":"$gateReason","retried":$retriedJson,"regressions":$regJson,"regression_baseline":$regBase,"sf":"$sfDir"}"""
+    val cpusJson = cpusNum.map(_.toString).getOrElse("\"" + jsonEscape(cpus) + "\"")
+    val (adopted, adoptReason) = adoptionStatus(drift, gateOk, gateReason)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qs,"failed":$failedJson,"repeats":$repeats$shortTier,"calibration":$calibJson,"calibration_drift":${f"$drift%.4f"},"contended":$contendedFinal,"gate":"$gateReason","baseline_adoption":"$adoptReason","retried":$retriedJson,"regressions":$regJson,"regression_baseline":$regBase,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing the contract line: shutdown logging must
     // not land after (or interleave with) the JSON, which consumers parse
     // from the tail of stdout. A file copy is kept as a robust fallback.
@@ -385,14 +435,18 @@ object Bench {
     // priors. The same quarantine applies to a CORE-COUNT-MISMATCHED run
     // (round-14 review): an uncontended 8-core sweep would otherwise
     // overwrite the 32-core baseline with legitimately 2–4×-slower
-    // numbers — the identical poisoning via a different door. Indicted
-    // runs are preserved at bench.{contended,mismatch}.json for the
-    // record; bench.json only ever carries box-certified, core-comparable
+    // numbers — the identical poisoning via a different door. And a run
+    // with drift in [1.2, 1.5) gates but must not become the next round's
+    // denominator (round 15 — the drift-1.4994 ratchet); it lands in
+    // bench.noisy.json. Indicted runs are preserved at
+    // bench.{contended,mismatch,noisy}.json for the record; bench.json
+    // only ever carries box-certified, core-comparable, adoption-clean
     // numbers.
     if (only.isEmpty) {
-      val out = outFile(contendedFinal, gateOk)
+      val out = outFile(contendedFinal, gateOk, adopted)
       if (out != "bench.json")
-        System.err.println(s"[bench] $gateReason: writing $out, keeping bench.json")
+        System.err.println(
+          s"[bench] baseline_adoption $adoptReason: writing $out, keeping bench.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     }
     println(json)

@@ -20,7 +20,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // ORACLE-COUPLING GUARD (round-15 advice): several queries honor
+    // spark.graft.* confs (the mixture token budget, the staged
+    // intermediate tables) whose oracle SQL hardcodes the default-config
+    // derivation. A verify run with any such conf injected (system
+    // property / spark-defaults) would hash-mismatch spuriously — or
+    // worse, verify a non-default configuration against a default-config
+    // oracle. The gate contract is "confs unset"; enforce it.
+    val injected = spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+    require(injected.isEmpty,
+      s"verify requires default graft config, found: ${injected.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
@@ -46,6 +55,18 @@ object Verify {
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged-intermediate oracle variants (round 15): for every cascade
+    // oracle, the sf0.1 replay SQL that reads the engine-persisted pair
+    // parquet (registered as the `staged_pairs` DuckDB view) instead of
+    // re-deriving the quadratic candidate join from raw. The driver's
+    // sf0.01 gate ignores this file — from-raw stays the hard gate; only
+    // the dev-side 10x replay harness (dev/check.py --staged-pairs)
+    // consumes it. See queries.StagedOracles.
+    val stagedJson = SparkEntry.oracleSql
+      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
+      .flatMap { case (k, v) => queries.StagedOracles.staged(v).map(k -> _) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_staged.json"), stagedJson)
     spark.stop()
   }
 }

@@ -78,6 +78,21 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The quadratic from-raw pair-derivation CTE shared (textually) by every
+    * cascade oracle in this file — factored out so [[StagedOracles]] can
+    * swap it, byte-for-byte, for a staged-parquet read in the sf0.1 replay
+    * harness (round 15). From-raw remains the sf0.01 hard gate. */
+  private[queries] val oraclePairCte: String =
+    """p AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |    FROM dl a JOIN dl b
+      |      ON b.doc_id > a.doc_id
+      |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
+      |  WHERE j >= 0.8)""".stripMargin
+
   val q141Oracle: String =
     s"""WITH RECURSIVE docs_p AS (
        |  SELECT doc_id, text FROM documents
@@ -94,15 +109,7 @@ object GraphQueries {
        |                      regexp_split_to_array(trim(text), '\\s+')[i+2]) END) AS sh
        |      FROM docs_p),
        |dl AS (SELECT doc_id, sh, len(sh) AS n FROM d),
-       |p AS (
-       |  SELECT id_a, id_b FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-       |    FROM dl a JOIN dl b
-       |      ON b.doc_id > a.doc_id
-       |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
-       |  WHERE j >= 0.8),
+       |$oraclePairCte,
        |e AS (SELECT id_a AS u, id_b AS v FROM p
        |      UNION SELECT id_b, id_a FROM p),
        |reach AS (

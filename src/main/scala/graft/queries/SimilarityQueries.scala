@@ -137,7 +137,7 @@ object SimilarityQueries {
     * (fixed-seed hashes), so recall on the gate corpus is a fixed fact the
     * oracle verifies, not a probability.
     */
-  private val oracleExactPairs: String =
+  private[queries] val oracleExactPairs: String =
     """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
@@ -2082,15 +2082,22 @@ object SimilarityQueries {
       .orderBy(col("bucket_ppm"))
   }
 
+  /** q341's candidate-scoring CTE — factored (like GraphQueries'
+    * oraclePairCte) so [[StagedOracles]] can swap the quadratic scan for a
+    * staged-pair read; the downstream `kept` filter re-verifies each
+    * staged pair's exact Jaccard from the raw shingle sets either way. */
+  private[queries] val oracleScoredCte: String =
+    """scored AS (
+      |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+      |      AS uni
+      |  FROM dl a JOIN dl b
+      |    ON b.doc_id > a.doc_id
+      |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))""".stripMargin
+
   val q341Oracle: String =
     s"""WITH $oracleDocsTri,
-       |scored AS (
-       |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
-       |      AS uni
-       |  FROM dl a JOIN dl b
-       |    ON b.doc_id > a.doc_id
-       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)),
+       |$oracleScoredCte,
        |kept AS (
        |  SELECT inter * 1000000 // uni AS jppm
        |  FROM scored WHERE inter * 5 >= uni * 4),

@@ -96,13 +96,47 @@ class BenchGateSpec extends AnyFunSuite {
   // round-13 poisoning through a different door.
   test("only a clean, core-matched run writes bench.json; indicted runs " +
     "quarantine to side files") {
-    assert(Bench.outFile(contended = false, gateOk = true) === "bench.json")
-    assert(Bench.outFile(contended = true, gateOk = true) ===
+    assert(Bench.outFile(contended = false, gateOk = true, adopted = true) ===
+      "bench.json")
+    assert(Bench.outFile(contended = true, gateOk = true, adopted = true) ===
       "bench.contended.json")
-    assert(Bench.outFile(contended = false, gateOk = false) ===
+    assert(Bench.outFile(contended = false, gateOk = false, adopted = true) ===
       "bench.mismatch.json")
     // contention has naming priority over a simultaneous mismatch
-    assert(Bench.outFile(contended = true, gateOk = false) ===
+    assert(Bench.outFile(contended = true, gateOk = false, adopted = false) ===
       "bench.contended.json")
+  }
+
+  // BASELINE-ADOPTION BAR (round 15): round 14 adopted a drift-1.4994 run
+  // (0.04% under the 1.5 gate-void bar) as the committed baseline, and its
+  // carried surface read +7.5% vs the prior clean run — near-threshold
+  // noise became the next round's regression denominator. These cases
+  // prove a 1.2–1.5-drift run GATES (regression diffs still adjudicate)
+  // but never overwrites bench.json.
+  test("adoption requires drift < 1.2; a 1.2-1.5 drift run gates but " +
+    "quarantines to bench.noisy.json") {
+    // the round-14 incident numbers: gate active, adoption declined
+    val (adopted, reason) =
+      Bench.adoptionStatus(1.4994, gateOk = true, gateReason = "active")
+    assert(!adopted)
+    assert(reason === "declined: drift 1.4994 >= 1.2 (gate active, baseline kept)")
+    assert(Bench.outFile(contended = false, gateOk = true, adopted = false) ===
+      "bench.noisy.json")
+    // boundary: exactly 1.2 is declined
+    assert(!Bench.adoptionStatus(1.2, gateOk = true, gateReason = "active")._1)
+    // a genuinely quiet run is adopted
+    val (ok, r) = Bench.adoptionStatus(1.05, gateOk = true, gateReason = "active")
+    assert(ok && r === "adopted")
+    // a gate-voided run is never adoptable regardless of drift
+    val (vAdopt, vReason) = Bench.adoptionStatus(1.0, gateOk = false,
+      gateReason = "voided: cpus mismatch (baseline 32 cores, run 8)")
+    assert(!vAdopt && vReason.startsWith("declined: gate voided"))
+  }
+
+  test("jsonEscape defuses quotes, backslashes, and control chars in " +
+    "env-sourced strings") {
+    assert(Bench.jsonEscape("local[32]") === "local[32]")
+    assert(Bench.jsonEscape("a\"b\\c\nd\te") === "a\\\"b\\\\c\\nd\\te")
+    assert(Bench.jsonEscape("x\u0001y") === "x\\u0001y")
   }
 }

@@ -105,8 +105,11 @@ class DocsSyncSpec extends AnyFunSuite {
       "MiningQueries.scala" -> 2,
       "SimilarityQueries.scala" -> 6)
     val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
-    val actual = java.nio.file.Files.list(dir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
+    // Files.list holds a directory handle until closed (round-15 advice)
+    val listed = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      _.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    }
+    val actual = listed
       .filter(_.toString.endsWith(".scala"))
       .map { p =>
         p.getFileName.toString ->
