@@ -408,6 +408,157 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** B16 GRAPH-BASED BEAM ANN (q375, round 15) — the HNSW-family
+    * comparison point beside the LSH (q41) and IVF/PQ (q42/q85/q112)
+    * stacks, re-expressed for a relational engine: graph-based search
+    * beats partition-probing on recall-at-fixed-compute for many
+    * workloads, and a library claiming ANN coverage needs the shape on
+    * the menu.
+    *
+    * Sequential-insert HNSW does not distribute; the Spark-first variant
+    * keeps its two load-bearing ideas — a navigable neighbor graph and
+    * greedy beam descent from coarse entry points — as declarative plans:
+    *
+    *  - GRAPH BUILD: candidates from the q41 sign-LSH band buckets (an
+    *    equi-join — never all-pairs), each node keeping its top-12 exact-
+    *    cosine neighbors (window over the bounded per-node candidate
+    *    set). This is the NSW graph built the bulk way — at 100 TB the
+    *    same banded join + per-key top-k, shuffling on band keys only.
+    *  - SEARCH: entry points are the deterministic coarse sample
+    *    vec_id % 32 = 0 (HNSW's upper layers collapse to one coarse
+    *    level that scales with the corpus); each of the 8 queries seeds
+    *    a beam with its top-16 entries by exact cosine, then three fixed
+    *    expansion hops — beam ∪ neighbors(beam), re-ranked, top-16 kept
+    *    — and the final answer is the beam's top-5. Fixed unroll = one
+    *    declarative plan per hop; each hop's beam is localCheckpoint'd
+    *    (q361's anti-nesting discipline — hop k must not replay hop
+    *    k−1's join tree).
+    *
+    * Parameters were recall-tuned against the q40 brute truth (M=12
+    * neighbors / B=16 beam / 3 hops / %32 entries → 0.80 recall@5 at
+    * sf0.01, 0.50 at sf0.1, vs q41 LSH's 0.50 — on synthetic vectors
+    * with NO manifold structure, where graph descent has nothing to
+    * exploit; shapes, not ceilings). The DuckDB oracle replays the
+    * ENTIRE pipeline — hyperplane signs, band buckets, neighbor top-12,
+    * seed, all three hops — so the gate is an exact hash-match, not a
+    * recall bound; SimilaritySpec additionally asserts recall vs the
+    * q40 brute-force truth.
+    */
+  def q375AnnBeam(spark: SparkSession, dir: String): DataFrame = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val vecs = emb.select(col("vec_id"), col("v"))
+    val banded = emb
+      .withColumn("sig", lshSignature(col("v"), proj))
+      .select(col("vec_id"), explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+    val nbrW = Window.partitionBy(col("src")).orderBy(col("ncos").desc, col("dst"))
+    val edges = banded.select(col("vec_id").as("src"), col("bk"))
+      .join(banded.select(col("vec_id").as("dst"), col("bk")), "bk")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .withColumn("ncos", cosine(col("sv"), col("dv")))
+      .withColumn("nrn", row_number().over(nbrW))
+      .filter(col("nrn") <= 12)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // built once, probed by every hop
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val entries = emb.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("vid"))
+    // rank a (qid, vid) candidate frame by exact cosine, keep top-b
+    val beamW = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    def beamTop(cands: DataFrame, b: Int): DataFrame =
+      cands.distinct()
+        .join(vecs.select(col("vec_id").as("vid"), col("v")), "vid")
+        .join(broadcast(queries), "qid")
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= b)
+        .select(col("qid"), col("vid"), col("sim"), col("rn"))
+        .localCheckpoint(true)
+    def expand(beam: DataFrame): DataFrame =
+      edges.join(broadcast(beam.select(col("qid"), col("vid").as("src"))), "src")
+        .select(col("qid"), col("dst").as("vid"))
+        .filter(col("vid") =!= col("qid"))
+        .unionByName(beam.select(col("qid"), col("vid")))
+    val seed = broadcast(queries.select(col("qid")))
+      .crossJoin(entries).filter(col("vid") =!= col("qid"))
+    val beam0 = beamTop(seed, 16)
+    val beam1 = beamTop(expand(beam0), 16)
+    val beam2 = beamTop(expand(beam1), 16)
+    val beam3 = beamTop(expand(beam2), 16)
+    beam3.filter(col("rn") <= 5)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** q375 oracle: the 16 seed-7 hyperplanes inline as double literals
+    * (q41's device); DuckDB recomputes signatures, band buckets, the
+    * per-node top-6 neighbor graph, and both beam hops. */
+  val q375Oracle: String = {
+    val proj = hyperplanes(16, 64, seed = 7)
+    val values = proj.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.map(java.lang.Double.toString).mkString(",")}])"
+    }.mkString(",\n")
+    // one beam-ranking CTE per hop: rank the deduped candidate frame by
+    // exact cosine and keep the top 16
+    def beamCte(name: String, candSql: String): String =
+      s"""$name AS (
+         |  SELECT qid, vid, sim, rn FROM (
+         |    SELECT s.qid, s.vid, list_cosine_similarity(q.qv, cv.v) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY s.qid
+         |        ORDER BY list_cosine_similarity(q.qv, cv.v) DESC, s.vid) AS rn
+         |    FROM (SELECT DISTINCT qid, vid FROM $candSql) s
+         |    JOIN q ON q.qid = s.qid JOIN v cv ON cv.vec_id = s.vid)
+         |  WHERE rn <= 16)""".stripMargin
+    // one expansion CTE per hop: the beam plus every graph neighbor of a
+    // beam node (the query itself excluded)
+    def hopCte(name: String, beam: String): String =
+      s"""$name AS (
+         |  SELECT qid, vid FROM $beam
+         |  UNION ALL
+         |  SELECT b.qid, e.dst AS vid FROM $beam b
+         |  JOIN edges e ON e.src = b.vid WHERE e.dst <> b.qid)""".stripMargin
+    s"""WITH proj(b, p) AS (VALUES $values),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (
+       |  SELECT v.vec_id, proj.b,
+       |    CASE WHEN list_dot_product(v.v, proj.p) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+       |  FROM v, proj),
+       |sig AS (SELECT vec_id, SUM(bit << b) AS sig FROM bits GROUP BY vec_id),
+       |banded AS (
+       |  SELECT s.vec_id, t.band, (s.sig >> (4 * t.band)) & 15 AS bk
+       |  FROM sig s, UNNEST([0,1,2,3]) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT c.src, c.dst,
+       |      ROW_NUMBER() OVER (PARTITION BY c.src
+       |        ORDER BY list_cosine_similarity(sv.v, dv.v) DESC, c.dst) AS nrn
+       |    FROM cand c JOIN v sv ON sv.vec_id = c.src
+       |    JOIN v dv ON dv.vec_id = c.dst)
+       |  WHERE nrn <= 12),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 8),
+       |ent AS (SELECT vec_id AS vid FROM v WHERE vec_id % 32 = 0),
+       |seed AS (SELECT q.qid, e.vid FROM q, ent e WHERE e.vid <> q.qid),
+       |${beamCte("beam0", "seed")},
+       |${hopCte("c1", "beam0")},
+       |${beamCte("beam1", "c1")},
+       |${hopCte("c2", "beam1")},
+       |${beamCte("beam2", "c2")},
+       |${hopCte("c3", "beam2")},
+       |${beamCte("beam3", "c3")}
+       |SELECT qid, vid, ROUND(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+       |FROM beam3 WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   /** IVF index + probe over an arbitrary centroid table. The centroid table
     * is k·dim doubles — tiny at ANY corpus size — so it is collected once
     * and baked into a codegen'd projection
@@ -2137,6 +2288,7 @@ object SimilarityQueries {
     "q40_cosine_topk"    -> (q40CosineTopK _),
     "q41_ann_lsh"        -> (q41AnnLsh _),
     "q42_ann_ivf"        -> (q42AnnIvf _),
+    "q375_ann_beam"      -> (q375AnnBeam _),
     // q42AnnIvfTrained stayed registry-listed as q74 (rows-only, no
     // oracle) for ten rounds; round 11 retires the gate entry per the
     // round-10 verdict so CORRECTNESS carries no ambiguous rows. The
@@ -2168,6 +2320,7 @@ object SimilarityQueries {
     "q39_embed_neardup"  -> q39Oracle,
     "q40_cosine_topk"    -> q40Oracle,
     "q41_ann_lsh"        -> q41Oracle,
+    "q375_ann_beam"      -> q375Oracle,
     "q42_ann_ivf"        -> q42Oracle,
     "q72_dedup_clusters" -> q72Oracle,
     "q85_ann_ivf_int_trained" -> q85Oracle)

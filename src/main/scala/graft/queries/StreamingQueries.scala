@@ -582,7 +582,47 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING BACKFILL / REPLAY RECONCILIATION (q374, round 15) — replay
+    * a bounded historical slice through the streaming tumbling aggregate
+    * (real multi-microbatch execution, complete mode) and reconcile
+    * against the view as materialized before the late 5% of events
+    * arrived: per-window verdict added / changed / unchanged. See
+    * [[StreamingOps.streamBackfillReconcile]] for the construction and
+    * the scale notes; the oracle replays both sides and the verdict in
+    * batch SQL — integer cents end-to-end, exact hash gate.
+    */
+  def q374StreamBackfill(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamBackfillReconcile(spark, dir, "graft_stream_backfill")
+
+  val q374Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |new_v AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_new,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_new
+      |  FROM ev GROUP BY 1, 2),
+      |old_v AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_old,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_old
+      |  FROM ev WHERE event_id % 20 <> 0 GROUP BY 1, 2)
+      |SELECT n.w_start, n.event_type,
+      |  COALESCE(o.n_old, 0) AS n_old,
+      |  COALESCE(o.cents_old, 0) AS cents_old,
+      |  n.n_new, n.cents_new,
+      |  CASE WHEN COALESCE(o.n_old, 0) = 0 THEN 'added'
+      |       WHEN o.n_old = n.n_new AND o.cents_old = n.cents_new
+      |         THEN 'unchanged'
+      |       ELSE 'changed' END AS verdict
+      |FROM new_v n LEFT JOIN old_v o
+      |  ON o.w_start = n.w_start AND o.event_type = n.event_type
+      |ORDER BY n.w_start, n.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_stream_backfill" -> (q374StreamBackfill _),
     "q278_stream_decontam" -> (q278StreamDecontam _),
     "q250_incremental_sessions" -> (q250IncrementalSessions _),
     "q247_stream_rate_limit" -> (q247StreamRateLimit _),
@@ -604,6 +644,7 @@ object StreamingQueries {
     "q84_stream_custom_state" -> (q84StreamCustomState _))
 
   val oracles: Map[String, String] = Map(
+    "q374_stream_backfill" -> q374Oracle,
     // streaming execution of q133's decontamination rule — the oracle IS
     // q133's batch replay (streaming must change nothing)
     "q278_stream_decontam" -> CurationQueries.q133Oracle,

@@ -351,6 +351,98 @@ object StreamingOps extends Serializable {
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
   }
 
+  /** Full-fact events stream in ordered slices — (event_id, user_id,
+    * ts_us, event_type, cents): the backfill replay (q374) reprocesses the
+    * complete historical fact row, so unlike [[eventsReadStreamSliced]]
+    * (cents only) and [[eventsReadStreamSlicedTs]] (ts only) this variant
+    * carries both the event-time axis and the measure. `ts` travels as
+    * LONG microseconds (no NTZ ceremony); `value` as exact integer cents.
+    */
+  def eventsReadStreamSlicedFull(spark: SparkSession, dir: String,
+      slices: Int): DataFrame = {
+    import java.nio.file.Files
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+          .as("cents"))
+    val streamDir = graft.util.Staging.dir(s"graft_stream_f$slices", dir)
+    stagedOnce(spark, s"spark.graft.layout.stream_f$slices", dir,
+        java.nio.file.Paths.get(dir, "events.parquet")) {
+      Files.createDirectories(streamDir)
+      (0 until slices).foreach { s =>
+        val tmp = Files.createTempDirectory("graft_slice_f")
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(slices.toLong)) === s)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        stageSliceOrdered(part, streamDir.resolve(s"slice$s.parquet"), s)
+      }
+    }
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+  }
+
+  /** STREAMING BACKFILL / REPLAY RECONCILIATION (q374) — the missing
+    * lifecycle operator around the materialized-view family: when late
+    * data lands (or a metric definition is corrected), production
+    * pipelines REPLAY the historical slice through the same streaming
+    * operators and reconcile against the previously-materialized table,
+    * emitting a per-window change report the downstream owner signs off
+    * on — not a blind overwrite.
+    *
+    * Construction: the "stored" view is the 6-hour tumbling aggregate as
+    * materialized BEFORE the late arrivals landed (deterministically: the
+    * 5% of events with event_id % 20 = 0 are the late set — absent from
+    * the stored build). The replay side reprocesses the FULL slice
+    * through a real multi-microbatch streaming execution
+    * ([[eventsReadStreamSlicedFull]], 3 slices) in COMPLETE mode — the
+    * correct backfill posture: the slice is bounded and every window of
+    * it must re-emit, not a watermark-censored suffix (append mode is
+    * the forward-arrival posture, q73). Reconciliation is a left join
+    * from the replay (a backfill only ever ADDS events here, so replay
+    * windows ⊇ stored windows) with a verdict per window:
+    * added / changed / unchanged.
+    *
+    * Scale shape: both sides are keyed tumbling aggregates (map-side
+    * partials, one shuffle each on the window×type key — bounded-axis
+    * output); the reconcile join runs on the aggregate frames (window
+    * count × event types, orders of magnitude below the fact table).
+    * Exactness: integer cents end-to-end — no float accumulation to
+    * drift between the streaming and batch sides.
+    */
+  def streamBackfillReconcile(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val replayAgg = eventsReadStreamSlicedFull(spark, dir, 3)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_new"), sum(col("cents")).as("cents_new"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_new"), col("cents_new"))
+    val replay = drainToTable(spark, replayAgg, queryName, "complete")
+    val stored = graft.Tables.events(spark, dir)
+      .filter(col("event_id") % 20 =!= 0)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_old"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType))
+          .as("cents_old"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_old"), col("cents_old"))
+    replay.join(stored, Seq("w_start", "event_type"), "left")
+      .select(col("w_start"), col("event_type"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("cents_old"), lit(0L)).as("cents_old"),
+        col("n_new"), col("cents_new"))
+      .withColumn("verdict",
+        when(col("n_old") === 0, lit("added"))
+          .when(col("n_old") === col("n_new") &&
+            col("cents_old") === col("cents_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** STREAM-STATIC INGEST-TIME DECONTAMINATION — every arriving training
     * document's trigrams are checked against a BROADCAST eval-set gram
     * dimension, the shape a crawl pipeline runs so contaminated docs are

@@ -459,4 +459,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .select(pmod(col("doc_id"), lit(3L))).distinct().count()
     assert(slices > 1, "all flagged docs landed in one slice")
   }
+
+  test("q374: backfill replay side equals the batch tumbling aggregate, " +
+    "and the reconciliation verdicts are internally consistent") {
+    import graft.queries.StreamingQueries
+    val out = StreamingQueries.q374StreamBackfill(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // a backfill only ADDS events: replay ⊇ stored on every window
+    out.foreach { r =>
+      val (nOld, nNew) = (r.getLong(2), r.getLong(4))
+      val (cOld, cNew) = (r.getLong(3), r.getLong(5))
+      assert(nNew >= nOld, s"retraction at ${r.get(0)}: $nOld -> $nNew")
+      val verdict = r.getString(6)
+      val expect =
+        if (nOld == 0L) "added"
+        else if (nOld == nNew && cOld == cNew) "unchanged"
+        else "changed"
+      assert(verdict === expect, s"verdict mismatch at ${r.get(0)}/${r.get(1)}")
+    }
+    // the late set is non-vacuous: some windows actually changed
+    assert(out.exists(_.getString(6) == "changed"),
+      "no window changed - the late 5% never landed")
+    // the replay column pair must equal the straight batch aggregate of
+    // the full slice (streaming execution changes nothing)
+    val replay = out.map(r =>
+      (r.get(0).toString, r.getString(1), r.getLong(4), r.getLong(5))).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType)).as("cents"))
+      .select(col("window.start"), col("event_type"), col("n"), col("cents"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(replay === batch, "streaming replay diverged from batch aggregate")
+  }
 }
