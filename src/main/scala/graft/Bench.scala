@@ -199,7 +199,116 @@ object Bench {
     else if (!adopted) "bench.noisy.json"
     else "bench.json"
 
+  /** One parsed merge input: a full run JSON (this harness's own output
+    * format). `calibMin` is the run's best probe — the box at its best
+    * during that run. */
+  private[graft] case class MergeInput(
+      path: String, times: Map[String, Double], failed: Set[String],
+      calibMin: Double, cpus: Option[Int], sf: Option[String])
+
+  private[graft] def readMergeInput(p: java.nio.file.Path): MergeInput = {
+    val b = priorBench(p)
+    require(b.times.nonEmpty, s"$p: no queries parsed")
+    val txt = java.nio.file.Files.readString(p)
+    val sf = raw""""sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    MergeInput(p.toString, b.times, b.failed,
+      b.calibMin.getOrElse(
+        throw new IllegalArgumentException(s"$p: no calibration series")),
+      b.cpus, sf)
+  }
+
+  /** MIN-MERGE BASELINE ADOPTION (round 15, the verdict-sanctioned
+    * alternative to a single sub-1.2-drift run): construct the committed
+    * baseline as the per-query MIN across >= 2 full sweeps of the SAME
+    * build at the same cpus/sf.
+    *
+    * Why merging individually-noisy runs is sound: every recorded time is
+    * already a min-of-repeats, and box noise can only INFLATE a timing,
+    * never deflate it — so the min across runs monotonically approaches
+    * the quiet-box truth, exactly the within-run repeats argument lifted
+    * one level. The calibration anchor follows the same statistic (min
+    * probe across all merged runs), so the baseline's per-query numbers
+    * and its box-speed anchor describe the same "box at its best" and the
+    * cross-round normalized gate stays coherent. A query that failed in a
+    * run contributes no time from it (its number there is a
+    * time-to-throw); only a query failing in EVERY merged run stays in
+    * failed[]. This is strictly tighter than adopting any single noisy
+    * run — which is the round-14 ratchet this tool replaces.
+    */
+  private[graft] def mergeJson(
+      runs: Seq[MergeInput], prior: PriorBench, priorPath: String): String = {
+    require(runs.size >= 2, "min-merge needs at least 2 runs")
+    require(runs.map(_.cpus).distinct.size == 1,
+      s"cpus differ across runs: ${runs.map(r => s"${r.path}=${r.cpus}")}")
+    require(runs.map(_.sf).distinct.size == 1,
+      s"sf differs across runs: ${runs.map(r => s"${r.path}=${r.sf}")}")
+    val names = runs.head.times.keySet
+    require(runs.forall(_.times.keySet == names),
+      "query sets differ across runs - merge runs of the same build only")
+    val merged: Seq[(String, Double)] = names.toSeq.sorted.map { n =>
+      val ok = runs.filterNot(_.failed.contains(n)).map(_.times(n))
+      n -> (if (ok.nonEmpty) ok.min else runs.map(_.times(n)).min)
+    }
+    val failed = runs.map(_.failed).reduce(_ intersect _)
+    val anchor = runs.map(_.calibMin).min
+    val anchorDrift = runs.map(_.calibMin).max / anchor
+    // cross-round regression diff vs the PRIOR committed baseline, same
+    // normalization as the live gate (adjusted = t * priorAnchor / anchor)
+    val (gateOk, gateReason) =
+      gateStatus(prior.cpus, runs.head.cpus, contended = false)
+    val mergedMap = merged.toMap
+    val regressions =
+      if (!gateOk || prior.times.isEmpty) Seq.empty
+      else {
+        val priorAnchor = prior.calibMin.getOrElse(anchor)
+        merged.flatMap { case (n, t) =>
+          prior.times.get(n).collect {
+            case p if !prior.failed.contains(n) && !failed.contains(n) &&
+              t * priorAnchor / anchor > 2 * p &&
+              t * priorAnchor / anchor - p > 1.0 =>
+              (n, p, t, t * priorAnchor / anchor)
+          }
+        }
+      }
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val calibJson = runs.map(r => f"${r.calibMin}%.4f").mkString("[", ",", "]")
+    val regJson = regressions.map { case (n, p, c, a) =>
+      f"""{"query":"$n","prior":$p%.4f,"current":$c%.4f,"adjusted":$a%.4f}"""
+    }.mkString("[", ",", "]")
+    val fromJson = runs.map(r => "\"" + jsonEscape(r.path) + "\"")
+      .mkString("[", ",", "]")
+    val cpusJson = runs.head.cpus.map(_.toString).getOrElse("null")
+    val sfJson = runs.head.sf
+      .map(s => "\"" + jsonEscape(s) + "\"").getOrElse("null")
+    val regBase =
+      if (prior.times.isEmpty) "null" else "\"" + jsonEscape(priorPath) + "\""
+    val total = mergedMap.valuesIterator.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qs,"failed":$failedJson,"calibration":$calibJson,"calibration_drift":${f"$anchorDrift%.4f"},"contended":false,"gate":"$gateReason","baseline_adoption":"adopted: min-merge of ${runs.size} runs","merged_from":$fromJson,"retried":[],"regressions":$regJson,"regression_baseline":$regBase,"sf":$sfJson}"""
+  }
+
+  private def runMerge(spec: String): Unit = {
+    val paths = spec.split(',').map(_.trim).filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_)).toSeq
+    val prevBenchPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench.json"))
+    val prior = priorBench(prevBenchPath)
+    val json = mergeJson(paths.map(readMergeInput), prior,
+      prevBenchPath.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), json)
+    println(json)
+  }
+
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_MERGE=runA.json,runB.json: min-merge adoption mode — no
+    // Spark session, no measurement; see mergeJson's policy note.
+    sys.env.get("SPARK_GRAFT_MERGE") match {
+      case Some(spec) => runMerge(spec); return
+      case None =>
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)

@@ -133,6 +133,68 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!vAdopt && vReason.startsWith("declined: gate voided"))
   }
 
+  // MIN-MERGE ADOPTION (round 15): when the box wobbles too much for any
+  // single sweep to certify drift < 1.2, the baseline is constructed as
+  // the per-query MIN across >= 2 sweeps (noise only inflates a min-of-
+  // repeats timing, so the min across runs approaches the quiet-box
+  // truth; the calibration anchor follows the same statistic).
+  test("min-merge takes per-query minima, the min anchor, and intersects " +
+    "failed lists (a query failing in one run uses the other's time)") {
+    val a = Bench.MergeInput("a.json",
+      Map("q1" -> 2.0, "q2" -> 5.0, "q3" -> 9.9),
+      failed = Set("q2", "q3"), calibMin = 1.2, cpus = Some(32),
+      sf = Some("/sf"))
+    val b = Bench.MergeInput("b.json",
+      Map("q1" -> 3.0, "q2" -> 4.0, "q3" -> 8.8),
+      failed = Set("q3"), calibMin = 0.9, cpus = Some(32), sf = Some("/sf"))
+    val json = Bench.mergeJson(Seq(a, b),
+      Bench.PriorBench(Map.empty, Set.empty, None, None), "bench.json")
+    val p = write(json)
+    val m = Bench.priorBench(p)
+    assert(m.times("q1") === 2.0)   // plain min
+    // q2 failed in run a: a's 5.0 is a time-to-throw, b's 4.0 is the time
+    assert(m.times("q2") === 4.0)
+    // q3 failed everywhere: min time-to-throw, and stays failed
+    assert(m.times("q3") === 8.8)
+    assert(m.failed === Set("q3"))
+    assert(m.calibMin === Some(0.9)) // the best probe across runs
+    assert(m.cpus === Some(32))
+    assert(json.contains("\"contended\":false"))
+    assert(json.contains("\"baseline_adoption\":\"adopted: min-merge of 2 runs\""))
+    assert(json.contains("\"merged_from\":[\"a.json\",\"b.json\"]"))
+  }
+
+  test("min-merge refuses mismatched cpus/sf/query sets and single runs") {
+    val a = Bench.MergeInput("a.json", Map("q1" -> 1.0), Set.empty,
+      1.0, Some(32), Some("/sf"))
+    def prior = Bench.PriorBench(Map.empty, Set.empty, None, None)
+    intercept[IllegalArgumentException](Bench.mergeJson(Seq(a), prior, "x"))
+    intercept[IllegalArgumentException](Bench.mergeJson(
+      Seq(a, a.copy(cpus = Some(8))), prior, "x"))
+    intercept[IllegalArgumentException](Bench.mergeJson(
+      Seq(a, a.copy(sf = Some("/other"))), prior, "x"))
+    intercept[IllegalArgumentException](Bench.mergeJson(
+      Seq(a, a.copy(times = Map("q9" -> 1.0))), prior, "x"))
+  }
+
+  test("min-merge diffs the merged numbers against the prior baseline " +
+    "with the anchor normalization") {
+    val a = Bench.MergeInput("a.json", Map("q1" -> 4.6, "q2" -> 1.0),
+      Set.empty, 1.0, Some(32), Some("/sf"))
+    val b = a.copy(path = "b.json", times = Map("q1" -> 4.5, "q2" -> 1.1))
+    // prior: q1 was 1.5s at anchor 1.0 -> adjusted 4.5 > 2x and +1s: flag
+    val prior = Bench.PriorBench(Map("q1" -> 1.5, "q2" -> 1.0),
+      Set.empty, Some(1.0), Some(32))
+    val json = Bench.mergeJson(Seq(a, b), prior, "bench.json")
+    assert(json.contains("\"query\":\"q1\""))
+    assert(!json.contains("\"query\":\"q2\""))
+    // and a cpus-mismatched prior voids the diff entirely
+    val voided = Bench.mergeJson(Seq(a, b),
+      prior.copy(cpus = Some(8)), "bench.json")
+    assert(voided.contains("\"regressions\":[]"))
+    assert(voided.contains("voided: cpus mismatch"))
+  }
+
   test("jsonEscape defuses quotes, backslashes, and control chars in " +
     "env-sourced strings") {
     assert(Bench.jsonEscape("local[32]") === "local[32]")
