@@ -63,7 +63,7 @@ def df_hash(df):
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 
-def main(out_dir, sf_dir, staged_pairs=None):
+def main(out_dir, sf_dir, staged_pairs=None, oracle_timeout=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -82,11 +82,38 @@ def main(out_dir, sf_dir, staged_pairs=None):
         oracles.update({k: v for k, v in staged.items() if k in oracles})
         print(f"== staged-replay mode: {len(overlaid)} oracle(s) overlaid: "
               f"{', '.join(overlaid)} ==")
-    n_pass = n_fail = 0
+    def run_oracle(sql):
+        # optional per-oracle wall-clock cap (broad sf0.1 passes): a from-raw
+        # quadratic replay must register as ORACLE-BOUND, not hang the pass.
+        if not oracle_timeout:
+            return con.execute(sql).df()
+        import threading
+        box = {}
+        def work():
+            try:
+                box["df"] = con.execute(sql).df()
+            except Exception as e:
+                box["err"] = e
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(oracle_timeout)
+        if t.is_alive():
+            con.interrupt()
+            t.join(30)
+            raise TimeoutError(f"oracle exceeded {oracle_timeout}s")
+        if "err" in box:
+            raise box["err"]
+        return box["df"]
+
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
         try:
-            want = canon(con.execute(sql).df())
+            want = canon(run_oracle(sql))
             got = canon(read_spark(f"{out_dir}/{name}"))
+        except TimeoutError as e:
+            print(f"SKIP {name}: {e} (oracle-bound at this SF)")
+            n_skip += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: exec error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -130,7 +157,8 @@ def main(out_dir, sf_dir, staged_pairs=None):
             n_pass += 1
         else:
             n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    skip_note = f" / {n_skip} oracle-bound skip" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skip_note} ==")
     return 1 if n_fail else 0
 
 
@@ -208,9 +236,15 @@ if __name__ == "__main__":
         ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
         sys.exit(scale_check(sys.argv[2], sys.argv[3], ratio))
     staged = None
+    timeout = None
     argv = list(sys.argv[1:])
     if "--staged-pairs" in argv:
         i = argv.index("--staged-pairs")
         staged = argv[i + 1]
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], staged_pairs=staged))
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout = float(argv[i + 1])
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], staged_pairs=staged,
+                  oracle_timeout=timeout))

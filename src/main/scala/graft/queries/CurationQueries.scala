@@ -3046,8 +3046,10 @@ object CurationQueries {
   def q365TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // honor the same budget override q194's proportional plan reads —
-    // two "same budget" recipes must not silently disagree on totals
-    // (gate mode leaves the conf unset, so the oracle's constant holds)
+    // two "same budget" recipes must not silently disagree on totals.
+    // Gate mode leaves the conf unset so the oracle's constant holds —
+    // and since round 15 that is ENFORCED, not convention: Verify fails
+    // fast if any spark.graft.* conf is injected into a gate run.
     val budget = spark.conf.getOption("spark.graft.mixture.tokenBudget")
       .map(_.toLong).getOrElse(MixtureTokenBudget)
     val per = perSourceSubwords(spark, dir)

@@ -21,6 +21,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object EvalQueries {
   import Exact.{sdiv, isqrtStage}
 
+  /** q210's quadratic from-raw truth-pair CTE (trigram sets named `shs` in
+    * its oracle), factored — like GraphQueries.oraclePairCte — so
+    * [[StagedOracles]] can swap it byte-exactly for a staged-parquet read
+    * in the sf0.1 replay harness. Same pair universe as
+    * SimilarityQueries.confirmedNearDupPairs. */
+  private[queries] val oracleTruthCte: String =
+    """truth AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.shs, b.shs))) AS j
+      |    FROM dl a JOIN dl b
+      |      ON b.doc_id > a.doc_id
+      |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
+      |  WHERE j >= 0.8)""".stripMargin
+
 
   /** score ⋈ label frame: q136's integer score against q78's boolean gate
     * as the 0/1 reference label — one doc-keyed equi-join. */
@@ -297,15 +313,7 @@ object EvalQueries {
        |  FROM bk x JOIN bk y
        |    ON x.b = y.b AND x.r = y.r AND x.band = y.band
        |   AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |truth AS (
-       |  SELECT id_a, id_b FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.shs, b.shs))) AS j
-       |    FROM dl a JOIN dl b
-       |      ON b.doc_id > a.doc_id
-       |     AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n))
-       |  WHERE j >= 0.8),
+       |${EvalQueries.oracleTruthCte},
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth)
        |SELECT c.b AS bands, c.r AS rows_per_band,
        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,

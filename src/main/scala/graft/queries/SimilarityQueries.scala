@@ -1988,6 +1988,20 @@ object SimilarityQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q268's quadratic source-oriented pair CTE, factored so
+    * [[StagedOracles]] can swap it byte-exactly for a staged-parquet read
+    * (the staged variant re-orients each unordered staged pair by source
+    * and re-verifies its Jaccard from raw — same output universe). */
+  private[queries] val oracleSourcePairsCte: String =
+    """pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM dl a JOIN dl b
+      |    ON a.source < b.source
+      |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)""".stripMargin
+
   val q268Oracle: String = {
     val toks = "regexp_split_to_array(trim(text), '\\s+')"
     s"""WITH docs_p AS (
@@ -2004,14 +2018,7 @@ object SimilarityQueries {
        |          END) AS sh
        |      FROM docs_p),
        |dl AS (SELECT doc_id, source, sh, len(sh) AS n FROM d),
-       |pairs AS (
-       |  SELECT a.source AS src_a, b.source AS src_b,
-       |    a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM dl a JOIN dl b
-       |    ON a.source < b.source
-       |   AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
-       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+       |$oracleSourcePairsCte
        |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        |  CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_docs_a,
        |  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_b

@@ -66,10 +66,39 @@ object StagedOracles {
        |  JOIN dl a ON a.doc_id = s.id_a
        |  JOIN dl b ON b.doc_id = s.id_b)""".stripMargin
 
+  private val stagedTruthCte: String =
+    s"""truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT s.id_a, s.id_b,
+       |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shs, b.shs))) AS j
+       |    FROM $PairsView s
+       |    JOIN dl a ON a.doc_id = s.id_a
+       |    JOIN dl b ON b.doc_id = s.id_b)
+       |  WHERE j >= 0.8)""".stripMargin
+
+  // q268's pairs are oriented by SOURCE order, not doc-id order; each
+  // unordered staged pair is re-oriented and same-source pairs (excluded
+  // by the original's strict a.source < b.source) are filtered out.
+  private val stagedSourcePairsCte: String =
+    s"""pairs AS (
+       |  SELECT CASE WHEN a.source < b.source THEN a.source ELSE b.source END AS src_a,
+       |    CASE WHEN a.source < b.source THEN b.source ELSE a.source END AS src_b,
+       |    CASE WHEN a.source < b.source THEN a.doc_id ELSE b.doc_id END AS id_a,
+       |    CASE WHEN a.source < b.source THEN b.doc_id ELSE a.doc_id END AS id_b
+       |  FROM $PairsView s
+       |  JOIN dl a ON a.doc_id = s.id_a
+       |  JOIN dl b ON b.doc_id = s.id_b
+       |  WHERE a.source <> b.source
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)""".stripMargin
+
   private[queries] val rewrites: Seq[(String, String)] = Seq(
     GraphQueries.oraclePairCte -> stagedPairCte,
     SimilarityQueries.oracleScoredCte -> stagedScoredCte,
-    SimilarityQueries.oracleExactPairs -> stagedExactPairs)
+    SimilarityQueries.oracleExactPairs -> stagedExactPairs,
+    EvalQueries.oracleTruthCte -> stagedTruthCte,
+    SimilarityQueries.oracleSourcePairsCte -> stagedSourcePairsCte)
 
   /** The staged variant of `sql`, or None when no cascade fragment appears
     * (the query's from-raw oracle is already sf0.1-runnable as authored). */

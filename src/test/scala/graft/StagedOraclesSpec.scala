@@ -37,7 +37,10 @@ class StagedOraclesSpec extends AnyFunSuite {
   test("pair precision stays re-verified from raw in every staged variant " +
     "(the confirmation filter survives the rewrite)") {
     stagedMap.foreach { case (k, sql) =>
-      assert(sql.contains("j >= 0.8") || sql.contains("inter * 5 >= uni * 4"),
+      // the three confirmation forms: the aliased j filter, q341's integer
+      // cross-multiplication, and q268's inline ratio filter
+      assert(sql.contains("j >= 0.8") || sql.contains("inter * 5 >= uni * 4")
+        || sql.contains("list_concat(a.sh, b.sh))) >= 0.8"),
         s"$k staged SQL dropped the exact-Jaccard confirmation")
     }
   }
@@ -54,7 +57,8 @@ class StagedOraclesSpec extends AnyFunSuite {
       "q36_dedup_minhash", "q72_dedup_clusters", "q119_dedup_best_of_cluster",
       "q141_neardup_components", "q150_incremental_components",
       "q182_contrastive_pairs", "q184_dedup_aware_folds",
-      "q200_triangle_census", "q204_kcore", "q269_dedup_map",
+      "q200_triangle_census", "q204_kcore", "q210_lsh_param_audit",
+      "q268_syndication_matrix", "q269_dedup_map",
       "q270_curation_run", "q273_pair_features", "q280_cluster_cohesion",
       "q284_effective_corpus", "q308_incr_components_prod",
       "q325_degree_assortativity", "q333_quality_canonical_map",
