@@ -72,10 +72,25 @@ object PlanDump {
       sb.append("\n```\n")
     }
     sb.append(Notes)
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${Showcase.size} plans)")
+    // PRESERVE THE MANUAL TAIL (round 15): PLANS.md also carries the
+    // per-round decision records appended by hand below the marker; a
+    // regeneration must refresh the plan dumps WITHOUT clobbering them.
+    val out = Paths.get("PLANS.md")
+    val manual =
+      if (Files.exists(out)) {
+        val txt = Files.readString(out)
+        val i = txt.indexOf(ManualMarker)
+        if (i >= 0) txt.substring(i) else ManualMarker + "\n"
+      } else ManualMarker + "\n"
+    sb.append("\n").append(manual)
+    Files.writeString(out, sb.toString)
+    println(s"wrote PLANS.md (${Showcase.size} plans; manual tail preserved)")
     spark.stop()
   }
+
+  /** Everything at/after this line in PLANS.md survives regeneration. */
+  private val ManualMarker =
+    "<!-- MANUAL NOTES BELOW - PlanDump preserves everything after this line -->"
 
   /** Prose appendix — methodology notes the plan dumps alone can't carry. */
   private val Notes: String =
