@@ -69,6 +69,14 @@ class StagedOraclesSpec extends AnyFunSuite {
         s"-${expected -- stagedMap.keySet}")
   }
 
+  test("staged output is a fixed point: re-applying the rewrite changes " +
+    "nothing (no fragment survives, no double-rewrite possible)") {
+    stagedMap.foreach { case (k, sql) =>
+      assert(queries.StagedOracles.staged(sql).isEmpty,
+        s"$k staged SQL still matches a rewrite fragment")
+    }
+  }
+
   test("the from-raw gate oracles are untouched by the staged machinery") {
     // oracleSql must never serve staged SQL — from-raw is the sf0.01 hard
     // gate; the staged map is a separate dump (oracle_sql_staged.json)

@@ -442,6 +442,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // wide spacing survives coarse-mtime filesystems
     assert(times.zip(times.tail).forall { case (a, b) => b - a >= 1000 },
       s"mtimes too close for coarse filesystems: $times")
+    // the full-fact staging variant (q374's backfill replay) carries the
+    // same ordering guarantee
+    StreamingOps.eventsReadStreamSlicedFull(spark, sfDir, slices = 3)
+    val fdir = graft.util.Staging.dir("graft_stream_f3", sfDir)
+    val ftimes = (0 until 3).map { s =>
+      java.nio.file.Files.getLastModifiedTime(
+        fdir.resolve(s"slice$s.parquet")).toMillis
+    }
+    assert(ftimes === ftimes.sorted && ftimes.distinct.length === 3,
+      s"full-fact slice mtimes unordered or tied: $ftimes")
   }
 
   test("q278: streaming decontamination equals the q133 batch screen, " +
