@@ -37,7 +37,7 @@ object PlanDump {
     "q135_doc_fluency"  -> "LM fluency: per-(doc,bigram) pre-agg flattens the Zipfian count join; one exchange feeds both consumers",
     "q136_quality_classifier" -> "classifier inference as a projection: codegen'd LinearTextScore, no explode/join/agg",
     "q137_bpe_tokens"   -> "BPE budget counting as a projection: codegen'd greedy longest-match, vocab ships with the plan",
-    "q142_pagerank"     -> "fixed-iteration PageRank as ONE unrolled plan (exchange reuse happens at runtime via AQE's stage cache — GraphSpec asserts ReusedExchange in the executed plan)",
+    "q142_pagerank"     -> "fixed-iteration PageRank as ONE unrolled plan over once-materialized edge/degree frames (GraphSpec asserts the iteration tree scans ExistingRDD and replays no FileScan)",
     "q144_bm25_search"  -> "BM25: ONE tokenize pass feeds every statistic (ReusedExchange; single documents FileScan), broadcast query-term stats onto postings, TakeOrdered top-k",
     "q146_skyline"      -> "2D skyline via distributed exclusive prefix-min: range exchange on the sort key, no empty-partition-by window",
     "q149_equidepth_bins" -> "equi-depth bins from the distributed rank: range-partitioned corpus, no 3-value-key window exchange",

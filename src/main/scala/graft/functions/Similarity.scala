@@ -244,6 +244,31 @@ object Similarity {
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
   }
 
+  /** Materialize a pair frame that the component iterations consume more
+    * than once (both CC variants reference their input from at least two
+    * subtrees — the doubled edge list, and the star variant's self-node
+    * pass). When the input is already a cheap re-read — a checkpointed RDD
+    * or a (projected/filtered) file scan — it passes through untouched, so
+    * a staged-parquet composed run keeps its pinned scan in the final plan
+    * and an already-shared frame is not checkpointed twice. Anything else
+    * (the MinHash confirm cascade, filtered splits of a derived frame
+    * whose parent was not shared) is localCheckpoint'd ONCE so the
+    * derivation never replays per consumer (round-15 optimization; at
+    * cluster scale this is the persisted fingerprint/pair table posture).
+    */
+  private def materializedPairs(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def cheap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project => cheap(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => cheap(f.child)
+      case _ => false
+    }
+    if (cheap(pairs.queryExecution.logical)) pairs
+    else pairs.localCheckpoint(true)
+  }
+
   /** Connected components over an undirected pair list (id_a, id_b) by
     * min-label propagation: every node's label converges to the smallest id
     * in its component. Iterations bound the component DIAMETER —
@@ -252,8 +277,9 @@ object Similarity {
     * DataFrame-native (the classic large-graph CC-over-joins shape).
     */
   def connectedComponents(
-      pairs: org.apache.spark.sql.DataFrame,
+      pairs0: org.apache.spark.sql.DataFrame,
       maxIter: Int = 6): org.apache.spark.sql.DataFrame = {
+    val pairs = materializedPairs(pairs0)
     // Iterative loops MUST truncate lineage each round. persist() alone is
     // not enough: the logical plan still nests every prior round (plus the
     // full upstream pipeline) inside each InMemoryRelation, so PLANNING
@@ -331,8 +357,12 @@ object Similarity {
     *         ids themselves are never emitted as nodes.
     */
   def connectedComponentsStar(
-      pairs: org.apache.spark.sql.DataFrame,
+      pairs0: org.apache.spark.sql.DataFrame,
       maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    // the input feeds BOTH the edge canonicalization and the self-node
+    // pass below — materialize it once (see materializedPairs) so a
+    // derived pair cascade is not replayed per consumer
+    val pairs = materializedPairs(pairs0)
     // canonical undirected edge set: (u, v) with u < v, deduped
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
@@ -381,9 +411,14 @@ object Similarity {
         .unionByName(minsS.select(col("m").as("u"), col("v")))
         .distinct()
         .localCheckpoint(true)
-      // exact convergence: same cardinality and no edge in next \ edges
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // exact convergence in ONE action: both frames are distinct and
+      // checkpointed, so unioning them and counting per (u, v) yields 2
+      // exactly when the edge sits on both sides — set equality iff no
+      // group counts 1. Replaces the former count+count+except triple
+      // (three jobs, two of them shuffling both frames) with one shuffle.
+      converged = next.unionByName(edges)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") =!= 2).isEmpty
       edges = next
       i += 1
     }

@@ -1271,6 +1271,10 @@ object AdvancedQueries {
         sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2))
           .as("mon"))
       .withColumn("one", lit(1L)).withColumn("g", lit(0))
+      // four consumers (three rank scaffolds + the user total) —
+      // materialize the per-user aggregate once so the events scan and
+      // its groupBy run once, not per consumer (round-15)
+      .localCheckpoint(true)
     def rank(df: DataFrame,
         order: Seq[org.apache.spark.sql.Column], out: String): DataFrame =
       PrefixSum.runningTotal(df, Seq("g"), order, "one", out)

@@ -2597,25 +2597,35 @@ object CurationQueries {
     * plan. Nothing is collected to the driver.
     */
   def q305GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // the posting frame feeds the total count, round 1's gain aggregate,
+    // round 1's covered join and (through the anti-join chain) every
+    // later round — and each round's remainder is likewise consumed three
+    // times (pick, covered, next anti-join). Materialize per round
+    // (localCheckpoint, the q361/q342 unroll discipline): without it the
+    // explode+distinct pass replays once per reference and the unrolled
+    // plan compounds geometrically (round-15 optimization; results are
+    // unchanged — each round still computes the identical greedy step).
     val posting = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.expressions.ShingleStrings.shingleStrings(
           TextFunctions.tokens(col("text")), 3)).as("term"))
       .distinct()
+      .localCheckpoint(true)
     val total = posting.select(col("term")).distinct()
       .agg(count(lit(1)).as("total_terms"))
-    def round(rem: DataFrame): (DataFrame, DataFrame) = {
-      val pick = rem.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+    def pickOf(rem: DataFrame): DataFrame =
+      rem.groupBy(col("source")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("source").asc).limit(1)
+    def nextRem(rem: DataFrame, pick: DataFrame): DataFrame = {
       val covered = rem
         .join(broadcast(pick.select(col("source"))), "source")
         .select(col("term"))
-      (pick, rem.join(covered, Seq("term"), "left_anti"))
+      rem.join(covered, Seq("term"), "left_anti").localCheckpoint(true)
     }
-    val (p1, r1) = round(posting)
-    val (p2, r2) = round(r1)
-    val (p3, r3) = round(r2)
-    val (p4, _)  = round(r3)
+    val p1 = pickOf(posting); val r1 = nextRem(posting, p1)
+    val p2 = pickOf(r1); val r2 = nextRem(r1, p2)
+    val p3 = pickOf(r2); val r3 = nextRem(r2, p3)
+    val p4 = pickOf(r3)
     val steps = Seq(p1, p2, p3, p4).zipWithIndex
       .map { case (p, i) =>
         p.select(lit(i + 1L).as("step"), col("source"),

@@ -13,10 +13,12 @@ import graft.functions.Similarity
   *
   * Both are the "iterative algorithms on a relational engine" tier of a
   * 100 TB pipeline: CC materializes per-round (state is the edge set — it
-  * must contract), while PageRank with a FIXED iteration count stays fully
-  * declarative — the unrolled plan is a join tree Catalyst optimizes as
-  * one query, with the edge-scan exchanges deduplicated by reuse; no
-  * driver-side loop state, no checkpoint, no action until the sink.
+  * must contract), while PageRank with a FIXED iteration count unrolls
+  * into one declarative join tree over edge/degree frames that are
+  * materialized ONCE up front (round-15 optimization: localCheckpoint —
+  * the persisted-edge-list posture — replaced reliance on runtime
+  * exchange reuse, so the orders⋈lineitem derivation provably runs once
+  * instead of once per reference).
   */
 object GraphQueries {
 
@@ -35,17 +37,28 @@ object GraphQueries {
     * and the cluster size. The DuckDB oracle recomputes the closure with a
     * recursive reachability CTE over the same exact-Jaccard pair set.
     */
-  def q141NearDupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
-      .select(col("id_a"), col("id_b"))
-    val labels = Similarity.connectedComponentsStar(pairs)
+  def q141NearDupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(
+      SimilarityQueries.confirmedNearDupPairs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** q141's contraction + size enrich over an EXPLICIT pair frame, no
+    * presentation sort — the shared core for every query that needs both
+    * the components and the pair frame (round-15 optimization): the
+    * caller derives pairs once ([[SimilarityQueries.sharedNearDupPairs]])
+    * and feeds the same materialized frame here and into its own joins,
+    * instead of re-deriving the cascade per consumer (q141-via-helper
+    * plus a direct pair read used to cost TWO derivations per query).
+    */
+  private[queries] def componentsFromPairs(pairs: DataFrame): DataFrame = {
+    val labels = Similarity.connectedComponentsStar(
+      pairs.select(col("id_a"), col("id_b")))
     // cluster-size frame is one row per component — tiny vs the corpus —
     // so the enrich join broadcasts
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     labels.join(broadcast(sizes), "label")
       .select(col("id").as("doc_id"), col("label").as("component"),
         col("n_members"))
-      .orderBy(col("doc_id"))
   }
 
   /** CORPUS DEDUP MAP (q269) — the artifact a dedup pipeline actually
@@ -224,14 +237,16 @@ object GraphQueries {
     // pair generation and contraction are each materialized ONCE
     // (localCheckpoint, q204's discipline): the three BFS rounds and
     // four count joins below would otherwise replay the MinHash cascade
-    // per reference
+    // per reference. The pair frame is SHARED between the contraction
+    // and the BFS edge list (round-15: this query used to pay the
+    // cascade twice — once inside q141, once for its own edges).
+    val p = SimilarityQueries.sharedNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
     val comp = (spark.conf.getOption("spark.graft.folds.componentTable") match {
       case Some(path) => spark.read.parquet(path)
-      case None => q141NearDupComponents(spark, dir)
+      case None => componentsFromPairs(p)
     }).select(col("doc_id"), col("component"), col("n_members"))
       .localCheckpoint(true)
-    val p = SimilarityQueries.confirmedNearDupPairs(spark, dir)
-      .select(col("id_a"), col("id_b"))
     val e = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
@@ -305,9 +320,9 @@ object GraphQueries {
     *
     * Scale shape: the iteration count is FIXED, so the whole computation
     * is one declarative plan — contribution = edges ⋈ degrees ⋈ ranks,
-    * re-aggregated by destination, unrolled three times. Catalyst plans it
-    * as a single join tree; the edge relation's shuffle is planned once
-    * and reused across iterations (ReusedExchange), and nothing
+    * re-aggregated by destination, unrolled three times — over edge and
+    * degree frames materialized once up front (localCheckpoint; durable
+    * checkpoint / persisted edge table at cluster scale). Nothing
     * materializes on the driver. The joins/aggregates shuffle on the node
     * key — high-cardinality, skew governed by AQE like every other keyed
     * exchange in the library.
@@ -319,9 +334,17 @@ object GraphQueries {
       .select((col("o_custkey") * 2).cast(LongType).as("src"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("dst"))
       .distinct()
+    // The edge and degree frames feed every unrolled iteration (edges 3x,
+    // degrees 4x). Round 15: materialize each ONCE (localCheckpoint; the
+    // persisted-edge-list posture of any production PageRank) instead of
+    // relying on runtime exchange reuse to deduplicate the
+    // orders⋈lineitem derivation per reference — the iteration tree then
+    // reads two small materialized frames and the fact join runs once.
     val edges = one.unionByName(
       one.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val init = deg.select(col("src").as("node"),
       lit(1000000000L).as("r"))
     def step(ranks: DataFrame): DataFrame = {
@@ -388,7 +411,8 @@ object GraphQueries {
     * dedup, extended to transitive clusters.
     */
   def q150IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    // shared: the base/delta split consumes the pair frame twice
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     // deterministic batch split standing in for "yesterday / today"
     val base = pairs.filter(col("id_a") % 2 === 0)
@@ -432,7 +456,8 @@ object GraphQueries {
     * base-delta and delta-delta pairs all exist at gate scale).
     */
   def q271FrontierComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    // shared: the base/delta split consumes the pair frame twice
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val isDelta = (c: org.apache.spark.sql.Column) => pmod(c, lit(7L)) === 0
     val basePairs = pairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b")))
@@ -514,13 +539,16 @@ object GraphQueries {
     * component-keyed aggregates — output is cluster-count-sized.
     */
   def q280ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    // shared: the contraction and the pair-count audit read ONE pair
+    // derivation (round-15; this query used to pay the cascade twice)
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
     val labels =
       (spark.conf.getOption("spark.graft.folds.componentTable") match {
         case Some(path) => spark.read.parquet(path)
-        case None => q141NearDupComponents(spark, dir)
+        case None => componentsFromPairs(pairs)
       }).select(col("doc_id"), col("component"))
     // closure guarantees both endpoints share a component — one join
-    val pc = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    val pc = pairs
       .select(col("id_a"))
       .join(labels.select(col("doc_id").as("id_a"), col("component")), "id_a")
       .groupBy(col("component")).agg(count(lit(1)).as("n_confirmed_pairs"))
@@ -593,7 +621,9 @@ object GraphQueries {
     * cross-join as 1-row frames (no driver-side counts).
     */
   def q200TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    // shared: the doubled edge list, wedge close and count aggregates
+    // reference the pair frame four times
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val und = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -671,20 +701,32 @@ object GraphQueries {
     * scale) and every subsequent round runs on checkpointed frames.
     */
   def q204KCoreDecomposition(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    // shared: the doubled edge list consumes the pair frame twice
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
     def survivors(k: Int): DataFrame = {
+      // Early fixpoint exit (round 15): each round only FILTERS the edge
+      // frame (e' ⊆ e), so an unchanged cardinality proves e' = e and
+      // every remaining round is the identity — the result is exactly the
+      // 8-round unroll's (the oracle's extra rounds are no-ops past the
+      // fixpoint, as the spec already asserts). The count rides the
+      // freshly checkpointed RDD, so the probe is a cheap job, and the
+      // gate corpus peels to its fixpoint in ~2 rounds instead of 8.
       var e = edges
-      for (_ <- 1 to 8) {
+      var prev = e.count()
+      var done = false
+      for (_ <- 1 to 8 if !done) {
         val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("u").as("node"))
         e = e.join(keep.select(col("node").as("u")), "u")
           .join(keep.select(col("node").as("v")), "v")
           .select(col("u"), col("v"))
           .localCheckpoint(true)
+        val n = e.count()
+        if (n == prev) done = true else prev = n
       }
       e.select(col("u").as("node")).distinct()
     }
@@ -745,18 +787,23 @@ object GraphQueries {
     *
     * Scale shape: iteration count FIXED, so the whole computation is one
     * declarative plan — edge ⋈ score re-aggregations shuffling on the
-    * node key, unrolled; the per-step max is a 1-row aggregate broadcast
-    * back (no driver round-trip). Normalize multiplies promote to
+    * node key, unrolled over a once-materialized edge frame (round-15:
+    * localCheckpoint, q142's posture); the per-step max is a 1-row
+    * aggregate broadcast back (no driver round-trip). Normalize
+    * multiplies promote to
     * DECIMAL(38,0)/HUGEINT before scaling: score·10⁶ can pass 2⁶³ once
     * degrees reach 10⁷, where a Long multiply wraps silently.
     */
   def q295Hits(spark: SparkSession, dir: String): DataFrame = {
+    // edge list feeds h0 + all four half-steps — materialize the
+    // orders⋈lineitem distinct once (q142's round-15 posture)
     val edges = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast(LongType).as("src"),
         col("l_suppkey").cast(LongType).as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val h0 = edges.select(col("src")).distinct()
       .select(col("src"), lit(1000000L).as("h"))
     def authStep(h: DataFrame): DataFrame = {
@@ -779,7 +826,9 @@ object GraphQueries {
     }
     val a1 = authStep(h0)
     val h1 = hubStep(a1)
-    val a2 = authStep(h1)
+    // a2 is consumed twice (h2's step and the output union) — materialize
+    // the tiny per-node score frame once
+    val a2 = authStep(h1).localCheckpoint(true)
     val h2 = hubStep(a2)
     h2.select(lit("hub").as("role"), col("src").as("entity_key"),
         col("h").as("score_scaled"))
@@ -840,7 +889,9 @@ object GraphQueries {
     * row.
     */
   def q325DegreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityQueries.confirmedNearDupPairs(spark, dir)
+    // shared: doubled edge list + endpoint-degree joins reference the
+    // pair frame three times
+    val pairs = SimilarityQueries.sharedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val und = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

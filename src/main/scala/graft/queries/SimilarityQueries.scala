@@ -77,8 +77,35 @@ object SimilarityQueries {
       case None => derivedNearDupPairs(spark, dir)
     }
 
+  /** [[confirmedNearDupPairs]] for MULTI-CONSUMER queries (round-15
+    * optimization): a query that feeds the pair frame into several
+    * downstream subtrees (contraction + edge walk + audit joins) would
+    * otherwise replay the whole confirm cascade once per subtree. Here
+    * the gate-mode derivation is materialized ONCE per invocation
+    * (localCheckpoint — recomputed from parquet on every call, never
+    * memoized across runs); the staged-parquet path is returned as-is,
+    * a file scan re-reads cheaply and the composed-run plan pins stay
+    * scannable. Same conf contract as [[confirmedNearDupPairs]].
+    */
+  private[queries] def sharedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption(NearDupPairConf) match {
+      case Some(path) => spark.read.parquet(path)
+      case None => derivedNearDupPairs(spark, dir).localCheckpoint(true)
+    }
+
   /** The derivation itself (conf-blind) — what a composed run persists
-    * (graft-visible: CurationRun stages it, the spec baselines it). */
+    * (graft-visible: CurationRun stages it, the spec baselines it).
+    *
+    * Deliberately LAZY (round-15 A/B finding): materializing the
+    * shingle/banded intermediates here (localCheckpoint) was measured
+    * SLOWER on the gate box — the duplicated subtrees execute in
+    * parallel inside one job, while each checkpoint adds a serial job
+    * and erases size statistics (a LogicalRDD reports no size, so the
+    * exact-confirm joins lose their automatic broadcast and fall back
+    * to sort-merge). Multi-consumer queries share ONE materialization
+    * of the finished pair frame via [[sharedNearDupPairs]] instead —
+    * that is where the measured win lives.
+    */
   private[graft] def derivedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // hash-identified shingles (native expression, no string shingle
     // materialization); exact-Jaccard confirmation runs on the hash sets —
@@ -1510,6 +1537,11 @@ object SimilarityQueries {
       .crossJoin(spark.range(0, 12).select(col("id").as("k")))
       .select((lit(3 * PlantOffset) + col("k")).as("doc_id"),
         concat(col("text"), lit(" hotfam"), col("k").cast(StringType)).as("text"))
+    // Deliberately lazy throughout (round-15 A/B finding): checkpointing
+    // the keys/survivor/candidate/truth web was measured 1.8x SLOWER here
+    // — every duplicated subtree runs in parallel inside one job at this
+    // shape, while checkpoints serialize into a job chain and their
+    // stat-less RDDs demote the automatic broadcast joins to sort-merge.
     val docs = docsWithPlants(spark, dir).unionByName(fam)
       .withColumn("sh", md5ShingleHashes(shingleSet(col("text"), 3)))
     val keys = docs
@@ -1704,6 +1736,8 @@ object SimilarityQueries {
   private[graft] def winnowKeptFingerprints(docs: DataFrame, w: Int,
       maxDf: Int): DataFrame = {
     val grams = wordShingles(graft.functions.TextFunctions.tokens(col("text")), 3)
+    // lazy by measurement (round-15 A/B): checkpointing fp/keyed here
+    // read slightly slower than the parallel duplicated subtrees
     val fp = docs
       .withColumn("hs", md5ShingleHashes(grams))
       .withColumn("nwin", greatest(lit(1), size(col("hs")) - (w - 1)))

@@ -99,11 +99,19 @@ class DocsSyncSpec extends AnyFunSuite {
     // q350 stage checksum already pins. If you add one deliberately,
     // read the policy, justify the row in COVERAGE.md, then update this
     // inventory.
+    // Round-15 optimization split the conf-aware helper in two:
+    // `confirmedNearDupPairs` (lazy — single-consumer queries) and
+    // `sharedNearDupPairs` (localCheckpoint'd once — queries that feed
+    // the pair frame into several subtrees). BOTH are cascade consumers
+    // under the round-14 policy; the combined per-file inventory stays
+    // frozen. The consumer set itself is unchanged from round 14 — only
+    // which helper each site routes through moved (multi-consumer sites
+    // went shared so one invocation derives the cascade once).
     val expected = Map(
       "EvalQueries.scala" -> 1,
       "GraphQueries.scala" -> 9,
       "MiningQueries.scala" -> 2,
-      "SimilarityQueries.scala" -> 6)
+      "SimilarityQueries.scala" -> 7)
     val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
     // Files.list holds a directory handle until closed (round-15 advice)
     val listed = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
@@ -112,8 +120,10 @@ class DocsSyncSpec extends AnyFunSuite {
     val actual = listed
       .filter(_.toString.endsWith(".scala"))
       .map { p =>
+        val txt = read(p.toString)
         p.getFileName.toString ->
-          "confirmedNearDupPairs\\(".r.findAllIn(read(p.toString)).length
+          ("(confirmedNearDupPairs|sharedNearDupPairs)\\(".r
+            .findAllIn(txt).length)
       }.filter(_._2 > 0).toMap
     assert(actual === expected,
       "cascade consumer inventory changed — see PLANS.md round-14 " +

@@ -31,17 +31,23 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(incr === full)
   }
 
-  test("q142: fixed-iteration PageRank plans as ONE query with exchange reuse") {
+  test("q142: unrolled PageRank iterates over materialized edge/degree " +
+    "frames (no per-round fact-join replay)") {
     val df = GraphQueries.q142PageRank(spark, sfDir)
     val rows = df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), plan.take(500))
     val cut = plan.indexOf("== Initial Plan ==")
     val finalPlan = if (cut >= 0) plan.take(cut) else plan
-    // the edge/degree relations feed all three unrolled iterations — the
-    // adaptive plan must materialize their exchanges once, not per round
-    assert(finalPlan.contains("ReusedExchange"),
-      s"unrolled PageRank must reuse exchanges:\n${finalPlan.take(6000)}")
+    // round 15: the edge/degree relations are localCheckpoint'd once and
+    // every unrolled iteration reads the materialized RDD — the final
+    // plan must scan ExistingRDD and must NOT re-derive orders⋈lineitem
+    // (a FileScan in the iteration tree would mean the fact join replays
+    // per round)
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"iterations must read the checkpointed frames:\n${finalPlan.take(6000)}")
+    assert(!finalPlan.contains("FileScan"),
+      s"fact join must not replay inside the iteration tree:\n${finalPlan.take(6000)}")
     // every node keeps at least the teleport mass, and total scaled mass
     // stays within the floor-division leakage bound (each div drops < 1
     // unit per edge/node)
