@@ -101,6 +101,86 @@ object PrefixSum {
       .drop("__pid", "__gkey", "__lcum", "__off")
   }
 
+  /** DISTRIBUTED ADJACENT-RUN CENSUS over a total order (round-15
+    * optimization, built for q369's encoding advisor): returns a ONE-ROW
+    * frame `(n, runs)` where `n` is the row count and `runs` is the RLE
+    * run count of `valueCol` in `sortCols` order — exactly
+    * `1 + Σ [prev ≠ null ∧ v ≠ null ∧ v ≠ prev]` over the globally
+    * sorted sequence (null runs are not counted as transitions, matching
+    * the LAG-based formulation), and null when the input is empty.
+    *
+    * Replaces the rank-scaffold + shifted self-join the advisor used
+    * (`runningTotal` to number rows, then rk ⋈ (rn+1) to pair neighbors
+    * — two extra corpus exchanges per column): ONE range exchange in
+    * sort order, an O(1)-state per-partition scan emitting a single
+    * summary row (count, within-partition transitions, first/last
+    * value), and a P-row stitch that adds one transition per
+    * partition boundary whose adjacent values differ. The stitch window
+    * runs over ≤ `numShufflePartitions` rows — constant-sized, never
+    * corpus-sized. The sort order must be TOTAL (unique sort keys) for
+    * the run count to be well-defined — same contract as the self-join
+    * form. `valueCol` must be StringType (cast upstream, as the advisor
+    * does).
+    */
+  def orderedRuns(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String): DataFrame = {
+    require(sortCols.nonEmpty)
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ordered = df
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val base = ordered.schema
+    require(base(valueCol).dataType == StringType,
+      s"$valueCol must be StringType, is ${base(valueCol).dataType}")
+    val vIdx = base.fieldIndex(valueCol)
+    val pIdx = base.fieldIndex("__pid")
+    val summarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__trans", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__first", StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("__last", StringType, nullable = true)))
+    implicit val enc = Encoders.row(summarySchema)
+    val perPart = ordered.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var pid = -1
+        var n = 0L
+        var trans = 0L
+        var first: String = null
+        var firstSet = false
+        var prev: String = null
+        var hasPrev = false
+        while (it.hasNext) {
+          val r = it.next()
+          pid = r.getInt(pIdx)
+          val v = if (r.isNullAt(vIdx)) null else r.getString(vIdx)
+          if (!firstSet) { first = v; firstSet = true }
+          if (hasPrev && prev != null && v != null && v != prev) trans += 1
+          prev = v; hasPrev = true; n += 1
+        }
+        Iterator(Row(pid, n, trans, first, prev))
+      }
+    }
+    // boundary stitch over the tiny per-partition frame (<= p rows): the
+    // previous NON-EMPTY partition's last value is simply lag() here,
+    // because empty partitions emitted no summary row
+    val w = Window.orderBy(col("__pid"))
+    perPart
+      .withColumn("__plast", lag(col("__last"), 1).over(w))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        (sum(col("__trans")) +
+          sum(when(col("__plast").isNotNull && col("__first").isNotNull &&
+            col("__plast") =!= col("__first"), 1L).otherwise(0L)) + 1L)
+          .as("runs"))
+  }
+
   /** DISTRIBUTED EXCLUSIVE prefix-min — same two-pass scaffold as
     * [[runningTotal]], different monoid: `outCol` is the minimum of
     * `valueCol` over all STRICTLY PRECEDING rows of the group in sort

@@ -848,6 +848,9 @@ object CurationQueries {
       .filter(col("b").isNotNull)
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("x"))
+    // deliberately lazy (round-15 A/B): x ends in an aggregate exchange
+    // that AQE's stage cache already reuses across the seven consumers;
+    // an eager checkpoint only added serial latency (measured 1.12x)
     val nDocs = x.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
     val w0 = spark.range(B).select(col("id").as("b"), lit(0L).as("w"))
     val trained = (1 to 3).foldLeft(w0) { (w, _) =>

@@ -405,6 +405,9 @@ object EmbeddingQueries {
   def q301PowerIteration(spark: SparkSession, dir: String): DataFrame = {
     val upper = q226EmbeddingCovariance(spark, dir)
       .select(col("i"), col("j"), col("cov_q"))
+    // deliberately lazy (round-15 A/B): the covariance subtree ends in an
+    // aggregate exchange AQE reuses across the unrolled steps; an eager
+    // checkpoint measured as a small loss (1.06x), not a win
     val full = upper.unionByName(
       upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov_q")))

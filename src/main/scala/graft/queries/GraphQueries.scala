@@ -170,10 +170,17 @@ object GraphQueries {
     * corpus spine left-joined twice. Output is corpus-sized by design.
     */
   def q333QualityCanonicalMap(spark: SparkSession, dir: String): DataFrame = {
-    val comp = (spark.conf.getOption("spark.graft.folds.componentTable") match {
+    // two consumers (survivor argmax + the spine left join): in gate mode
+    // materialize the derived component map once so the contraction's
+    // label pass does not replay per consumer; the staged parquet path
+    // stays lazy (cheap re-read, scan stays in the plan)
+    val compsStaged = spark.conf.getOption("spark.graft.folds.componentTable")
+    val comp0 = (compsStaged match {
       case Some(path) => spark.read.parquet(path)
       case None => q141NearDupComponents(spark, dir)
     }).select(col("doc_id"), col("component"))
+    val comp =
+      if (compsStaged.isDefined) comp0 else comp0.localCheckpoint(true)
     val docs = SimilarityQueries.docsWithPlants(spark, dir)
       .select(col("doc_id"), length(col("text")).cast(LongType).as("qual"))
     val surv = docs.join(comp, Seq("doc_id"))

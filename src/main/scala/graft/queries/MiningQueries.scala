@@ -240,11 +240,17 @@ object MiningQueries {
         col("n_chars").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars"),
         lit(1L).as("one"), lit("all").as("g"))
+    // pooled feeds the per-source rank AND the final idx join; ranked
+    // feeds three aggregates/joins — materialize each rank scaffold once
+    // (round-15) instead of replaying the range-exchange passes per
+    // consumer
     val pooled = graft.functions.PrefixSum.runningTotal(
       docs, Seq("g"), Seq(col("n_chars").asc, col("doc_id").asc), "one", "prk")
+      .localCheckpoint(true)
     val ranked = graft.functions.PrefixSum.runningTotal(
       pooled.withColumn("one2", lit(1L)),
       Seq("source"), Seq(col("prk").asc), "one2", "srk")
+      .localCheckpoint(true)
     val perSource = ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("ns"))
     val total = ranked.agg(count(lit(1)).as("n")).withColumn("k", lit(1))

@@ -2088,15 +2088,15 @@ object ProfilingQueries {
     val perCol = EncodingCandidates.map { case (t, c, keys) =>
       val base = Tables.load(spark, dir, t)
         .select((keys.map(col) :+ col(c).cast("string").as("v")): _*)
-        .withColumn("g", lit(0)).withColumn("one", lit(1L))
-      val rk = graft.functions.PrefixSum
-        .runningTotal(base, Seq("g"), keys.map(col(_).asc), "one", "rn")
-        .select(col("rn"), col("v"))
-      val prev = rk.select((col("rn") + 1L).as("rn"), col("v").as("pv"))
-      val runs = rk.join(prev, Seq("rn"), "left_outer")
-        .agg(count(lit(1)).as("n"),
-          (sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
-            .otherwise(0L)) + 1L).as("runs"))
+      // run census via the one-pass distributed primitive (round 15):
+      // the former rank-scaffold + rn⋈(rn+1) self-join paid two extra
+      // corpus exchanges per column to pair adjacent rows; orderedRuns
+      // pairs them inside the range-partitioned scan and stitches the
+      // <= P partition boundaries on a constant-sized frame. Identical
+      // (n, runs) semantics — PrefixSumSpec pins equivalence to the
+      // windowed-lag reference.
+      val runs = graft.functions.PrefixSum
+        .orderedRuns(base, keys.map(col(_).asc), "v")
       val ndv = base.agg(countDistinct(col("v")).as("ndv"))
       runs.crossJoin(ndv)
         .select(lit(t).as("table_name"), lit(c).as("column_name"),

@@ -2155,6 +2155,10 @@ object SimilarityQueries {
             col("vec_id"))), col("vec_id"))))
       .filter(col("rk") <= 64)
       .select(col("vec_id"), col("v"), col("bk"))
+    // the scored pair frame feeds both directions of the doubled list,
+    // and the per-node best feeds both sides of the mutual self-join —
+    // materialize each once (round-15) so the LSH cap + cosine web runs
+    // once, not per reference
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
@@ -2163,6 +2167,7 @@ object SimilarityQueries {
       .distinct()
       .withColumn("sim", cosine(col("va"), col("vb")))
       .select(col("ia"), col("ib"), col("sim"))
+      .localCheckpoint(true)
     val directed = pairs
       .select(col("ia").as("src"), col("ib").as("dst"), col("sim"))
       .unionByName(
@@ -2171,6 +2176,7 @@ object SimilarityQueries {
     val best = directed.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("src"), col("dst"), col("sim"))
+      .localCheckpoint(true)
     best.as("x").join(best.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
           col("x.src") < col("x.dst"))

@@ -142,6 +142,38 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     assert(sky.toSeq.sorted === brute.toSeq)
   }
 
+  test("orderedRuns equals the windowed-lag run census exactly " +
+    "(round-15 q369 internals)") {
+    // adversarial layout: few distinct values (long runs), nulls mixed in
+    // (null never starts or ends a transition), and enough rows that the
+    // range partitioner produces many partition boundaries to stitch
+    val rows: Seq[(Long, String)] = (0 until 20000).map { i =>
+      val v = (i / 17) % 5 match {
+        case 0 => null
+        case k => s"v$k"
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("k", "v")
+    val mine = PrefixSum.orderedRuns(df, Seq(col("k").asc), "v")
+      .collect().head
+    val w = Window.orderBy(col("k"))
+    val exp = df.withColumn("pv", lag(col("v"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
+          .otherwise(0L)) + 1L).as("runs"))
+      .collect().head
+    assert(mine.getLong(mine.fieldIndex("n")) === exp.getLong(exp.fieldIndex("n")))
+    assert(mine.getLong(mine.fieldIndex("runs")) === exp.getLong(exp.fieldIndex("runs")))
+    // and the corpus pass is range-partitioned with a single exchange —
+    // no rank self-join, no corpus hash exchange
+    val out = PrefixSum.orderedRuns(df, Seq(col("k").asc), "v")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert("hashpartitioning\\(k#\\d+".r.findFirstIn(plan).isEmpty, plan.take(4000))
+  }
+
   test("q128's executed plan reuses the range-exchange stage end-to-end") {
     // same assertion against the real registered query (the Pareto/ABC
     // running revenue share), whose plan wraps runningTotal in joins and
