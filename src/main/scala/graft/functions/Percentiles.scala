@@ -90,15 +90,18 @@ object Percentiles {
       // the tuple encoder names the struct fields _1/_2 — rebuild with the
       // field names the downstream joins/decodes use
       .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
+      // materialize the ranked frame ONCE (round-16): the offset branch
+      // and the probe branch both consume it, and although AQE reused the
+      // range exchange, each branch still replayed the within-partition
+      // SORT + streaming rank pass on the reused shuffle output. The
+      // checkpoint makes the sort+rank structurally single-execution; pid
+      // consistency between branches is trivial (both read the same RDD).
+      // Stat erasure is harmless here — every downstream join is already
+      // explicitly broadcast-hinted. Recomputed from parquet every call.
+      .localCheckpoint(true)
 
     // P·G-row frame: counts per (partition, group) → per-group running
     // offsets (window over ≤P rows per group) and non-null totals.
-    // Counts MUST aggregate the mapPartitions output, not the bare
-    // exchange: the branches instantiate the exchange independently, and
-    // AQE may pick different shuffle reads for non-identical subtrees —
-    // partition ids then disagree between the offset frame and the probe
-    // side (verified failure mode). Identical subtrees get identical
-    // stage treatment (and usually a ReusedExchange).
     val counts = ranked.groupBy("pid", "g").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -228,19 +231,20 @@ object Percentiles {
       }
       .toDF("pid", "g", "v", "w", "local_cw")
       .withColumn("g", struct(col("g._1").as("is_null"), col("g._2").as("s")))
+      // materialize ONCE (round-16) — see the note in exactPercentiles:
+      // AQE's stage cache already shared the range exchange between the
+      // offset branch and the probe branch, but each branch re-ran the
+      // within-partition sort + streaming cumsum on the reused shuffle
+      // output. The checkpoint makes the expensive pass structurally
+      // single-execution (PercentilesSpec pins ExistingRDD + a single
+      // range exchange); downstream joins keep their explicit broadcast
+      // hints, so LogicalRDD stat erasure cannot demote them.
+      .localCheckpoint(true)
 
     // P·G-row frame: per-(partition, group) weight sums → per-group prefix
     // offsets AND group totals on the SAME tiny rows (two windows over ≤P
     // rows per group — range-partition order IS ascending pid order), so
-    // the corpus sees exactly ONE broadcast join. Summed over the
-    // mapPartitions output, NOT the bare exchange: asymmetric subtrees
-    // can get different AQE shuffle reads and disagree on partition ids
-    // (see the counts note in exactPercentiles). The identical subtrees
-    // are NOT a 2× corpus cost: AQE's stage cache reuses the range
-    // exchange at runtime (ReusedExchange in the executed plan —
-    // PercentilesSpec asserts it), so the corpus is scanned and shuffled
-    // once; only the sort + streaming pass replay on the reused shuffle
-    // output for the tiny count branch.
+    // the corpus sees exactly ONE broadcast join.
     val counts = ranked.groupBy("pid", "g").agg(sum(col("w")).as("c"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -227,11 +227,18 @@ object EvalQueries {
     */
   def q210LshParamAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Similarity
+    // signature frame is consumed SIX times (3 banding configs x 2 self-
+    // join sides), and unlike the single-config cascades the per-config
+    // band explodes do not share an exchange — lazily the md5-shingle +
+    // minhash pass replayed per config. Materialize once (round-16;
+    // localCheckpoint, recomputed from parquet every run). (doc_id, sig)
+    // is 32 ints/doc — far below corpus text size.
     val docs = SimilarityQueries.docsWithPlants(spark, dir)
       .select(col("doc_id"), Similarity.shingleSet(col("text"), 3).as("sh"))
       .select(col("doc_id"),
         graft.expressions.MinHashSignature.minhashSignature(
           Similarity.md5ShingleHashes(col("sh")), 32).as("sig"))
+      .localCheckpoint(true)
     val cands = LshConfigs.map { case (b, r) =>
       val keys = docs.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${b - 1}), i -> struct(i AS band, " +
@@ -248,10 +255,15 @@ object EvalQueries {
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("id_a"), col("id_b"))
     }.reduce(_ unionAll _)
+    // truth pairs are consumed twice (the hit join + the denominator
+    // count): materialize the confirm cascade once and re-assert the
+    // broadcastability its parquet stats used to give the hit join
+    // (round-15 stat-erasure finding; pair set ≪ corpus)
     val truth = SimilarityQueries.confirmedNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+      .localCheckpoint(true)
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
-    cands.join(truth, Seq("id_a", "id_b"), "left")
+    cands.join(broadcast(truth), Seq("id_a", "id_b"), "left")
       .groupBy(col("bands"), col("rows_per_band"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("is_true"), lit(0L))).as("n_hit"))

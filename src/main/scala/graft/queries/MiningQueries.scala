@@ -1723,6 +1723,13 @@ object MiningQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+    // Deliberately lazy (round-15 A/B finding, RE-CONFIRMED round 16):
+    // checkpointing `capped` (3 consumers) measured 1.18x SLOWER at
+    // min-of-20 focused ABAB even though the degree joins carry explicit
+    // broadcast hints — the window's hashpartitioning(part) exchange is
+    // AQE-stage-cache-shared between the self-join sides lazily, so the
+    // only replayed work was the cheap post-exchange filter, while the
+    // eager checkpoint adds a serial materialization of the whole frame.
     val capped = cp
       .withColumn("rk", row_number().over(Window.partitionBy(col("part"))
         .orderBy(expr("md5(concat(cast(cust AS STRING), '_', " +

@@ -96,15 +96,17 @@ object SimilarityQueries {
   /** The derivation itself (conf-blind) — what a composed run persists
     * (graft-visible: CurationRun stages it, the spec baselines it).
     *
-    * Deliberately LAZY (round-15 A/B finding): materializing the
-    * shingle/banded intermediates here (localCheckpoint) was measured
-    * SLOWER on the gate box — the duplicated subtrees execute in
-    * parallel inside one job, while each checkpoint adds a serial job
-    * and erases size statistics (a LogicalRDD reports no size, so the
-    * exact-confirm joins lose their automatic broadcast and fall back
-    * to sort-merge). Multi-consumer queries share ONE materialization
-    * of the finished pair frame via [[sharedNearDupPairs]] instead —
-    * that is where the measured win lives.
+    * Deliberately LAZY (round-15 A/B finding, RE-CONFIRMED round 16 with
+    * the broadcast fix the r15 A/B lacked): checkpointing the
+    * hashed-shingle frame + broadcast-hinting the candidate pair frame
+    * across the stat-erasure boundary measured q200 2.16x / q204 2.27x
+    * SLOWER (min-of-12 focused ABAB, /tmp/focus logs) — the duplicated
+    * subtrees execute in parallel inside one job at this shape, while
+    * the eager checkpoint adds a serial job and the broadcast build adds
+    * a barrier, neither of which the saved recompute pays for.
+    * Multi-consumer queries share ONE materialization of the finished
+    * pair frame via [[sharedNearDupPairs]] instead — that is where the
+    * measured win lives.
     */
   private[graft] def derivedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // hash-identified shingles (native expression, no string shingle
@@ -956,10 +958,18 @@ object SimilarityQueries {
     * per-doc shingle arrays and computes exact set containment.
     */
   def q107ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Round-16 (re-landing the r15-reverted checkpoint WITH the broadcast
+    // fix): `d` — the string-trigram arrays, the expensive projection — is
+    // consumed three times (the anchor explode + both scoring-join sides);
+    // lazily the shingle pass replayed per consumer. Materialized once;
+    // the rare-anchored pair frame (≤ C(5,2) pairs per anchor — governed,
+    // ≪ corpus) re-asserts its broadcastability across the stat-erasure
+    // boundary so the scoring joins stay map-side.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.expressions.ShingleStrings.shingleStrings(
           graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      .localCheckpoint(true)
     val e = d.select(col("doc_id"), explode(col("sh")).as("t"))
     val rare = e.groupBy(col("t")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 5))
@@ -969,7 +979,7 @@ object SimilarityQueries {
       .filter(col("doc_id") < col("id_b"))
       .select(col("doc_id").as("id_a"), col("id_b"))
       .distinct()
-    pairs
+    broadcast(pairs)
       .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1537,11 +1547,14 @@ object SimilarityQueries {
       .crossJoin(spark.range(0, 12).select(col("id").as("k")))
       .select((lit(3 * PlantOffset) + col("k")).as("doc_id"),
         concat(col("text"), lit(" hotfam"), col("k").cast(StringType)).as("text"))
-    // Deliberately lazy throughout (round-15 A/B finding): checkpointing
-    // the keys/survivor/candidate/truth web was measured 1.8x SLOWER here
+    // Deliberately lazy throughout (round-15 A/B finding, RE-CONFIRMED
+    // round 16): the r15 A/B checkpointed the whole keys/survivor/
+    // candidate/truth web and measured 1.8x slower; the round-16 retry
+    // checkpointed only the dominant frames (docs + the twice-consumed
+    // pair frames) WITH explicit broadcast hints across the stat-erasure
+    // boundary and still measured 1.17x slower (min-of-12 focused ABAB)
     // — every duplicated subtree runs in parallel inside one job at this
-    // shape, while checkpoints serialize into a job chain and their
-    // stat-less RDDs demote the automatic broadcast joins to sort-merge.
+    // shape, while checkpoints serialize into a job chain.
     val docs = docsWithPlants(spark, dir).unionByName(fam)
       .withColumn("sh", md5ShingleHashes(shingleSet(col("text"), 3)))
     val keys = docs
@@ -1749,8 +1762,10 @@ object SimilarityQueries {
     fp.join(rare, "fp")
   }
 
-  /** q216's pair pipeline over an arbitrary (doc_id, text) corpus. */
-  private[graft] def winnowPairFrame(docs: DataFrame, w: Int,
+  /** q216's pair pipeline WITHOUT the presentation sort — for consumers
+    * that feed the pairs into joins (q236), where the global orderBy is a
+    * wasted sort exchange (round-16 optimization). */
+  private[queries] def winnowPairsUnordered(docs: DataFrame, w: Int,
       maxDf: Int): DataFrame = {
     val kept = winnowKeptFingerprints(docs, w, maxDf)
     val nFp = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
@@ -1763,8 +1778,12 @@ object SimilarityQueries {
       .filter(col("n_shared") >= 2)
       .select(col("id_a"), col("id_b"), col("n_shared"),
         expr("n_shared * 1000000L div (na + nb - n_shared)").as("sim_ppm"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** q216's pair pipeline over an arbitrary (doc_id, text) corpus. */
+  private[graft] def winnowPairFrame(docs: DataFrame, w: Int,
+      maxDf: Int): DataFrame =
+    winnowPairsUnordered(docs, w, maxDf).orderBy(col("id_a"), col("id_b"))
 
   /** Winnowing pipeline as DuckDB CTEs (docs_p plants → positional grams
     * → md5 hashes → window-min fingerprints → pair counts `p`) — shared
@@ -1841,18 +1860,38 @@ object SimilarityQueries {
     // once and points this conf at it, so q216 + q236 composed pay ONE
     // corpus fingerprint pass. The gate never sets it — the oracle
     // replays candidate generation from the raw corpus.
-    val cand = (spark.conf.getOption("spark.graft.winnow.pairTable") match {
-      case Some(path) => spark.read.parquet(path)
-      case None => q216WinnowingFingerprints(spark, dir)
-    }).select(col("id_a"), col("id_b"))
+    //
+    // Round-16: gate mode materializes the pair frame ONCE
+    // (localCheckpoint — recomputed from parquet every run): `cand` feeds
+    // BOTH per-side count joins, and the lazy form replayed the whole
+    // fingerprint cascade twice. The presentation orderBy q216 itself
+    // gates is skipped (winnowPairsUnordered) — `cand` is a join input,
+    // so that sort exchange was pure waste. The staged-parquet path stays
+    // lazy (cheap scan re-read; CurationRunSpec pins the scan).
+    val cand = spark.conf.getOption("spark.graft.winnow.pairTable") match {
+      case Some(path) =>
+        spark.read.parquet(path).select(col("id_a"), col("id_b"))
+      case None =>
+        val w = spark.conf.getOption("spark.graft.winnow.w").map(_.toInt)
+          .getOrElse(WinnowW)
+        val maxDf = spark.conf.getOption("spark.graft.winnow.maxDf")
+          .map(_.toInt).getOrElse(WinnowMaxDf)
+        winnowPairsUnordered(docsWithPlants(spark, dir), w, maxDf)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    }
     val wc = docsWithPlants(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val a = cand.join(wc.select(col("doc_id").as("id_a"), col("w"),
-      col("c").as("ca")), "id_a")
-    val b = cand.join(wc.select(col("doc_id").as("id_b"), col("w"),
-      col("c").as("cb")), "id_b")
+    // pair frame ≪ corpus (governed near-dup candidates): re-assert
+    // broadcastability across the LogicalRDD stat-erasure boundary
+    // (round-15 finding — a checkpoint reports no size estimate, so these
+    // joins would demote from the auto-broadcast the parquet-derived
+    // stats used to give them to sort-merge)
+    val a = broadcast(cand).join(wc.select(col("doc_id").as("id_a"),
+      col("w"), col("c").as("ca")), "id_a")
+    val b = broadcast(cand).join(wc.select(col("doc_id").as("id_b"),
+      col("w"), col("c").as("cb")), "id_b")
     a.join(b, Seq("id_a", "id_b", "w"), "full_outer")
       .groupBy(col("id_a"), col("id_b"))
       .agg(

@@ -86,28 +86,35 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(mine.keySet === expected.keySet)
     expected.foreach { case (g, e) => assert(mine(g) === e, s"group $g") }
 
-    // the scale contract: the corpus is range-partitioned on (group, value);
-    // there is no corpus-wide hash exchange on the group key alone
+    // the scale contract (round-16 shape): the corpus range exchange +
+    // sort + streaming cumsum ran exactly ONCE, inside the scaffold's
+    // eager materialization — every downstream branch reads the
+    // materialized frame (Scan ExistingRDD), and NO range exchange (and
+    // hence no second corpus sort) survives into the final plan
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"corpus range exchange must happen inside the one-shot materialization, not replay downstream:\n${plan.take(2000)}")
   }
 
-  test("runtime: the offset branch REUSES the corpus range-exchange stage (one shuffle, not two)") {
-    // the static plan shows the scan→range-exchange→sort→mapPartitions
-    // subtree twice (the offset frame deliberately aggregates the same
-    // subtree the probe reads — pid consistency under AQE); the executed
-    // adaptive plan must collapse that to ONE materialized shuffle via
-    // AQE's stage cache, or a 100 TB input would be scanned and shuffled
-    // twice per quantile pass
+  test("runtime: q121's offset and probe branches read ONE materialized ranked frame (no corpus re-derivation)") {
+    // pre-round-16 shape: the offset branch re-ran the within-partition
+    // sort + streaming pass on the AQE-reused shuffle output (the old pin
+    // asserted the ReusedExchange). Round-16 materializes the ranked
+    // frame once, so the executed plan must read it as Scan ExistingRDD
+    // and contain NO FileScan at all — the parquet scan, range exchange
+    // and sort all live inside the single eager materialization job
+    // (q121's own presentation orderBy adds a tiny G-row range exchange,
+    // which is why this pin is FileScan-based, not exchange-based)
     val q121 = SparkEntry.queries("q121_weighted_median")(spark, sfDir)
     q121.collect()
     val plan = q121.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), plan.take(500))
     val cut = plan.indexOf("== Initial Plan ==")
     val finalPlan = if (cut >= 0) plan.take(cut) else plan
-    assert(
-      "ReusedExchange \\[[^\\]]*\\], Exchange rangepartitioning".r
-        .findFirstIn(finalPlan).isDefined,
-      s"executed q121 plan must reuse the range-exchange stage:\n${finalPlan.take(6000)}")
+    assert(finalPlan.contains("ExistingRDD"),
+      s"q121 must read the materialized ranked frame:\n${finalPlan.take(6000)}")
+    assert(!finalPlan.contains("FileScan"),
+      s"q121's final plan must not re-derive the ranked corpus from parquet:\n${finalPlan.take(6000)}")
   }
 }

@@ -273,12 +273,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q57 exact percentiles use distributed rank, not a per-group percentile buffer") {
     val p = plan("q57_percentiles")
     // the percentile() aggregate buffers and sorts every group inside ≤5
-    // reducers; the distributed-rank plan must not contain it, and must
-    // carry the range exchange on (group, value) that spreads even a
-    // single giant group across the cluster
+    // reducers; the distributed-rank plan must not contain it. Round-16:
+    // the (group, value) range exchange + sort + rank pass now execute
+    // ONCE inside the scaffold's eager materialization (the old pin
+    // asserted the exchange in this plan; it lives in the checkpoint job
+    // now), so the query plan must read the materialized ranked frame —
+    // PercentilesSpec pins the single-execution contract at runtime
     assert(!p.contains("percentile("), s"percentile() aggregate found:\n$p")
-    assert("rangepartitioning\\(g#\\d+ ASC NULLS FIRST, v#\\d+".r.findFirstIn(p).isDefined,
-      s"no (group, value) range exchange:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"q57 must read the materialized ranked frame:\n$p")
   }
 
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
